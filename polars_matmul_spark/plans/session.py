@@ -1,0 +1,48 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on local[N]; the same configs are the ones that
+matter on a real cluster (AQE, Arrow, shuffle partition sizing). Keep
+every scale-relevant knob here so tests, bench, and the driver share
+one profile.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "polars_matmul_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # shuffle partitions ~ cores locally; on a 1000-executor cluster
+        # this is raised to ~2-3x total cores (or left to AQE coalesce)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime re-plan — coalesces small shuffle partitions and
+        # splits skewed ones; essential at 100 TB, harmless locally
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow batches between JVM and Python workers — the analog of
+        # the reference's zero-copy Series->matrix path
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # oracle comparison: DuckDB timestamps are UTC-naive
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
