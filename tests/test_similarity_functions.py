@@ -1,0 +1,257 @@
+"""Integration tests for the pandas-UDF similarity path, porting the
+reference's test suite (tests/test_polars_matmul.py, 6 classes) to
+Spark: semantics per metric, explode/unnest composition, k-clamp,
+join-back, NumPy oracle, error surface, f32 support, and composition
+with filter/select/sort/limit/group-by under the lazy optimizer.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.utils import PythonException
+
+from polars_matmul_spark.functions import matmul, matmul_flatten, topk, topk_exploded
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+@pytest.fixture(scope="module")
+def queries_df(spark):
+    # tests/test_polars_matmul.py:14-21 analog
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": [0, 1],
+                "embedding": [[1.0, 0.0], [0.0, 1.0]],
+            }
+        )
+    )
+
+
+CORPUS = np.array([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+LABELS = ["a", "b", "c"]
+
+
+class TestTopk:
+    def test_cosine_semantics(self, queries_df):
+        rows = (
+            queries_df.withColumn("matches", topk(F.col("embedding"), CORPUS, k=1))
+            .orderBy("query_id")
+            .collect()
+        )
+        assert rows[0].matches[0]["index"] == 0  # [1,0] most cosine-similar to itself
+        assert rows[1].matches[0]["index"] == 1
+        assert rows[0].matches[0].score == pytest.approx(1.0)
+
+    def test_k_clamped_to_corpus(self, queries_df):
+        # k > n_corpus silently clamps (src/matmul.rs:443)
+        rows = queries_df.withColumn(
+            "m", topk(F.col("embedding"), CORPUS, k=10)
+        ).collect()
+        assert all(len(r.m) == 3 for r in rows)
+
+    def test_sorted_best_first(self, queries_df):
+        rows = queries_df.withColumn(
+            "m", topk(F.col("embedding"), CORPUS, k=3, metric="dot")
+        ).collect()
+        for r in rows:
+            scores = [m["score"] for m in r.m]
+            assert scores == sorted(scores, reverse=True)
+
+    def test_euclidean_ascending(self, queries_df):
+        rows = queries_df.withColumn(
+            "m", topk(F.col("embedding"), CORPUS, k=3, metric="euclidean")
+        ).collect()
+        for r in rows:
+            scores = [m["score"] for m in r.m]
+            assert scores == sorted(scores)
+
+    def test_explode_unnest_join_back(self, spark, queries_df):
+        # the README retrieval pattern (README.md:110-124)
+        meta = spark.createDataFrame(
+            pd.DataFrame({"index": range(3), "label": LABELS})
+        )
+        out = (
+            topk_exploded(queries_df, F.col("embedding"), CORPUS, k=2, keep=["query_id"])
+            .join(F.broadcast(meta), "index", "left")
+            .orderBy("query_id", F.desc("score"))
+            .collect()
+        )
+        assert len(out) == 4
+        assert out[0].label == "a" and out[0].query_id == 0
+
+    def test_score_always_double(self, queries_df):
+        df = queries_df.withColumn(
+            "m", topk(F.col("embedding").cast("array<float>"), CORPUS.astype(np.float32), k=1)
+        )
+        field = df.schema["m"].dataType.elementType["score"].dataType.simpleString()
+        assert field == "double"  # src/matmul.rs:446-447
+
+
+class TestMatmul:
+    def test_values_vs_npdot(self, spark):
+        np.random.seed(42)
+        Q = np.random.randn(10, 32)
+        C = np.random.randn(20, 32)
+        df = spark.createDataFrame(
+            pd.DataFrame({"i": range(10), "embedding": list(Q)})
+        )
+        rows = df.withColumn("s", matmul(F.col("embedding"), C)).orderBy("i").collect()
+        got = np.array([r.s for r in rows])
+        np.testing.assert_allclose(got, Q @ C.T, rtol=1e-5)
+
+    def test_flatten_row_major(self, spark):
+        # flatten order is row-major (tests/test_polars_matmul.py:204-222)
+        Q = np.array([[1.0, 0.0], [0.0, 1.0]])
+        df = spark.createDataFrame(pd.DataFrame({"i": [0, 1], "embedding": list(Q)}))
+        out = (
+            matmul_flatten(df, F.col("embedding"), CORPUS, keep=["i"])
+            .orderBy("i", "corpus_index")
+            .collect()
+        )
+        flat = [r.score for r in out]
+        expected = (Q @ CORPUS.T).ravel().tolist()
+        assert flat == pytest.approx(expected)
+        assert len(flat) == 6  # n_q * n_c
+
+    def test_output_width_promotion(self, spark):
+        # f32 iff both sides f32 (fixes SURVEY §1.2 wrinkle)
+        df = spark.createDataFrame(
+            pd.DataFrame({"embedding": [[1.0, 2.0]]})
+        ).withColumn("emb32", F.col("embedding").cast("array<float>"))
+        c32 = CORPUS.astype(np.float32)
+        t1 = df.withColumn("s", matmul(F.col("emb32"), c32, input_is_f32=True)).schema["s"]
+        assert t1.dataType.elementType.simpleString() == "float"
+        t2 = df.withColumn("s", matmul(F.col("embedding"), c32)).schema["s"]
+        assert t2.dataType.elementType.simpleString() == "double"
+        t3 = df.withColumn("s", matmul(F.col("emb32"), CORPUS, input_is_f32=True)).schema["s"]
+        assert t3.dataType.elementType.simpleString() == "double"
+
+
+class TestErrorHandling:
+    def test_empty_corpus(self, queries_df):
+        with pytest.raises(ValueError, match="Empty"):
+            topk(F.col("embedding"), np.empty((0, 2)), k=1)
+
+    def test_unknown_metric(self, queries_df):
+        with pytest.raises(ValueError, match="Unknown metric"):
+            topk(F.col("embedding"), CORPUS, k=1, metric="invalid_metric")
+
+    def test_corpus_must_be_materialized(self, queries_df):
+        # reference raises TypeError on Expr corpus
+        with pytest.raises(TypeError, match="materialized"):
+            topk(F.col("embedding"), F.col("embedding"), k=1)
+
+    def test_dim_mismatch_at_execution(self, queries_df):
+        bad = np.ones((2, 3))
+        df = queries_df.withColumn("m", topk(F.col("embedding"), bad, k=1))
+        with pytest.raises(PythonException, match="Dimension mismatch"):
+            df.collect()
+
+
+class TestFloat32:
+    def test_f32_path_values(self, spark):
+        np.random.seed(42)
+        Q = np.random.randn(5, 16).astype(np.float32)
+        C = np.random.randn(11, 16).astype(np.float32)
+        df = spark.createDataFrame(
+            pd.DataFrame({"i": range(5), "embedding": list(Q)})
+        ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+        rows = (
+            df.withColumn("m", topk(F.col("embedding"), C, k=3, metric="cosine"))
+            .orderBy("i")
+            .collect()
+        )
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        S = Qn @ Cn.T
+        for i, r in enumerate(rows):
+            expect = np.sort(S[i])[::-1][:3]
+            got = [m["score"] for m in r.m]
+            np.testing.assert_allclose(got, expect, rtol=1e-4)
+
+
+class TestLazyComposition:
+    """Kernel composed with the host-engine surface under Catalyst
+    (tests/test_polars_matmul.py:467-768 analog)."""
+
+    @pytest.fixture(scope="class")
+    def flagged(self, spark):
+        np.random.seed(7)
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "query_id": range(8),
+                    "embedding": list(np.random.randn(8, 2)),
+                    "active": [True, False] * 4,
+                }
+            )
+        )
+
+    def test_filter_before_kernel(self, flagged):
+        out = (
+            flagged.filter(F.col("active"))
+            .withColumn("m", topk(F.col("embedding"), CORPUS, k=1))
+            .collect()
+        )
+        assert len(out) == 4
+
+    def test_filter_after_kernel_on_score(self, flagged):
+        out = (
+            flagged.withColumn("m", topk(F.col("embedding"), CORPUS, k=1))
+            .withColumn("best", F.col("m")[0]["score"])
+            .filter(F.col("best") > 0.9)
+            .collect()
+        )
+        for r in out:
+            assert r.best > 0.9
+
+    def test_select_prunes(self, flagged):
+        out = (
+            flagged.withColumn("m", topk(F.col("embedding"), CORPUS, k=1))
+            .select("query_id", "m")
+            .columns
+        )
+        assert out == ["query_id", "m"]
+
+    def test_sort_and_limit(self, flagged):
+        out = (
+            flagged.withColumn("m", topk(F.col("embedding"), CORPUS, k=1))
+            .withColumn("best", F.col("m")[0]["score"])
+            .orderBy(F.desc("best"))
+            .limit(3)
+            .collect()
+        )
+        assert len(out) == 3
+        assert out[0].best >= out[-1].best
+
+    def test_groupby_after_kernel(self, flagged):
+        out = (
+            topk_exploded(flagged, F.col("embedding"), CORPUS, k=2, keep=["active"])
+            .groupBy("active")
+            .agg(F.avg("score").alias("avg_score"), F.countDistinct("index").alias("n_idx"))
+            .collect()
+        )
+        assert len(out) == 2
+
+    def test_two_kernels_one_plan(self, flagged):
+        out = flagged.withColumn(
+            "m1", topk(F.col("embedding"), CORPUS, k=1, metric="cosine")
+        ).withColumn("m2", topk(F.col("embedding"), CORPUS, k=1, metric="euclidean"))
+        assert out.count() == 8
+
+    def test_empty_input_typed_result(self, spark, flagged):
+        out = (
+            flagged.filter(F.lit(False))
+            .withColumn("m", topk(F.col("embedding"), CORPUS, k=2))
+            .collect()
+        )
+        assert out == []
+
+    def test_window_over_scores(self, flagged):
+        ex = topk_exploded(flagged, F.col("embedding"), CORPUS, k=3, keep=["query_id"])
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"))
+        out = ex.withColumn("rn", F.row_number().over(w)).filter("rn = 1").collect()
+        assert len(out) == 8
