@@ -1,0 +1,200 @@
+"""Deduplication family for document tables at scale.
+
+Four strategies, all shuffle-conscious:
+
+- ``exact_dedup``            hash-groupBy on a content fingerprint;
+                             one shuffle on the hash, trivially skew-free
+- ``neardup_pairs_exact``    n-gram Jaccard via shingle equi-join —
+                             exact, O(sum of postings^2 per shingle);
+                             the oracle/ground-truth form
+- ``neardup_pairs_minhash``  MinHash + LSH banding: candidates come
+                             from an equi-join on (band, band_hash) —
+                             at 100 TB this is the only viable exact-
+                             verified near-dup join (candidate count
+                             scales with true-duplicate density, not
+                             with n^2); generous default banding
+                             (64 perms, 32 bands x 2 rows) gives
+                             recall ~1 - 1e-14 at jaccard >= 0.8
+- ``simhash16``              16-bit SimHash fingerprints (md5-nibble
+                             based, engine-portable); hamming-close
+                             fingerprints = near-dups
+
+Everything is pure DataFrame/SQL — no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from polars_matmul_spark.operators.text import fingerprint, shingles, tokens
+
+__all__ = [
+    "exact_dedup",
+    "shingled",
+    "neardup_pairs_exact",
+    "neardup_pairs_minhash",
+    "simhash16",
+]
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group by content fingerprint; keep the lowest id per group.
+
+    Returns (keep_id, n_dups, content_hash). One hash-partitioned
+    shuffle; md5 keys are uniform so no skew handling needed.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+        .select("keep_id", "n_dups", "content_hash")
+    )
+
+
+def shingled(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, shingles array) with distinct word n-grams; drops docs with
+    fewer than n tokens (no shingles -> cannot match anything)."""
+    out = df.select(
+        F.col(id_col), shingles(tokens(F.col(text_col)), n).alias("shingles")
+    )
+    return out.filter(F.size("shingles") > 0)
+
+
+def neardup_pairs_exact(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via the shingle postings join.
+
+    Candidate pairs = docs sharing >= 1 shingle (any pair with
+    jaccard > 0 appears). The intersection count comes from the join
+    group-by; union = n1 + n2 - inter. Hot shingles (stopword n-grams)
+    are the skew risk at scale — AQE skew-join handles moderate cases;
+    beyond that, drop top-frequency shingles (they only generate
+    candidates that MinHash would find anyway).
+    """
+    sh = shingled(df, text_col, id_col, n).cache()
+    ex = sh.select(F.col(id_col), F.explode("shingles").alias("s"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"))
+    out = (
+        pairs.join(sizes.withColumnRenamed(id_col, "d1").withColumnRenamed("n_sh", "n1"), "d1")
+        .join(sizes.withColumnRenamed(id_col, "d2").withColumnRenamed("n_sh", "n2"), "d2")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("d1", "d2", "jaccard")
+
+
+def _minhash_signature(shingle_col, num_perm: int = 64):
+    """MinHash signature: per permutation p, min over shingles of
+    xxhash64(shingle, p). xxhash64's seed-per-permutation gives the
+    family of independent hash functions; all JVM-side."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda p: F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, p))),
+    )
+
+
+def neardup_pairs_minhash(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 32,
+) -> DataFrame:
+    """MinHash + LSH banding, exact-verified.
+
+    Pipeline: shingle -> 64-perm signature -> 32 bands of 2 rows ->
+    equi-join on (band_idx, band_hash) -> distinct candidate pairs ->
+    exact Jaccard verify >= threshold.
+
+    With b=32, r=2: P(miss | jaccard=s) = (1 - s^2)^32; at s=0.8 that
+    is ~6e-15 — the exact-verified output equals the exact all-pairs
+    answer with near-certainty, while the join only ever touches
+    hash-colliding docs (the 100 TB property).
+    """
+    rows = num_perm // bands
+    sh = shingled(df, text_col, id_col, n).cache()
+    sig = sh.select(
+        F.col(id_col),
+        "shingles",
+        _minhash_signature(F.col("shingles"), num_perm).alias("mh"),
+    )
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band_idx"),
+            F.xxhash64(*[F.get(F.col("mh"), b * rows + r) for r in range(rows)]).alias(
+                "band_hash"
+            ),
+        ),
+    )
+    banded = sig.select(F.col(id_col), F.explode(band_structs).alias("bd")).select(
+        F.col(id_col), F.col("bd.band_idx"), F.col("bd.band_hash")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
+        .distinct()
+    )
+    sh1 = sh.select(F.col(id_col).alias("d1"), F.col("shingles").alias("sh1"))
+    sh2 = sh.select(F.col(id_col).alias("d2"), F.col("shingles").alias("sh2"))
+    verified = (
+        cands.join(sh1, "d1")
+        .join(sh2, "d2")
+        .withColumn("inter", F.size(F.array_intersect("sh1", "sh2")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.size("sh1") + F.size("sh2") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("d1", "d2", "jaccard")
+
+
+def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash over distinct tokens, md5-nibble based so any
+    engine reproduces it: token hash = first 4 hex chars of md5 as int;
+    bit j of the fingerprint = sign of sum over tokens of (+-1 per bit).
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("t")
+    )
+    h = F.conv(F.substring(F.md5(F.col("t")), 1, 4), 16, 10).cast("int")
+    tok = tok.withColumn("h", h)
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(16)
+    ]
+    sums = tok.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for j in range(16):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return sums.select(F.col(id_col), fp.cast("long").alias("simhash"))

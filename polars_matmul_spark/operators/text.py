@@ -1,0 +1,117 @@
+"""Text-analysis operators over a document table — all pure Catalyst
+expressions (JVM codegen, no Python UDFs): at 100 TB these run at scan
+speed, embarrassingly parallel, zero shuffles until the final agg.
+
+Operators: tokenization + counting, language-ID (stopword-hit
+heuristic), quality scoring (length/stopword/shape ratios), document
+fingerprinting (normalized-content hash and shingle sets for the dedup
+family in ``operators.dedup``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "shingles",
+    "token_count",
+    "lang_id",
+    "quality_score",
+    "fingerprint",
+    "STOPWORDS",
+]
+
+# Small per-language stopword lists for the heuristic language-ID.
+# Order matters: ties resolve to the earlier language (deterministic).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "es": ("el", "los", "las", "y", "es", "que"),
+    "fr": ("le", "la", "et", "les", "des", "est"),
+    "zh": ("的", "是", "了", "在", "和"),
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization. BPE-ish subword splitting is a later
+    refinement; whitespace is the oracle-parity baseline."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def shingles(tok_col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct), for Jaccard/MinHash dedup.
+
+    Pure SQL ``transform(sequence(...))`` — arrays stay JVM-side.
+    Rows with fewer than n tokens yield an empty shingle set.
+    """
+    t = tok_col
+    return F.when(
+        F.size(t) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - n),
+                lambda i: F.concat_ws(" ", *[F.get(t, i + j) for j in range(n)]),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def _stop_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    wl = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(wl, t)))
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-hit language guess with deterministic precedence.
+
+    A production pipeline would use a character-n-gram model; the
+    stopword heuristic is the SQL-expressible baseline whose decisions
+    are reproducible in any engine.
+    """
+    toks = tokens(col)
+    hits = {lang: _stop_hits(toks, words) for lang, words in STOPWORDS.items()}
+    langs = list(STOPWORDS)
+    expr = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            # strictly-greater for languages earlier in precedence,
+            # greater-or-equal beats later ones
+            c = (
+                hits[lang] >= hits[other]
+                if langs.index(other) > langs.index(lang)
+                else hits[lang] > hits[other]
+            )
+            cond = c if cond is None else (cond & c)
+        expr = (
+            F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+        )
+    return expr.otherwise(F.lit(langs[0]))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality heuristic in [0, 2]: stopword density +
+    length saturation. Deterministic double arithmetic (oracle-parity).
+    """
+    toks = tokens(col)
+    n_tokens = F.size(toks).cast("double")
+    stop_ratio = _stop_hits(toks, STOPWORDS["en"]).cast("double") / n_tokens
+    len_sat = F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+    return stop_ratio + len_sat
+
+
+def fingerprint(col: Column) -> Column:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text.
+
+    The exact-dedup key. (A rolling Rabin-Karp variant lives in the
+    kernel tests; md5 is the cross-engine-reproducible form.)
+    """
+    return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))

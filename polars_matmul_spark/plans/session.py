@@ -34,6 +34,9 @@ def get_spark(app_name: str = "polars_matmul_spark", shuffle_partitions: int | N
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # oracle comparison: DuckDB timestamps are UTC-naive
         .config("spark.sql.session.timeZone", "UTC")
+        # driver testdata stores TIMESTAMP(NANOS) which Spark cannot read
+        # natively; read as long and convert in sources.tables.load_table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
     )

@@ -1,0 +1,531 @@
+"""Core query registry: similarity operators + relational analytics
+surface, each as a (spark_fn, duckdb_oracle_sql) pair.
+
+Design rule for oracle parity (the driver hash-compares values): every
+float that reaches the output is produced by arithmetic that is
+bit-for-bit reproducible in DuckDB —
+
+- similarity scores: sequential f64 fold (``aggregate(zip_with(..))``
+  in Spark == ``list_dot_product`` on DOUBLE[] in DuckDB; verified
+  empirically, 0 mismatches on the sf0.01 tables);
+- money aggregates: per-row double expression cast to DECIMAL before
+  SUM (exact, order-independent), cast back to DOUBLE after;
+- averages: exact decimal sum divided by exact count, in double;
+- rankings: ordered by exact-equal keys with an id tiebreak, so window
+  frontiers are identical on both engines.
+
+The reference's own surface is N1-N10 + H1-H14 (SURVEY §2); each query
+below names the inventory items it covers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from polars_matmul_spark.operators.similarity_join import (
+    score_expr,
+    similarity_join_exact,
+    topk_join_exact,
+)
+from polars_matmul_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# similarity surface (reference N1-N8)
+# ---------------------------------------------------------------------------
+
+# DuckDB-side score expressions, mirroring operators.similarity_join.score_expr
+_DUCK_DOT = "list_dot_product({a}, {b})"
+
+
+def _duck_score(metric: str, a: str = "q_emb", c: str = "c_emb") -> str:
+    dot = _DUCK_DOT.format(a=a, b=c)
+    qq = _DUCK_DOT.format(a=a, b=a)
+    cc = _DUCK_DOT.format(a=c, b=c)
+    if metric == "dot":
+        return dot
+    if metric == "cosine":
+        return (
+            f"CASE WHEN sqrt({qq}) * sqrt({cc}) < 1e-10 THEN 0.0 "
+            f"ELSE {dot} / (sqrt({qq}) * sqrt({cc})) END"
+        )
+    return f"sqrt(greatest({qq} + {cc} - 2 * {dot}, 0.0))"
+
+
+def _split_embeddings(spark: SparkSession, sf_dir: str, n_queries: int = 50):
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("c_emb")
+    )
+    return q, c
+
+
+def _make_topk(metric: str, k: int = 5):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # N3 fused top-k in its SQL-expressible exact form (SURVEY N3):
+        # crossJoin + window. Covers H7/H10/H11 composition too.
+        q, c = _split_embeddings(spark, sf_dir)
+        out = topk_join_exact(
+            q, c, "query_id", "corpus_id", "q_emb", "c_emb", k=k, metric=metric
+        )
+        return out.select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "corpus_id",
+            "score",
+        )
+
+    order = "DESC" if metric in ("cosine", "dot") else "ASC"
+    oracle = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+           FROM embeddings WHERE vec_id < 50),
+     c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS c_emb
+           FROM embeddings WHERE vec_id >= 50),
+     scored AS (
+       SELECT query_id, corpus_id, {_duck_score(metric)} AS score
+       FROM q CROSS JOIN c),
+     ranked AS (
+       SELECT query_id, corpus_id, score,
+              row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY score {order}, corpus_id ASC) AS rank
+       FROM scored)
+SELECT query_id, rank, corpus_id, score FROM ranked WHERE rank <= {k}
+"""
+    return fn, oracle
+
+
+def _matmul_flatten_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # N1/N2: all-pairs dot products, flattened one row per (q, c) pair
+    q, c = _split_embeddings(spark, sf_dir)
+    q = q.filter(F.col("query_id") < 10)
+    c = c.filter(F.col("corpus_id") < 150)
+    out = similarity_join_exact(q, c, "q_emb", "c_emb", metric="dot")
+    return out.select("query_id", "corpus_id", "score")
+
+
+_MATMUL_FLATTEN_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+           FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS c_emb
+           FROM embeddings WHERE vec_id >= 50 AND vec_id < 150)
+SELECT query_id, corpus_id, {_duck_score('dot')} AS score
+FROM q CROSS JOIN c
+"""
+
+
+def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with label blocking.
+
+    The blocking key stands in for the LSH bucket a 100 TB pipeline
+    would use (operators.ann): candidate generation is an equi-join on
+    the block, never an unblocked O(n^2) cross join.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("label"),
+        F.col("embedding").alias("c_emb"),
+    )
+    pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.withColumn("cosine", score_expr(F.col("q_emb"), F.col("c_emb"), "cosine"))
+    return scored.filter(F.col("cosine") >= 0.3).select("id_a", "id_b", "label", "cosine")
+
+
+_EMBEDDING_NEARDUP_ORACLE = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+       {_duck_score('cosine', 'a.embedding::DOUBLE[]', 'b.embedding::DOUBLE[]')} AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_duck_score('cosine', 'a.embedding::DOUBLE[]', 'b.embedding::DOUBLE[]')} >= 0.3
+"""
+
+
+def _explode_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # H5 explode + H8 row-position: first 8 dims of each vector
+    emb = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 20)
+    return emb.select(
+        "vec_id",
+        F.posexplode(F.slice(F.col("embedding").cast("array<double>"), 1, 8)).alias(
+            "pos0", "val"
+        ),
+    ).select("vec_id", (F.col("pos0") + 1).cast("long").alias("dim_idx"), "val")
+
+
+_EXPLODE_EMBEDDING_ORACLE = """
+SELECT vec_id,
+       CAST(generate_subscripts(e, 1) AS BIGINT) AS dim_idx,
+       unnest(e) AS val
+FROM (SELECT vec_id, (embedding::DOUBLE[])[1:8] AS e
+      FROM embeddings WHERE vec_id < 20)
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational analytics surface (H1-H14 + general OLAP)
+# ---------------------------------------------------------------------------
+
+# Q1: identical SQL text runs on both engines (decimal-exact aggregates)
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem")
+    return spark.sql(_Q1_SQL)
+
+
+def _q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # H7 joins + H9 agg + H10 sort + H11 limit; deterministic top-N via
+    # decimal-exact revenue and an orderkey tiebreak
+    customer = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, customer.c_custkey == orders.o_custkey)
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_ORACLE = """
+SELECT l_orderkey, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def _q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 6-way join; small dims (region/nation) broadcast by Catalyst/AQE
+    region = load_table(spark, "region", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    return (
+        region.join(nation, region.r_regionkey == nation.n_regionkey)
+        .join(customer, nation.n_nationkey == customer.c_nationkey)
+        .join(orders, customer.c_custkey == orders.o_custkey)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .join(
+            supplier,
+            (lineitem.l_suppkey == supplier.s_suppkey)
+            & (supplier.s_nationkey == nation.n_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_Q5_ORACLE = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM region
+JOIN nation ON r_regionkey = n_regionkey
+JOIN customer ON n_nationkey = c_nationkey
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+_Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def _q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem")
+    return spark.sql(_Q6_SQL)
+
+
+def _top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # window function coverage: top-3 suppliers per nation by revenue
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    rev = (
+        lineitem.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    joined = rev.join(
+        F.broadcast(supplier), rev.l_suppkey == supplier.s_suppkey
+    ).join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("s_suppkey"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("n_name", "rank", "s_suppkey", "s_name", "revenue")
+    )
+
+
+_TOP_SUPPLIERS_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+  FROM lineitem GROUP BY l_suppkey
+), ranked AS (
+  SELECT n_name, s_suppkey, s_name, revenue,
+         row_number() OVER (PARTITION BY n_name ORDER BY revenue DESC, s_suppkey ASC) AS rank
+  FROM rev
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT n_name, rank, s_suppkey, s_name, revenue FROM ranked WHERE rank <= 3
+"""
+
+# ROLLUP: identical SQL text on both engines
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def _rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem")
+    return spark.sql(_ROLLUP_SQL)
+
+
+def _pivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pivot: order counts per priority x status
+    orders = load_table(spark, "orders", sf_dir)
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    # pivot yields nullable counts; normalize null -> 0 like the FILTER form
+    return out.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("F", "O", "P")],
+    )
+
+
+_PIVOT_ORDERS_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a new session starts after a >30 min gap.
+
+    lag + cumulative-sum window pattern; at 100 TB this partitions
+    cleanly by user_id (one shuffle), no skew expected on synthetic ids.
+    """
+    events = load_table(spark, "events", sf_dir)
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w_user = Window.partitionBy("user_id").orderBy(*order)
+    w_cum = w_user.rowsBetween(Window.unboundedPreceding, 0)
+    sess = (
+        events.withColumn("tse", F.unix_timestamp("ts"))
+        .withColumn("prev", F.lag("tse").over(w_user))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev").isNull() | (F.col("tse") - F.col("prev") > 1800), 1
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("is_new").over(w_cum))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max("tse") - F.min("tse")).alias("duration_sec"),
+    )
+
+
+_SESSIONIZE_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) // 1000000 AS tse,
+         lag(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev IS NULL OR tse - prev > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), sess AS (
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MAX(tse) - MIN(tse) AS duration_sec
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def _event_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tumbling-window agg in batch form (streaming twin lives in
+    # polars_matmul_spark.streaming); window start as epoch seconds
+    events = load_table(spark, "events", sf_dir)
+    return (
+        events.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+_EVENT_HOURLY_ORACLE = """
+SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def _json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # JSON scalar extraction from the events.props column
+    events = load_table(spark, "events", sf_dir)
+    return (
+        events.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+_JSON_PROPS_ORACLE = """
+SELECT event_type, COUNT(*) AS n,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
+def _set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # set-operation coverage: customers with orders vs high-balance
+    customer = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    with_orders = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey")
+    high_bal = customer.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    both = with_orders.intersect(high_bal).withColumn("bucket", F.lit("both"))
+    only_orders = with_orders.exceptAll(high_bal).distinct().withColumn(
+        "bucket", F.lit("orders_only")
+    )
+    return both.unionByName(only_orders).groupBy("bucket").agg(
+        F.count("*").alias("n_customers")
+    )
+
+
+_SET_OPS_ORACLE = """
+WITH with_orders AS (
+  SELECT DISTINCT c_custkey FROM customer
+  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+), high_bal AS (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+), b AS (
+  SELECT c_custkey, 'both' AS bucket FROM with_orders INTERSECT
+  SELECT c_custkey, 'both' FROM high_bal
+), oo AS (
+  SELECT c_custkey, 'orders_only' AS bucket FROM with_orders
+  EXCEPT SELECT c_custkey, 'orders_only' FROM high_bal
+)
+SELECT bucket, COUNT(*) AS n_customers FROM (SELECT * FROM b UNION ALL SELECT * FROM oo)
+GROUP BY bucket
+"""
+
+
+CORE_QUERIES: dict[str, tuple] = {
+    # similarity surface
+    "topk_cosine": _make_topk("cosine"),
+    "topk_dot": _make_topk("dot"),
+    "topk_euclidean": _make_topk("euclidean"),
+    "matmul_flatten": (_matmul_flatten_scores, _MATMUL_FLATTEN_ORACLE),
+    "embedding_neardup_cosine": (_embedding_neardup, _EMBEDDING_NEARDUP_ORACLE),
+    "explode_embedding": (_explode_embedding, _EXPLODE_EMBEDDING_ORACLE),
+    # relational surface
+    "q1_pricing_summary": (_q1, _Q1_SQL),
+    "q3_shipping_priority": (_q3, _Q3_ORACLE),
+    "q5_local_supplier": (_q5, _Q5_ORACLE),
+    "q6_forecast_revenue": (_q6, _Q6_SQL),
+    "top_suppliers_per_nation": (_top_suppliers, _TOP_SUPPLIERS_ORACLE),
+    "rollup_sales": (_rollup, _ROLLUP_SQL),
+    "pivot_order_status": (_pivot_orders, _PIVOT_ORDERS_ORACLE),
+    "sessionize_events": (_sessionize, _SESSIONIZE_ORACLE),
+    "event_hourly_windows": (_event_hourly, _EVENT_HOURLY_ORACLE),
+    "json_event_props": (_json_props, _JSON_PROPS_ORACLE),
+    "customer_set_ops": (_set_ops, _SET_OPS_ORACLE),
+}

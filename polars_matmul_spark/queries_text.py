@@ -1,0 +1,222 @@
+"""Text / dedup / multimodal query registry with DuckDB oracles.
+
+The Spark implementations live in ``operators.text`` / ``operators.dedup``
+(pure Catalyst expressions); the oracles replicate the same arithmetic
+in DuckDB dialect. All float outputs are ratios of integers or md5-
+derived values — bit-reproducible across engines.
+
+DuckDB dialect notes baked in below:
+- regexp_replace needs the 'g' flag (Spark replaces all by default)
+- arrays are 1-based (Spark SQL arrays are 0-based)
+- hex -> int via ('0x' || h)::INTEGER (Spark: conv(h, 16, 10))
+- tokens: regexp_split_to_array (Spark: split)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polars_matmul_spark.operators import dedup as D
+from polars_matmul_spark.operators import text as X
+from polars_matmul_spark.operators.text import STOPWORDS
+from polars_matmul_spark.sources.tables import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "documents", sf_dir)
+
+
+# --- token counts ---------------------------------------------------------
+
+def _token_counts(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        X.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+_TOKEN_COUNTS_ORACLE = r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+# --- language id ----------------------------------------------------------
+
+def _lang_id(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", "lang", X.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _duck_lang_case() -> str:
+    langs = list(STOPWORDS)
+    hit_exprs = {
+        lang: (
+            "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+            f"t -> t IN ({', '.join(repr(w) for w in words)})))"
+        )
+        for lang, words in STOPWORDS.items()
+    }
+    whens = []
+    for i, lang in enumerate(langs):
+        conds = []
+        for j, other in enumerate(langs):
+            if i == j:
+                continue
+            op = ">" if j < i else ">="
+            conds.append(f"h_{lang} {op} h_{other}")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    hits_select = ", ".join(f"{e} AS h_{lang}" for lang, e in hit_exprs.items())
+    return f"""
+WITH hits AS (SELECT doc_id, lang, {hits_select} FROM documents)
+SELECT doc_id, lang,
+       CASE {' '.join(whens)} ELSE '{langs[0]}' END AS lang_pred
+FROM hits
+"""
+
+
+# --- quality score --------------------------------------------------------
+
+def _quality(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", X.quality_score(F.col("text")).alias("quality"))
+
+
+_EN = ", ".join(repr(w) for w in STOPWORDS["en"])
+_QUALITY_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_filter(toks, t -> t IN ({_EN}))) AS DOUBLE)
+         / CAST(len(toks) AS DOUBLE)
+       + least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) AS quality
+FROM tok
+"""
+
+# --- fingerprint / exact dedup --------------------------------------------
+
+def _fingerprint(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
+
+
+_FINGERPRINT_ORACLE = r"""
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+FROM documents
+"""
+
+
+def _exact_dedup(spark, sf_dir):
+    return D.exact_dedup(_docs(spark, sf_dir))
+
+
+_EXACT_DEDUP_ORACLE = """
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups, md5(text) AS content_hash
+FROM documents GROUP BY md5(text)
+"""
+
+# --- n-gram jaccard near-dup (exact + minhash-LSH) -------------------------
+
+def _duck_jaccard_pairs(threshold: float) -> str:
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        for i in range(1, len(toks) - 1)]) AS shingles
+  FROM tok WHERE len(toks) >= 3
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n_sh FROM sh
+)
+SELECT d1, d2,
+       CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) AS jaccard
+FROM pairs
+JOIN sizes s1 ON d1 = s1.doc_id
+JOIN sizes s2 ON d2 = s2.doc_id
+WHERE CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) >= {threshold}
+"""
+
+
+def _neardup_exact(spark, sf_dir):
+    return D.neardup_pairs_exact(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _neardup_minhash(spark, sf_dir):
+    # LSH candidates + exact verification at threshold 0.8; the oracle
+    # is the exact all-pairs answer — banding (32 bands x 2 rows) makes
+    # P(candidate miss at jaccard >= 0.8) ~ 6e-15, so the results agree
+    return D.neardup_pairs_minhash(_docs(spark, sf_dir), threshold=0.8)
+
+
+# --- simhash ---------------------------------------------------------------
+
+def _simhash(spark, sf_dir):
+    return D.simhash16(_docs(spark, sf_dir))
+
+
+def _duck_simhash() -> str:
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(16)
+    )
+    fp_terms = " + ".join(f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16))
+    return rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS t
+  FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 4))::INTEGER AS h FROM tok
+), sums AS (
+  SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp_terms} AS BIGINT) AS simhash FROM sums
+"""
+
+
+# --- multimodal binary plumbing --------------------------------------------
+
+def _binary_meta(spark, sf_dir):
+    """Binary-column plumbing: treat utf-8 payload bytes as an opaque
+    binary column (the image/audio stand-in) and extract typed
+    metadata. Decode/resize stubs live in operators.multimodal."""
+    docs = _docs(spark, sf_dir)
+    payload = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("payload_sha256"),
+    )
+
+
+_BINARY_META_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+       sha256(text) AS payload_sha256
+FROM documents
+"""
+
+
+TEXT_QUERIES: dict[str, tuple] = {
+    "token_counts": (_token_counts, _TOKEN_COUNTS_ORACLE),
+    "lang_id": (_lang_id, _duck_lang_case()),
+    "quality_score": (_quality, _QUALITY_ORACLE),
+    "doc_fingerprint": (_fingerprint, _FINGERPRINT_ORACLE),
+    "exact_dedup_docs": (_exact_dedup, _EXACT_DEDUP_ORACLE),
+    "neardup_ngram_jaccard": (_neardup_exact, _duck_jaccard_pairs(0.5)),
+    "neardup_minhash_lsh": (_neardup_minhash, _duck_jaccard_pairs(0.8)),
+    "simhash_fingerprint": (_simhash, _duck_simhash()),
+    "binary_payload_meta": (_binary_meta, _BINARY_META_ORACLE),
+}

@@ -1,0 +1,50 @@
+"""Parquet table sources for the sf* test datasets.
+
+Columnar parquet scans with Catalyst pushdown; schemas are whatever the
+driver generated (TESTDATA.md). At cluster scale the same loaders point
+at a directory of many files — Spark parallelizes the scan by file
+split, `spark.sql.files.maxPartitionBytes` controls split size.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    if name not in TABLES:
+        raise ValueError(f"Unknown table '{name}'. Known: {', '.join(TABLES)}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # TIMESTAMP(NANOS) columns arrive as long (see plans.session config);
+    # convert to microsecond timestamps. Integer `div` (not float /):
+    # ns-since-epoch exceeds double's 2^53 integer range.
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for field in df.schema.fields:
+        if field.name in ("ts",) and isinstance(field.dataType, T.LongType):
+            df = df.withColumn(field.name, F.expr(f"timestamp_micros({field.name} div 1000)"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, tables=TABLES) -> None:
+    """Register each table as a temp view so SQL-form queries can run."""
+    for name in tables:
+        load_table(spark, name, sf_dir).createOrReplaceTempView(name)

