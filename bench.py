@@ -1,0 +1,148 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Two groups:
+- sf-table queries (the registry's headline operators at sf0.1)
+- reference-shape kernels: the canonical 1000q x 10000c x 256d k=10
+  workload from BASELINE.md (README.md:162 of the reference), run
+  through the pandas-UDF kernel path so the number is comparable.
+
+Timing uses the noop sink (full computation of every column, no
+collect-to-driver cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from polars_matmul_spark.functions import topk, topk_exploded
+    from polars_matmul_spark.operators.similarity_join import topk_join_blocked
+    from polars_matmul_spark.plans.session import get_spark
+    from polars_matmul_spark.registry import ALL_QUERIES
+    from polars_matmul_spark.sources.tables import load_table
+
+    spark = get_spark("bench")
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+
+    times: dict[str, float] = {}
+
+    # --- warmup: boot python workers / JIT before any timing ---
+    emb_small = load_table(spark, "embeddings", SF_DIR).limit(64)
+    warm_c = np.random.default_rng(0).standard_normal((16, 64)).astype(np.float32)
+    _force(emb_small.withColumn("m", topk(F.col("embedding"), warm_c, k=3)))
+
+    # --- registry headline queries at SF_DIR ---
+    headline = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier",
+        "topk_cosine",
+        "matmul_flatten",
+        "embedding_neardup_cosine",
+        "sessionize_events",
+        "event_hourly_windows",
+        "token_counts",
+        "quality_score",
+        "neardup_ngram_jaccard",
+        "neardup_minhash_lsh",
+        "simhash_fingerprint",
+        "exact_dedup_docs",
+    ]
+    for name in headline:
+        fn, _oracle = ALL_QUERIES[name]
+        times[name] = _timed(lambda: _force(fn(spark, SF_DIR)))
+
+    # --- kernel path on the sf embeddings table ---
+    emb = load_table(spark, "embeddings", SF_DIR)
+    corpus_pdf = emb.filter(F.col("vec_id") >= 50).select("embedding").toPandas()
+    corpus = np.stack(corpus_pdf["embedding"].to_numpy()).astype(np.float32)
+    qdf = emb.filter(F.col("vec_id") < 50).select("vec_id", "embedding")
+    times["kernel_topk_sf"] = _timed(
+        lambda: _force(
+            topk_exploded(qdf, F.col("embedding"), corpus, k=10, keep=["vec_id"])
+        )
+    )
+
+    # --- blocked distributed top-k (corpus-unbounded exact path) ---
+    qd = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cd = emb.filter(F.col("vec_id") >= 50).select(
+        F.col("vec_id").alias("corpus_id"), "embedding"
+    )
+    times["blocked_topk_sf"] = _timed(
+        lambda: _force(topk_join_blocked(qd, cd, k=10, metric="cosine"))
+    )
+
+    # --- reference canonical shape: 1000 x 10000 x 256, k=10, f32 ---
+    # steady-state: min of 2 runs (first run pays python-worker spinup);
+    # 8 partitions => 125-row Arrow batches, big enough for BLAS
+    from polars_matmul_spark.functions import matmul
+
+    rng = np.random.default_rng(42)
+    Q = rng.standard_normal((1000, 256)).astype(np.float32)
+    C = rng.standard_normal((10000, 256)).astype(np.float32)
+    qpd = (
+        spark.createDataFrame(
+            [(i, q.tolist()) for i, q in enumerate(Q)],
+            "query_id long, embedding array<float>",
+        )
+        .coalesce(8)
+        .cache()
+    )
+    qpd.count()
+    times["ref_topk_1000x10000x256"] = min(
+        _timed(lambda: _force(qpd.withColumn("m", topk(F.col("embedding"), C, k=10))))
+        for _ in range(2)
+    )
+    times["ref_matmul_f32_1000x10000x256"] = min(
+        _timed(
+            lambda: _force(
+                qpd.withColumn("s", matmul(F.col("embedding"), C, input_is_f32=True))
+            )
+        )
+        for _ in range(2)
+    )
+
+    total = sum(times.values())
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": {k: round(v, 3) for k, v in times.items()},
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -54,11 +54,17 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def shingled(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """(id, shingles array) with distinct word n-grams; drops docs with
-    fewer than n tokens (no shingles -> cannot match anything)."""
-    out = df.select(
-        F.col(id_col), shingles(tokens(F.col(text_col)), n).alias("shingles")
+    fewer than n tokens (no shingles -> cannot match anything).
+
+    The filter runs on the cheap token-count condition BEFORE the
+    shingle projection — filtering on the computed column would make
+    Catalyst evaluate the whole shingle expression twice per row
+    (once in Filter, once in Project).
+    """
+    toks = tokens(F.col(text_col))
+    return df.filter(F.size(toks) >= n).select(
+        F.col(id_col), shingles(toks, n).alias("shingles")
     )
-    return out.filter(F.size("shingles") > 0)
 
 
 def neardup_pairs_exact(

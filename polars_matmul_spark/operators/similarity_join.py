@@ -86,17 +86,35 @@ def similarity_join_exact(
     """All-pairs scores: the matmul(flatten=True) analog as a pure
     Catalyst plan (reference N2, python/polars_matmul/__init__.py:173-187).
 
+    Per-row self-dots (norms) are computed BEFORE the join — O(n*d)
+    instead of O(n^2*d) — which is bitwise-identical to computing them
+    per pair (same fold over the same array), so oracle parity holds.
     Corpus columns are prefixed ``c_`` on collision. Catalyst picks
     BroadcastNestedLoopJoin when one side is broadcastable.
     """
+    metric = K._canonical_metric(metric)
     q_names = set(queries.columns)
     renamed = corpus
     for name in corpus.columns:
         if name in q_names:
             renamed = renamed.withColumnRenamed(name, f"c_{name}")
     c_col_eff = f"c_{c_col}" if c_col in q_names else c_col
-    out = queries.crossJoin(renamed)
-    return out.withColumn(score_col, score_expr(F.col(q_col), F.col(c_col_eff), metric))
+
+    if metric == "dot":
+        out = queries.crossJoin(renamed)
+        return out.withColumn(score_col, _fold_dot(F.col(q_col), F.col(c_col_eff)))
+
+    q_pre = queries.withColumn("__qq", _fold_dot(F.col(q_col), F.col(q_col)))
+    c_pre = renamed.withColumn("__cc", _fold_dot(F.col(c_col_eff), F.col(c_col_eff)))
+    out = q_pre.crossJoin(c_pre)
+    dot = _fold_dot(F.col(q_col), F.col(c_col_eff))
+    if metric == "cosine":
+        denom = F.sqrt(F.col("__qq")) * F.sqrt(F.col("__cc"))
+        score = F.when(denom < F.lit(K.EPS_F64), F.lit(0.0)).otherwise(dot / denom)
+    else:  # euclidean
+        sq = F.col("__qq") + F.col("__cc") - F.lit(2.0) * dot
+        score = F.sqrt(F.greatest(sq, F.lit(0.0)))
+    return out.withColumn(score_col, score).drop("__qq", "__cc")
 
 
 def topk_join_exact(

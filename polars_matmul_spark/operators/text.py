@@ -46,16 +46,20 @@ def shingles(tok_col: Column, n: int = 3) -> Column:
     Pure SQL ``transform(sequence(...))`` — arrays stay JVM-side.
     Rows with fewer than n tokens yield an empty shingle set.
     """
+    # Built from slice + zip_with, NOT transform(sequence, i -> t[i+j]):
+    # Catalyst inlines column references, so indexing the token array
+    # inside a lambda re-evaluates the full split() once per element —
+    # O(tokens^2) regex work per row. slice() evaluates the array
+    # expression once per call, keeping this O(1) evaluations per row.
     t = tok_col
-    return F.when(
-        F.size(t) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(t) - n),
-                lambda i: F.concat_ws(" ", *[F.get(t, i + j) for j in range(n)]),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    m = F.size(t) - (n - 1)  # number of shingles
+    cols = [F.slice(t, j + 1, m) for j in range(n)]  # 1-based start
+    zipped = cols[n - 1]
+    for j in range(n - 2, -1, -1):
+        zipped = F.zip_with(cols[j], zipped, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(F.size(t) >= n, F.array_distinct(zipped)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def token_count(col: Column) -> Column:

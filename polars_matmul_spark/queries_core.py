@@ -24,7 +24,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from polars_matmul_spark.operators.similarity_join import (
-    score_expr,
     similarity_join_exact,
     topk_join_exact,
 )
@@ -124,17 +123,24 @@ def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     would use (operators.ann): candidate generation is an equi-join on
     the block, never an unblocked O(n^2) cross join.
     """
+    from polars_matmul_spark.operators.similarity_join import _fold_dot
+
     emb = load_table(spark, "embeddings", sf_dir)
+    # norms once per row (O(n*d)), not per pair — bitwise-identical folds
     a = emb.select(
         F.col("vec_id").alias("id_a"), F.col("label").alias("label"),
         F.col("embedding").alias("q_emb"),
-    )
+    ).withColumn("qn", F.sqrt(_fold_dot(F.col("q_emb"), F.col("q_emb"))))
     b = emb.select(
         F.col("vec_id").alias("id_b"), F.col("label").alias("label"),
         F.col("embedding").alias("c_emb"),
-    )
+    ).withColumn("cn", F.sqrt(_fold_dot(F.col("c_emb"), F.col("c_emb"))))
     pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
-    scored = pairs.withColumn("cosine", score_expr(F.col("q_emb"), F.col("c_emb"), "cosine"))
+    denom = F.col("qn") * F.col("cn")
+    dot = _fold_dot(F.col("q_emb"), F.col("c_emb"))
+    scored = pairs.withColumn(
+        "cosine", F.when(denom < 1e-10, F.lit(0.0)).otherwise(dot / denom)
+    )
     return scored.filter(F.col("cosine") >= 0.3).select("id_a", "id_b", "label", "cosine")
 
 
