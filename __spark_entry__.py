@@ -26,6 +26,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
     from polars_matmul_spark.functions import topk_exploded
     from polars_matmul_spark.kernels import to_matrix
+    from polars_matmul_spark.plans.session import ship_package
+
+    ship_package(spark)
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     queries_df = emb.filter(F.col("vec_id") < 50).select(
@@ -53,9 +56,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from polars_matmul_spark.plans.session import ship_package
     from polars_matmul_spark.registry import queries as _queries
 
-    return _queries()
+    def _wrap(fn):
+        def run(spark, sf_dir, _fn=fn):
+            ship_package(spark)
+            return _fn(spark, sf_dir)
+
+        return run
+
+    return {name: _wrap(fn) for name, fn in _queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1,0 +1,163 @@
+"""Approximate nearest-neighbor search — the similarity-search scale
+path when neither exact form fits the budget.
+
+Strategies:
+
+- ``ivf_topk``: IVF (inverted-file) coarse quantization. Corpus rows
+  are assigned to their nearest centroid (one broadcast join — the
+  "index build"); a query scores the centroids, probes the ``nprobe``
+  nearest lists, and exact-reranks only those lists. With C centroids
+  and P probes the scan cost drops to ~P/C of brute force. Everything
+  is declarative DataFrame ops -> a DuckDB oracle can replicate the
+  algorithm exactly (deterministic centroids + deterministic
+  tie-breaks), so even the *approximate* operator gets an exact
+  correctness gate.
+
+- ``brp_lsh_similarity_join``: MLlib BucketedRandomProjectionLSH
+  (euclidean) approx similarity join — the built-in scale-out LSH;
+  seeded for determinism, but its hash family is JVM-internal so it
+  gets a rows-only check rather than a value oracle.
+
+At 100 TB: the centroid table stays broadcast-sized (C ~ sqrt(n) rows);
+the corpus is hash-partitioned by centroid_id (clustered index); a
+query touches nprobe partitions — the classic IVF layout, expressed as
+one equi-join on centroid_id that AQE turns into a partial scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from polars_matmul_spark.operators.similarity_join import _fold_dot
+
+__all__ = ["pick_centroids", "assign_ivf", "ivf_topk", "brp_lsh_similarity_join"]
+
+
+def pick_centroids(corpus: DataFrame, id_col: str, every: int = 37) -> DataFrame:
+    """Deterministic centroid choice: every ``every``-th corpus row by id.
+
+    K-means would give better lists but is seed-dependent; modular
+    selection is reproducible in any engine (the oracle re-derives it)
+    and good enough to demonstrate the IVF pruning structure.
+    """
+    return corpus.filter(F.col(id_col) % every == 0).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col("embedding").alias("centroid_emb"),
+    )
+
+
+def _cosine(q, c, qn, cn):
+    denom = F.sqrt(qn) * F.sqrt(cn)
+    return F.when(denom < 1e-10, F.lit(0.0)).otherwise(_fold_dot(q, c) / denom)
+
+
+def assign_ivf(
+    corpus: DataFrame, centroids: DataFrame, id_col: str = "corpus_id"
+) -> DataFrame:
+    """Index build: nearest centroid (cosine) per corpus row.
+
+    broadcast(centroids) x corpus -> argmax by (score desc,
+    centroid_id asc) — one window, no iteration.
+    """
+    c = corpus.withColumn("__cc", _fold_dot(F.col("embedding"), F.col("embedding")))
+    cen = centroids.withColumn(
+        "__nn", _fold_dot(F.col("centroid_emb"), F.col("centroid_emb"))
+    )
+    scored = c.crossJoin(F.broadcast(cen)).withColumn(
+        "__s",
+        _cosine(F.col("embedding"), F.col("centroid_emb"), F.col("__cc"), F.col("__nn")),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__s"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "embedding", "centroid_id")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    q_id: str = "query_id",
+    c_id: str = "corpus_id",
+) -> DataFrame:
+    """IVF search: probe the ``nprobe`` nearest centroid lists, exact
+    cosine rerank within them. Returns (q_id, rank, c_id, score)."""
+    indexed = assign_ivf(corpus, centroids, c_id)
+    q = queries.withColumn("__qq", _fold_dot(F.col("embedding"), F.col("embedding")))
+    cen = centroids.withColumn(
+        "__nn", _fold_dot(F.col("centroid_emb"), F.col("centroid_emb"))
+    )
+    # probe selection: top-nprobe centroids per query
+    probe_w = Window.partitionBy(q_id).orderBy(F.desc("__ps"), F.asc("centroid_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cen))
+        .withColumn(
+            "__ps",
+            _cosine(
+                F.col("embedding"), F.col("centroid_emb"), F.col("__qq"), F.col("__nn")
+            ),
+        )
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .filter(F.col("__pr") <= nprobe)
+        .select(q_id, F.col("embedding").alias("q_emb"), "__qq", "centroid_id")
+    )
+    # scan only the probed lists: equi-join on centroid_id
+    cand = probes.join(
+        indexed.select(
+            c_id,
+            F.col("embedding").alias("c_emb"),
+            "centroid_id",
+        ),
+        "centroid_id",
+    )
+    cand = cand.withColumn("__cc2", _fold_dot(F.col("c_emb"), F.col("c_emb")))
+    scored = cand.withColumn(
+        "score", _cosine(F.col("q_emb"), F.col("c_emb"), F.col("__qq"), F.col("__cc2"))
+    )
+    # a corpus row can appear once per (query, centroid) pair only if it
+    # lives in one list — assignment is unique, so no dedup needed
+    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(q_id, "rank", c_id, "score")
+    )
+
+
+def brp_lsh_similarity_join(
+    a: DataFrame,
+    b: DataFrame,
+    threshold: float,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH approx similarity join
+    (euclidean distance <= threshold). Seeded; returns
+    (id_a, id_b, dist). Rows-only correctness (JVM-internal hashes)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    fa = a.select(F.col(id_a), array_to_vector(F.col("embedding").cast("array<double>")).alias("features"))
+    fb = b.select(F.col(id_b), array_to_vector(F.col("embedding").cast("array<double>")).alias("features"))
+    brp = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = brp.fit(fa)
+    joined = model.approxSimilarityJoin(fa, fb, threshold, distCol="dist")
+    return joined.select(
+        F.col(f"datasetA.{id_a}").alias(id_a),
+        F.col(f"datasetB.{id_b}").alias(id_b),
+        F.col("dist"),
+    ).filter(F.col(id_a) < F.col(id_b))

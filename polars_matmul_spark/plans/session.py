@@ -45,6 +45,31 @@ def get_spark(app_name: str = "polars_matmul_spark", shuffle_partitions: int | N
     return spark
 
 
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable inside executor Python workers no
+    matter what cwd/PYTHONPATH the driver process has (and, on a real
+    cluster, on executors that don't share the driver's filesystem):
+    zip the package once per SparkContext and addPyFile it."""
+    import shutil
+    import tempfile
+
+    import polars_matmul_spark
+
+    sc = spark.sparkContext
+    if getattr(sc, "_pmm_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(polars_matmul_spark.__file__))
+    tmp = tempfile.mkdtemp(prefix="pmm_ship_")
+    zip_path = shutil.make_archive(
+        os.path.join(tmp, "polars_matmul_spark"),
+        "zip",
+        root_dir=os.path.dirname(pkg_dir),
+        base_dir="polars_matmul_spark",
+    )
+    sc.addPyFile(zip_path)
+    sc._pmm_shipped = True
+
+
 def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:

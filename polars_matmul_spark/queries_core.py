@@ -153,6 +153,64 @@ WHERE {_duck_score('cosine', 'a.embedding::DOUBLE[]', 'b.embedding::DOUBLE[]')} 
 """
 
 
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k with an exact oracle: deterministic
+    centroids (every 37th corpus id) + deterministic probe/rerank
+    tie-breaks let DuckDB replicate the whole algorithm."""
+    from polars_matmul_spark.operators.ann import ivf_topk, pick_centroids
+
+    q, c = _split_embeddings(spark, sf_dir)
+    q = q.withColumnRenamed("q_emb", "embedding")
+    c = c.withColumnRenamed("c_emb", "embedding")
+    centroids = pick_centroids(c, "corpus_id", every=37)
+    return ivf_topk(q, c, centroids, k=5, nprobe=3)
+
+
+def _duck_ivf_oracle() -> str:
+    cos_cn = _duck_score("cosine", "c_emb", "n_emb")
+    cos_qn = _duck_score("cosine", "q_emb", "n_emb")
+    cos_qc = _duck_score("cosine", "q_emb", "c_emb")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+           FROM embeddings WHERE vec_id < 50),
+     c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS c_emb
+           FROM embeddings WHERE vec_id >= 50),
+     cen AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS n_emb
+             FROM embeddings WHERE vec_id >= 50 AND vec_id % 37 = 0),
+     assign AS (
+       SELECT corpus_id, c_emb, centroid_id FROM (
+         SELECT c.corpus_id, c.c_emb, cen.centroid_id,
+                row_number() OVER (PARTITION BY c.corpus_id
+                                   ORDER BY {cos_cn} DESC, cen.centroid_id ASC) AS rn
+         FROM c CROSS JOIN cen) WHERE rn = 1),
+     probes AS (
+       SELECT query_id, q_emb, centroid_id FROM (
+         SELECT q.query_id, q.q_emb, cen.centroid_id,
+                row_number() OVER (PARTITION BY q.query_id
+                                   ORDER BY {cos_qn} DESC, cen.centroid_id ASC) AS rn
+         FROM q CROSS JOIN cen) WHERE rn <= 3),
+     scored AS (
+       SELECT p.query_id, a.corpus_id, {cos_qc} AS score
+       FROM probes p JOIN assign a ON p.centroid_id = a.centroid_id),
+     ranked AS (
+       SELECT query_id, corpus_id, score,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, corpus_id ASC) AS rank
+       FROM scored)
+SELECT query_id, rank, corpus_id, score FROM ranked WHERE rank <= 5
+"""
+
+
+def _ann_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MLlib LSH approx similarity join (rows-only check: JVM hash family)
+    from polars_matmul_spark.operators.ann import brp_lsh_similarity_join
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    a = emb.select(F.col("vec_id").alias("id_a"), "embedding")
+    b = emb.select(F.col("vec_id").alias("id_b"), "embedding")
+    return brp_lsh_similarity_join(a, b, threshold=8.0)
+
+
 def _explode_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # H5 explode + H8 row-position: first 8 dims of each vector
     emb = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 20)
@@ -521,6 +579,8 @@ CORE_QUERIES: dict[str, tuple] = {
     "topk_euclidean": _make_topk("euclidean"),
     "matmul_flatten": (_matmul_flatten_scores, _MATMUL_FLATTEN_ORACLE),
     "embedding_neardup_cosine": (_embedding_neardup, _EMBEDDING_NEARDUP_ORACLE),
+    "ann_ivf_topk": (_ann_ivf, _duck_ivf_oracle()),
+    "ann_brp_lsh_join": (_ann_brp_lsh, None),
     "explode_embedding": (_explode_embedding, _EXPLODE_EMBEDDING_ORACLE),
     # relational surface
     "q1_pricing_summary": (_q1, _Q1_SQL),

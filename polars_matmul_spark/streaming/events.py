@@ -1,0 +1,124 @@
+"""Structured Streaming operators over the events table.
+
+The reference has no streaming surface (SURVEY §2.3); this is the
+extension layer a live ingest pipeline needs. Batch twins of these
+aggregations live in the query registry (``event_hourly_windows``,
+``sessionize_events``) and the tests assert stream == batch on the same
+input — the exactly-once replay property Structured Streaming
+guarantees with file sources.
+
+Scale notes: watermarks bound state; the hourly window agg keeps
+O(active windows x event types) rows of state per partition; the
+stateful per-user operator partitions by user_id (state lives with the
+partition, no driver involvement).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the file source wants a directory; glob-filter down to the one table
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type with a 2-hour watermark
+    (late events beyond the watermark are dropped deterministically)."""
+    events = read_events_stream(spark, sf_dir)
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_windows_stream(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -> DataFrame:
+    """Built-in session windows: sessions close after ``gap`` of
+    inactivity per user (the streaming twin of the batch lag+cumsum
+    sessionization)."""
+    events = read_events_stream(spark, sf_dir)
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-user totals that survive across micro-batches.
+
+    State schema: (n bigint, total double). Emits one row per user per
+    micro-batch with the updated running totals.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = read_events_stream(spark, sf_dir)
+
+    out_schema = "user_id long, n bigint, total double"
+    state_schema = "n bigint, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n], "total": [total]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drive a streaming frame to completion synchronously against the
+    memory sink (availableNow) and return the query handle."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,83 @@
+"""Structured Streaming operators vs their batch twins.
+
+With a file source + availableNow trigger the stream is a deterministic
+replay of the parquet input, so every streaming aggregation must equal
+the equivalent batch query on the same data (exactly-once semantics).
+"""
+
+import math
+import os
+
+import pytest
+
+from polars_matmul_spark.queries_core import CORE_QUERIES
+from polars_matmul_spark.streaming.events import (
+    hourly_event_counts_stream,
+    run_stream_to_memory,
+    session_windows_stream,
+    stateful_user_totals,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_hourly_counts_stream_equals_batch(spark):
+    stream_df = hourly_event_counts_stream(spark, SF_DIR)
+    run_stream_to_memory(stream_df, "hourly_mem", output_mode="complete")
+    got = spark.sql("SELECT * FROM hourly_mem").toPandas()
+
+    batch_fn = CORE_QUERIES["event_hourly_windows"][0]
+    want = batch_fn(spark, SF_DIR).toPandas()
+
+    key = ["window_start", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert got[key + ["n"]].equals(want[key + ["n"]])
+    for g, w in zip(got["total_value"], want["total_value"]):
+        assert math.isclose(g, w, rel_tol=1e-9)
+
+
+def test_session_windows_stream_matches_batch_sessionization(spark):
+    stream_df = session_windows_stream(spark, SF_DIR, gap="30 minutes")
+    run_stream_to_memory(stream_df, "sessions_mem", output_mode="complete")
+    got = spark.sql("SELECT * FROM sessions_mem").toPandas()
+
+    batch_fn = CORE_QUERIES["sessionize_events"][0]
+    want = batch_fn(spark, SF_DIR).toPandas()
+
+    # same session structure: per user, the multiset of session sizes
+    assert len(got) == len(want)
+    g = sorted(map(tuple, got[["user_id", "n_events"]].values.tolist()))
+    w = sorted(map(tuple, want[["user_id", "n_events"]].values.tolist()))
+    assert g == w
+
+
+def test_stateful_user_totals_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    stream_df = stateful_user_totals(spark, SF_DIR)
+    run_stream_to_memory(stream_df, "totals_mem", output_mode="update")
+    got = spark.sql(
+        # update mode emits one row per user per micro-batch; the final
+        # state is the row with the largest running count
+        """SELECT user_id, n, total FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n DESC) rn
+             FROM totals_mem) WHERE rn = 1"""
+    ).toPandas()
+
+    from polars_matmul_spark.sources.tables import load_table
+
+    want = (
+        load_table(spark, "events", SF_DIR)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .toPandas()
+    )
+    key = "user_id"
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert got["user_id"].tolist() == want["user_id"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+    for g, w in zip(got["total"], want["total"]):
+        assert math.isclose(g, w, rel_tol=1e-6)
