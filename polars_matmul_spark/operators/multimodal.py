@@ -1,0 +1,189 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+The reference has no multimodal surface (reference SURVEY §2.3 —
+`src/lib.rs:57-62` exposes exactly two similarity pyfunctions); this is
+the training-pipeline extension layer: treat media as opaque ``binary``
+payloads with typed metadata, and run decode / feature-extract /
+resize / frame-sample as Arrow-batched Python stages.
+
+Real codec decode (PIL / librosa / ffmpeg) is NOT installed in this
+container, so ``decode_asset`` is a clearly-marked stub that raises
+``NotImplementedError`` unless a codec library appears. Everything
+Spark-side is real and tested: the binary schema, the mapInPandas
+batch shapes, deterministic fake decoders (payload bytes ARE the
+samples — documents are pure ASCII so byte == codepoint, which makes
+the fakes DuckDB-oracle-checkable).
+
+Scale notes: payloads stay in executor-side Arrow buffers end-to-end
+(never collected); feature extraction is embarrassingly parallel per
+partition; frame sampling is pure Catalyst (sequence + substring on
+binary) so it whole-stage-codegens with no Python worker at all.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "asset_table",
+    "byte_histogram_features",
+    "pixel_stats",
+    "frame_sample",
+    "resize_fake",
+    "decode_asset",
+]
+
+#: fixed fake-image width; height is derived from the payload length
+IMG_WIDTH = 16
+
+
+def asset_table(docs: DataFrame) -> DataFrame:
+    """documents -> multimodal asset table.
+
+    Schema: (asset_id long, kind string, payload binary,
+    width int, height int, sample_rate int, n_bytes long).
+    ``kind`` cycles image/audio/video by id; payload is the utf-8 text
+    bytes (the opaque-media stand-in).
+    """
+    payload = F.col("text").cast("binary")
+    n_bytes = F.octet_length(payload).cast("long")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        payload.alias("payload"),
+        F.lit(IMG_WIDTH).alias("width"),
+        (n_bytes / IMG_WIDTH).cast("int").alias("height"),
+        F.lit(8000).alias("sample_rate"),
+        n_bytes.alias("n_bytes"),
+    )
+
+
+def byte_histogram_features(
+    df: DataFrame, id_col: str = "asset_id", payload_col: str = "payload", bins: int = 16
+) -> DataFrame:
+    """Feature extraction over binary payloads: normalized ``bins``-bin
+    histogram of byte values (bin width 256/bins), as array<double>.
+
+    mapInPandas: one numpy pass per Arrow batch, no per-row Python.
+    """
+    width = 256 // bins
+    schema = f"{id_col} long, features array<double>"
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for buf in pdf[payload_col]:
+                b = np.frombuffer(bytes(buf), dtype=np.uint8)
+                counts = np.bincount(b // width, minlength=bins)[:bins]
+                feats.append((counts / max(len(b), 1)).tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+
+    return df.select(id_col, payload_col).mapInPandas(extract, schema)
+
+
+def pixel_stats(df: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Fake image decode + per-image stats: interpret the first
+    width*height payload bytes as a grayscale (height, width) uint8
+    image, emit mean/min/max pixel. The decode itself is the fake; the
+    batch plumbing (binary -> ndarray -> reshape -> reduce) is exactly
+    what a PIL-backed decoder would do.
+    """
+    schema = f"{id_col} long, n_pixels long, mean_px double, min_px int, max_px int"
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, buf, w, h in zip(
+                pdf[id_col], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                img = np.frombuffer(bytes(buf), dtype=np.uint8)[: w * h].reshape(h, w)
+                rows.append(
+                    (aid, img.size, float(img.mean()), int(img.min()), int(img.max()))
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "n_pixels", "mean_px", "min_px", "max_px"]
+            )
+
+    return df.select(id_col, "payload", "width", "height").mapInPandas(decode, schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    frame_bytes: int = 64,
+    every: int = 2,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame sampling, pure Catalyst: split the payload into
+    ``frame_bytes`` blocks ("frames"), keep every ``every``-th, emit
+    (asset_id, frame_no, frame_sha256). No Python worker — the whole
+    operator whole-stage-codegens.
+    """
+    n_frames = f"octet_length({payload_col}) div {frame_bytes}"
+    frames = F.expr(
+        # sequence(0, -1) would count DOWN; guard the short-payload case
+        f"CASE WHEN {n_frames} < 1 THEN array() "
+        f"ELSE transform(sequence(0, {n_frames} - 1), "
+        f"i -> substring({payload_col}, i * {frame_bytes} + 1, {frame_bytes})) END"
+    )
+    return (
+        df.select(id_col, frames.alias("__frames"))
+        .select(id_col, F.posexplode("__frames").alias("frame_no", "__frame"))
+        .filter(F.col("frame_no") % every == 0)
+        .select(
+            id_col,
+            F.col("frame_no").cast("long").alias("frame_no"),
+            F.sha2(F.col("__frame"), 256).alias("frame_sha256"),
+        )
+    )
+
+
+def resize_fake(
+    df: DataFrame, out_w: int = 4, out_h: int = 4, id_col: str = "asset_id"
+) -> DataFrame:
+    """Fake resize: nearest-neighbor stride subsample of the fake-decoded
+    image down to (out_h, out_w), returned as a binary payload again.
+    Real interpolation needs PIL (see ``decode_asset``); the Spark-side
+    contract — binary in, smaller binary out, schema stable — is real.
+    """
+    schema = f"{id_col} long, resized binary"
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for buf, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                img = np.frombuffer(bytes(buf), dtype=np.uint8)[: w * h].reshape(h, w)
+                ys = np.linspace(0, h - 1, out_h).astype(int)
+                xs = np.linspace(0, w - 1, out_w).astype(int)
+                out.append(img[np.ix_(ys, xs)].tobytes())
+            yield pd.DataFrame({id_col: pdf[id_col], "resized": out})
+
+    return df.select(id_col, "payload", "width", "height").mapInPandas(resize, schema)
+
+
+def decode_asset(payload: bytes, kind: str):
+    """REAL codec decode — STUB. The container has no PIL/librosa/ffmpeg;
+    when one is present this becomes the entry point the fake decoders
+    mirror. Raises NotImplementedError until then."""
+    try:
+        if kind == "image":
+            import PIL.Image  # noqa: F401
+        elif kind == "audio":
+            import librosa  # noqa: F401
+        else:
+            import av  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            f"real {kind} decode requires a codec library not present in "
+            "this environment; use the deterministic fake decoders "
+            "(pixel_stats / byte_histogram_features / resize_fake) instead"
+        ) from exc
+    raise NotImplementedError("codec present but real decode not wired yet")

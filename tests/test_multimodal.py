@@ -1,0 +1,61 @@
+"""Multimodal plumbing: fake decoders vs a local NumPy oracle, stub
+gating, and batch-shape contracts. (The SQL-expressible multimodal
+queries are covered by test_oracle_parity via the registry.)"""
+
+import numpy as np
+import pytest
+
+from polars_matmul_spark.operators import multimodal as M
+from polars_matmul_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def assets(spark, sf_dir):
+    return M.asset_table(load_table(spark, "documents", sf_dir))
+
+
+def _local_image(text: str, w=16):
+    b = np.frombuffer(text.encode(), dtype=np.uint8)
+    h = len(b) // w
+    return b[: w * h].reshape(h, w)
+
+
+def test_resize_fake_matches_numpy(spark, sf_dir, assets):
+    docs = load_table(spark, "documents", sf_dir).filter("doc_id < 20")
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    got = {
+        r.asset_id: bytes(r.resized)
+        for r in M.resize_fake(assets.filter("asset_id < 20"), 4, 4).collect()
+    }
+    assert len(got) == len(texts)
+    for doc_id, text in texts.items():
+        img = _local_image(text)
+        h, w = img.shape
+        ys = np.linspace(0, h - 1, 4).astype(int)
+        xs = np.linspace(0, w - 1, 4).astype(int)
+        want = img[np.ix_(ys, xs)].tobytes()
+        assert got[doc_id] == want, doc_id
+    # contract: every resized payload is exactly out_h*out_w bytes
+    assert {len(v) for v in got.values()} == {16}
+
+
+def test_byte_histogram_sums_to_one(spark, assets):
+    rows = M.byte_histogram_features(assets.filter("asset_id < 10")).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert len(r.features) == 16
+        assert abs(sum(r.features) - 1.0) < 1e-12
+
+
+def test_frame_sample_short_payload_empty(spark, assets):
+    # payloads shorter than one frame must yield zero frames, not a
+    # descending-sequence explosion
+    from pyspark.sql import functions as F
+
+    tiny = assets.withColumn("payload", F.substring(F.col("payload"), 1, 10))
+    assert M.frame_sample(tiny, frame_bytes=64).count() == 0
+
+
+def test_decode_asset_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        M.decode_asset(b"\x00" * 16, "image")

@@ -31,12 +31,18 @@ def duck():
 
 
 def _normalize(rows, colnames):
+    import numpy as np
+
     out = []
     for row in rows:
         vals = []
         for c in sorted(colnames):
             v = row[c]
-            if isinstance(v, float) and math.isnan(v):
+            if isinstance(v, np.ndarray):
+                v = tuple(v.tolist())
+            elif isinstance(v, list):
+                v = tuple(v)
+            elif isinstance(v, float) and math.isnan(v):
                 v = "NaN"
             vals.append((c, v))
         out.append(tuple(vals))
