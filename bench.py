@@ -107,6 +107,16 @@ def main() -> None:
     rng = np.random.default_rng(42)
     Q = rng.standard_normal((1000, 256)).astype(np.float32)
     C = rng.standard_normal((10000, 256)).astype(np.float32)
+
+    # same-hardware NumPy baseline (the reference reports ratios vs
+    # NumPy: topk 0.64x, README.md:166) — warm BLAS, then best of 3
+    def _np_topk():
+        S = Q @ C.T
+        idx = np.argpartition(S, -10, axis=1)[:, -10:]
+        np.take_along_axis(S, idx, 1)
+
+    _np_topk()
+    times["numpy_topk_ref_shape"] = min(_timed(_np_topk) for _ in range(3))
     qpd = (
         spark.createDataFrame(
             [(i, q.tolist()) for i, q in enumerate(Q)],
@@ -118,7 +128,7 @@ def main() -> None:
     qpd.count()
     times["ref_topk_1000x10000x256"] = min(
         _timed(lambda: _force(qpd.withColumn("m", topk(F.col("embedding"), C, k=10))))
-        for _ in range(2)
+        for _ in range(3)
     )
     times["ref_matmul_f32_1000x10000x256"] = min(
         _timed(
@@ -126,7 +136,7 @@ def main() -> None:
                 qpd.withColumn("s", matmul(F.col("embedding"), C, input_is_f32=True))
             )
         )
-        for _ in range(2)
+        for _ in range(3)
     )
 
     total = sum(times.values())

@@ -572,6 +572,258 @@ GROUP BY bucket
 """
 
 
+def _q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXISTS decorrelated to a left-semi join (Catalyst does the same
+    # rewrite for the SQL form); late-ship lineitems in a quarter window
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    lo = F.lit("1995-04-01 00:00:00").cast("timestamp")
+    hi = F.lit("1995-07-01 00:00:00").cast("timestamp")
+    late = lineitem.filter(F.col("l_shipdate") > hi).select("l_orderkey")
+    return (
+        orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-04-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1995-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > TIMESTAMP '1995-07-01 00:00:00')
+GROUP BY o_orderpriority
+"""
+
+
+def _anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # left-anti join: customers with no order since 1997, per segment
+    # (every customer has SOME order at small SF, so the unfiltered
+    # variant would be a degenerate empty-result test)
+    customer = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        customer.join(recent, customer.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_lapsed"),
+            F.min("c_custkey").alias("first_custkey"),
+        )
+    )
+
+
+_ANTI_JOIN_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n_lapsed, MIN(c_custkey) AS first_custkey
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
+GROUP BY c_mktsegment
+"""
+
+
+def _q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # promo revenue share in one month: conditional agg over a join;
+    # ratio of two decimal-exact sums -> bit-reproducible double
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    lo = F.lit("1995-09-01 00:00:00").cast("timestamp")
+    hi = F.lit("1995-10-01 00:00:00").cast("timestamp")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        lineitem.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,6)"))).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_Q14_ORACLE = """
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+         AS promo_revenue_pct,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
+"""
+
+
+def _brand_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # correlated scalar subquery (price > brand average), decorrelated
+    # to groupBy + broadcast join-back; the comparison is done as
+    # price*cnt > sum (exact decimal arithmetic, no float average)
+    part = load_table(spark, "part", sf_dir)
+    price_dec = F.col("p_retailprice").cast("decimal(18,4)")
+    stats = part.groupBy(F.col("p_brand").alias("b_brand")).agg(
+        F.sum(price_dec).alias("sum_price"),
+        F.count("*").alias("cnt"),
+    )
+    return (
+        part.join(F.broadcast(stats), part.p_brand == stats.b_brand)
+        .withColumn("above", price_dec * F.col("cnt") > F.col("sum_price"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.when(F.col("above"), 1).otherwise(0)).alias("n_above_avg"),
+            F.count("*").alias("n_parts"),
+        )
+    )
+
+
+_BRAND_ABOVE_AVG_ORACLE = """
+WITH stats AS (
+  SELECT p_brand AS b_brand,
+         SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS sum_price,
+         COUNT(*) AS cnt
+  FROM part GROUP BY p_brand
+)
+SELECT p_brand,
+       CAST(SUM(CASE WHEN CAST(p_retailprice AS DECIMAL(18,4)) * cnt > sum_price
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg,
+       COUNT(*) AS n_parts
+FROM part JOIN stats ON p_brand = b_brand
+GROUP BY p_brand
+"""
+
+
+def _cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CUBE: all grouping-set combinations incl. grand total
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+_CUBE_SALES_ORACLE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def _cust_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ntile window: account-balance quartiles within each nation
+    customer = load_table(spark, "customer", sf_dir)
+    w = Window.partitionBy("c_nationkey").orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        customer.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_nationkey", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+    )
+
+
+_CUST_QUARTILES_ORACLE = """
+SELECT c_nationkey, quartile, COUNT(*) AS n,
+       MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+FROM (SELECT c_nationkey, c_acctbal,
+             ntile(4) OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
+      FROM customer)
+GROUP BY c_nationkey, quartile
+"""
+
+
+def _string_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # scalar-function surface: substring/cast on strings, year/month
+    # extraction, exact distinct count
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.withColumn("prio_num", F.substring("o_orderpriority", 1, 1).cast("int"))
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.month("o_orderdate").cast("int").alias("order_month"),
+            "prio_num",
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.max(F.upper(F.col("o_orderstatus"))).alias("max_status"),
+        )
+    )
+
+
+_STRING_DATE_ORACLE = """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS order_month,
+       CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       MAX(UPPER(o_orderstatus)) AS max_status
+FROM orders
+GROUP BY 1, 2, 3
+"""
+
+
+def _moving_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # two-level windowing: exact monthly revenue, then a 3-month moving
+    # average with an explicit ROWS frame (decimal window sum / count)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    monthly = (
+        lineitem.groupBy(
+            F.year("l_shipdate").cast("int").alias("yr"),
+            F.month("l_shipdate").cast("int").alias("mo"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+            ).alias("rev_dec")
+        )
+    )
+    w = Window.orderBy("yr", "mo").rowsBetween(-2, 0)
+    return monthly.select(
+        "yr",
+        "mo",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        (F.sum("rev_dec").over(w).cast("double") / F.count("*").over(w)).alias("ma3"),
+    )
+
+
+_MOVING_AVG_ORACLE = """
+WITH monthly AS (
+  SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS yr,
+         CAST(EXTRACT(MONTH FROM l_shipdate) AS INTEGER) AS mo,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev_dec
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT yr, mo, CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(SUM(rev_dec) OVER w AS DOUBLE) / COUNT(*) OVER w AS ma3
+FROM monthly
+WINDOW w AS (ORDER BY yr, mo ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
 CORE_QUERIES: dict[str, tuple] = {
     # similarity surface
     "topk_cosine": _make_topk("cosine"),
@@ -594,4 +846,12 @@ CORE_QUERIES: dict[str, tuple] = {
     "event_hourly_windows": (_event_hourly, _EVENT_HOURLY_ORACLE),
     "json_event_props": (_json_props, _JSON_PROPS_ORACLE),
     "customer_set_ops": (_set_ops, _SET_OPS_ORACLE),
+    "q4_order_priority": (_q4, _Q4_ORACLE),
+    "anti_join_customers": (_anti_join, _ANTI_JOIN_ORACLE),
+    "q14_promo_revenue": (_q14, _Q14_ORACLE),
+    "brand_above_avg_parts": (_brand_above_avg, _BRAND_ABOVE_AVG_ORACLE),
+    "cube_sales": (_cube_sales, _CUBE_SALES_ORACLE),
+    "cust_quartiles_by_nation": (_cust_quartiles, _CUST_QUARTILES_ORACLE),
+    "string_date_funcs": (_string_date_funcs, _STRING_DATE_ORACLE),
+    "moving_avg_revenue": (_moving_avg_revenue, _MOVING_AVG_ORACLE),
 }
