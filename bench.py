@@ -72,6 +72,11 @@ def main() -> None:
         "neardup_minhash_lsh",
         "simhash_fingerprint",
         "exact_dedup_docs",
+        "ann_ivf_topk",
+        "cube_sales",
+        "moving_avg_revenue",
+        "mm_byte_histogram",
+        "mm_frame_sample",
     ]
     for name in headline:
         fn, _oracle = ALL_QUERIES[name]

@@ -57,8 +57,16 @@ def assign_ivf(
 ) -> DataFrame:
     """Index build: nearest centroid (cosine) per corpus row.
 
-    broadcast(centroids) x corpus -> argmax by (score desc,
-    centroid_id asc) — one window, no iteration.
+    broadcast(centroids) x corpus, then argmax as a map-side-combinable
+    ``max(struct(score, -centroid_id, centroid_id))`` aggregation:
+    struct ordering gives (best score, then lowest id) and partial
+    aggregation collapses each partition to one row per corpus id
+    BEFORE the shuffle — the shuffle carries O(n_corpus) rows, never
+    the cross product. (A row_number window here would sort the whole
+    cross product through one shuffle; at 1000 executors that shuffle
+    is the bottleneck.) Scoring stays flat column arithmetic =
+    whole-stage codegen; centroid norms are computed once per centroid
+    before the join, not per pair.
     """
     c = corpus.withColumn("__cc", _fold_dot(F.col("embedding"), F.col("embedding")))
     cen = centroids.withColumn(
@@ -68,12 +76,20 @@ def assign_ivf(
         "__s",
         _cosine(F.col("embedding"), F.col("centroid_emb"), F.col("__cc"), F.col("__nn")),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("__s"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, "embedding", "centroid_id")
+    best = (
+        scored.groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__s").alias("s"),
+                    (-F.col("centroid_id")).alias("neg_id"),
+                    F.col("centroid_id").alias("cid"),
+                )
+            ).alias("__best"),
+            F.first("embedding").alias("embedding"),  # constant within group
+        )
     )
+    return best.select(id_col, "embedding", F.col("__best.cid").alias("centroid_id"))
 
 
 def ivf_topk(
@@ -86,13 +102,17 @@ def ivf_topk(
     c_id: str = "corpus_id",
 ) -> DataFrame:
     """IVF search: probe the ``nprobe`` nearest centroid lists, exact
-    cosine rerank within them. Returns (q_id, rank, c_id, score)."""
+    cosine rerank within them. Returns (q_id, rank, c_id, score).
+
+    Probe selection (top-nprobe centroids per query) uses a window over
+    queries x centroids — that product is tiny (n_queries x sqrt(n))
+    and stays broadcast-side.
+    """
     indexed = assign_ivf(corpus, centroids, c_id)
     q = queries.withColumn("__qq", _fold_dot(F.col("embedding"), F.col("embedding")))
     cen = centroids.withColumn(
         "__nn", _fold_dot(F.col("centroid_emb"), F.col("centroid_emb"))
     )
-    # probe selection: top-nprobe centroids per query
     probe_w = Window.partitionBy(q_id).orderBy(F.desc("__ps"), F.asc("centroid_id"))
     probes = (
         q.crossJoin(F.broadcast(cen))

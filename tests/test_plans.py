@@ -1,0 +1,91 @@
+"""Physical-plan shape assertions: the scale-design claims, pinned.
+
+Each test asserts a property that matters at 100 TB and would survive a
+1000-executor cluster: predicate pushdown into the parquet scan, column
+pruning, broadcast joins for small dims, single-shuffle aggregations,
+and JVM-only (no Python worker) plans for the text/dedup family.
+"""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from polars_matmul_spark.plans.inspect import count_shuffles, explain_str, uses_python_worker
+from polars_matmul_spark.queries_core import CORE_QUERIES
+from polars_matmul_spark.sources.tables import load_table
+
+
+def test_filter_reaches_parquet_scan(spark, sf_dir):
+    df = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .select("l_returnflag", "l_quantity")
+    )
+    plan = explain_str(df)
+    assert "LessThanOrEqual(l_shipdate" in plan, "filter not pushed to scan"
+    # column pruning: the scan reads 3 of 11 lineitem columns
+    read_schema = [l for l in plan.splitlines() if l.startswith("ReadSchema")][0]
+    assert read_schema.split("struct<")[1].count(":") == 3, read_schema
+
+
+def test_q5_broadcasts_small_dimensions(spark, sf_dir):
+    fn, _ = CORE_QUERIES["q5_local_supplier"]
+    plan = explain_str(fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan, "small dims (region/nation) not broadcast"
+
+
+def test_exact_dedup_is_single_shuffle(spark, sf_dir):
+    from polars_matmul_spark.operators.dedup import exact_dedup
+
+    df = exact_dedup(load_table(spark, "documents", sf_dir))
+    assert count_shuffles(df) == 1, explain_str(df, "simple")
+
+
+def test_filter_pushed_below_kernel_udf(spark, sf_dir):
+    # is_elementwise analog: a filter on an input column added AFTER the
+    # pandas-UDF column must still reach the parquet scan
+    from polars_matmul_spark.functions import topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    corpus = np.eye(4, 64, dtype=np.float32)
+    df = emb.withColumn("m", topk(F.col("embedding"), corpus, k=2)).filter(
+        F.col("vec_id") < 10
+    )
+    plan = explain_str(df)
+    assert "LessThan(vec_id,10)" in plan, "filter not pushed below the kernel UDF"
+
+
+def test_dedup_and_text_plans_stay_jvm_side(spark, sf_dir):
+    # the whole text/dedup family compiles to Catalyst expressions —
+    # no Python worker anywhere in the hot path
+    from polars_matmul_spark.operators.dedup import neardup_pairs_minhash, simhash16
+    from polars_matmul_spark.queries_text import TEXT_QUERIES
+
+    docs = load_table(spark, "documents", sf_dir)
+    assert not uses_python_worker(simhash16(docs))
+    assert not uses_python_worker(neardup_pairs_minhash(docs))
+    for name in ("token_counts", "lang_id", "quality_score", "exact_dedup_docs"):
+        fn, _ = TEXT_QUERIES[name]
+        assert not uses_python_worker(fn(spark, sf_dir)), name
+
+
+def test_ivf_plan_shape(spark, sf_dir):
+    # centroid scoring joins must be broadcast (small side), never a
+    # plain cartesian; the assignment argmax must be an aggregation
+    # (map-side combinable: shuffle carries O(n_corpus) rows), not a
+    # window sort over the whole cross product
+    fn, _ = CORE_QUERIES["ann_ivf_topk"]
+    df = fn(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # assignment + probes
+    # only two real windows: probe selection (n_queries x sqrt(n) rows)
+    # and the final per-query top-k rerank — never one over the
+    # corpus x centroids product
+    assert plan.count("Window [") <= 2, plan
+    # assignment argmax runs a PARTIAL aggregation before its shuffle
+    assert "partial_max(struct(s" in plan, plan
+
+
+def test_aqe_and_arrow_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
