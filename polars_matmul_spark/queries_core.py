@@ -824,6 +824,34 @@ WINDOW w AS (ORDER BY yr, mo ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """
 
 
+def _salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # two-phase salted aggregation == plain groupBy (proven vs the
+    # unsalted SQL oracle); the form that absorbs hot-key skew at scale
+    from polars_matmul_spark.operators.skew import salted_agg
+
+    events = load_table(spark, "events", sf_dir)
+    out = salted_agg(
+        events,
+        ["event_type"],
+        {
+            "n": ("count", F.col("event_id")),
+            "total_value": ("sum", F.col("value").cast("decimal(18,6)")),
+            "min_user": ("min", F.col("user_id")),
+            "max_user": ("max", F.col("user_id")),
+        },
+        n_salt=8,
+    )
+    return out.withColumn("total_value", F.col("total_value").cast("double"))
+
+
+_SALTED_EVENT_COUNTS_ORACLE = """
+SELECT event_type, COUNT(event_id) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       MIN(user_id) AS min_user, MAX(user_id) AS max_user
+FROM events GROUP BY event_type
+"""
+
+
 CORE_QUERIES: dict[str, tuple] = {
     # similarity surface
     "topk_cosine": _make_topk("cosine"),
@@ -854,4 +882,5 @@ CORE_QUERIES: dict[str, tuple] = {
     "cust_quartiles_by_nation": (_cust_quartiles, _CUST_QUARTILES_ORACLE),
     "string_date_funcs": (_string_date_funcs, _STRING_DATE_ORACLE),
     "moving_avg_revenue": (_moving_avg_revenue, _MOVING_AVG_ORACLE),
+    "salted_event_counts": (_salted_event_counts, _SALTED_EVENT_COUNTS_ORACLE),
 }

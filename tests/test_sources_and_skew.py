@@ -1,0 +1,73 @@
+"""Source/sink connectors and skew-mitigation equivalence.
+
+Connectors: the reference is in-memory-only (SURVEY §2.3); the Spark
+engine adds real format support — roundtrips prove schema fidelity
+through partitioned parquet, JSON, and CSV sinks.
+
+Skew: salted forms must be row-identical to their unsalted twins.
+"""
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from polars_matmul_spark.operators.skew import salted_join
+from polars_matmul_spark.sources.tables import load_table
+
+
+def _sorted_rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_partitioned_parquet_roundtrip(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "docs_by_lang")
+        docs.write.partitionBy("lang").mode("overwrite").parquet(path)
+        back = spark.read.parquet(path)
+        # partition pruning: a lang filter must prune directories
+        pruned = back.filter(F.col("lang") == "en")
+        assert pruned.count() == docs.filter(F.col("lang") == "en").count()
+        assert _sorted_rows(back, ["doc_id", "n_chars", "lang"]) == _sorted_rows(
+            docs, ["doc_id", "n_chars", "lang"]
+        )
+
+
+def test_json_and_csv_roundtrip(spark, sf_dir):
+    cust = load_table(spark, "customer", sf_dir).limit(200)
+    cols = ["c_custkey", "c_name", "c_acctbal"]
+    with tempfile.TemporaryDirectory() as tmp:
+        jpath, cpath = os.path.join(tmp, "j"), os.path.join(tmp, "c")
+        cust.select(*cols).write.json(jpath)
+        cust.select(*cols).write.option("header", True).csv(cpath)
+        jback = spark.read.json(jpath)
+        cback = (
+            spark.read.option("header", True)
+            .schema("c_custkey long, c_name string, c_acctbal double")
+            .csv(cpath)
+        )
+        assert _sorted_rows(jback, cols) == _sorted_rows(cust, cols)
+        assert _sorted_rows(cback, cols) == _sorted_rows(cust, cols)
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    events = load_table(spark, "events", sf_dir)
+    dim = events.groupBy("event_type").agg(F.count("*").alias("type_total"))
+    plain = events.join(dim, "event_type")
+    salted = salted_join(events, dim, "event_type", n_salt=8)
+    cols = ["event_id", "event_type", "type_total"]
+    assert _sorted_rows(salted, cols) == _sorted_rows(plain, cols)
+
+
+def test_salted_join_left_outer(spark, sf_dir):
+    events = load_table(spark, "events", sf_dir)
+    dim = (
+        events.groupBy("event_type")
+        .agg(F.count("*").alias("type_total"))
+        .filter(F.col("event_type") == "click")  # partial dim -> unmatched rows
+    )
+    plain = events.join(dim, "event_type", "left")
+    salted = salted_join(events, dim, "event_type", n_salt=4, how="left")
+    cols = ["event_id", "event_type", "type_total"]
+    assert _sorted_rows(salted, cols) == _sorted_rows(plain, cols)
