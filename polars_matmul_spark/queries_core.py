@@ -702,13 +702,21 @@ GROUP BY p_brand
 
 
 def _cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # CUBE: all grouping-set combinations incl. grand total
+    # CUBE via pre-aggregation: the fact table aggregates ONCE to the
+    # finest grain (a handful of rows), then CUBE expands only that
+    # partial — sum-of-sums is exact for count/decimal-sum. Cubing the
+    # raw table would Expand every input row x 4 grouping sets (at
+    # 100 TB: 4x the scan volume through the shuffle).
     lineitem = load_table(spark, "lineitem", sf_dir)
+    grain = lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("__n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("__qty"),
+    )
     return (
-        lineitem.cube("l_returnflag", "l_linestatus")
+        grain.cube("l_returnflag", "l_linestatus")
         .agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+            F.sum("__n").alias("n"),
+            F.sum("__qty").cast("double").alias("sum_qty"),
         )
         .select(
             F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),

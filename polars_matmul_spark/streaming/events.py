@@ -110,6 +110,35 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: first event per (user_id, event_type)
+    key, state bounded by the watermark — the streaming twin of
+    batch ``dropDuplicates``. At scale state lives with the key's
+    partition; the watermark evicts keys older than the horizon."""
+    events = read_events_stream(spark, sf_dir)
+    return events.withWatermark("ts", "2 hours").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+
+
+def stream_to_parquet(df: DataFrame, path: str, checkpoint: str):
+    """File-sink path: append the stream to a parquet directory via
+    foreachBatch (idempotent per epoch), the pattern a production
+    ingest pipeline uses to land data for the batch engine."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(path)
+
+    q = (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a streaming frame to completion synchronously against the
     memory sink (availableNow) and return the query handle."""

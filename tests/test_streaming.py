@@ -53,6 +53,55 @@ def test_session_windows_stream_matches_batch_sessionization(spark):
     assert g == w
 
 
+def test_streaming_dedup_matches_batch_distinct(spark):
+    from polars_matmul_spark.sources.tables import load_table
+    from polars_matmul_spark.streaming.events import dedup_events_stream
+
+    stream_df = dedup_events_stream(spark, SF_DIR)
+    run_stream_to_memory(stream_df, "dedup_mem", output_mode="append")
+    got = spark.sql("SELECT user_id, event_type FROM dedup_mem").toPandas()
+
+    want = (
+        load_table(spark, "events", SF_DIR)
+        .select("user_id", "event_type")
+        .distinct()
+        .toPandas()
+    )
+    assert len(got) == len(want)
+    assert sorted(map(tuple, got.values.tolist())) == sorted(
+        map(tuple, want.values.tolist())
+    )
+
+
+def test_stream_to_parquet_sink_roundtrip(spark):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from polars_matmul_spark.streaming.events import (
+        hourly_event_counts_stream,
+        stream_to_parquet,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # append-mode file sink requires finalized (watermark-closed)
+        # windows; with availableNow over a finite file the watermark
+        # advances to max(ts) - 2h, so only older windows land — verify
+        # the landed subset matches batch exactly
+        stream_df = hourly_event_counts_stream(spark, SF_DIR)
+        stream_to_parquet(stream_df, f"{tmp}/out", f"{tmp}/ckpt")
+        landed = spark.read.parquet(f"{tmp}/out").toPandas()
+        assert len(landed) > 0
+
+        batch_fn = CORE_QUERIES["event_hourly_windows"][0]
+        want = batch_fn(spark, SF_DIR).toPandas()
+        merged = landed.merge(
+            want, on=["window_start", "event_type"], suffixes=("", "_b")
+        )
+        assert len(merged) == len(landed)  # every landed window exists in batch
+        assert (merged["n"] == merged["n_b"]).all()
+
+
 def test_stateful_user_totals_matches_batch(spark):
     from pyspark.sql import functions as F
 
