@@ -79,12 +79,19 @@ def byte_histogram_features(
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for buf in pdf[payload_col]:
-                b = np.frombuffer(bytes(buf), dtype=np.uint8)
-                counts = np.bincount(b // width, minlength=bins)[:bins]
-                feats.append((counts / max(len(b), 1)).tolist())
-            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+            # one vectorized pass per Arrow batch: concatenate payloads,
+            # per-doc bincount via offset keys — no per-row Python loop
+            bufs = [bytes(b) for b in pdf[payload_col]]
+            lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(bufs))
+            if len(bufs) == 0 or lens.sum() == 0:
+                yield pd.DataFrame({id_col: pdf[id_col], "features": [[0.0] * bins] * len(bufs)})
+                continue
+            arr = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+            doc_idx = np.repeat(np.arange(len(bufs)), lens)
+            keys = doc_idx * bins + arr // width
+            counts = np.bincount(keys, minlength=len(bufs) * bins).reshape(len(bufs), bins)
+            feats = counts / np.maximum(lens, 1)[:, None]
+            yield pd.DataFrame({id_col: pdf[id_col], "features": list(feats)})
 
     return df.select(id_col, payload_col).mapInPandas(extract, schema)
 
@@ -128,20 +135,23 @@ def frame_sample(
     operator whole-stage-codegens.
     """
     n_frames = f"octet_length({payload_col}) div {frame_bytes}"
-    frames = F.expr(
-        # sequence(0, -1) would count DOWN; guard the short-payload case
-        f"CASE WHEN {n_frames} < 1 THEN array() "
-        f"ELSE transform(sequence(0, {n_frames} - 1), "
-        f"i -> substring({payload_col}, i * {frame_bytes} + 1, {frame_bytes})) END"
+    # explode the frame INDEX sequence, slice the payload with flat
+    # (codegen-able) substring — a `transform` building the frame array
+    # first would run as an interpreted lambda per element.
+    # sequence(0, -1) would count DOWN; guard the short-payload case
+    frame_nos = F.expr(
+        f"CASE WHEN {n_frames} < 1 THEN array() ELSE sequence(0, {n_frames} - 1) END"
     )
     return (
-        df.select(id_col, frames.alias("__frames"))
-        .select(id_col, F.posexplode("__frames").alias("frame_no", "__frame"))
+        df.select(id_col, F.col(payload_col), F.explode(frame_nos).alias("frame_no"))
         .filter(F.col("frame_no") % every == 0)
         .select(
-            id_col,
+            F.col(id_col),
             F.col("frame_no").cast("long").alias("frame_no"),
-            F.sha2(F.col("__frame"), 256).alias("frame_sha256"),
+            F.sha2(
+                F.expr(f"substring({payload_col}, frame_no * {frame_bytes} + 1, {frame_bytes})"),
+                256,
+            ).alias("frame_sha256"),
         )
     )
 
