@@ -742,7 +742,7 @@ def _cust_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, "customer", sf_dir)
     w = Window.partitionBy("c_nationkey").orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
     return (
-        customer.withColumn("quartile", F.ntile(4).over(w))
+        customer.withColumn("quartile", F.ntile(4).over(w).cast("long"))
         .groupBy("c_nationkey", "quartile")
         .agg(
             F.count("*").alias("n"),
