@@ -832,6 +832,57 @@ WINDOW w AS (ORDER BY yr, mo ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """
 
 
+def _topk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAGSHIP pandas-UDF kernel path (N3) under the oracle gate.
+
+    NumPy's BLAS dot and DuckDB's sequential fold differ in the last
+    ulps, so scores are rounded to 6 decimals on both sides; ranks use
+    the kernel's own ordering (ties broken by corpus index ascending,
+    matching np.argpartition+stable sort in kernels.topk_select —
+    replicated in the oracle by (score, corpus_id) ordering).
+    """
+    from polars_matmul_spark.functions import topk_exploded
+    from polars_matmul_spark.kernels import to_matrix
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    corpus_pdf = (
+        emb.filter(F.col("vec_id") >= 50)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    corpus = to_matrix(corpus_pdf["embedding"].tolist()).astype("float64")
+    queries_df = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    matches = topk_exploded(
+        queries_df, F.col("embedding"), corpus, k=5, metric="cosine", keep=["query_id"]
+    )
+    return matches.select(
+        "query_id",
+        (F.col("index") + 50).alias("corpus_id"),  # corpus position -> vec_id
+        F.round(F.col("score"), 6).alias("score_r"),
+    )
+
+
+def _topk_kernel_oracle() -> str:
+    cos = _duck_score("cosine", "q_emb", "c_emb")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+           FROM embeddings WHERE vec_id < 50),
+     c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS c_emb
+           FROM embeddings WHERE vec_id >= 50),
+     ranked AS (
+       SELECT query_id, corpus_id, {cos} AS score,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY {cos} DESC, corpus_id ASC) AS rn
+       FROM q CROSS JOIN c)
+SELECT query_id, corpus_id, round(score, 6) AS score_r
+FROM ranked WHERE rn <= 5
+"""
+
+
 def _salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two-phase salted aggregation == plain groupBy (proven vs the
     # unsalted SQL oracle); the form that absorbs hot-key skew at scale
@@ -863,6 +914,7 @@ FROM events GROUP BY event_type
 CORE_QUERIES: dict[str, tuple] = {
     # similarity surface
     "topk_cosine": _make_topk("cosine"),
+    "topk_kernel_cosine": (_topk_kernel, _topk_kernel_oracle()),
     "topk_dot": _make_topk("dot"),
     "topk_euclidean": _make_topk("euclidean"),
     "matmul_flatten": (_matmul_flatten_scores, _MATMUL_FLATTEN_ORACLE),

@@ -110,6 +110,45 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def click_purchase_attribution_stream(
+    spark: SparkSession, sf_dir: str, within: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: every purchase attributed to the
+    same user's clicks within the preceding ``within``. Watermarks on
+    both sides let Spark bound the join state (clicks older than the
+    horizon are evicted); the time-range predicate keeps it an interval
+    join rather than an ever-growing cross join."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"c_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + interval {within}"
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"), "click_id", "purchase_id", "value"
+    )
+
+
 def dedup_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: first event per (user_id, event_type)
     key, state bounded by the watermark — the streaming twin of

@@ -102,6 +102,37 @@ def test_stream_to_parquet_sink_roundtrip(spark):
         assert (merged["n"] == merged["n_b"]).all()
 
 
+def test_stream_stream_interval_join_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    from polars_matmul_spark.sources.tables import load_table
+    from polars_matmul_spark.streaming.events import click_purchase_attribution_stream
+
+    stream_df = click_purchase_attribution_stream(spark, SF_DIR, within="1 hour")
+    run_stream_to_memory(stream_df, "attr_mem", output_mode="append")
+    got = spark.sql("SELECT user_id, click_id, purchase_id FROM attr_mem").toPandas()
+
+    ev = load_table(spark, "events", SF_DIR)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    want = clicks.join(
+        purchases,
+        F.expr("c_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + interval 1 hour"),
+    ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id").toPandas()
+
+    assert len(got) == len(want) and len(want) > 0
+    key = ["user_id", "click_id", "purchase_id"]
+    assert sorted(map(tuple, got[key].values.tolist())) == sorted(
+        map(tuple, want[key].values.tolist())
+    )
+
+
 def test_stateful_user_totals_matches_batch(spark):
     from pyspark.sql import functions as F
 
