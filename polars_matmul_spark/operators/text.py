@@ -66,6 +66,18 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col)).cast("long")
 
 
+#: BPE-ish pretokenizer: letter runs, digit runs, single punctuation —
+#: the coarse split a byte-pair tokenizer starts from. Engine-portable
+#: regex (no lookarounds), identical semantics in Spark and DuckDB.
+BPE_PRETOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Subword-ish token count over the BPE pretokenizer classes —
+    the cheap proxy for LLM token budgeting at corpus scale."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_PRETOKEN_RE), F.lit(0))).cast("long")
+
+
 def _stop_hits(toks: Column, words: tuple[str, ...]) -> Column:
     wl = F.array(*[F.lit(w) for w in words])
     return F.size(F.filter(toks, lambda t: F.array_contains(wl, t)))

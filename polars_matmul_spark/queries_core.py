@@ -832,6 +832,101 @@ WINDOW w AS (ORDER BY yr, mo ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """
 
 
+def _q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # returned-item revenue per customer/nation in a quarter, top 20
+    customer = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    lo = F.lit("1995-06-01 00:00:00").cast("timestamp")
+    hi = F.lit("1995-09-01 00:00:00").cast("timestamp")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_returnflag") == "R")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q10_ORACLE = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1995-06-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1995-09-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def _q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # order-count distribution: LEFT OUTER join keeps zero-order
+    # customers, then a histogram over the per-customer counts
+    customer = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # count skips nulls
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+_Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+GROUP BY c_count
+"""
+
+
+def _q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # large orders: HAVING over a sum, then join back to headers
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("sum_qty_dec"))
+        .filter(F.col("sum_qty_dec") > 150)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+_Q18_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice, CAST(sum_qty_dec AS DOUBLE) AS sum_qty
+FROM orders
+JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty_dec
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 150) big
+  ON o_orderkey = big.l_orderkey
+"""
+
+
 def _topk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FLAGSHIP pandas-UDF kernel path (N3) under the oracle gate.
 
@@ -943,4 +1038,7 @@ CORE_QUERIES: dict[str, tuple] = {
     "string_date_funcs": (_string_date_funcs, _STRING_DATE_ORACLE),
     "moving_avg_revenue": (_moving_avg_revenue, _MOVING_AVG_ORACLE),
     "salted_event_counts": (_salted_event_counts, _SALTED_EVENT_COUNTS_ORACLE),
+    "q10_returned_items": (_q10, _Q10_ORACLE),
+    "q13_order_distribution": (_q13, _Q13_ORACLE),
+    "q18_large_orders": (_q18, _Q18_ORACLE),
 }

@@ -34,6 +34,7 @@ def _token_counts(spark, sf_dir):
     return docs.select(
         "doc_id",
         X.token_count(F.col("text")).alias("n_tokens"),
+        X.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
         F.length("text").cast("long").alias("n_chars"),
     )
 
@@ -41,6 +42,7 @@ def _token_counts(spark, sf_dir):
 _TOKEN_COUNTS_ORACLE = r"""
 SELECT doc_id,
        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]')) AS BIGINT) AS n_bpe_tokens,
        CAST(length(text) AS BIGINT) AS n_chars
 FROM documents
 """

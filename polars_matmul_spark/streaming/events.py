@@ -79,6 +79,65 @@ def session_windows_stream(spark: SparkSession, sf_dir: str, gap: str = "30 minu
     )
 
 
+def sessionize_stream(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful sessionizer via applyInPandasWithState with an
+    EVENT-TIME timeout: per user, events are merged into the open
+    session; a gap > ``gap_minutes`` closes it (emitted immediately);
+    the still-open session is kept in state with a timeout at
+    last_ts + gap so the watermark eventually flushes it.
+
+    Output: (user_id, session_start, n_events, duration_sec) for every
+    CLOSED session. With a finite availableNow replay the final session
+    of each user stays open in state (no later watermark to flush it) —
+    the test accounts for exactly that set.
+
+    State is one small tuple per active user, partitioned with the key:
+    the 100 TB shape (no driver involvement, state store scales with
+    executors).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    gap = gap_minutes * 60
+    out_cols = ["user_id", "session_start", "n_events", "duration_sec"]
+    out_schema = "user_id long, session_start long, n_events bigint, duration_sec long"
+    state_schema = "start long, last long, n bigint"
+
+    def fn(key, pdfs, state: GroupState):
+        rows = []
+        ts_sec: list[int] = []
+        for pdf in pdfs:
+            ts_sec.extend(
+                (pdf["ts"].astype("datetime64[ns]").astype("int64") // 10**9).tolist()
+            )
+        ts_sec.sort()
+        start, last, n = state.get if state.exists else (None, None, 0)
+        for t in ts_sec:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap:
+                rows.append((key[0], start, n, last - start))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        if state.hasTimedOut:
+            if start is not None:
+                rows.append((key[0], start, n, last - start))
+            state.remove()
+        else:
+            state.update((start, last, n))
+            state.setTimeoutTimestamp((last + gap) * 1000)  # event-time ms
+        yield pd.DataFrame(rows, columns=out_cols)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: running
     per-user totals that survive across micro-batches.

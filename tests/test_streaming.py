@@ -102,6 +102,48 @@ def test_stream_to_parquet_sink_roundtrip(spark):
         assert (merged["n"] == merged["n_b"]).all()
 
 
+def test_custom_stateful_sessionizer_closed_sessions(spark):
+    # emitted = every session closed by a later event, PLUS each user's
+    # final session IF the terminal watermark (max_ts - 2h) passed its
+    # event-time timeout (last_ts + gap): availableNow runs a final
+    # no-data batch that fires timed-out state before terminating
+    from polars_matmul_spark.sources.tables import load_table
+    from polars_matmul_spark.streaming.events import sessionize_stream
+
+    stream_df = sessionize_stream(spark, SF_DIR, gap_minutes=30)
+    run_stream_to_memory(stream_df, "sess_state_mem", output_mode="append")
+    got = spark.sql(
+        "SELECT user_id, n_events, duration_sec FROM sess_state_mem"
+    ).toPandas()
+
+    ev = (
+        load_table(spark, "events", SF_DIR)
+        .selectExpr("user_id", "unix_timestamp(ts) AS tse", "event_id")
+        .toPandas()
+        .sort_values(["user_id", "tse", "event_id"])
+    )
+    horizon = ev["tse"].max() - 7200
+    want = []
+    for user, grp in ev.groupby("user_id"):
+        ts = grp["tse"].tolist()
+        start = last = ts[0]
+        n = 1
+        for t in ts[1:]:
+            if t - last > 1800:
+                want.append((user, n, last - start))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        if last + 1800 < horizon:  # final session flushed by timeout
+            want.append((user, n, last - start))
+
+    assert len(got) == len(want)
+    got_set = sorted(
+        map(tuple, got[["user_id", "n_events", "duration_sec"]].values.tolist())
+    )
+    assert got_set == sorted(want)
+
+
 def test_stream_stream_interval_join_matches_batch(spark):
     from pyspark.sql import functions as F
 
