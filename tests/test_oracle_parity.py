@@ -55,8 +55,11 @@ def test_query_matches_oracle(name, spark, duck):
     fn, oracle = ALL_QUERIES[name]
     sdf = fn(spark, SF_DIR)
     spark_pdf = sdf.toPandas()
+    # a 0-row result passes any value comparison trivially — every
+    # registered query must exercise real data at this SF (two
+    # degenerate-window bugs were masked by 0 == 0 before this guard)
+    assert len(spark_pdf) > 0, f"{name}: empty result — degenerate test"
     if oracle is None:
-        assert len(spark_pdf) >= 0  # rows-only check
         return
     duck_pdf = duck.sql(oracle).df()
 
