@@ -31,6 +31,14 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"Unknown table '{name}'. Known: {', '.join(TABLES)}")
+    # defensive session confs, in case the caller's session wasn't built
+    # by plans.session.get_spark (e.g. the round driver's own session):
+    # events.ts is TIMESTAMP(NANOS) — unreadable without nanosAsLong —
+    # and every date/unix_timestamp oracle comparison assumes UTC.
+    # Both are runtime-settable; verified against a bare session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # TIMESTAMP(NANOS) columns arrive as long (see plans.session config);
     # convert to microsecond timestamps. Integer `div` (not float /):
