@@ -927,6 +927,18 @@ JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty_dec
 """
 
 
+def _sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DataSketches HLL + approx quantiles — approximate by design, so
+    # rows-only for the driver; the pytest gate bounds error vs exact
+    # (tests/test_sketches_and_bucketing.py)
+    from polars_matmul_spark.operators.sketches import hll_distinct, quantile_summary
+
+    events = load_table(spark, "events", sf_dir)
+    d = hll_distinct(events, ["event_type"], "user_id")
+    q = quantile_summary(events, ["event_type"], "value")
+    return d.join(q, "event_type")
+
+
 def _topk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FLAGSHIP pandas-UDF kernel path (N3) under the oracle gate.
 
@@ -1041,4 +1053,5 @@ CORE_QUERIES: dict[str, tuple] = {
     "q10_returned_items": (_q10, _Q10_ORACLE),
     "q13_order_distribution": (_q13, _Q13_ORACLE),
     "q18_large_orders": (_q18, _Q18_ORACLE),
+    "sketch_distinct_users": (_sketch_distinct_users, None),
 }

@@ -33,6 +33,10 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same defensive confs as sources.tables.load_table — the stream
+    # reads the NANOS-typed ts as long regardless of who built the session
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # the file source wants a directory; glob-filter down to the one table
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
