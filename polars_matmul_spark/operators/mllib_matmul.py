@@ -1,0 +1,79 @@
+"""MLlib distributed linear algebra path for the matmul surface.
+
+The broadcast pandas-UDF kernel (functions/similarity.py) assumes the
+corpus fits in one executor's memory. When BOTH sides are too large,
+the remaining exact option is distributed block matrix multiplication:
+``BlockMatrix.multiply`` shuffles compatible blocks together and runs a
+local GEMM per block pair — O(n_q x n_c) output, but no single node
+ever holds either full matrix. This is the reference's `Q @ C^T`
+(src/matmul.rs:295-417) at the scale where nothing broadcasts.
+
+Returns are flattened back to the (query_id, corpus_id, score) triple
+form so the result composes with the rest of the DataFrame surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["blockmatrix_matmul"]
+
+
+def blockmatrix_matmul(
+    queries: DataFrame,
+    corpus: DataFrame,
+    q_id: str = "query_id",
+    c_id: str = "corpus_id",
+    emb_col: str = "embedding",
+    block_size: int = 1024,
+) -> DataFrame:
+    """Exact all-pairs dot products via MLlib BlockMatrix multiply.
+
+    queries/corpus: (id, embedding array<numeric>). Ids must be
+    0..n-1-dense per side (use row_number()-1 upstream if not) — they
+    become matrix row indices. Returns (q_id, c_id, score double).
+    """
+    from pyspark.mllib.linalg import Vectors
+    from pyspark.mllib.linalg.distributed import IndexedRow, IndexedRowMatrix
+
+    spark = queries.sparkSession
+
+    def to_irm(df: DataFrame, id_col: str) -> IndexedRowMatrix:
+        rdd = df.select(id_col, emb_col).rdd.map(
+            lambda r: IndexedRow(r[0], Vectors.dense(r[1]))
+        )
+        return IndexedRowMatrix(rdd)
+
+    q_bm = to_irm(queries, q_id).toBlockMatrix(block_size, block_size)
+    # C^T: transpose the corpus block matrix (block-level, no collect)
+    ct_bm = to_irm(corpus, c_id).toBlockMatrix(block_size, block_size).transpose()
+    product = q_bm.multiply(ct_bm)  # (n_q x n_c) scores, block-partitioned
+
+    entries = product.toCoordinateMatrix().entries
+    out = spark.createDataFrame(
+        entries.map(lambda e: (int(e.i), int(e.j), float(e.value))),
+        f"{q_id} long, {c_id} long, score double",
+    )
+    return out
+
+
+def blockmatrix_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str = "query_id",
+    c_id: str = "corpus_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by raw dot product over the BlockMatrix scores (window
+    per query, rank tie-broken by corpus id)."""
+    from pyspark.sql import Window
+
+    scores = blockmatrix_matmul(queries, corpus, q_id, c_id, emb_col)
+    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(q_id, "rank", c_id, "score")
+    )

@@ -927,6 +927,36 @@ JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty_dec
 """
 
 
+def _mllib_blockmatmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BlockMatrix matmul (the nothing-broadcasts exact
+    path). BLAS block GEMM differs from the sequential fold in final
+    ulps, so scores are rounded to 6 decimals on both sides."""
+    from polars_matmul_spark.operators.mllib_matmul import blockmatrix_matmul
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    c = emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 250)).select(
+        (F.col("vec_id") - 50).alias("corpus_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    out = blockmatrix_matmul(q, c)
+    return out.select(
+        "query_id",
+        (F.col("corpus_id") + 50).alias("corpus_id"),
+        F.round("score", 6).alias("score_r"),
+    )
+
+
+_MLLIB_BLOCKMATMUL_ORACLE = """
+SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+       round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS score_r
+FROM embeddings q CROSS JOIN embeddings c
+WHERE q.vec_id < 10 AND c.vec_id >= 50 AND c.vec_id < 250
+"""
+
+
 def _sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DataSketches HLL + approx quantiles — approximate by design, so
     # rows-only for the driver; the pytest gate bounds error vs exact
@@ -1054,4 +1084,5 @@ CORE_QUERIES: dict[str, tuple] = {
     "q13_order_distribution": (_q13, _Q13_ORACLE),
     "q18_large_orders": (_q18, _Q18_ORACLE),
     "sketch_distinct_users": (_sketch_distinct_users, None),
+    "mllib_blockmatrix_matmul": (_mllib_blockmatmul, _MLLIB_BLOCKMATMUL_ORACLE),
 }

@@ -1,0 +1,34 @@
+"""MLlib BlockMatrix path vs the NumPy kernel (the two exact matmul
+paths must agree to rounding)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from polars_matmul_spark import kernels as K
+from polars_matmul_spark.operators.mllib_matmul import blockmatrix_topk
+from polars_matmul_spark.sources.tables import load_table
+
+
+def test_blockmatrix_topk_matches_kernel(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    c = emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 150)).select(
+        (F.col("vec_id") - 50).alias("corpus_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    got = blockmatrix_topk(q, c, k=5).toPandas()
+
+    qp = q.orderBy("query_id").toPandas()
+    cp = c.orderBy("corpus_id").toPandas()
+    Q = np.stack(qp["embedding"].to_numpy())
+    C = np.stack(cp["embedding"].to_numpy())
+    idx, scores = K.topk(Q, C, 5, "dot")
+
+    assert len(got) == 8 * 5
+    for qi, grp in got.groupby("query_id"):
+        grp = grp.sort_values("rank")
+        assert np.allclose(grp["score"].to_numpy(), scores[qi], rtol=1e-9)
+        assert grp["corpus_id"].tolist() == idx[qi].tolist()
