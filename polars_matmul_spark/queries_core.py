@@ -957,6 +957,40 @@ WHERE q.vec_id < 10 AND c.vec_id >= 50 AND c.vec_id < 250
 """
 
 
+def _asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # as-of backward join (operator Spark lacks natively): each purchase
+    # gets the same user's most recent prior-or-simultaneous click;
+    # oracle is DuckDB's native ASOF LEFT JOIN
+    from polars_matmul_spark.operators.asof import asof_join_backward
+
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts", "value"
+    )
+    out = asof_join_backward(
+        purchases, clicks, "user_id", "ts", "ts", ["click_id", "value"]
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("tse"),
+        F.col("asof_click_id").alias("click_id"),
+        F.col("asof_value").alias("click_value"),
+    )
+
+
+_ASOF_ORACLE = """
+WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, event_id AS click_id, ts, value FROM events WHERE event_type = 'click')
+SELECT p.user_id, p.event_id, epoch_us(p.ts) // 1000000 AS tse,
+       c.click_id, c.value AS click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 def _sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DataSketches HLL + approx quantiles — approximate by design, so
     # rows-only for the driver; the pytest gate bounds error vs exact
@@ -1085,4 +1119,5 @@ CORE_QUERIES: dict[str, tuple] = {
     "q18_large_orders": (_q18, _Q18_ORACLE),
     "sketch_distinct_users": (_sketch_distinct_users, None),
     "mllib_blockmatrix_matmul": (_mllib_blockmatmul, _MLLIB_BLOCKMATMUL_ORACLE),
+    "asof_purchase_click": (_asof_purchase_click, _ASOF_ORACLE),
 }
