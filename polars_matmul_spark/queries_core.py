@@ -957,6 +957,79 @@ WHERE q.vec_id < 10 AND c.vec_id >= 50 AND c.vec_id < 250
 """
 
 
+def _range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # range join (bucketed): parts matched to price bands via an
+    # equi-join on the bucket + residual filter, never a nested loop
+    from polars_matmul_spark.operators.rangejoin import range_join_bucketed
+
+    part = load_table(spark, "part", sf_dir)
+    # retail prices span [900, 1000): 10 bands of width 10
+    bands = spark.createDataFrame(
+        [(i, 900.0 + i * 10, 900.0 + (i + 1) * 10 - 0.01) for i in range(10)],
+        "band_id long, lo double, hi double",
+    )
+    joined = range_join_bucketed(
+        part.select("p_partkey", "p_retailprice"), bands, "p_retailprice", "lo", "hi", 10.0
+    )
+    return joined.groupBy("band_id").agg(
+        F.count("*").alias("n_parts"),
+        F.min("p_partkey").alias("min_partkey"),
+        F.max("p_partkey").alias("max_partkey"),
+    )
+
+
+_RANGE_JOIN_ORACLE = """
+WITH bands AS (
+  SELECT i AS band_id, 900.0 + i * 10 AS lo, 900.0 + (i + 1) * 10 - 0.01 AS hi
+  FROM (SELECT unnest(range(0, 10)) AS i)
+)
+SELECT band_id, COUNT(*) AS n_parts,
+       MIN(p_partkey) AS min_partkey, MAX(p_partkey) AS max_partkey
+FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice <= hi
+GROUP BY band_id
+"""
+
+
+def _hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hypertable-style continuous aggregate: hour/day/month grains in
+    # ONE pass — pre-aggregate to the finest (hour) grain, then ROLLUP
+    # the partial (sum-of-sums exact); the multi-granularity
+    # materialization a time-series store maintains incrementally
+    events = load_table(spark, "events", sf_dir)
+    hourly = (
+        events.withColumn("month", F.date_trunc("month", F.col("ts")))
+        .withColumn("day", F.date_trunc("day", F.col("ts")))
+        .withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .groupBy("month", "day", "hour")
+        .agg(
+            F.count("*").alias("__n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("__v"),
+        )
+    )
+    return (
+        hourly.rollup("month", "day", "hour")
+        .agg(F.sum("__n").alias("n"), F.sum("__v").cast("double").alias("total_value"))
+        .select(
+            F.unix_timestamp("month").alias("month_start"),
+            F.unix_timestamp("day").alias("day_start"),
+            F.unix_timestamp("hour").alias("hour_start"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+_HYPERTABLE_ROLLUP_ORACLE = """
+SELECT epoch(date_trunc('month', ts))::BIGINT AS month_start,
+       epoch(date_trunc('day', ts))::BIGINT AS day_start,
+       epoch(date_trunc('hour', ts))::BIGINT AS hour_start,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY ROLLUP (date_trunc('month', ts), date_trunc('day', ts), date_trunc('hour', ts))
+"""
+
+
 def _asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as-of backward join (operator Spark lacks natively): each purchase
     # gets the same user's most recent prior-or-simultaneous click;
@@ -1120,4 +1193,6 @@ CORE_QUERIES: dict[str, tuple] = {
     "sketch_distinct_users": (_sketch_distinct_users, None),
     "mllib_blockmatrix_matmul": (_mllib_blockmatmul, _MLLIB_BLOCKMATMUL_ORACLE),
     "asof_purchase_click": (_asof_purchase_click, _ASOF_ORACLE),
+    "range_join_price_bands": (_range_join_price_bands, _RANGE_JOIN_ORACLE),
+    "hypertable_rollup": (_hypertable_rollup, _HYPERTABLE_ROLLUP_ORACLE),
 }

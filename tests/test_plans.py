@@ -86,6 +86,15 @@ def test_ivf_plan_shape(spark, sf_dir):
     assert "partial_max(struct(s" in plan, plan
 
 
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    # the bucketed rewrite must turn the BETWEEN predicate into a hash
+    # equi-join; a BroadcastNestedLoopJoin would be the O(n*m) trap
+    fn, _ = CORE_QUERIES["range_join_price_bands"]
+    plan = explain_str(fn(spark, sf_dir), "simple")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert "Join" in plan  # it IS a join, just an equi one
+
+
 def test_aqe_and_arrow_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
