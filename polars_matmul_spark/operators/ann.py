@@ -155,8 +155,8 @@ def brp_lsh_similarity_join(
     threshold: float,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    bucket_length: float = 2.0,
-    num_hash_tables: int = 3,
+    bucket_length: float = 1.0,
+    num_hash_tables: int = 2,
     seed: int = 42,
 ) -> DataFrame:
     """MLlib BucketedRandomProjectionLSH approx similarity join

@@ -116,6 +116,34 @@ FROM q CROSS JOIN c
 """
 
 
+def _matmul_nested_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # N1 nested output shape: one array<double> score row per query
+    # (ordered by corpus position), SQL-exact via sort_array(collect_list)
+    q, c = _split_embeddings(spark, sf_dir)
+    q = q.filter(F.col("query_id") < 10)
+    c = c.filter(F.col("corpus_id") < 150)
+    out = similarity_join_exact(q, c, "q_emb", "c_emb", metric="dot")
+    return (
+        out.groupBy("query_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("corpus_id", "score"))),
+                lambda s: s["score"],
+            ).alias("scores")
+        )
+    )
+
+
+_MATMUL_NESTED_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+           FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS c_emb
+           FROM embeddings WHERE vec_id >= 50 AND vec_id < 150)
+SELECT query_id, list({_duck_score('dot')} ORDER BY corpus_id) AS scores
+FROM q CROSS JOIN c GROUP BY query_id
+"""
+
+
 def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs with label blocking.
 
@@ -205,10 +233,13 @@ def _ann_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MLlib LSH approx similarity join (rows-only check: JVM hash family)
     from polars_matmul_spark.operators.ann import brp_lsh_similarity_join
 
+    # embeddings are unit-norm (pairwise distances ~N(sqrt(2), .07));
+    # threshold 1.2 ~ the 1st percentile -> a selective near-neighbor
+    # join (1% of pairs), not a disguised cross join
     emb = load_table(spark, "embeddings", sf_dir)
     a = emb.select(F.col("vec_id").alias("id_a"), "embedding")
     b = emb.select(F.col("vec_id").alias("id_b"), "embedding")
-    return brp_lsh_similarity_join(a, b, threshold=8.0)
+    return brp_lsh_similarity_join(a, b, threshold=1.2)
 
 
 def _explode_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1162,6 +1193,7 @@ CORE_QUERIES: dict[str, tuple] = {
     "topk_dot": _make_topk("dot"),
     "topk_euclidean": _make_topk("euclidean"),
     "matmul_flatten": (_matmul_flatten_scores, _MATMUL_FLATTEN_ORACLE),
+    "matmul_nested": (_matmul_nested_scores, _MATMUL_NESTED_ORACLE),
     "embedding_neardup_cosine": (_embedding_neardup, _EMBEDDING_NEARDUP_ORACLE),
     "ann_ivf_topk": (_ann_ivf, _duck_ivf_oracle()),
     "ann_brp_lsh_join": (_ann_brp_lsh, None),
