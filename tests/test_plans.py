@@ -66,6 +66,10 @@ def test_dedup_and_text_plans_stay_jvm_side(spark, sf_dir):
     for name in ("token_counts", "lang_id", "quality_score", "exact_dedup_docs"):
         fn, _ = TEXT_QUERIES[name]
         assert not uses_python_worker(fn(spark, sf_dir)), name
+    # the composed operators stay JVM-side too
+    for name in ("asof_purchase_click", "salted_event_counts", "range_join_price_bands", "hypertable_rollup"):
+        fn, _ = CORE_QUERIES[name]
+        assert not uses_python_worker(fn(spark, sf_dir)), name
 
 
 def test_ivf_plan_shape(spark, sf_dir):
