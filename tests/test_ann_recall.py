@@ -1,0 +1,76 @@
+"""ANN quality gates: the approximate operators must actually be good
+approximations, not just deterministic ones. Recall@k vs the exact
+kernel answer."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from polars_matmul_spark import kernels as K
+from polars_matmul_spark.operators.ann import ivf_topk, pick_centroids
+from polars_matmul_spark.sources.tables import load_table
+
+SF01 = "/root/testdata/sf0.01"
+
+
+def test_ivf_recall_at_5(spark):
+    emb = load_table(spark, "embeddings", SF01)
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.filter(F.col("vec_id") >= 50).select(
+        F.col("vec_id").alias("corpus_id"), "embedding"
+    )
+    centroids = pick_centroids(c, "corpus_id", every=37)
+    approx = ivf_topk(q, c, centroids, k=5, nprobe=3).toPandas()
+
+    qp = q.orderBy("query_id").toPandas()
+    cp = c.orderBy("corpus_id").toPandas()
+    Q = np.stack(qp["embedding"].to_numpy()).astype(np.float64)
+    C = np.stack(cp["embedding"].to_numpy()).astype(np.float64)
+    idx, _ = K.topk(Q, C, 5, "cosine")
+    exact = {
+        qid: set(cp["corpus_id"].to_numpy()[idx[i]])
+        for i, qid in enumerate(qp["query_id"])
+    }
+
+    hits = total = 0
+    for qid, grp in approx.groupby("query_id"):
+        got = set(grp["corpus_id"])
+        hits += len(got & exact[qid])
+        total += 5
+    recall = hits / total
+    # modular centroids + nprobe 3/26 lists: weak pruning bound, but the
+    # operator must still beat random scanning by a wide margin
+    # (random 3-of-26 lists would give ~0.12)
+    assert recall >= 0.35, f"recall@5 = {recall:.3f}"
+
+
+def test_ivf_nprobe_monotone_recall(spark):
+    # more probes -> recall can only improve (same tie-breaks)
+    emb = load_table(spark, "embeddings", SF01)
+    q = emb.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.filter(F.col("vec_id") >= 50).select(
+        F.col("vec_id").alias("corpus_id"), "embedding"
+    )
+    centroids = pick_centroids(c, "corpus_id", every=37)
+
+    def result_set(nprobe):
+        pdf = ivf_topk(q, c, centroids, k=5, nprobe=nprobe).toPandas()
+        return {(r.query_id, r.corpus_id) for r in pdf.itertuples()}
+
+    r1, r3, r99 = result_set(1), result_set(3), result_set(99)
+    qp = q.orderBy("query_id").toPandas()
+    cp = c.orderBy("corpus_id").toPandas()
+    Q = np.stack(qp["embedding"].to_numpy()).astype(np.float64)
+    C = np.stack(cp["embedding"].to_numpy()).astype(np.float64)
+    idx, _ = K.topk(Q, C, 5, "cosine")
+    exact = {
+        (qid, cp["corpus_id"].to_numpy()[j])
+        for i, qid in enumerate(qp["query_id"])
+        for j in idx[i]
+    }
+    assert len(r1 & exact) <= len(r3 & exact) <= len(r99 & exact)
+    # probing every list IS the exact answer
+    assert r99 == exact
