@@ -110,6 +110,18 @@ def main() -> None:
         lambda: _force(topk_join_blocked(qd, cd, k=10, metric="cosine"))
     )
 
+    # --- streaming: hourly windowed agg, full availableNow replay ---
+    from polars_matmul_spark.streaming.events import (
+        hourly_event_counts_stream,
+        run_stream_to_memory,
+    )
+
+    times["streaming_hourly_replay"] = _timed(
+        lambda: run_stream_to_memory(
+            hourly_event_counts_stream(spark, SF_DIR), "bench_hourly_mem", "complete"
+        )
+    )
+
     # --- reference canonical shape: 1000 x 10000 x 256, k=10, f32 ---
     # steady-state: min of 2 runs (first run pays python-worker spinup);
     # 8 partitions => 125-row Arrow batches, big enough for BLAS
