@@ -127,15 +127,12 @@ def ivf_topk(
         .select(q_id, F.col("embedding").alias("q_emb"), "__qq", "centroid_id")
     )
     # scan only the probed lists: equi-join on centroid_id
-    cand = probes.join(
-        indexed.select(
-            c_id,
-            F.col("embedding").alias("c_emb"),
-            "centroid_id",
-        ),
-        "centroid_id",
-    )
-    cand = cand.withColumn("__cc2", _fold_dot(F.col("c_emb"), F.col("c_emb")))
+    # corpus self-dot ONCE per corpus row, before the probe join —
+    # after the join it would be recomputed per (query, corpus) pair
+    corpus_side = indexed.select(
+        c_id, F.col("embedding").alias("c_emb"), "centroid_id"
+    ).withColumn("__cc2", _fold_dot(F.col("c_emb"), F.col("c_emb")))
+    cand = probes.join(corpus_side, "centroid_id")
     scored = cand.withColumn(
         "score", _cosine(F.col("q_emb"), F.col("c_emb"), F.col("__qq"), F.col("__cc2"))
     )
@@ -158,10 +155,16 @@ def brp_lsh_similarity_join(
     bucket_length: float = 1.0,
     num_hash_tables: int = 2,
     seed: int = 42,
+    dedupe_self: bool = True,
 ) -> DataFrame:
     """MLlib BucketedRandomProjectionLSH approx similarity join
     (euclidean distance <= threshold). Seeded; returns
-    (id_a, id_b, dist). Rows-only correctness (JVM-internal hashes)."""
+    (id_a, id_b, dist). Rows-only correctness (JVM-internal hashes).
+
+    ``dedupe_self=True`` (default) keeps only ``id_a < id_b`` — correct
+    for a SELF-join over one table's id space. Pass False when a and b
+    are different tables with independent ids, or half the matches
+    vanish."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
@@ -176,8 +179,11 @@ def brp_lsh_similarity_join(
     )
     model = brp.fit(fa)
     joined = model.approxSimilarityJoin(fa, fb, threshold, distCol="dist")
-    return joined.select(
+    out = joined.select(
         F.col(f"datasetA.{id_a}").alias(id_a),
         F.col(f"datasetB.{id_b}").alias(id_b),
         F.col("dist"),
-    ).filter(F.col(id_a) < F.col(id_b))
+    )
+    if dedupe_self:
+        out = out.filter(F.col(id_a) < F.col(id_b))
+    return out

@@ -42,7 +42,9 @@ def asof_join_backward(
             "double" if c == "__rt" else dict(right.dtypes).get(c, "string")
         ))
     r_tagged = right.withColumn("__t", F.col(right_ts)).withColumn("__side", F.lit(0))
-    r_tagged = r_tagged.withColumn("__p___rt", F.unix_timestamp(F.col(right_ts)).cast("double"))
+    # timestamp -> double keeps sub-second precision (unix_timestamp
+    # truncates to whole seconds and misjudges tolerance boundaries)
+    r_tagged = r_tagged.withColumn("__p___rt", F.col(right_ts).cast("double"))
     for c in payload_cols:
         r_tagged = r_tagged.withColumn(f"__p_{c}", F.col(c))
 
@@ -60,7 +62,7 @@ def asof_join_backward(
 
     out = u.filter(F.col("__side") == 1)
     if tolerance_sec is not None:
-        within = F.unix_timestamp(F.col("__t")) - F.col("__m___rt") <= F.lit(tolerance_sec)
+        within = F.col("__t").cast("double") - F.col("__m___rt") <= F.lit(tolerance_sec)
         for c in payload_cols:
             out = out.withColumn(f"__m_{c}", F.when(within, F.col(f"__m_{c}")))
     return out.select(

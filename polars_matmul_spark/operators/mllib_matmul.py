@@ -33,6 +33,13 @@ def blockmatrix_matmul(
     queries/corpus: (id, embedding array<numeric>). Ids must be
     0..n-1-dense per side (use row_number()-1 upstream if not) — they
     become matrix row indices. Returns (q_id, c_id, score double).
+
+    KNOWN LIMITATION: ``toCoordinateMatrix`` skips entries whose value
+    is exactly 0.0, so pairs with an exact-zero dot product (orthogonal
+    one-hot/sparse vectors, zero rows) are ABSENT from the output
+    rather than present with score 0.0. Dense float embeddings make
+    exact zeros measure-zero; for sparse data use the SQL-form
+    similarity join instead.
     """
     from pyspark.mllib.linalg import Vectors
     from pyspark.mllib.linalg.distributed import IndexedRow, IndexedRowMatrix

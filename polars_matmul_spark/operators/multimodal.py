@@ -88,7 +88,10 @@ def byte_histogram_features(
                 continue
             arr = np.frombuffer(b"".join(bufs), dtype=np.uint8)
             doc_idx = np.repeat(np.arange(len(bufs)), lens)
-            keys = doc_idx * bins + arr // width
+            # clamp: when bins does not divide 256, the top partial bin
+            # absorbs the remainder (else byte 255 would overflow into
+            # the NEXT document's bin 0)
+            keys = doc_idx * bins + np.minimum(arr // width, bins - 1)
             counts = np.bincount(keys, minlength=len(bufs) * bins).reshape(len(bufs), bins)
             feats = counts / np.maximum(lens, 1)[:, None]
             yield pd.DataFrame({id_col: pdf[id_col], "features": list(feats)})
@@ -104,6 +107,9 @@ def pixel_stats(df: DataFrame, id_col: str = "asset_id") -> DataFrame:
     what a PIL-backed decoder would do.
     """
     schema = f"{id_col} long, n_pixels long, mean_px double, min_px int, max_px int"
+    # payloads shorter than one image row have height 0 — no decodable
+    # image (and the reduction over an empty array would crash the task)
+    df = df.filter(F.col("height") >= 1)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -35,10 +35,10 @@ def range_join_bucketed(
     explodes the interval side, too large inflates candidates.
     """
     p = points.withColumn(
-        "__bucket", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
+        "__pbucket", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
     )
     iv = intervals.withColumn(
-        "__bucket",
+        "__ibucket",
         F.explode(
             F.sequence(
                 F.floor(F.col(lo_col) / F.lit(bucket_width)).cast("long"),
@@ -46,7 +46,12 @@ def range_join_bucketed(
             )
         ),
     )
-    joined = p.join(iv, "__bucket", how).filter(
-        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col))
+    # the range predicate lives IN the join condition: a post-join
+    # filter would silently turn outer joins into inner ones (unmatched
+    # rows carry null lo/hi and fail the filter)
+    cond = (
+        (F.col("__pbucket") == F.col("__ibucket"))
+        & (F.col(point_col) >= F.col(lo_col))
+        & (F.col(point_col) <= F.col(hi_col))
     )
-    return joined.drop("__bucket")
+    return p.join(iv, cond, how).drop("__pbucket", "__ibucket")

@@ -214,22 +214,28 @@ def click_purchase_attribution_stream(
 
 def dedup_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: first event per (user_id, event_type)
-    key, state bounded by the watermark — the streaming twin of
-    batch ``dropDuplicates``. At scale state lives with the key's
-    partition; the watermark evicts keys older than the horizon."""
+    key within the watermark horizon — the streaming twin of batch
+    ``dropDuplicates``. Uses ``dropDuplicatesWithinWatermark``: plain
+    ``dropDuplicates`` without the event-time column in its subset
+    NEVER evicts state (the watermark is a no-op for it), so a
+    long-running ingest would accumulate one state entry per key
+    forever. WithinWatermark bounds state to keys seen inside the
+    horizon. At scale state lives with the key's partition."""
     events = read_events_stream(spark, sf_dir)
-    return events.withWatermark("ts", "2 hours").dropDuplicates(
+    return events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
 
 
 def stream_to_parquet(df: DataFrame, path: str, checkpoint: str):
-    """File-sink path: append the stream to a parquet directory via
-    foreachBatch (idempotent per epoch), the pattern a production
-    ingest pipeline uses to land data for the batch engine."""
+    """File-sink path: land the stream in a parquet directory via
+    foreachBatch, one OVERWRITTEN subdirectory per epoch — genuinely
+    idempotent: replaying a half-committed epoch after a crash
+    overwrites its own output instead of appending duplicates. Readers
+    load the root path (epoch shows up as a partition column)."""
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df.write.mode("append").parquet(path)
+        batch_df.write.mode("overwrite").parquet(f"{path}/epoch={epoch_id}")
 
     q = (
         df.writeStream.foreachBatch(write_batch)

@@ -56,6 +56,25 @@ def test_frame_sample_short_payload_empty(spark, assets):
     assert M.frame_sample(tiny, frame_bytes=64).count() == 0
 
 
+def test_byte_histogram_non_divisor_bins(spark):
+    # bins=10 does not divide 256: bytes >= 250 must clamp into the
+    # last bin, not overflow into the next document's bin 0
+    rows = [(1, bytes([255] * 4)), (2, bytes([0] * 4))]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    got = {r.asset_id: r.features for r in M.byte_histogram_features(df, bins=10).collect()}
+    assert got[1][9] == 1.0 and sum(got[1]) == 1.0
+    assert got[2][0] == 1.0 and sum(got[2]) == 1.0
+
+
+def test_pixel_stats_short_payload_skipped(spark):
+    # payload shorter than one image row: no decodable image, no crash
+    rows = [(1, b"tiny", 16, 0), (2, bytes(range(32)), 16, 2)]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary, width int, height int")
+    got = M.pixel_stats(df).collect()
+    assert [r.asset_id for r in got] == [2]
+    assert got[0].n_pixels == 32
+
+
 def test_decode_asset_is_stubbed():
     with pytest.raises(NotImplementedError):
         M.decode_asset(b"\x00" * 16, "image")

@@ -60,6 +60,35 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     assert _sorted_rows(salted, cols) == _sorted_rows(plain, cols)
 
 
+def test_range_join_left_outer_keeps_unmatched(spark):
+    from polars_matmul_spark.operators.rangejoin import range_join_bucketed
+
+    pts = spark.createDataFrame([(1, 5.0), (2, 50.0)], "id long, x double")
+    iv = spark.createDataFrame([(10, 0.0, 9.9)], "band long, lo double, hi double")
+    out = range_join_bucketed(pts, iv, "x", "lo", "hi", 10.0, how="left").collect()
+    got = {r.id: r.band for r in out}
+    assert got == {1: 10, 2: None}  # unmatched point survives the left join
+
+
+def test_minhash_array_and_flat_signatures_identical(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from polars_matmul_spark.operators.dedup import (
+        _minhash_signature,
+        _minhash_signature_flat,
+        shingled,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter("doc_id < 40")
+    sh = shingled(docs)
+    arr = {
+        r.doc_id: list(r.mh)
+        for r in sh.select("doc_id", _minhash_signature(F.col("shingles"), 16).alias("mh")).collect()
+    }
+    flat = {r[0]: list(r[1:]) for r in _minhash_signature_flat(sh, "doc_id", 16).collect()}
+    assert arr == flat
+
+
 def test_salted_join_left_outer(spark, sf_dir):
     events = load_table(spark, "events", sf_dir)
     dim = (
