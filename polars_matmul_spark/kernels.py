@@ -133,10 +133,12 @@ def similarity_matrix(Q: np.ndarray, C: np.ndarray, metric: str = "cosine") -> n
         eps = EPS_F32 if dt == np.float32 else EPS_F64
         qn = np.linalg.norm(Q, axis=1)  # [src/metrics.rs:368-385]
         cn = np.linalg.norm(C, axis=1)
-        denom = np.outer(qn, cn)
-        # zero-norm guard -> exact 0.0 [src/metrics.rs:277-288, 330-342]
-        guarded = np.where(denom < eps, 1.0, denom)
-        out = np.where(denom < eps, 0.0, dots / guarded)
+        # per-norm guard: the score is 0.0 unless BOTH norms exceed eps
+        # independently (q_norm > eps AND c_norm > eps) — NOT a guard on
+        # the product [src/metrics.rs:276-288 (f64), 329-342 (f32)]
+        valid = (qn > eps)[:, None] & (cn > eps)[None, :]
+        denom = np.where(valid, np.outer(qn, cn), 1.0)
+        out = np.where(valid, dots / denom, 0.0)
         return out.astype(dt, copy=False)
     # euclidean: sqrt(max(0, |q|^2 + |c|^2 - 2 q.c)) [src/metrics.rs:292-310]
     q2 = np.einsum("ij,ij->i", Q, Q)

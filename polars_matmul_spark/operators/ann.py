@@ -48,8 +48,12 @@ def pick_centroids(corpus: DataFrame, id_col: str, every: int = 37) -> DataFrame
 
 
 def _cosine(q, c, qn, cn):
-    denom = F.sqrt(qn) * F.sqrt(cn)
-    return F.when(denom < 1e-10, F.lit(0.0)).otherwise(_fold_dot(q, c) / denom)
+    # per-norm zero guard, matching the reference [src/metrics.rs:276-288]
+    sq = F.sqrt(qn)
+    sc = F.sqrt(cn)
+    return F.when(
+        (sq > 1e-10) & (sc > 1e-10), _fold_dot(q, c) / (sq * sc)
+    ).otherwise(F.lit(0.0))
 
 
 def assign_ivf(

@@ -68,8 +68,12 @@ def score_expr(q: Column, c: Column, metric: str = "cosine") -> Column:
     if metric == "dot":
         return dot
     if metric == "cosine":
-        denom = F.sqrt(_fold_dot(q, q)) * F.sqrt(_fold_dot(c, c))
-        return F.when(denom < F.lit(K.EPS_F64), F.lit(0.0)).otherwise(dot / denom)
+        qn = F.sqrt(_fold_dot(q, q))
+        cn = F.sqrt(_fold_dot(c, c))
+        # per-norm guard, not a product guard [src/metrics.rs:276-288]
+        return F.when(
+            (qn > F.lit(K.EPS_F64)) & (cn > F.lit(K.EPS_F64)), dot / (qn * cn)
+        ).otherwise(F.lit(0.0))
     # euclidean
     sq = _fold_dot(q, q) + _fold_dot(c, c) - F.lit(2.0) * dot
     return F.sqrt(F.greatest(sq, F.lit(0.0)))
@@ -109,8 +113,12 @@ def similarity_join_exact(
     out = q_pre.crossJoin(c_pre)
     dot = _fold_dot(F.col(q_col), F.col(c_col_eff))
     if metric == "cosine":
-        denom = F.sqrt(F.col("__qq")) * F.sqrt(F.col("__cc"))
-        score = F.when(denom < F.lit(K.EPS_F64), F.lit(0.0)).otherwise(dot / denom)
+        qn = F.sqrt(F.col("__qq"))
+        cn = F.sqrt(F.col("__cc"))
+        # per-norm guard, not a product guard [src/metrics.rs:276-288]
+        score = F.when(
+            (qn > F.lit(K.EPS_F64)) & (cn > F.lit(K.EPS_F64)), dot / (qn * cn)
+        ).otherwise(F.lit(0.0))
     else:  # euclidean
         sq = F.col("__qq") + F.col("__cc") - F.lit(2.0) * dot
         score = F.sqrt(F.greatest(sq, F.lit(0.0)))

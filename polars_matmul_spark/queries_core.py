@@ -44,9 +44,11 @@ def _duck_score(metric: str, a: str = "q_emb", c: str = "c_emb") -> str:
     if metric == "dot":
         return dot
     if metric == "cosine":
+        # per-norm zero guard (q_norm > eps AND c_norm > eps), mirroring
+        # the reference [src/metrics.rs:276-288] and score_expr exactly
         return (
-            f"CASE WHEN sqrt({qq}) * sqrt({cc}) < 1e-10 THEN 0.0 "
-            f"ELSE {dot} / (sqrt({qq}) * sqrt({cc})) END"
+            f"CASE WHEN sqrt({qq}) > 1e-10 AND sqrt({cc}) > 1e-10 "
+            f"THEN {dot} / (sqrt({qq}) * sqrt({cc})) ELSE 0.0 END"
         )
     return f"sqrt(greatest({qq} + {cc} - 2 * {dot}, 0.0))"
 
@@ -118,29 +120,40 @@ FROM q CROSS JOIN c
 
 def _matmul_nested_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # N1 nested output shape: one array<double> score row per query
-    # (ordered by corpus position), SQL-exact via sort_array(collect_list)
+    # (ordered by corpus position), SQL-exact via sort_array(collect_list).
+    # The nested array is then posexploded back to scalar (query_id,
+    # pos, score) rows: the driver's canonicalizer sorts output columns
+    # with pandas and cannot hash ndarray cells, so the driver-facing
+    # shape must be scalar-sortable (round-1 CORRECTNESS err). The
+    # row-major nested assembly [src/matmul.rs:100-125] is still what is
+    # computed — pos IS the corpus position within each query's row.
     q, c = _split_embeddings(spark, sf_dir)
     q = q.filter(F.col("query_id") < 10)
     c = c.filter(F.col("corpus_id") < 150)
     out = similarity_join_exact(q, c, "q_emb", "c_emb", metric="dot")
-    return (
-        out.groupBy("query_id")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("corpus_id", "score"))),
-                lambda s: s["score"],
-            ).alias("scores")
-        )
+    nested = out.groupBy("query_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("corpus_id", "score"))),
+            lambda s: s["score"],
+        ).alias("scores")
     )
+    return nested.select(
+        "query_id", F.posexplode("scores").alias("pos", "score")
+    ).select("query_id", F.col("pos").cast("long").alias("pos"), "score")
 
 
 _MATMUL_NESTED_ORACLE = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
            FROM embeddings WHERE vec_id < 10),
      c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS c_emb
-           FROM embeddings WHERE vec_id >= 50 AND vec_id < 150)
-SELECT query_id, list({_duck_score('dot')} ORDER BY corpus_id) AS scores
-FROM q CROSS JOIN c GROUP BY query_id
+           FROM embeddings WHERE vec_id >= 50 AND vec_id < 150),
+     nested AS (
+       SELECT query_id, list({_duck_score('dot')} ORDER BY corpus_id) AS scores
+       FROM q CROSS JOIN c GROUP BY query_id)
+SELECT query_id,
+       CAST(generate_subscripts(scores, 1) - 1 AS BIGINT) AS pos,
+       unnest(scores) AS score
+FROM nested
 """
 
 
@@ -164,10 +177,14 @@ def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("c_emb"),
     ).withColumn("cn", F.sqrt(_fold_dot(F.col("c_emb"), F.col("c_emb"))))
     pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
-    denom = F.col("qn") * F.col("cn")
     dot = _fold_dot(F.col("q_emb"), F.col("c_emb"))
+    # per-norm zero guard, matching the reference [src/metrics.rs:276-288]
     scored = pairs.withColumn(
-        "cosine", F.when(denom < 1e-10, F.lit(0.0)).otherwise(dot / denom)
+        "cosine",
+        F.when(
+            (F.col("qn") > 1e-10) & (F.col("cn") > 1e-10),
+            dot / (F.col("qn") * F.col("cn")),
+        ).otherwise(F.lit(0.0)),
     )
     return scored.filter(F.col("cosine") >= 0.3).select("id_a", "id_b", "label", "cosine")
 

@@ -48,7 +48,16 @@ FROM documents
 # --- byte-histogram features ----------------------------------------------
 
 def _byte_histogram(spark, sf_dir):
-    return M.byte_histogram_features(_assets(spark, sf_dir), bins=16)
+    # the feature operator emits array<double>; the driver-facing query
+    # posexplodes it to scalar (asset_id, bin, freq) rows because the
+    # driver's canonicalizer cannot sort/hash ndarray cells (round-1
+    # CORRECTNESS err on the array-shaped output)
+    from pyspark.sql import functions as F
+
+    feats = M.byte_histogram_features(_assets(spark, sf_dir), bins=16)
+    return feats.select(
+        "asset_id", F.posexplode("features").alias("bin", "freq")
+    ).select("asset_id", F.col("bin").cast("long").alias("bin"), "freq")
 
 
 def _duck_histogram_oracle(bins: int = 16) -> str:
@@ -66,8 +75,13 @@ WITH px AS (
   SELECT doc_id, n, unicode(substring(text, CAST(i AS INTEGER), 1)) AS code FROM px
 ), sums AS (
   SELECT doc_id, n, {sums} FROM codes GROUP BY doc_id, n
+), arrs AS (
+  SELECT doc_id AS asset_id, [{arr}] AS features FROM sums
 )
-SELECT doc_id AS asset_id, [{arr}] AS features FROM sums
+SELECT asset_id,
+       CAST(generate_subscripts(features, 1) - 1 AS BIGINT) AS bin,
+       unnest(features) AS freq
+FROM arrs
 """
 
 

@@ -34,10 +34,11 @@ def test_cosine_bounded_and_zero_norm_guarded(qc):
     S = K.similarity_matrix(Q, C, "cosine")
     assert S.shape == (len(Q), len(C))
     assert np.all(S <= 1.0 + 1e-6) and np.all(S >= -1.0 - 1e-6)
-    # the reference guard zeroes a PAIR when the product of norms is
-    # below eps (src/metrics.rs:277-288) — not per-side
-    denom = np.linalg.norm(Q, axis=1)[:, None] * np.linalg.norm(C, axis=1)[None, :]
-    guarded = denom < K.EPS_F64
+    # the reference guards EACH norm independently: a pair's score is
+    # zeroed unless q_norm > eps AND c_norm > eps (src/metrics.rs:276-288)
+    qn = np.linalg.norm(Q, axis=1)
+    cn = np.linalg.norm(C, axis=1)
+    guarded = (qn <= K.EPS_F64)[:, None] | (cn <= K.EPS_F64)[None, :]
     if guarded.any():
         assert np.all(S[guarded] == 0.0)
 

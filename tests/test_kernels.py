@@ -36,6 +36,20 @@ class TestMetrics:
         assert K.similarity_matrix(Q, C, "cosine")[0, 0] == 0.0
         assert K.similarity_matrix(C, Q, "cosine")[0, 0] == 0.0
 
+    def test_cosine_guard_is_per_norm_not_product(self):
+        # qn = 5e-11 (< eps) but qn*cn = 5e-9 (> eps): the reference
+        # zeroes the score because EACH norm is guarded independently
+        # [src/metrics.rs:276-288]; a product guard would emit ~1.0 here
+        Q = np.array([[5e-11, 0.0]])
+        C = np.array([[100.0, 0.0]])
+        assert K.similarity_matrix(Q, C, "cosine")[0, 0] == 0.0
+        assert K.similarity_matrix(C, Q, "cosine")[0, 0] == 0.0
+        # both norms just above eps -> computed normally, not zeroed
+        Q2 = np.array([[2e-10, 0.0]])
+        np.testing.assert_allclose(
+            K.similarity_matrix(Q2, C, "cosine"), [[1.0]], rtol=1e-9
+        )
+
     def test_euclidean(self):
         Q = np.array([[0.0, 0.0]])
         C = np.array([[3.0, 4.0]])
