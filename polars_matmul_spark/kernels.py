@@ -66,6 +66,11 @@ def to_matrix(vectors, dtype=None) -> np.ndarray:
     Mirrors series_to_matrix [src/matmul.rs:131-164]: null elements
     become 0.0; a ragged input raises the dimension-mismatch error; an
     entirely-empty input yields a (0, 0) matrix.
+
+    When ``dtype`` is None the INPUT float width is preserved (f32 rows
+    stay f32), so a both-f32 pipeline reaches the f32 kernel per the
+    reference's dispatch rule [src/matmul.rs:307-314]; non-float inputs
+    (ints, Python lists) land on the f64 default.
     """
     n = len(vectors)
     if n == 0:
@@ -73,14 +78,20 @@ def to_matrix(vectors, dtype=None) -> np.ndarray:
     first = vectors[0]
     if first is None:
         raise ValueError("First element is null")
-    first = np.asarray(first, dtype=np.float64 if dtype is None else dtype)
+    first = np.asarray(first)
+    if dtype is None:
+        dtype = (
+            first.dtype
+            if first.dtype in (np.float32, np.float64)
+            else np.float64
+        )
     dim = first.shape[0]
-    out = np.empty((n, dim), dtype=first.dtype if dtype is None else dtype)
+    out = np.empty((n, dim), dtype=dtype)
     for i, v in enumerate(vectors):
         if v is None:
             out[i, :] = 0.0  # null vector -> zeros [src/matmul.rs:251]
             continue
-        a = np.asarray(v, dtype=np.float64)
+        a = np.asarray(v)
         if a.shape[0] != dim:
             raise ValueError(
                 f"Dimension mismatch: left has {dim} dimensional vectors, "

@@ -105,6 +105,21 @@ class TestDtypeDispatch:
         _, scores = K.topk(Q, Q, k=1)
         assert scores.dtype == np.float64
 
+    def test_to_matrix_preserves_input_float_width(self):
+        # dtype=None must NOT promote f32 rows to f64 — otherwise a
+        # both-f32 pipeline can never reach the f32 kernel
+        # [src/matmul.rs:307-314]
+        rows32 = [np.ones(4, dtype=np.float32), np.zeros(4, dtype=np.float32)]
+        assert K.to_matrix(rows32).dtype == np.float32
+        rows64 = [np.ones(4), np.zeros(4)]
+        assert K.to_matrix(rows64).dtype == np.float64
+        # Python lists / ints default to f64
+        assert K.to_matrix([[1.0, 2.0]]).dtype == np.float64
+        assert K.to_matrix([[1, 2]]).dtype == np.float64
+        # explicit dtype always wins
+        assert K.to_matrix(rows32, dtype=np.float64).dtype == np.float64
+        assert K.to_matrix(rows64, dtype=np.float32).dtype == np.float32
+
 
 class TestTopkSelect:
     # [src/topk.rs:77-126]

@@ -172,6 +172,21 @@ class TestFloat32:
             got = [m["score"] for m in r.m]
             np.testing.assert_allclose(got, expect, rtol=1e-4)
 
+    def test_flagship_corpus_materializes_f32(self, spark, sf_dir):
+        # the entry() flagship path: the f32 embeddings parquet must
+        # reach the kernel as f32 on BOTH sides so the both-f32 rule
+        # [src/matmul.rs:307-314] actually triggers (round-1 finding:
+        # to_matrix silently promoted the corpus to f64)
+        from polars_matmul_spark.kernels import promote_dtype, to_matrix
+        from polars_matmul_spark.sources.tables import load_table
+
+        emb = load_table(spark, "embeddings", sf_dir)
+        pdf = emb.filter(F.col("vec_id") >= 50).select("embedding").limit(32).toPandas()
+        corpus = to_matrix(pdf["embedding"].tolist())
+        assert corpus.dtype == np.float32
+        # the query batch arrives from Arrow as f32 too; both-f32 -> f32
+        assert promote_dtype(np.float32, corpus.dtype) == np.float32
+
 
 class TestLazyComposition:
     """Kernel composed with the host-engine surface under Catalyst
