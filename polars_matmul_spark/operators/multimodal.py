@@ -99,12 +99,36 @@ def byte_histogram_features(
     return df.select(id_col, payload_col).mapInPandas(extract, schema)
 
 
+def _batch_geometry(pdf: pd.DataFrame):
+    """Shared per-batch decode geometry: concatenated payload bytes,
+    byte offsets, and the effective (clipped) image height per row.
+
+    A payload shorter than the declared width*height clips to the full
+    pixel rows it actually contains (h_eff = min(h, len // w)) instead
+    of crashing the task on reshape — the guard a real decoder needs for
+    truncated files.
+    """
+    bufs = [bytes(b) for b in pdf["payload"]]
+    nb = len(bufs)
+    w = pdf["width"].to_numpy().astype(np.int64)
+    h = pdf["height"].to_numpy().astype(np.int64)
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=nb)
+    h_eff = np.minimum(h, lens // np.maximum(w, 1))
+    arr = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    return arr, offsets, lens, w, h_eff
+
+
 def pixel_stats(df: DataFrame, id_col: str = "asset_id") -> DataFrame:
     """Fake image decode + per-image stats: interpret the first
     width*height payload bytes as a grayscale (height, width) uint8
     image, emit mean/min/max pixel. The decode itself is the fake; the
-    batch plumbing (binary -> ndarray -> reshape -> reduce) is exactly
-    what a PIL-backed decoder would do.
+    batch plumbing (binary -> ndarray -> reduce) is exactly what a
+    PIL-backed decoder would do.
+
+    One vectorized pass per Arrow batch (offset-keys grouping +
+    ``reduceat``), no per-row Python loop; undecodable rows (fewer
+    payload bytes than one pixel row) are dropped, not crashed on.
     """
     schema = f"{id_col} long, n_pixels long, mean_px double, min_px int, max_px int"
     # payloads shorter than one image row have height 0 — no decodable
@@ -113,16 +137,28 @@ def pixel_stats(df: DataFrame, id_col: str = "asset_id") -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for aid, buf, w, h in zip(
-                pdf[id_col], pdf["payload"], pdf["width"], pdf["height"]
-            ):
-                img = np.frombuffer(bytes(buf), dtype=np.uint8)[: w * h].reshape(h, w)
-                rows.append(
-                    (aid, img.size, float(img.mean()), int(img.min()), int(img.max()))
-                )
+            nb = len(pdf)
+            if nb == 0:
+                continue
+            arr, _offsets, lens, w, h_eff = _batch_geometry(pdf)
+            usable = w * h_eff
+            keep = usable >= 1
+            # used-byte mask: the first usable[i] bytes of each payload
+            pos = np.arange(arr.size) - np.repeat(_offsets, lens)
+            vals = arr[pos < np.repeat(usable, lens)]
+            u_keep = usable[keep]
+            if len(u_keep) == 0:
+                continue
+            starts = np.concatenate(([0], np.cumsum(u_keep)))[:-1]
+            sums = np.add.reduceat(vals.astype(np.int64), starts)
             yield pd.DataFrame(
-                rows, columns=[id_col, "n_pixels", "mean_px", "min_px", "max_px"]
+                {
+                    id_col: pdf[id_col].to_numpy()[keep],
+                    "n_pixels": u_keep,
+                    "mean_px": sums / u_keep,
+                    "min_px": np.minimum.reduceat(vals, starts).astype(np.int32),
+                    "max_px": np.maximum.reduceat(vals, starts).astype(np.int32),
+                }
             )
 
     return df.select(id_col, "payload", "width", "height").mapInPandas(decode, schema)
@@ -174,13 +210,24 @@ def resize_fake(
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for buf, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
-                img = np.frombuffer(bytes(buf), dtype=np.uint8)[: w * h].reshape(h, w)
-                ys = np.linspace(0, h - 1, out_h).astype(int)
-                xs = np.linspace(0, w - 1, out_w).astype(int)
-                out.append(img[np.ix_(ys, xs)].tobytes())
-            yield pd.DataFrame({id_col: pdf[id_col], "resized": out})
+            nb = len(pdf)
+            if nb == 0:
+                continue
+            arr, offsets, _lens, w, h_eff = _batch_geometry(pdf)
+            keep = (h_eff >= 1) & (w >= 1)
+            if not keep.any():
+                continue
+            wk, hk, ok = w[keep], h_eff[keep], offsets[keep]
+            # one gather for the whole batch: np.linspace with array
+            # endpoints runs the same arithmetic as the scalar call, so
+            # the sample grid is bit-identical to the per-row form
+            ys = np.linspace(0, hk - 1, out_h, axis=-1).astype(np.int64)
+            xs = np.linspace(0, wk - 1, out_w, axis=-1).astype(np.int64)
+            flat = ok[:, None, None] + ys[:, :, None] * wk[:, None, None] + xs[:, None, :]
+            pix = arr[flat]  # (n_keep, out_h, out_w)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy()[keep], "resized": [p.tobytes() for p in pix]}
+            )
 
     return df.select(id_col, "payload", "width", "height").mapInPandas(resize, schema)
 

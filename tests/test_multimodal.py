@@ -75,6 +75,30 @@ def test_pixel_stats_short_payload_skipped(spark):
     assert got[0].n_pixels == 32
 
 
+def test_pixel_stats_truncated_payload_clips_not_crashes(spark):
+    # a caller-declared height larger than the payload supports must
+    # clip to the full pixel rows present, never ValueError on reshape
+    rows = [
+        (1, bytes(range(40)), 16, 4),   # 40 bytes, claims 16x4=64 -> 2 full rows
+        (2, bytes(range(64)), 16, 4),   # exactly 16x4
+        (3, b"x", 16, 4),               # under one row -> dropped
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary, width int, height int")
+    got = {r.asset_id: r for r in M.pixel_stats(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].n_pixels == 32 and got[1].max_px == 31
+    assert got[2].n_pixels == 64 and got[2].max_px == 63
+
+
+def test_resize_fake_truncated_payload_clips_not_crashes(spark):
+    rows = [(1, bytes(range(40)), 16, 4), (2, b"x", 16, 4)]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary, width int, height int")
+    got = M.resize_fake(df, 2, 2).collect()
+    assert [r.asset_id for r in got] == [1]
+    # 2 effective rows: sample rows {0, 1}, cols {0, 15}
+    assert bytes(got[0].resized) == bytes([0, 15, 16, 31])
+
+
 def test_decode_asset_is_stubbed():
     with pytest.raises(NotImplementedError):
         M.decode_asset(b"\x00" * 16, "image")
