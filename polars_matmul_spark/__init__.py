@@ -17,5 +17,11 @@ Layers:
 """
 
 from polars_matmul_spark import kernels  # noqa: F401
+from polars_matmul_spark.namespace import register_pmm_namespace
+
+# importing the package registers `.pmm` on every Column, exactly like
+# `import polars_matmul` registers the Polars expression namespace
+# (reference python/polars_matmul/__init__.py:39-40)
+register_pmm_namespace()
 
 __version__ = "0.1.0"

@@ -172,6 +172,31 @@ class TestFloat32:
             got = [m["score"] for m in r.m]
             np.testing.assert_allclose(got, expect, rtol=1e-4)
 
+    def test_pmm_namespace_mirrors_reference_call_shape(self, spark):
+        # the reference's documented call shape (README.md:50-52):
+        #   queries.with_columns(pl.col("embedding").pmm.topk(corpus, k=2))
+        # runs verbatim modulo the Spark spelling after package import
+        import polars_matmul_spark  # noqa: F401 — registers .pmm
+
+        queries = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])],
+            "id long, embedding array<double>",
+        )
+        corpus = [[0.9, 0.1, 0.0], [0.1, 0.9, 0.0], [0.0, 0.1, 0.9]]
+        rows = (
+            queries.withColumn("matches", F.col("embedding").pmm.topk(corpus, k=2))
+            .orderBy("id")
+            .collect()
+        )
+        assert [r.matches[0]["index"] for r in rows] == [0, 1, 2]
+        assert all(len(r.matches) == 2 for r in rows)
+        # matmul through the namespace too: one score-array per row
+        m = queries.withColumn("s", F.col("embedding").pmm.matmul(corpus)).first()
+        assert len(m.s) == 3
+        # flatten through the namespace points at the DataFrame form
+        with pytest.raises(ValueError, match="matmul_flatten"):
+            F.col("embedding").pmm.matmul(corpus, flatten=True)
+
     def test_flagship_corpus_materializes_f32(self, spark, sf_dir):
         # the entry() flagship path: the f32 embeddings parquet must
         # reach the kernel as f32 on BOTH sides so the both-f32 rule
