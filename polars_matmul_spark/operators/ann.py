@@ -157,13 +157,22 @@ def brp_lsh_similarity_join(
     id_a: str = "id_a",
     id_b: str = "id_b",
     bucket_length: float = 1.0,
-    num_hash_tables: int = 2,
+    num_hash_tables: int = 6,
     seed: int = 42,
     dedupe_self: bool = True,
 ) -> DataFrame:
     """MLlib BucketedRandomProjectionLSH approx similarity join
     (euclidean distance <= threshold). Seeded; returns
-    (id_a, id_b, dist). Rows-only correctness (JVM-internal hashes).
+    (id_a, id_b, dist). Rows-only correctness (JVM-internal hashes);
+    quality is gated in pytest instead (tests/test_ann_recall.py):
+    precision 1.0 by construction (candidates are filtered by true
+    distance), recall >= 0.95 vs the exact all-pairs answer.
+
+    ``num_hash_tables`` trades shuffle volume (each row lands in one
+    bucket PER table, so candidate-join input scales linearly with
+    tables) against recall via OR-amplification: measured on the
+    sf0.01 unit-norm embeddings at threshold 1.2 — 2 tables: 0.84,
+    4: 0.97, 6: 0.995, 8: 0.999. Default 6.
 
     ``dedupe_self=True`` (default) keeps only ``id_a < id_b`` — correct
     for a SELF-join over one table's id space. Pass False when a and b

@@ -74,3 +74,34 @@ def test_ivf_nprobe_monotone_recall(spark):
     assert len(r1 & exact) <= len(r3 & exact) <= len(r99 & exact)
     # probing every list IS the exact answer
     assert r99 == exact
+
+
+def test_brp_lsh_join_recall_and_precision(spark):
+    # the MLlib BRP-LSH join stays rows-only for the driver (JVM hash
+    # family is not oracle-replicable), so this pytest gate bounds its
+    # QUALITY instead: vs the exact euclidean all-pairs answer at the
+    # same threshold, precision must be 1.0 (approxSimilarityJoin
+    # filters candidates by true distance) and recall must clear a floor
+    from polars_matmul_spark.operators.ann import brp_lsh_similarity_join
+
+    emb = load_table(spark, "embeddings", SF01)
+    a = emb.select(F.col("vec_id").alias("id_a"), "embedding")
+    b = emb.select(F.col("vec_id").alias("id_b"), "embedding")
+    approx = brp_lsh_similarity_join(a, b, threshold=1.2).toPandas()
+    got = {(r.id_a, r.id_b) for r in approx.itertuples()}
+
+    pdf = emb.orderBy("vec_id").toPandas()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    D = K.similarity_matrix(X, X, "euclidean")
+    iu = np.triu_indices(len(ids), k=1)
+    within = D[iu] <= 1.2
+    exact = {
+        (int(ids[i]), int(ids[j]))
+        for i, j in zip(iu[0][within], iu[1][within])
+    }
+    assert got <= exact, f"{len(got - exact)} false positives"
+    recall = len(got & exact) / len(exact)
+    # 6 hash tables, bucket_length 1.0 on unit-norm embeddings measures
+    # 0.995 — the floor leaves margin for seed/platform variation only
+    assert recall >= 0.95, f"BRP-LSH recall = {recall:.3f} ({len(exact)} true pairs)"
