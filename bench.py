@@ -123,23 +123,41 @@ def main() -> None:
     )
 
     # --- reference canonical shape: 1000 x 10000 x 256, k=10, f32 ---
-    # steady-state: min of 2 runs (first run pays python-worker spinup);
-    # 8 partitions => 125-row Arrow batches, big enough for BLAS
-    from polars_matmul_spark.functions import matmul
+    # Methodology mirrors the reference benchmark (examples/
+    # benchmark_topk.py): corpus materialized ONCE (here: broadcast once
+    # — plans built outside the timing loop), then best-of-N of the full
+    # query. The timed path is the mapInArrow kernel form (flat Arrow
+    # buffers, no pandas layer); the Column pandas-UDF form is reported
+    # alongside for comparison.
+    from polars_matmul_spark import kernels as K
+    from polars_matmul_spark.functions import matmul, matmul_arrow, topk_arrow
 
     rng = np.random.default_rng(42)
     Q = rng.standard_normal((1000, 256)).astype(np.float32)
     C = rng.standard_normal((10000, 256)).astype(np.float32)
 
-    # same-hardware NumPy baseline (the reference reports ratios vs
-    # NumPy: topk 0.64x, README.md:166) — warm BLAS, then best of 3
+    # same-hardware NumPy baselines (the reference reports ratios vs
+    # NumPy: topk 0.64x, matmul f32 2.1x — README.md:166-167); warm
+    # BLAS, then best of 3. These are the normalization denominators.
     def _np_topk():
         S = Q @ C.T
         idx = np.argpartition(S, -10, axis=1)[:, -10:]
         np.take_along_axis(S, idx, 1)
 
+    def _np_matmul():
+        Q @ C.T
+
     _np_topk()
     times["numpy_topk_ref_shape"] = min(_timed(_np_topk) for _ in range(3))
+    times["numpy_matmul_f32_ref_shape"] = min(_timed(_np_matmul) for _ in range(3))
+    # steady-state kernel-only time (our kernel, no Spark): what the
+    # executor-side compute costs once data is in NumPy form
+    K.topk(Q, C, 10, "cosine")
+    times["kernel_only_topk_ref_shape"] = min(
+        _timed(lambda: K.topk(Q, C, 10, "cosine")) for _ in range(3)
+    )
+
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "500")
     qpd = (
         spark.createDataFrame(
             [(i, q.tolist()) for i, q in enumerate(Q)],
@@ -149,18 +167,68 @@ def main() -> None:
         .cache()
     )
     qpd.count()
-    times["ref_topk_1000x10000x256"] = min(
-        _timed(lambda: _force(qpd.withColumn("m", topk(F.col("embedding"), C, k=10))))
-        for _ in range(3)
+
+    # the irreducible cost of ANY Python-exchange stage at this shape on
+    # this machine: an identity mapInArrow (no compute at all)
+    def _ident(batches):
+        yield from batches
+
+    ident_plan = qpd.mapInArrow(_ident, qpd.schema)
+    _force(ident_plan)
+    times["python_stage_floor_ref_shape"] = min(
+        _timed(lambda: _force(ident_plan)) for _ in range(3)
     )
-    times["ref_matmul_f32_1000x10000x256"] = min(
-        _timed(
-            lambda: _force(
-                qpd.withColumn("s", matmul(F.col("embedding"), C, input_is_f32=True))
-            )
-        )
-        for _ in range(3)
+
+    plans = {
+        "ref_topk_1000x10000x256": topk_arrow(qpd, "embedding", C, k=10),
+        "ref_matmul_f32_1000x10000x256": matmul_arrow(
+            qpd, "embedding", C, input_is_f32=True
+        ),
+        "ref_topk_pandas_udf": qpd.withColumn("m", topk(F.col("embedding"), C, k=10)),
+        "ref_matmul_pandas_udf": qpd.withColumn(
+            "s", matmul(F.col("embedding"), C, input_is_f32=True)
+        ),
+    }
+    for name, plan in plans.items():
+        _force(plan)  # warm: worker spinup, codegen, broadcast fetch
+        times[name] = min(_timed(lambda: _force(plan)) for _ in range(3))
+
+    # explicit same-machine normalization (BASELINE.md compares ratios:
+    # the reference's topk is 0.64x NumPy, matmul f32 is 2.1x NumPy)
+    ratios = {
+        "ref_topk_vs_numpy": round(
+            times["ref_topk_1000x10000x256"] / times["numpy_topk_ref_shape"], 3
+        ),
+        "ref_matmul_vs_numpy": round(
+            times["ref_matmul_f32_1000x10000x256"]
+            / times["numpy_matmul_f32_ref_shape"],
+            3,
+        ),
+    }
+
+    # --- per-query delta vs the previous round's bench, if present ---
+    import glob
+    import re
+
+    delta_vs_prev: dict[str, float] = {}
+    prev_name = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    prevs = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
     )
+    if prevs:
+        prev_name = os.path.basename(prevs[-1])
+        try:
+            with open(prevs[-1]) as fh:
+                prev = json.load(fh)
+            # the round driver wraps the bench line under "parsed"
+            prev_q = (prev.get("parsed") or prev).get("queries", {})
+            delta_vs_prev = {
+                k: round(v - prev_q[k], 3) for k, v in times.items() if k in prev_q
+            }
+        except (OSError, ValueError, AttributeError):
+            prev_name = None
 
     total = sum(times.values())
     print(
@@ -170,6 +238,9 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": {k: round(v, 3) for k, v in times.items()},
+                "ratios_vs_same_machine_numpy": ratios,
+                "delta_vs_prev": delta_vs_prev,
+                "prev_bench": prev_name,
                 "sf": sf,
             }
         )

@@ -8,7 +8,9 @@ functions over Spark Columns.
 from polars_matmul_spark.functions import similarity as pmm  # noqa: F401
 from polars_matmul_spark.functions.similarity import (  # noqa: F401
     matmul,
+    matmul_arrow,
     matmul_flatten,
     topk,
+    topk_arrow,
     topk_exploded,
 )

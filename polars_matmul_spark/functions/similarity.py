@@ -37,7 +37,15 @@ from pyspark.sql import types as T
 
 from polars_matmul_spark import kernels as K
 
-__all__ = ["matmul", "matmul_flatten", "topk", "topk_exploded", "corpus_to_matrix"]
+__all__ = [
+    "matmul",
+    "matmul_arrow",
+    "matmul_flatten",
+    "topk",
+    "topk_arrow",
+    "topk_exploded",
+    "corpus_to_matrix",
+]
 
 
 TOPK_ELEMENT = T.StructType(
@@ -228,6 +236,185 @@ def matmul_flatten(
     """
     nested = matmul(col, corpus, input_is_f32=input_is_f32)
     return df.select(*(keep or []), F.posexplode(nested).alias("corpus_index", out_col))
+
+
+def _arrow_list_to_matrix(arr, dtype=None, expected_dim=None) -> np.ndarray:
+    """Arrow list column -> dense (n, d) matrix, reading the flat child
+    buffer directly — the closest Spark gets to the reference's
+    zero-copy contiguous extraction (src/matmul.rs:21-95): one
+    ``reshape`` over the values buffer, no pandas, no per-row objects.
+    Falls back to the careful row loop for ragged/null rows.
+    """
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype or np.float64)
+    offsets = arr.offsets.to_numpy()
+    widths = np.diff(offsets)
+    if arr.null_count == 0 and arr.values.null_count == 0 and (widths == widths[0]).all():
+        values = arr.values.to_numpy(zero_copy_only=True)
+        mat = values[offsets[0] : offsets[-1]].reshape(n, int(widths[0]))
+        if dtype is not None:
+            mat = mat.astype(dtype, copy=False)
+        elif not np.issubdtype(mat.dtype, np.floating):
+            mat = mat.astype(np.float64)
+        return mat
+    # distributed deviation from the reference's "First element is
+    # null" rule (src/matmul.rs:238): a partition-local batch can start
+    # with a null row even when the dataset has valid rows, so the
+    # width is inferred from the first VALID row; only an all-null
+    # batch is unrecoverable.
+    rows = arr.to_pylist()
+    first_valid = next((r for r in rows if r is not None), None)
+    if first_valid is None:
+        # an entirely-null batch: the width comes from the corpus when
+        # the caller knows it (null vectors are zero vectors per
+        # src/matmul.rs:251); without it the batch is unrecoverable
+        if expected_dim is None:
+            raise ValueError("First element is null")
+        return np.zeros((n, expected_dim), dtype=dtype or np.float64)
+    if rows[0] is None:
+        rows = [first_valid] + rows[1:]
+        mat = K.to_matrix(rows, dtype=dtype)
+        mat[0, :] = 0.0
+        return mat
+    return K.to_matrix(rows, dtype=dtype)
+
+
+def topk_arrow(
+    df: DataFrame,
+    emb_col: str,
+    corpus,
+    k: int,
+    metric: str = "cosine",
+    out_col: str = "matches",
+) -> DataFrame:
+    """Fused top-k as a ``mapInArrow`` transform — same semantics and
+    output schema as :func:`topk`, minus the pandas layer.
+
+    The pandas-UDF path pays two per-row costs at reference shapes
+    (1000 x 10000 x 256): Arrow -> pandas object-Series materialization
+    on input, and a Python list-of-dicts per row on output. Here the
+    query batch is read straight off the Arrow list buffer (one
+    reshape) and the result is assembled as flat index/score buffers +
+    a ListArray offset vector — zero per-row Python. This is the
+    engine's fast kernel path; ``topk`` remains the Column-level
+    ergonomic form (and the `.pmm` namespace maps to it).
+
+    All non-embedding columns pass through unchanged.
+    """
+    import pyarrow as pa
+
+    K._canonical_metric(metric)
+    mat = corpus_to_matrix(corpus)
+    bc = _active_sc().broadcast(mat)
+    kk = int(k)
+    passthrough = [f.name for f in df.schema.fields if f.name != emb_col]
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != emb_col]
+        + [T.StructField(out_col, TOPK_TYPE, False)]
+    )
+
+    def fn(batches):
+        C = bc.value
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            # no nan_to_num here: unlike the pandas path, Arrow keeps
+            # null elements distinct from NaN values — the fallback in
+            # _arrow_list_to_matrix zeroes genuine nulls, and data NaNs
+            # propagate into the NaN-safe topk exactly like the
+            # reference (src/topk.rs:19-29)
+            Q = _arrow_list_to_matrix(
+                rb.column(rb.schema.get_field_index(emb_col)),
+                expected_dim=C.shape[1],
+            )
+            Q = Q.astype(K.promote_dtype(Q.dtype, C.dtype), copy=False)
+            idx, sc = K.topk(Q, C, kk, metric)
+            kreal = idx.shape[1]
+            struct = pa.StructArray.from_arrays(
+                [
+                    pa.array(idx.ravel(), type=pa.int64()),
+                    pa.array(sc.ravel(), type=pa.float64()),
+                ],
+                ["index", "score"],
+            )
+            offs = pa.array(
+                np.arange(0, n * kreal + 1, kreal, dtype=np.int32), type=pa.int32()
+            )
+            matches = pa.ListArray.from_arrays(offs, struct)
+            cols = [
+                rb.column(rb.schema.get_field_index(name)) for name in passthrough
+            ]
+            yield pa.RecordBatch.from_arrays(cols + [matches], names=passthrough + [out_col])
+
+    return df.mapInArrow(fn, out_schema)
+
+
+def matmul_arrow(
+    df: DataFrame,
+    emb_col: str,
+    corpus,
+    input_is_f32: bool = False,
+    out_col: str = "scores",
+) -> DataFrame:
+    """All-pairs matmul as a ``mapInArrow`` transform — same semantics
+    as :func:`matmul`, with the (n, n_corpus) score matrix emitted as
+    ONE flat Arrow values buffer + an offsets vector instead of a
+    pandas Series of per-row ndarrays. At reference shapes the output
+    is the dominant cost (1000 x 10000 floats), so skipping the
+    per-row object layer is the big win.
+    """
+    import pyarrow as pa
+
+    mat = corpus_to_matrix(corpus)
+    bc = _active_sc().broadcast(mat)
+    out_np = K.promote_dtype(
+        np.float32 if input_is_f32 else np.float64, mat.dtype
+    )
+    pa_elem = pa.float32() if out_np == np.float32 else pa.float64()
+    out_elem = T.FloatType() if out_np == np.float32 else T.DoubleType()
+    passthrough = [f.name for f in df.schema.fields if f.name != emb_col]
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != emb_col]
+        + [T.StructField(out_col, T.ArrayType(out_elem, containsNull=False), False)]
+    )
+
+    def fn(batches):
+        C = bc.value.astype(out_np, copy=False)
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            Q = _arrow_list_to_matrix(
+                rb.column(rb.schema.get_field_index(emb_col)),
+                out_np,
+                expected_dim=C.shape[1],
+            )
+            n_c = C.shape[0]
+            # Spark only accepts 32-bit-offset List from mapInArrow, so
+            # cap rows-per-emitted-batch to keep n*n_c under 2^31
+            step = max(1, (2**31 - 2) // max(n_c, 1))
+            for lo in range(0, rb.num_rows, step):
+                sub = rb.slice(lo, step)
+                n = sub.num_rows
+                S = K.similarity_matrix(Q[lo : lo + n], C, "dot")
+                values = pa.array(S.ravel().astype(out_np, copy=False), type=pa_elem)
+                offs = pa.array(
+                    np.arange(0, n * n_c + 1, n_c, dtype=np.int32), type=pa.int32()
+                )
+                scores = pa.ListArray.from_arrays(offs, values)
+                cols = [
+                    sub.column(sub.schema.get_field_index(name)) for name in passthrough
+                ]
+                yield pa.RecordBatch.from_arrays(
+                    cols + [scores], names=passthrough + [out_col]
+                )
+
+    return df.mapInArrow(fn, out_schema)
 
 
 def topk_exploded(

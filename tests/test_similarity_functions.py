@@ -213,6 +213,81 @@ class TestFloat32:
         assert promote_dtype(np.float32, corpus.dtype) == np.float32
 
 
+class TestArrowPaths:
+    """mapInArrow kernel forms must equal the pandas-UDF forms exactly
+    (same kernel, same promotion, same declared schema) — they are the
+    perf path, not a semantic variant."""
+
+    @pytest.fixture(scope="class")
+    def f32_df(self, spark):
+        rng = np.random.default_rng(7)
+        self.Q = rng.standard_normal((40, 16)).astype(np.float32)
+        df = spark.createDataFrame(
+            [(i, q.tolist()) for i, q in enumerate(self.Q)],
+            "query_id long, embedding array<float>",
+        ).coalesce(2)
+        return df.cache()
+
+    def test_topk_arrow_equals_pandas_udf(self, spark, f32_df):
+        from polars_matmul_spark.functions import topk_arrow
+
+        rng = np.random.default_rng(8)
+        C = rng.standard_normal((30, 16)).astype(np.float32)
+        old = (
+            f32_df.withColumn("m", topk(F.col("embedding"), C, k=4))
+            .select("query_id", "m").toPandas().sort_values("query_id")
+        )
+        new = (
+            topk_arrow(f32_df, "embedding", C, k=4, out_col="m")
+            .select("query_id", "m").toPandas().sort_values("query_id")
+        )
+        for a, b in zip(old["m"], new["m"]):
+            assert [(d["index"], d["score"]) for d in a] == [
+                (d["index"], d["score"]) for d in b
+            ]
+
+    def test_matmul_arrow_equals_pandas_udf_and_dtype(self, spark, f32_df):
+        from polars_matmul_spark.functions import matmul_arrow
+
+        rng = np.random.default_rng(9)
+        C = rng.standard_normal((13, 16)).astype(np.float32)
+        old = (
+            f32_df.withColumn("s", matmul(F.col("embedding"), C, input_is_f32=True))
+            .select("query_id", "s").toPandas().sort_values("query_id")
+        )
+        df_new = matmul_arrow(f32_df, "embedding", C, input_is_f32=True, out_col="s")
+        # both-f32 keeps the declared f32 output element type
+        assert dict(df_new.dtypes)["s"] == "array<float>"
+        new = df_new.select("query_id", "s").toPandas().sort_values("query_id")
+        for a, b in zip(old["s"], new["s"]):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    def test_arrow_paths_empty_input(self, spark):
+        from polars_matmul_spark.functions import matmul_arrow, topk_arrow
+
+        C = np.ones((3, 4), dtype=np.float32)
+        empty = spark.createDataFrame([], "query_id long, embedding array<float>")
+        assert topk_arrow(empty, "embedding", C, k=2).count() == 0
+        assert matmul_arrow(empty, "embedding", C).count() == 0
+
+    def test_topk_arrow_null_vector_and_k_clamp(self, spark):
+        from polars_matmul_spark.functions import topk_arrow
+
+        C = np.eye(3, dtype=np.float64)
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0]), (1, None)],
+            "query_id long, embedding array<double>",
+        )
+        rows = (
+            topk_arrow(df, "embedding", C, k=99, metric="dot")
+            .orderBy("query_id").collect()
+        )
+        # k clamps to n_corpus; a null row falls back to the zero vector
+        assert all(len(r.matches) == 3 for r in rows)
+        assert rows[0].matches[0]["score"] == 1.0
+        assert all(m["score"] == 0.0 for m in rows[1].matches)
+
+
 class TestLazyComposition:
     """Kernel composed with the host-engine surface under Catalyst
     (tests/test_polars_matmul.py:467-768 analog)."""
