@@ -156,8 +156,14 @@ def main() -> None:
     times["kernel_only_topk_ref_shape"] = min(
         _timed(lambda: K.topk(Q, C, 10, "cosine")) for _ in range(3)
     )
+    K.similarity_matrix(Q, C, "dot")
+    times["kernel_only_matmul_ref_shape"] = min(
+        _timed(lambda: K.similarity_matrix(Q, C, "dot")) for _ in range(3)
+    )
 
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "500")
+    # co-tuned for the ref shape: one Arrow batch per partition (1000 rows
+    # over 8 partitions) measured fastest across {1,2,4,8,16,32} x {63..1000}
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1000")
     qpd = (
         spark.createDataFrame(
             [(i, q.tolist()) for i, q in enumerate(Q)],
@@ -195,12 +201,29 @@ def main() -> None:
 
     # explicit same-machine normalization (BASELINE.md compares ratios:
     # the reference's topk is 0.64x NumPy, matmul f32 is 2.1x NumPy)
+    # "marginal" subtracts the identity-stage floor (fixed local-mode task +
+    # Python-worker round-trip latency, measured above at the same partition/
+    # batch config). The floor is a per-STAGE constant: at cluster scale it is
+    # paid once per task over millions of rows, so the marginal rate is what
+    # extrapolates to 100 TB. Reference's own ratios: topk 0.64x NumPy,
+    # matmul f32 2.1x NumPy (reference README.md:166-167).
+    floor = times["python_stage_floor_ref_shape"]
     ratios = {
         "ref_topk_vs_numpy": round(
             times["ref_topk_1000x10000x256"] / times["numpy_topk_ref_shape"], 3
         ),
         "ref_matmul_vs_numpy": round(
             times["ref_matmul_f32_1000x10000x256"]
+            / times["numpy_matmul_f32_ref_shape"],
+            3,
+        ),
+        "ref_topk_marginal_vs_numpy": round(
+            max(times["ref_topk_1000x10000x256"] - floor, 0.0)
+            / times["numpy_topk_ref_shape"],
+            3,
+        ),
+        "ref_matmul_marginal_vs_numpy": round(
+            max(times["ref_matmul_f32_1000x10000x256"] - floor, 0.0)
             / times["numpy_matmul_f32_ref_shape"],
             3,
         ),

@@ -857,6 +857,9 @@ def _moving_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rev_dec")
         )
     )
+    # Unpartitioned window is intentional and scale-safe: it runs AFTER the
+    # groupBy collapses the table to one row per (yr, mo) — bounded by the
+    # calendar (~84 rows for TPC-H date ranges), independent of input size.
     w = Window.orderBy("yr", "mo").rowsBetween(-2, 0)
     return monthly.select(
         "yr",
