@@ -35,6 +35,8 @@ __all__ = [
     "neardup_pairs_exact",
     "neardup_pairs_minhash",
     "simhash16",
+    "dedup_groups",
+    "keep_canonical",
 ]
 
 
@@ -195,6 +197,108 @@ def neardup_pairs_minhash(
         .filter(F.col("jaccard") >= threshold)
     )
     return verified.select("d1", "d2", "jaccard")
+
+
+def dedup_groups(
+    pairs: DataFrame,
+    d1: str = "d1",
+    d2: str = "d2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc_id, group_id).
+
+    The missing last step of a dedup pipeline: MinHash/Jaccard emit
+    PAIRS, but keep/drop decisions need GROUPS (duplicate clusters can
+    be chains: A~B, B~C with A!~C must still collapse to one kept doc).
+
+    Algorithm: iterative hash-min label propagation. Each vertex starts
+    labeled with its own id; every round each vertex takes the min of
+    its own and its neighbors' labels, until a fixpoint. All heavy work
+    is DataFrame joins/aggregations (shuffle on vertex id, AQE-handled
+    skew); the driver only sees one scalar (changed-count) per round.
+
+    Scale notes for 100 TB:
+    - rounds needed = graph diameter; near-dup components are almost-
+      cliques (diameter 1-3), so convergence is fast by construction.
+      ``max_iter`` bounds pathological chains; hitting it raises.
+    - ``localCheckpoint`` each round truncates the lineage so the plan
+      does not grow (an unbounded iterative plan is the classic
+      iterative-Spark failure mode). On a cluster, a reliable
+      ``checkpoint`` to HDFS/S3 would replace it.
+    - label propagation along symmetric edges; the per-round shuffle
+      carries one row per (edge + vertex), same order as the input.
+    """
+    edges = (
+        pairs.select(F.col(d1).alias("src"), F.col(d2).alias("dst"))
+        .union(pairs.select(F.col(d2).alias("src"), F.col(d1).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.v)
+            .groupBy(F.col("dst").alias("v2"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.v == neighbor_min.v2, "left")
+            .select(
+                F.col("v"),
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("group_id"))
+    raise RuntimeError(f"dedup_groups did not converge in {max_iter} iterations")
+
+
+def keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    d1: str = "d1",
+    d2: str = "d2",
+) -> DataFrame:
+    """End-to-end keep/drop decision: collapse every duplicate group to
+    its lowest-id member; docs in no pair keep themselves.
+
+    Returns ``docs`` filtered to the kept rows plus a ``group_size``
+    column (1 for unique docs). The groups side is tiny relative to the
+    corpus (only docs that matched something), so the join-back
+    broadcasts when it fits and hash-shuffles otherwise — left to AQE.
+    """
+    groups = dedup_groups(pairs, d1, d2)
+    sizes = groups.groupBy("group_id").agg(F.count("*").alias("group_size"))
+    losers = groups.filter(F.col("doc_id") != F.col("group_id")).select(
+        F.col("doc_id").alias("__drop_id")
+    )
+    kept = (
+        groups.filter(F.col("doc_id") == F.col("group_id"))
+        .join(sizes, "group_id")
+        .select(F.col("doc_id").alias("__keep_id"), "group_size")
+    )
+    return (
+        docs.join(losers, docs[id_col] == F.col("__drop_id"), "left_anti")
+        .join(kept, docs[id_col] == F.col("__keep_id"), "left")
+        .drop("__keep_id")
+        .fillna({"group_size": 1})
+    )
 
 
 def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -1,0 +1,112 @@
+"""Connected-components dedup grouping vs a union-find oracle.
+
+The reference's dedup story stops at pair emission; group formation is
+the step a corpus-dedup pipeline needs (chains must collapse even when
+the endpoints never matched each other directly).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_matmul_spark.operators.dedup import (
+    dedup_groups,
+    exact_dedup,
+    keep_canonical,
+    neardup_pairs_minhash,
+)
+from polars_matmul_spark.sources.tables import load_table
+
+
+def _uf_components(pairs):
+    """Union-find oracle: {vertex: min-id of its component}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def _spark_groups(spark, pairs):
+    df = spark.createDataFrame(pairs, "d1 long, d2 long")
+    out = dedup_groups(df)
+    return {r.doc_id: r.group_id for r in out.collect()}
+
+
+def test_chain_collapses_to_one_group(spark):
+    # A~B, B~C, C~D: no pair (A,D) exists, yet all four are one group
+    got = _spark_groups(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_multiple_components_and_ties(spark):
+    pairs = [(10, 20), (20, 30), (5, 6), (100, 101), (101, 100), (7, 8), (8, 7)]
+    got = _spark_groups(spark, pairs)
+    assert got == _uf_components(pairs)
+
+
+def test_star_and_long_chain(spark):
+    # star (hub 50) + a 9-hop chain exercises multi-round convergence
+    pairs = [(50, x) for x in range(51, 60)] + [(i, i + 1) for i in range(200, 209)]
+    got = _spark_groups(spark, pairs)
+    assert got == _uf_components(pairs)
+
+
+def test_empty_pairs_empty_groups(spark):
+    df = spark.createDataFrame([], "d1 long, d2 long")
+    assert dedup_groups(df).count() == 0
+
+
+def test_nonconvergence_raises(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(0, 40)], "d1 long, d2 long")
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup_groups(df, max_iter=2)
+
+
+def test_keep_canonical_end_to_end(spark, sf_dir):
+    """MinHash pairs -> groups -> kept corpus on the documents table:
+    kept count == total - (non-canonical members), group sizes match the
+    union-find oracle, and every kept doc is its group's min id."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    pairs = neardup_pairs_minhash(docs, threshold=0.8)
+    pair_list = [(r.d1, r.d2) for r in pairs.collect()]
+    comp = _uf_components(pair_list)
+
+    kept = keep_canonical(docs, pairs).cache()
+    n_docs = docs.count()
+    losers = {v for v, root in comp.items() if v != root}
+    assert kept.count() == n_docs - len(losers)
+    # every kept doc is a component root or untouched by any pair
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    for v, root in comp.items():
+        assert (v in kept_ids) == (v == root)
+    # group_size matches oracle component sizes
+    sizes = {}
+    for v, root in comp.items():
+        sizes[root] = sizes.get(root, 0) + 1
+    for r in kept.collect():
+        assert r.group_size == sizes.get(r.doc_id, 1)
+    kept.unpersist()
+
+
+def test_exact_dedup_consistent_with_groups(spark, sf_dir):
+    """exact_dedup's keep set equals keep_canonical over exact-equality
+    pairs (the two formulations agree on pure duplicates)."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    h = docs.select("doc_id", F.md5("text").alias("h"))
+    a, b = h.alias("a"), h.alias("b")
+    eq_pairs = a.join(
+        b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+    kept = keep_canonical(docs, eq_pairs)
+    keep_ids_groups = {r.doc_id for r in kept.select("doc_id").collect()}
+    keep_ids_exact = {r.keep_id for r in exact_dedup(docs).collect()}
+    assert keep_ids_groups == keep_ids_exact
