@@ -1,0 +1,115 @@
+"""Deterministic sampling and splitting for training-data pipelines.
+
+`df.sample()` and `randomSplit()` are seed-dependent AND
+partitioning-dependent — rerun the pipeline with different file splits
+and rows silently migrate between train and validation. At 100 TB the
+only sane split is a pure function of each row's identity:
+
+- ``hash_split``        train/val/test by md5 of the id — stable under
+                        repartitioning, adding/removing rows never
+                        reassigns OTHER rows, no shuffle at all (a
+                        narrow filter on top of the scan)
+- ``stratified_sample`` per-stratum fractions, same md5 mechanism —
+                        engine-portable (any system with md5 reproduces
+                        the exact row set; DuckDB-oracle-testable)
+- ``top_n_per_key``     deterministic per-key shortlist (e.g. best-N
+                        documents per domain by quality score) — window
+                        with an explicit total-order tiebreak
+
+md5 over xxhash64: a few ns/row slower, but bit-identical in every
+engine (DuckDB, Trino, Flink all have md5; xxhash64 seeds differ).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["hash_bucket", "hash_split", "stratified_sample", "top_n_per_key"]
+
+_BUCKETS = 1_000_000
+
+
+def hash_bucket(id_col: Column, salt: str = "") -> Column:
+    """Uniform bucket in [0, 1e6) from md5 of the id (+ optional salt
+    to derive independent splits from the same ids). Uses the first 12
+    hex chars (48 bits) — far below the 2^53 exact-integer bound of the
+    double that ``conv`` returns."""
+    h = F.md5(F.concat(id_col.cast("string"), F.lit(salt)))
+    return (F.conv(F.substring(h, 1, 12), 16, 10).cast("long") % _BUCKETS).alias(
+        "bucket"
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Adds a ``split`` column ('train'/'val'/...) by consecutive bucket
+    ranges. Fractions must sum to <= 1; rows past the total are dropped
+    (an implicit subsample when fractions sum below 1).
+
+    Row-local: no shuffle, no state, reproducible from the id alone.
+    """
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    b = hash_bucket(F.col(id_col), salt)
+    df = df.withColumn("__b", b)
+    expr = None
+    lo = 0.0
+    for name, frac in fractions.items():
+        hi = lo + frac
+        cond = (F.col("__b") >= int(lo * _BUCKETS)) & (F.col("__b") < int(hi * _BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    return df.withColumn("split", expr).filter(F.col("split").isNotNull()).drop("__b")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Keep each row iff its bucket falls under its stratum's fraction.
+
+    Unlike ``df.sampleBy`` this is deterministic and partitioning-
+    independent; expected (not exact) stratum sizes, like sampleBy.
+    Strata not in ``fractions`` use ``default_fraction``.
+    """
+    thresh = F.lit(int(default_fraction * _BUCKETS))
+    for name, frac in fractions.items():
+        thresh = F.when(F.col(strata_col) == name, int(frac * _BUCKETS)).otherwise(thresh)
+    return df.filter(hash_bucket(F.col(id_col), salt) < thresh)
+
+
+def top_n_per_key(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    n: int,
+    id_col: str,
+    descending: bool = True,
+) -> DataFrame:
+    """Best-``n`` rows per key (e.g. highest-quality docs per domain).
+
+    One shuffle on the key; the id tiebreak makes the output a total
+    function of the data (no nondeterministic row_number ties). Skewed
+    keys are AQE's problem locally; for a pathological hot key, pre-
+    aggregate with the salted two-phase pattern in operators/skew.py.
+    """
+    direction = [
+        F.desc(order_col) if descending else F.asc(order_col),
+        F.asc(id_col),
+    ]
+    w = Window.partitionBy(key_col).orderBy(*direction)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
