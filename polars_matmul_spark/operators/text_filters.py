@@ -1,0 +1,128 @@
+"""Corpus-hygiene operators: PII redaction, repetition scoring, and
+benchmark-contamination tagging.
+
+The filtering half of a training-data pipeline (operators/text.py is
+the scoring half). Redaction and repetition are pure Catalyst — scan
+speed, no shuffle; contamination is one broadcast equi-join against the
+(tiny) probe set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from polars_matmul_spark.operators.text import shingles, tokens
+
+__all__ = ["redact_pii", "repetition_score", "tag_contaminated"]
+
+# Deliberately conservative patterns (Java regex, no lookarounds so the
+# same pattern runs under RE2 engines too). Order matters: emails before
+# phones so a redacted email's digits can't re-match as a phone.
+_PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    # email
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # IPv4 (dotted quad; over-matches out-of-range octets on purpose —
+    # cheaper than range checks and a redacted non-IP is harmless)
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    # US-ish SSN
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    # phone: +country / (area) / separators, 7+ digits total
+    (r"\+?\d{1,3}[-. (]{0,2}\d{3}[-. )]{0,2}\d{3}[-. ]?\d{4}\b", "<PHONE>"),
+    # 13-19 digit card-like runs (with optional group separators)
+    (r"\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{1,7}\b", "<CARD>"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace PII-shaped spans with typed placeholders.
+
+    Sequential regexp_replace chain — one pass per pattern class, all
+    JVM-side. Patterns are heuristics tuned for recall on obvious
+    formats; a production scrubber adds NER. The placeholder tokens
+    survive tokenization as single tokens, so downstream token counts
+    stay meaningful.
+    """
+    out = col
+    for pat, repl in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def redacted_docs(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_redacted"
+) -> DataFrame:
+    """Document-level wrapper adding the redacted text and a flag for
+    rows that changed (i.e. contained PII-shaped spans)."""
+    red = redact_pii(F.col(text_col))
+    return df.withColumn(out_col, red).withColumn(
+        "had_pii", F.col(out_col) != F.col(text_col)
+    )
+
+
+def repetition_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                     n: int = 2) -> DataFrame:
+    """Gopher-style repetition signal: fraction of n-gram occurrences
+    belonging to the single most frequent n-gram of the document.
+
+    High values flag boilerplate/spam (navigation bars, keyword
+    stuffing). Plan shape: explode n-grams -> two-level aggregation
+    (count per (doc, gram), then max/sum per doc). Both aggregations
+    have map-side partial combine; the shuffle carries one row per
+    distinct (doc, gram) — bounded by document length, uniform keys.
+
+    Returns (id, n_grams, top_gram_ratio). Docs with fewer than n
+    tokens score 0.0 (nothing repeats).
+    """
+    t = tokens(F.col(text_col))
+    # raw n-gram occurrences (NOT distinct — counting repeats is the point)
+    m = F.size(t) - (n - 1)
+    cols = [F.slice(t, j + 1, m) for j in range(n)]
+    zipped = cols[n - 1]
+    for j in range(n - 2, -1, -1):
+        zipped = F.zip_with(cols[j], zipped, lambda a, b: F.concat(a, F.lit(" "), b))
+    grams = F.when(F.size(t) >= n, zipped).otherwise(F.array().cast("array<string>"))
+    ex = df.select(F.col(id_col), F.explode_outer(grams).alias("g"))
+    per_gram = ex.groupBy(id_col, "g").agg(F.count("*").alias("c"))
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.sum(F.when(F.col("g").isNotNull(), F.col("c")).otherwise(0)).alias("n_grams"),
+        F.max(F.when(F.col("g").isNotNull(), F.col("c")).otherwise(0)).alias("top_c"),
+    )
+    return per_doc.select(
+        id_col,
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.when(F.col("n_grams") > 0, F.col("top_c").cast("double") / F.col("n_grams"))
+        .otherwise(F.lit(0.0))
+        .alias("top_gram_ratio"),
+    )
+
+
+def tag_contaminated(
+    docs: DataFrame,
+    probes: DataFrame,
+    doc_text: str = "text",
+    probe_text: str = "text",
+    doc_id: str = "doc_id",
+    probe_id: str = "probe_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag docs sharing any word ``n``-gram
+    with a probe set (eval questions, test answers).
+
+    The probe side is small by nature (benchmarks are KBs, corpora are
+    TBs): explode probe n-grams, hash, BROADCAST; docs stream past at
+    scan speed and the join filters on hash equality — no shuffle of
+    the corpus, ever. Returns (doc_id, n_hits, probe_ids) for flagged
+    docs only; anti-join against it to clean the corpus.
+    """
+    d = docs.select(
+        F.col(doc_id), F.explode(shingles(tokens(F.col(doc_text)), n)).alias("g")
+    ).withColumn("h", F.xxhash64("g"))
+    p = probes.select(
+        F.col(probe_id), F.explode(shingles(tokens(F.col(probe_text)), n)).alias("g")
+    ).withColumn("h", F.xxhash64("g"))
+    hits = d.join(F.broadcast(p.select(probe_id, "h").distinct()), "h")
+    return hits.groupBy(doc_id).agg(
+        F.count("*").alias("n_hits"),
+        F.sort_array(F.collect_set(probe_id)).alias("probe_ids"),
+    )

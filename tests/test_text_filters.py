@@ -1,0 +1,98 @@
+"""PII redaction, repetition scoring, contamination tagging."""
+
+from pyspark.sql import functions as F
+
+from polars_matmul_spark.operators.text_filters import (
+    redact_pii,
+    redacted_docs,
+    repetition_score,
+    tag_contaminated,
+)
+from polars_matmul_spark.sources.tables import load_table
+
+
+def _redact_one(spark, s):
+    df = spark.createDataFrame([(s,)], "t string")
+    return df.select(redact_pii(F.col("t")).alias("r")).collect()[0].r
+
+
+def test_redact_pii_formats(spark):
+    cases = {
+        "mail me at jane.doe+spam@example.co.uk please": "mail me at <EMAIL> please",
+        "server at 192.168.0.1 down": "server at <IP> down",
+        "ssn 123-45-6789 leaked": "ssn <SSN> leaked",
+        "call +1 (555) 123-4567 now": "call <PHONE> now",
+        "card 4111 1111 1111 1111 declined": "card <CARD> declined",
+        "no pii here at all": "no pii here at all",
+    }
+    for raw, want in cases.items():
+        assert _redact_one(spark, raw) == want, raw
+
+
+def test_redacted_docs_flag(spark):
+    df = spark.createDataFrame(
+        [(1, "contact a@b.io"), (2, "clean text")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in redacted_docs(df).collect()}
+    assert out[1].had_pii and out[1].text_redacted == "contact <EMAIL>"
+    assert not out[2].had_pii and out[2].text_redacted == "clean text"
+
+
+def test_repetition_score_extremes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "buy now " * 50),          # one bigram dominates
+            (2, "a b c d e f g h i j"),    # all bigrams unique
+            (3, "single"),                 # < n tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_score(df).collect()}
+    assert out[1].top_gram_ratio > 0.4
+    assert abs(out[2].top_gram_ratio - 1 / 9) < 1e-9  # 9 unique bigrams
+    assert out[3].top_gram_ratio == 0.0 and out[3].n_grams == 0
+    # every doc present even when it has no n-grams (explode_outer)
+    assert set(out) == {1, 2, 3}
+
+
+def test_repetition_score_counts_occurrences_not_distinct(spark):
+    # "x y x y x y": bigrams = [x y, y x, x y, y x, x y] -> top ratio 3/5
+    df = spark.createDataFrame([(1, "x y x y x y")], "doc_id long, text string")
+    r = repetition_score(df).collect()[0]
+    assert r.n_grams == 5
+    assert abs(r.top_gram_ratio - 3 / 5) < 1e-9
+
+
+def test_tag_contaminated_flags_probe_overlap(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    # fabricate probes from two real docs (guaranteed 8-gram overlap)
+    # plus one novel probe that matches nothing
+    seeds = docs.orderBy("doc_id").limit(2).collect()
+    probes = spark.createDataFrame(
+        [
+            (100, seeds[0].text),
+            (200, seeds[1].text),
+            (300, "zq xv qk jw " * 5),
+        ],
+        "probe_id long, text string",
+    )
+    out = tag_contaminated(docs, probes).collect()
+    flagged = {r.doc_id: r for r in out}
+    assert seeds[0].doc_id in flagged
+    assert 100 in flagged[seeds[0].doc_id].probe_ids
+    assert seeds[1].doc_id in flagged
+    # novel probe flags nobody
+    for r in out:
+        assert 300 not in r.probe_ids
+    # flagged set is small relative to the corpus (no false mass-matching)
+    assert len(out) < docs.count() / 2
+
+
+def test_tag_contaminated_broadcast_plan(spark, sf_dir):
+    """The probe side must broadcast — the corpus is never shuffled."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    probes = spark.createDataFrame([(1, "a b c d e f g h i")], "probe_id long, text string")
+    plan = tag_contaminated(docs, probes)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the only Exchange should be for the final groupBy, not the join
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
