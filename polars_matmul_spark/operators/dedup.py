@@ -110,27 +110,62 @@ def neardup_pairs_exact(
     return out.select("d1", "d2", "jaccard")
 
 
+# Affine permutation family over GF(P), P = 2^31 - 1 (Mersenne prime):
+# h_p(x) = (a_p * x + b_p) mod P applied to ONE base hash per shingle.
+# vs. hashing the shingle STRING once per permutation, this is 64 long
+# mult/adds instead of 64 string hashes per shingle — the string is
+# hashed once. a_p in [1, P-1], b_p in [0, P-1], fixed seed so every
+# run (and the nested/flat form pair) produces identical signatures.
+# Operands stay < 2^31, products < 2^62: no overflow under ANSI mode.
+_MINHASH_P = 2_147_483_647
+
+
+def _affine_coeffs(num_perm: int) -> tuple[list[int], list[int]]:
+    import numpy as _np
+
+    rng = _np.random.default_rng(8191)
+    a = (1 + rng.integers(0, _MINHASH_P - 1, size=num_perm)).tolist()
+    b = rng.integers(0, _MINHASH_P, size=num_perm).tolist()
+    return [int(x) for x in a], [int(x) for x in b]
+
+
 def _minhash_signature(shingle_col, num_perm: int = 64):
     """MinHash signature as an array column: per permutation p, min
-    over shingles of xxhash64(shingle, p). Nested higher-order form —
-    kept for API/testing parity, but 13x slower than the explode+agg
-    form below (Catalyst does not codegen nested lambdas); the LSH
-    pipeline uses ``_minhash_signature_flat``."""
+    over shingles of the affine-permuted base hash. Nested higher-order
+    form — kept for API/testing parity, but an order of magnitude
+    slower than the explode+agg form below (Catalyst does not codegen
+    nested lambdas); the LSH pipeline uses ``_minhash_signature_flat``."""
+    a, b = _affine_coeffs(num_perm)
+    a_arr = F.array(*[F.lit(x) for x in a])
+    b_arr = F.array(*[F.lit(x) for x in b])
+    base = F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MINHASH_P)))
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda p: F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, p))),
+        lambda p: F.array_min(
+            F.transform(
+                base,
+                lambda h: (F.element_at(a_arr, p + 1) * h + F.element_at(b_arr, p + 1))
+                % _MINHASH_P,
+            )
+        ),
     )
 
 
 def _minhash_signature_flat(sh: DataFrame, id_col: str, num_perm: int) -> DataFrame:
-    """Same signature, flat plan: explode shingles, then ``num_perm``
-    ``min(xxhash64(s, p))`` aggregates — whole-stage codegen plus
-    map-side partial aggregation (the shuffle carries one row per doc,
-    not one per shingle). Verified bit-identical to the array form;
-    ~13x faster at sf0.1."""
-    ex = sh.select(id_col, F.explode("shingles").alias("__s"))
+    """Same signature, flat plan: explode shingles, hash each shingle
+    ONCE, then ``num_perm`` ``min((a_p*h + b_p) % P)`` aggregates —
+    whole-stage codegen plus map-side partial aggregation (the shuffle
+    carries one row per doc, not one per shingle). Verified
+    bit-identical to the array form."""
+    a, b = _affine_coeffs(num_perm)
+    ex = sh.select(id_col, F.explode("shingles").alias("__s")).select(
+        id_col, F.pmod(F.xxhash64(F.col("__s")), F.lit(_MINHASH_P)).alias("__h")
+    )
     return ex.groupBy(id_col).agg(
-        *[F.min(F.xxhash64(F.col("__s"), F.lit(p))).alias(f"__m{p}") for p in range(num_perm)]
+        *[
+            F.min((F.lit(a[p]) * F.col("__h") + F.lit(b[p])) % _MINHASH_P).alias(f"__m{p}")
+            for p in range(num_perm)
+        ]
     )
 
 
