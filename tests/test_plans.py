@@ -102,3 +102,68 @@ def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
 def test_aqe_and_arrow_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+
+
+def test_hash_split_is_narrow_and_jvm_side(spark, sf_dir):
+    # the split predicate must stay a row-local filter: no Exchange, no
+    # Python worker — at 100 TB this is a free column on the scan
+    from polars_matmul_spark.operators.sampling import hash_split, stratified_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    split = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.2})
+    assert count_shuffles(split) == 0, explain_str(split, "simple")
+    assert not uses_python_worker(split)
+    samp = stratified_sample(docs, "lang", "doc_id", {"en": 0.5})
+    assert count_shuffles(samp) == 0
+    assert not uses_python_worker(samp)
+
+
+def test_quantize_is_jvm_side_and_rerank_broadcasts(spark, sf_dir):
+    # quantization itself is pure Catalyst; the rerank search may only
+    # broadcast the (quantized) corpus — the query side never shuffles
+    # for the scoring join
+    from polars_matmul_spark.operators.quantize import (
+        quantize_int8,
+        quantized_topk_rerank,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    assert not uses_python_worker(quantize_int8(emb))
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.filter(F.col("vec_id") >= 10).select(F.col("vec_id").alias("corpus_id"), "embedding")
+    plan = explain_str(quantized_topk_rerank(q, c, k=5), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_pack_sequences_single_shuffle_of_slim_rows(spark, sf_dir):
+    # exactly one Exchange (the repartition), and it carries only
+    # (doc_id, n_tokens) — never the document text
+    from polars_matmul_spark.operators.packing import pack_sequences
+    from polars_matmul_spark.operators.text import token_count
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens"), "text"
+    )
+    packed = pack_sequences(docs, 256, partitions=8)
+    plan = explain_str(packed, "simple")
+    assert plan.count("Exchange") == 1, plan
+    # everything at or above the Exchange must be text-free: the token
+    # count is computed below it and only (doc_id, n_tokens) shuffles
+    lines = plan.splitlines()
+    exch = next(i for i, l in enumerate(lines) if "Exchange" in l)
+    assert all("text#" not in l for l in lines[: exch + 1]), plan
+
+
+def test_contamination_never_shuffles_corpus(spark, sf_dir):
+    # the probe side broadcasts; the only Exchange is the final groupBy
+    # over hit rows (tiny), so corpus bytes never cross the network
+    from polars_matmul_spark.operators.text_filters import tag_contaminated
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    probes = spark.createDataFrame(
+        [(1, "a b c d e f g h i")], "probe_id long, text string"
+    )
+    plan = explain_str(tag_contaminated(docs, probes), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
