@@ -1,0 +1,40 @@
+"""End-to-end corpus-prep pipeline invariants."""
+
+from pyspark.sql import functions as F
+
+from polars_matmul_spark.pipelines import prepare_training_corpus
+
+
+def test_prepare_training_corpus(spark, sf_dir):
+    out = prepare_training_corpus(spark, sf_dir, pack_budget=256)
+    stats = out["stats"].collect()[0]
+    # funnel is monotone and non-degenerate
+    assert stats.docs_in >= stats.after_filter >= stats.after_dedup > 0
+    assert stats.packed_bins > 0
+
+    corpus = out["corpus"].cache()
+    # split column is exhaustive over the kept docs
+    assert corpus.filter(~F.col("split").isin("train", "val")).count() == 0
+    assert corpus.count() == stats.after_dedup
+    # no duplicate doc survives: group representatives only
+    assert corpus.select("doc_id").distinct().count() == stats.after_dedup
+    # PII scrub ran before dedup: no raw emails remain
+    assert corpus.filter(F.col("text").rlike(r"[A-Za-z0-9._%+-]+@[A-Za-z]")).count() == 0
+
+    packed = out["packed"].cache()
+    n_train = corpus.filter(F.col("split") == "train").count()
+    assert packed.count() == n_train  # every train doc packed exactly once
+    over = packed.groupBy("bin_id").agg(
+        F.sum("n_tokens").alias("tok"), F.max(F.col("oversize").cast("int")).alias("ov")
+    )
+    assert over.filter((F.col("tok") > 256) & (F.col("ov") == 0)).count() == 0
+    corpus.unpersist()
+    packed.unpersist()
+
+
+def test_pipeline_deterministic_across_runs(spark, sf_dir):
+    a = prepare_training_corpus(spark, sf_dir)
+    b = prepare_training_corpus(spark, sf_dir)
+    ka = {(r.doc_id, r.split) for r in a["corpus"].select("doc_id", "split").collect()}
+    kb = {(r.doc_id, r.split) for r in b["corpus"].select("doc_id", "split").collect()}
+    assert ka == kb
