@@ -122,6 +122,18 @@ def main() -> None:
         )
     )
 
+    # --- end-to-end corpus prep (filter -> redact -> dedup groups ->
+    # split -> pack): the composed-pipeline number, incl. the iterative
+    # connected-components rounds ---
+    from polars_matmul_spark.pipelines import prepare_training_corpus
+
+    def _run_pipeline():
+        out = prepare_training_corpus(spark, SF_DIR)
+        _force(out["corpus"])
+        _force(out["packed"])
+
+    times["corpus_prep_pipeline"] = _timed(_run_pipeline)
+
     # --- reference canonical shape: 1000 x 10000 x 256, k=10, f32 ---
     # Methodology mirrors the reference benchmark (examples/
     # benchmark_topk.py): corpus materialized ONCE (here: broadcast once
