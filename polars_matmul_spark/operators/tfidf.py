@@ -1,0 +1,211 @@
+"""Corpus term-weighting: TF-IDF, Okapi BM25 scoring, vocabulary
+building — the `ml.feature`-free, oracle-checkable forms (SURVEY §7.3
+step 7's text-analysis item).
+
+All pure Catalyst (explode + groupBy + join): no Python in the hot
+path, so at 100 TB these run as ordinary shuffled aggregations.
+
+Scale shape:
+
+- ``tf_idf``: one explode (map-side), one (doc_id, term) partial agg,
+  one term-keyed agg for document frequency, one term-keyed join.
+  Hot terms ("the") skew the term-keyed stages; AQE skew-join handles
+  the join and the df agg is a partial-agg count (map-side combine
+  bounds the skew to one reducer holding one hot term's partials).
+- ``bm25_score``: the corpus is exploded then immediately
+  broadcast-joined against the (tiny) probe term list, so only rows
+  matching query terms ever reach a shuffle — the TB-scale corpus is
+  never shuffled in full. Doc length is computed scan-side; the
+  average-doc-length scalar joins back via a 1-row broadcast.
+- ``build_vocab``: term counts (partial agg) then a distributed
+  TakeOrdered top-V (orderBy+limit — no global window over the full
+  term set); ranks are assigned on the bounded V-row result.
+
+Term model: whitespace tokens of lowercased text (``text.tokens``),
+empty tokens dropped. Formulas (documented so the DuckDB oracle in
+``tests/test_tfidf.py`` can reproduce them bit-for-bit in double
+arithmetic):
+
+- smooth idf (sklearn-style): ``ln((1 + N) / (1 + df)) + 1``
+- tf-idf: ``tf * idf`` (raw counts, no normalization; callers can L2-
+  normalize per doc with one more windowless agg+join if needed)
+- BM25 idf: ``ln(1 + (N - df + 0.5) / (df + 0.5))``
+- BM25: ``idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))``
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from polars_matmul_spark.operators.text import tokens
+
+__all__ = ["doc_terms", "tf_idf", "bm25_score", "build_vocab", "oov_rate"]
+
+
+def doc_terms(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per (doc_id, term) occurrence: lowercased whitespace
+    tokens, empties dropped. The shared explode for everything below."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    ).filter(F.col("term") != "")
+
+
+def _n_docs(df: DataFrame, id_col: str) -> DataFrame:
+    """1-row (n_docs) frame for broadcast join-back (keeps the plan
+    lazy — no driver collect)."""
+    return df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+
+
+def tf_idf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-(doc, term) TF-IDF weights: (doc_id, term, tf, tf_idf).
+
+    tf is the raw in-doc count; idf is the smooth form
+    ``ln((1+N)/(1+df)) + 1`` (never zero, no div-by-zero for unseen
+    terms). The term-keyed join is skew-prone on stopword-class terms
+    — AQE splits those reducers; the df side is one row per term so it
+    broadcasts whenever the vocabulary fits (Spark decides via AQE
+    runtime stats).
+    """
+    terms = doc_terms(df, id_col, text_col)
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = _n_docs(df, id_col)
+    return (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            (
+                F.col("tf").cast("double")
+                * (
+                    F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df")))
+                    + F.lit(1.0)
+                )
+            ).alias("tf_idf"),
+        )
+    )
+
+
+def bm25_score(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a bag of query terms:
+    (doc_id, bm25) — docs matching no query term are omitted.
+
+    The probe list is broadcast; the exploded corpus filters against it
+    before any shuffle, so only matching (doc, term) rows aggregate.
+    Document length rides along from the scan (no separate pass), and
+    the avgdl scalar is a 1-row broadcast join — the full corpus is
+    scanned once and never fully shuffled.
+    """
+    spark = df.sparkSession
+    probe = spark.createDataFrame([(t.lower(),) for t in query_terms], "term string")
+
+    with_len = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.lower(F.col(text_col))).alias("toks"),
+    ).select(
+        "doc_id",
+        F.explode("toks").alias("term"),
+        F.size("toks").cast("double").alias("dl"),
+    ).filter(F.col("term") != "")
+
+    hits = with_len.join(F.broadcast(probe), "term")
+    tf = hits.groupBy("doc_id", "term", "dl").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    # scalars: corpus size and average doc length over ALL docs
+    # (including non-matching ones), per Okapi
+    n = _n_docs(df, id_col)
+    avgdl = (
+        df.select(F.size(tokens(F.lower(F.col(text_col)))).cast("double").alias("dl"))
+        .agg(F.avg("dl").alias("avgdl"))
+    )
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    per_term = (idf * tf_d * F.lit(k1 + 1.0) / denom).alias("w")
+
+    return (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(avgdl))
+        .select("doc_id", per_term)
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("bm25"))
+    )
+
+
+def build_vocab(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_size: int = 1000,
+    min_count: int = 1,
+) -> DataFrame:
+    """Top-``max_size`` terms by corpus frequency: (term, count, rank).
+
+    Deterministic: ties break on term ASC. The top-V select is
+    orderBy+limit (Spark's distributed TakeOrdered — per-partition
+    top-V then a driver merge of V-row partials, NO global window over
+    the unbounded term set); row_number runs only on the bounded
+    V-row result.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        doc_terms(df, id_col, text_col)
+        .groupBy("term")
+        .agg(F.count("*").alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    top = counts.orderBy(F.col("count").desc(), F.col("term").asc()).limit(max_size)
+    # bounded at max_size rows — the unpartitioned window is safe here
+    w = Window.orderBy(F.col("count").desc(), F.col("term").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document out-of-vocabulary token rate: (doc_id, n_tokens,
+    n_oov, oov_rate). Vocab broadcasts (bounded by ``max_size``); the
+    corpus explode left-joins it map-side — no corpus shuffle before
+    the per-doc agg."""
+    terms = doc_terms(df, id_col, text_col)
+    joined = terms.join(
+        F.broadcast(vocab.select("term", F.lit(True).alias("in_vocab"))),
+        "term",
+        "left",
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
+        )
+    )
