@@ -34,6 +34,8 @@ __all__ = [
     "shingled",
     "neardup_pairs_exact",
     "neardup_pairs_minhash",
+    "build_minhash_bands",
+    "neardup_new_vs_index",
     "simhash16",
     "dedup_groups",
     "keep_canonical",
@@ -169,6 +171,45 @@ def _minhash_signature_flat(sh: DataFrame, id_col: str, num_perm: int) -> DataFr
     )
 
 
+def _band_table(sig: DataFrame, id_col: str, num_perm: int, bands: int) -> DataFrame:
+    """(id, band_idx, band_hash) from a flat signature frame — the LSH
+    bucketing key. This IS the persistable dedup index: one row per
+    (doc, band), equi-joinable by any later batch."""
+    rows = num_perm // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.xxhash64(*[F.col(f"__m{b * rows + r}") for r in range(rows)]).alias(
+                    "band_hash"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(band_structs).alias("bd")).select(
+        F.col(id_col), F.col("bd.band_idx"), F.col("bd.band_hash")
+    )
+
+
+def build_minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 32,
+) -> DataFrame:
+    """The persistable MinHash-LSH index for a corpus: (doc_id,
+    band_idx, band_hash). Write this once (partitioned by band_hash
+    range or bucketed) and every future increment dedups against it
+    without touching the corpus text — see
+    :func:`neardup_new_vs_index`."""
+    sh = shingled(df, text_col, id_col, n)
+    sig = _minhash_signature_flat(sh, id_col, num_perm)
+    return _band_table(sig, id_col, num_perm, bands)
+
+
 def neardup_pairs_minhash(
     df: DataFrame,
     threshold: float = 0.8,
@@ -189,23 +230,9 @@ def neardup_pairs_minhash(
     answer with near-certainty, while the join only ever touches
     hash-colliding docs (the 100 TB property).
     """
-    rows = num_perm // bands
     sh = shingled(df, text_col, id_col, n).cache()
     sig = _minhash_signature_flat(sh, id_col, num_perm)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.xxhash64(*[F.col(f"__m{b * rows + r}") for r in range(rows)]).alias(
-                    "band_hash"
-                ),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select(F.col(id_col), F.explode(band_structs).alias("bd")).select(
-        F.col(id_col), F.col("bd.band_idx"), F.col("bd.band_hash")
-    )
+    banded = _band_table(sig, id_col, num_perm, bands)
     a = banded.alias("a")
     b = banded.hint("shuffle_hash").alias("b")  # same win as the postings join
     cands = (
@@ -232,6 +259,69 @@ def neardup_pairs_minhash(
         .filter(F.col("jaccard") >= threshold)
     )
     return verified.select("d1", "d2", "jaccard")
+
+
+def neardup_new_vs_index(
+    new_df: DataFrame,
+    index_bands: DataFrame,
+    corpus_df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 32,
+) -> DataFrame:
+    """Incremental near-dup: which NEW docs duplicate the already-
+    indexed corpus -> (new_id, old_id, jaccard).
+
+    The 100 TB ingestion story: the corpus's band table
+    (:func:`build_minhash_bands`, one 24-byte row per doc-band) is
+    persisted once; each arriving batch is shingled/signed/banded and
+    joined against it. ``new_df`` (a daily increment) is small relative
+    to the index, so its band table BROADCASTS — the TB-scale index is
+    scanned map-side, never shuffled. Exact-verify then recomputes
+    shingles for only the candidate old docs: the candidate id list
+    broadcasts into a hash join against the corpus, so the corpus text
+    is read once and only matching rows carry shingles into the join.
+
+    ``new_df`` and the index must have disjoint ids (new ids not yet
+    indexed); band parameters must match the ones the index was built
+    with.
+    """
+    new_bands = build_minhash_bands(new_df, text_col, id_col, n, num_perm, bands)
+    ix = index_bands.alias("ix")
+    nw = F.broadcast(new_bands).alias("nw")
+    cands = (
+        ix.join(
+            nw,
+            (F.col("ix.band_idx") == F.col("nw.band_idx"))
+            & (F.col("ix.band_hash") == F.col("nw.band_hash")),
+        )
+        .select(
+            F.col(f"nw.{id_col}").alias("new_id"),
+            F.col(f"ix.{id_col}").alias("old_id"),
+        )
+        .distinct()
+    )
+    new_sh = shingled(new_df, text_col, id_col, n).select(
+        F.col(id_col).alias("new_id"), F.col("shingles").alias("sh_new")
+    )
+    old_sh = shingled(corpus_df, text_col, id_col, n).select(
+        F.col(id_col).alias("old_id"), F.col("shingles").alias("sh_old")
+    )
+    verified = (
+        cands.join(F.broadcast(new_sh), "new_id")
+        .join(old_sh.hint("shuffle_hash"), "old_id")
+        .withColumn("inter", F.size(F.array_intersect("sh_new", "sh_old")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.size("sh_new") + F.size("sh_old") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("new_id", "old_id", "jaccard")
 
 
 def dedup_groups(
