@@ -25,7 +25,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "hash_split", "stratified_sample", "top_n_per_key"]
+__all__ = [
+    "hash_bucket",
+    "hash_split",
+    "stratified_sample",
+    "top_n_per_key",
+    "mixture_sample",
+]
 
 _BUCKETS = 1_000_000
 
@@ -113,3 +119,57 @@ def top_n_per_key(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def mixture_sample(
+    sources: dict[str, DataFrame],
+    weights: dict[str, float],
+    target_rows: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Weighted training mixture over several corpora -> one frame of
+    ~``target_rows`` rows tagged (``source``, ``epoch``).
+
+    Each source contributes ``target_rows * weight / sum(weights)``
+    expected rows. A source too small for its quota is OVERSAMPLED:
+    sampling fraction 2.3 means two full passes (epochs 0, 1) plus a
+    0.3 hash-sample third pass — the standard up-weighting of small
+    high-quality corpora in a training mix. Every decision is the
+    row-identity hash (per-source, per-epoch salt), so the mix is
+    deterministic, partitioning-invariant, and each epoch's subsample
+    is independent of the others.
+
+    Scale shape: one metadata-only ``count()`` per source up front
+    (driver sees #sources scalars); after that, pure row-local filters
+    unioned — no shuffle anywhere. All sources must share a schema.
+    """
+    missing = set(sources) - set(weights)
+    if missing:
+        raise ValueError(f"sources without a weight: {sorted(missing)}")
+    tot_w = float(sum(weights[name] for name in sources))
+    if tot_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    out = None
+    for name, df in sources.items():
+        n = df.count()
+        if n == 0:
+            continue
+        frac = (target_rows * weights[name] / tot_w) / n
+        full = int(frac)
+        parts = [df.withColumn("epoch", F.lit(e)) for e in range(full)]
+        rem = frac - full
+        if rem > 0:
+            part = df.filter(
+                hash_bucket(F.col(id_col), f"{salt}:{name}:{full}")
+                < int(rem * _BUCKETS)
+            ).withColumn("epoch", F.lit(full))
+            parts.append(part)
+        tagged = parts[0]
+        for p in parts[1:]:
+            tagged = tagged.unionByName(p)
+        tagged = tagged.withColumn("source", F.lit(name))
+        out = tagged if out is None else out.unionByName(tagged)
+    if out is None:
+        raise ValueError("all sources are empty")
+    return out
