@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pack_sequences"]
+__all__ = ["pack_sequences", "materialize_bins"]
 
 _SCHEMA = (
     "bin_id long, doc_id long, n_tokens long, bin_fill long, oversize boolean"
@@ -115,3 +115,43 @@ def pack_sequences(
         slim = slim.repartition("doc_id")
     slim = slim.withColumn("__pid", F.spark_partition_id())
     return slim.mapInPandas(_pack_partition(budget), _SCHEMA)
+
+
+def materialize_bins(
+    assignments: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Turn pack assignments into physical training sequences:
+    (bin_id, n_seqs, bin_fill, oversize, text) — each bin's documents
+    concatenated in ascending doc-id order with ``sep``.
+
+    This is the step that finally moves the document BODIES, and it is
+    exactly two shuffles of them: one id-keyed join against the slim
+    assignment table (broadcast if the batch is small — AQE decides),
+    one bin-keyed agg. The in-bin order is pinned (doc_id ASC) so the
+    emitted sequence bytes are a deterministic function of the
+    assignment, and ``sort_array(collect_list(struct(..)))`` sorts
+    executor-side — no window, no per-group Python.
+    """
+    bodies = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("__text")
+    )
+    joined = assignments.join(bodies, "doc_id")
+    return (
+        joined.groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n_seqs"),
+            F.first("bin_fill").alias("bin_fill"),
+            F.max("oversize").alias("oversize"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("doc_id", "__text"))),
+                    lambda s: s["__text"],
+                ),
+                sep,
+            ).alias("text"),
+        )
+    )

@@ -1,0 +1,89 @@
+"""Table profiling vs a DuckDB oracle (exact stats), and physical bin
+materialization invariants (every doc appears once, order pinned)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from polars_matmul_spark.operators.packing import materialize_bins, pack_sequences
+from polars_matmul_spark.operators.profile import profile_table
+from polars_matmul_spark.operators.text import token_count
+from polars_matmul_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestProfile:
+    def test_exact_stats_vs_duckdb(self, spark):
+        li = load_table(spark, "lineitem", SF_DIR)
+        cols = ["l_orderkey", "l_quantity", "l_shipdate", "l_returnflag"]
+        got = profile_table(li, cols).toPandas().set_index("column")
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{SF_DIR}/lineitem.parquet'")
+        for c in cols:
+            want = con.sql(
+                f"""SELECT count(*) AS n, sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS nulls,
+                           min({c})::VARCHAR AS mn, max({c})::VARCHAR AS mx
+                    FROM lineitem"""
+            ).fetchone()
+            row = got.loc[c]
+            assert row["n_rows"] == want[0]
+            assert row["n_nulls"] == (want[1] or 0)
+            assert row["min"] == want[2] and row["max"] == want[3], c
+        # numeric moments exact-ish
+        mean, std = con.sql(
+            "SELECT avg(l_quantity), stddev_samp(l_quantity) FROM lineitem"
+        ).fetchone()
+        np.testing.assert_allclose(got.loc["l_quantity", "mean"], mean, rtol=1e-9)
+        np.testing.assert_allclose(got.loc["l_quantity", "stddev"], std, rtol=1e-9)
+
+    def test_approx_distinct_within_5pct(self, spark):
+        li = load_table(spark, "lineitem", SF_DIR)
+        got = profile_table(li, ["l_orderkey"]).collect()[0]
+        exact = li.select("l_orderkey").distinct().count()
+        assert abs(got["n_distinct_approx"] - exact) / exact < 0.05
+
+    def test_one_scan_one_agg(self, spark):
+        li = load_table(spark, "lineitem", SF_DIR)
+        plan = (
+            profile_table(li)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Scan parquet") == 1, plan
+
+    def test_complex_and_unknown_columns(self, spark):
+        emb = load_table(spark, "embeddings", SF_DIR)
+        prof = profile_table(emb).toPandas().set_index("column")
+        assert prof.loc["embedding", "min"] is None  # complex type: nulls only
+        assert prof.loc["embedding", "n_nulls"] == 0
+        with pytest.raises(ValueError, match="no such columns"):
+            profile_table(emb, ["nope"])
+
+
+class TestMaterializeBins:
+    def test_every_doc_once_order_pinned(self, spark):
+        docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+        counted = docs.withColumn("n_tokens", token_count(F.col("text")))
+        packed = pack_sequences(counted, budget=512)
+        out = materialize_bins(packed, docs, sep="␞")  # unlikely separator
+        pdf = out.toPandas()
+        assert len(pdf) == packed.select("bin_id").distinct().count()
+        # each bin's text has exactly n_seqs segments
+        assert (
+            pdf["text"].str.split("␞").str.len() == pdf["n_seqs"]
+        ).all()
+        # reassemble: every document body appears exactly once overall
+        all_segments = [s for t in pdf["text"] for s in t.split("␞")]
+        assert len(all_segments) == docs.count()
+        texts = [r["text"] for r in docs.collect()]
+        assert sorted(all_segments) == sorted(texts)
+        # order pinned: segments within a bin follow ascending doc_id
+        assign = packed.toPandas()
+        by_doc = {r["text"]: r["doc_id"] for r in docs.collect()}
+        bins = assign.sort_values(["bin_id", "doc_id"]).groupby("bin_id")["doc_id"]
+        expected = {b: list(g) for b, g in bins}
+        for _, row in pdf.iterrows():
+            got_ids = [by_doc[s] for s in row["text"].split("␞")]
+            assert got_ids == expected[row["bin_id"]]
