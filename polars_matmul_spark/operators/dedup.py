@@ -307,12 +307,20 @@ def neardup_new_vs_index(
     new_sh = shingled(new_df, text_col, id_col, n).select(
         F.col(id_col).alias("new_id"), F.col("shingles").alias("sh_new")
     )
-    old_sh = shingled(corpus_df, text_col, id_col, n).select(
-        F.col(id_col).alias("old_id"), F.col("shingles").alias("sh_old")
+    # candidate ids broadcast INTO the corpus scan (map-side hash
+    # semi-filter) so only matching rows ever compute/carry shingles —
+    # the corpus is never shuffled in full
+    cand_ids = cands.select("old_id").distinct()
+    old_sh = (
+        corpus_df.join(
+            F.broadcast(cand_ids), corpus_df[id_col] == cand_ids["old_id"], "semi"
+        )
+        .transform(lambda d: shingled(d, text_col, id_col, n))
+        .select(F.col(id_col).alias("old_id"), F.col("shingles").alias("sh_old"))
     )
     verified = (
         cands.join(F.broadcast(new_sh), "new_id")
-        .join(old_sh.hint("shuffle_hash"), "old_id")
+        .join(old_sh, "old_id")
         .withColumn("inter", F.size(F.array_intersect("sh_new", "sh_old")))
         .withColumn(
             "jaccard",

@@ -110,14 +110,18 @@ def bm25_score(
     spark = df.sparkSession
     probe = spark.createDataFrame([(t.lower(),) for t in query_terms], "term string")
 
+    # dl counts NON-EMPTY tokens (a whitespace-only doc tokenizes to
+    # [""], which must count as length 0, matching the oracle)
+    nonempty = F.filter(
+        tokens(F.lower(F.col(text_col))), lambda t: t != F.lit("")
+    )
     with_len = df.select(
-        F.col(id_col).alias("doc_id"),
-        tokens(F.lower(F.col(text_col))).alias("toks"),
+        F.col(id_col).alias("doc_id"), nonempty.alias("toks")
     ).select(
         "doc_id",
         F.explode("toks").alias("term"),
         F.size("toks").cast("double").alias("dl"),
-    ).filter(F.col("term") != "")
+    )
 
     hits = with_len.join(F.broadcast(probe), "term")
     tf = hits.groupBy("doc_id", "term", "dl").agg(F.count("*").alias("tf"))
@@ -126,10 +130,9 @@ def bm25_score(
     # scalars: corpus size and average doc length over ALL docs
     # (including non-matching ones), per Okapi
     n = _n_docs(df, id_col)
-    avgdl = (
-        df.select(F.size(tokens(F.lower(F.col(text_col)))).cast("double").alias("dl"))
-        .agg(F.avg("dl").alias("avgdl"))
-    )
+    avgdl = df.select(nonempty.alias("t")).select(
+        F.size("t").cast("double").alias("dl")
+    ).agg(F.avg("dl").alias("avgdl"))
 
     idf = F.log(
         F.lit(1.0)
