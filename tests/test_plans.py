@@ -167,3 +167,53 @@ def test_contamination_never_shuffles_corpus(spark, sf_dir):
     plan = explain_str(tag_contaminated(docs, probes), "simple")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_mixture_sample_is_shuffle_free(spark, sf_dir):
+    # the mix is filters + union over the sources — pure narrow ops;
+    # no Exchange anywhere, no Python worker
+    from polars_matmul_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    mix = mixture_sample(
+        {"a": docs.filter(F.col("doc_id") % 2 == 0),
+         "b": docs.filter(F.col("doc_id") % 2 == 1)},
+        {"a": 1.0, "b": 3.0},
+        target_rows=1200,  # forces oversampling epochs on both sources
+    )
+    plan = explain_str(mix, "simple")
+    assert "Exchange" not in plan, plan
+    assert not uses_python_worker(mix)
+
+
+def test_chunking_is_scan_speed_map(spark, sf_dir):
+    # tokenize + explode + slice: narrow, JVM-only, no shuffle — and
+    # the Generate sits between the tokenizer and the slice so the
+    # split() is evaluated once per doc, not once per chunk
+    from polars_matmul_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, "documents", sf_dir)
+    chunks = chunk_documents(docs, 64, 8)
+    plan = explain_str(chunks, "simple")
+    assert "Exchange" not in plan, plan
+    assert not uses_python_worker(chunks)
+    assert "Generate" in plan
+
+
+def test_bin_materialization_bodies_move_at_most_twice(spark, sf_dir):
+    # join-back + bin agg: the document bodies cross the network at
+    # most twice (assignment join, bin groupBy); no window, no python
+    from polars_matmul_spark.operators.packing import (
+        materialize_bins,
+        pack_sequences,
+    )
+    from polars_matmul_spark.operators.text import token_count
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    counted = docs.withColumn("n_tokens", token_count(F.col("text")))
+    packed = pack_sequences(counted, 256, partitions=8)
+    out = materialize_bins(packed, docs)
+    plan = explain_str(out, "simple")
+    lines = [l for l in plan.splitlines() if "Exchange" in l and "text#" in l]
+    assert len(lines) <= 2, plan
+    assert "Window" not in plan
