@@ -10,6 +10,7 @@ from polars_matmul_spark.functions.similarity import (  # noqa: F401
     matmul,
     matmul_arrow,
     matmul_flatten,
+    matmul_flatten_series,
     topk,
     topk_arrow,
     topk_exploded,

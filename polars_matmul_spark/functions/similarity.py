@@ -41,6 +41,7 @@ __all__ = [
     "matmul",
     "matmul_arrow",
     "matmul_flatten",
+    "matmul_flatten_series",
     "topk",
     "topk_arrow",
     "topk_exploded",
@@ -195,8 +196,13 @@ def matmul(col, corpus, flatten: bool = False, input_is_f32: bool = False) -> Co
     """
     if flatten:
         raise ValueError(
-            "flatten=True changes the row count; use "
-            "matmul_flatten(df, col, corpus) which returns a DataFrame"
+            "flatten=True changes the row count, which a Spark Column "
+            "expression cannot do (Polars map_batches(is_elementwise="
+            "False) has no Column-level analog). The one-call port is "
+            "matmul_flatten_series(df, col, corpus) -> a single-column "
+            "DataFrame of n_q * n_c scores in the reference's row-major "
+            "order; matmul_flatten(df, col, corpus, keep=[...]) "
+            "additionally carries query ids through shuffles."
         )
     mat = corpus_to_matrix(corpus)
     bc = _active_sc().broadcast(mat)
@@ -236,6 +242,31 @@ def matmul_flatten(
     """
     nested = matmul(col, corpus, input_is_f32=input_is_f32)
     return df.select(*(keep or []), F.posexplode(nested).alias("corpus_index", out_col))
+
+
+def matmul_flatten_series(
+    df: DataFrame,
+    col,
+    corpus,
+    out_col: str = "score",
+    input_is_f32: bool = False,
+) -> DataFrame:
+    """The reference's column-level ``matmul(flatten=True)`` ported 1:1
+    (python/polars_matmul/__init__.py:173-187, test
+    tests/test_polars_matmul.py:204-222): a single-column DataFrame of
+    ``n_q * n_c`` scores in row-major (query-major) order, element type
+    following the f32-iff-both-f32 promotion rule.
+
+    Order note: explode preserves intra-partition row order and
+    ``collect()`` concatenates partitions in order, so with no shuffle
+    between this call and the collect the reference's global row-major
+    order holds exactly — the same contract as Polars' ``to_numpy()``
+    interop use. If a shuffle may intervene, use :func:`matmul_flatten`
+    with ``keep=[query_id]`` and sort.
+    """
+    return matmul_flatten(
+        df, col, corpus, out_col=out_col, input_is_f32=input_is_f32
+    ).select(out_col)
 
 
 def _arrow_list_to_matrix(arr, dtype=None, expected_dim=None) -> np.ndarray:

@@ -21,6 +21,24 @@ from pyspark.sql import functions as F
 __all__ = ["asof_join_backward"]
 
 
+def _epoch_seconds(df: DataFrame, col: str) -> Column:
+    """Epoch seconds as double, keeping sub-second precision.
+
+    ``CAST(TIMESTAMP AS DOUBLE)`` gives fractional epoch seconds, but
+    TIMESTAMP_NTZ refuses that cast (DATATYPE_MISMATCH) — route it
+    through timestamp_ltz first (session TZ is pinned UTC, lossless).
+    Numeric inputs pass through so callers may as-of join on plain
+    numeric time axes too.
+    """
+    from pyspark.sql import types as T
+
+    dt = df.schema[col].dataType
+    c = F.col(col)
+    if isinstance(dt, T.TimestampNTZType):
+        c = c.cast("timestamp")
+    return c.cast("double")
+
+
 def asof_join_backward(
     left: DataFrame,
     right: DataFrame,
@@ -44,7 +62,7 @@ def asof_join_backward(
     r_tagged = right.withColumn("__t", F.col(right_ts)).withColumn("__side", F.lit(0))
     # timestamp -> double keeps sub-second precision (unix_timestamp
     # truncates to whole seconds and misjudges tolerance boundaries)
-    r_tagged = r_tagged.withColumn("__p___rt", F.col(right_ts).cast("double"))
+    r_tagged = r_tagged.withColumn("__p___rt", _epoch_seconds(right, right_ts))
     for c in payload_cols:
         r_tagged = r_tagged.withColumn(f"__p_{c}", F.col(c))
 
@@ -62,7 +80,7 @@ def asof_join_backward(
 
     out = u.filter(F.col("__side") == 1)
     if tolerance_sec is not None:
-        within = F.col("__t").cast("double") - F.col("__m___rt") <= F.lit(tolerance_sec)
+        within = _epoch_seconds(out, "__t") - F.col("__m___rt") <= F.lit(tolerance_sec)
         for c in payload_cols:
             out = out.withColumn(f"__m_{c}", F.when(within, F.col(f"__m_{c}")))
     return out.select(

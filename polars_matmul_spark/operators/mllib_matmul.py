@@ -32,14 +32,11 @@ def blockmatrix_matmul(
 
     queries/corpus: (id, embedding array<numeric>). Ids must be
     0..n-1-dense per side (use row_number()-1 upstream if not) — they
-    become matrix row indices. Returns (q_id, c_id, score double).
-
-    KNOWN LIMITATION: ``toCoordinateMatrix`` skips entries whose value
-    is exactly 0.0, so pairs with an exact-zero dot product (orthogonal
-    one-hot/sparse vectors, zero rows) are ABSENT from the output
-    rather than present with score 0.0. Dense float embeddings make
-    exact zeros measure-zero; for sparse data use the SQL-form
-    similarity join instead.
+    become matrix row indices. Returns (q_id, c_id, score double) for
+    EVERY pair, including exact-zero dot products (orthogonal vectors
+    score 0.0 rather than vanishing): the result is read back through
+    ``toIndexedRowMatrix`` dense rows, not ``toCoordinateMatrix``,
+    which silently drops entries whose value is exactly 0.0.
     """
     from pyspark.mllib.linalg import Vectors
     from pyspark.mllib.linalg.distributed import IndexedRow, IndexedRowMatrix
@@ -57,9 +54,14 @@ def blockmatrix_matmul(
     ct_bm = to_irm(corpus, c_id).toBlockMatrix(block_size, block_size).transpose()
     product = q_bm.multiply(ct_bm)  # (n_q x n_c) scores, block-partitioned
 
-    entries = product.toCoordinateMatrix().entries
+    rows = product.toIndexedRowMatrix().rows
     out = spark.createDataFrame(
-        entries.map(lambda e: (int(e.i), int(e.j), float(e.value))),
+        rows.flatMap(
+            lambda r: (
+                (int(r.index), j, float(v))
+                for j, v in enumerate(r.vector.toArray())
+            )
+        ),
         f"{q_id} long, {c_id} long, score double",
     )
     return out

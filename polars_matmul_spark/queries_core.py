@@ -1228,20 +1228,24 @@ CORE_QUERIES: dict[str, tuple] = {
     "pivot_order_status": (_pivot_orders, _PIVOT_ORDERS_ORACLE),
     "sessionize_events": (_sessionize, _SESSIONIZE_ORACLE),
     "event_hourly_windows": (_event_hourly, _EVENT_HOURLY_ORACLE),
-    "json_event_props": (_json_props, _JSON_PROPS_ORACLE),
     "customer_set_ops": (_set_ops, _SET_OPS_ORACLE),
-    "q4_order_priority": (_q4, _Q4_ORACLE),
     "anti_join_customers": (_anti_join, _ANTI_JOIN_ORACLE),
-    "q14_promo_revenue": (_q14, _Q14_ORACLE),
     "brand_above_avg_parts": (_brand_above_avg, _BRAND_ABOVE_AVG_ORACLE),
     "cube_sales": (_cube_sales, _CUBE_SALES_ORACLE),
     "cust_quartiles_by_nation": (_cust_quartiles, _CUST_QUARTILES_ORACLE),
     "string_date_funcs": (_string_date_funcs, _STRING_DATE_ORACLE),
     "moving_avg_revenue": (_moving_avg_revenue, _MOVING_AVG_ORACLE),
     "salted_event_counts": (_salted_event_counts, _SALTED_EVENT_COUNTS_ORACLE),
-    "q10_returned_items": (_q10, _Q10_ORACLE),
-    "q13_order_distribution": (_q13, _Q13_ORACLE),
     "q18_large_orders": (_q18, _Q18_ORACLE),
+    # Rotated out in round 3 to stay under the driver's 50-query cap
+    # while the round-2 pipeline families (queries_pipeline.py) get
+    # driver rows: q4_order_priority (EXISTS semi-join — anti/semi
+    # joins covered by anti_join_customers + customer_set_ops),
+    # q14_promo_revenue (conditional agg — covered by q1/q6),
+    # json_event_props (get_json_object projection — props parsing also
+    # exercised by sessionize/event queries), q10_returned_items and
+    # q13_order_distribution (join+agg shapes covered by q3/q5/q18).
+    # The query functions remain above, importable and unit-covered.
     "sketch_distinct_users": (_sketch_distinct_users, None),
     "mllib_blockmatrix_matmul": (_mllib_blockmatmul, _MLLIB_BLOCKMATMUL_ORACLE),
     "asof_purchase_click": (_asof_purchase_click, _ASOF_ORACLE),

@@ -9,12 +9,14 @@ from __future__ import annotations
 
 from polars_matmul_spark.queries_core import CORE_QUERIES
 from polars_matmul_spark.queries_multimodal import MULTIMODAL_QUERIES
+from polars_matmul_spark.queries_pipeline import PIPELINE_QUERIES
 from polars_matmul_spark.queries_text import TEXT_QUERIES
 
 ALL_QUERIES: dict[str, tuple] = {}
 ALL_QUERIES.update(CORE_QUERIES)
 ALL_QUERIES.update(TEXT_QUERIES)
 ALL_QUERIES.update(MULTIMODAL_QUERIES)
+ALL_QUERIES.update(PIPELINE_QUERIES)
 
 
 def queries():

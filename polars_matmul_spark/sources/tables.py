@@ -28,28 +28,47 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_ts(df: DataFrame, cols=("ts",)) -> DataFrame:
+    """Normalize event-time columns to one canonical TIMESTAMP (ltz) type,
+    whatever the parquet writer emitted. The testdata has shipped two
+    encodings across rounds:
+
+    - TIMESTAMP(NANOS): only readable under ``nanosAsLong`` — arrives as
+      LongType ns-since-epoch. Integer ``div`` (not float /): ns exceeds
+      double's 2^53 integer range.
+    - timestamp[us] (no UTC adjustment): arrives natively as
+      TIMESTAMP_NTZ. The session TZ is pinned UTC, so casting NTZ→LTZ is
+      a lossless reinterpretation of the same wall-clock instant.
+
+    Every downstream consumer (as-of join, windows, unix_timestamp
+    oracles) sees a plain ``timestamp`` either way.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for field in df.schema.fields:
+        if field.name not in cols:
+            continue
+        if isinstance(field.dataType, T.LongType):
+            df = df.withColumn(field.name, F.expr(f"timestamp_micros({field.name} div 1000)"))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"Unknown table '{name}'. Known: {', '.join(TABLES)}")
     # defensive session confs, in case the caller's session wasn't built
     # by plans.session.get_spark (e.g. the round driver's own session):
-    # events.ts is TIMESTAMP(NANOS) — unreadable without nanosAsLong —
+    # legacy TIMESTAMP(NANOS) events.ts is unreadable without nanosAsLong,
     # and every date/unix_timestamp oracle comparison assumes UTC.
     # Both are runtime-settable; verified against a bare session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # TIMESTAMP(NANOS) columns arrive as long (see plans.session config);
-    # convert to microsecond timestamps. Integer `div` (not float /):
-    # ns-since-epoch exceeds double's 2^53 integer range.
-    from pyspark.sql import functions as F
-    from pyspark.sql import types as T
-
-    for field in df.schema.fields:
-        if field.name in ("ts",) and isinstance(field.dataType, T.LongType):
-            df = df.withColumn(field.name, F.expr(f"timestamp_micros({field.name} div 1000)"))
-    return df
+    return normalize_ts(df)
 
 
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, tables=TABLES) -> None:

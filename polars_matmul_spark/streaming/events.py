@@ -18,32 +18,29 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same defensive confs as sources.tables.load_table — the stream
-    # reads the NANOS-typed ts as long regardless of who built the session
+    # must read whichever ts encoding the data ships (see normalize_ts)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from ..sources.tables import normalize_ts
+
+    # Streams require an explicit schema; peek it from the parquet footer
+    # via a batch read so the declared type matches the actual encoding
+    # (hard-coding LongType against timestamp[us] data silently yields
+    # micros-as-nanos, timestamps 1000x too small). Footer-only: no data
+    # scan happens here.
+    schema = (
+        spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir).schema
+    )
     # the file source wants a directory; glob-filter down to the one table
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_ts(raw)
 
 
 def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

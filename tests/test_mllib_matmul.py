@@ -32,3 +32,21 @@ def test_blockmatrix_topk_matches_kernel(spark, sf_dir):
         grp = grp.sort_values("rank")
         assert np.allclose(grp["score"].to_numpy(), scores[qi], rtol=1e-9)
         assert grp["corpus_id"].tolist() == idx[qi].tolist()
+
+
+def test_blockmatrix_orthogonal_pairs_score_zero(spark):
+    # exact-zero dot products must be PRESENT with score 0.0, not
+    # dropped (the CoordinateMatrix readback silently omitted them)
+    import pandas as pd
+
+    from polars_matmul_spark.operators.mllib_matmul import blockmatrix_matmul
+
+    q = spark.createDataFrame(
+        pd.DataFrame({"query_id": [0, 1], "embedding": [[1.0, 0.0], [0.0, 1.0]]})
+    )
+    c = spark.createDataFrame(
+        pd.DataFrame({"corpus_id": [0, 1], "embedding": [[0.0, 1.0], [1.0, 1.0]]})
+    )
+    got = blockmatrix_matmul(q, c).toPandas().sort_values(["query_id", "corpus_id"])
+    assert len(got) == 4  # every pair, including the orthogonal one
+    assert got["score"].tolist() == [0.0, 1.0, 1.0, 1.0]

@@ -116,6 +116,23 @@ class TestMatmul:
         assert flat == pytest.approx(expected)
         assert len(flat) == 6  # n_q * n_c
 
+    def test_flatten_series_ports_reference_test(self, spark):
+        # the reference flatten-mode test ported 1:1
+        # (tests/test_polars_matmul.py:204-222): 3 queries x 2 corpus ->
+        # 6 flat double scores in row-major order
+        from polars_matmul_spark.functions import matmul_flatten_series
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"embedding": [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]]})
+        ).coalesce(1)
+        corpus = [[1.0, 0.0], [0.0, 1.0]]
+        out = matmul_flatten_series(df, F.col("embedding"), corpus, out_col="flat")
+        assert out.columns == ["flat"]
+        assert out.schema["flat"].dataType.simpleString() == "double"
+        flat = [r.flat for r in out.collect()]
+        assert len(flat) == 6
+        assert flat == pytest.approx([1.0, 0.0, 0.0, 1.0, 1.0, 1.0])
+
     def test_output_width_promotion(self, spark):
         # f32 iff both sides f32 (fixes SURVEY §1.2 wrinkle)
         df = spark.createDataFrame(
