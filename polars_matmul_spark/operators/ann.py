@@ -31,7 +31,13 @@ from pyspark.sql import functions as F
 
 from polars_matmul_spark.operators.similarity_join import _fold_dot
 
-__all__ = ["pick_centroids", "assign_ivf", "ivf_topk", "brp_lsh_similarity_join"]
+__all__ = [
+    "pick_centroids",
+    "train_centroids_kmeans",
+    "assign_ivf",
+    "ivf_topk",
+    "brp_lsh_similarity_join",
+]
 
 
 def pick_centroids(corpus: DataFrame, id_col: str, every: int = 37) -> DataFrame:
@@ -44,6 +50,46 @@ def pick_centroids(corpus: DataFrame, id_col: str, every: int = 37) -> DataFrame
     return corpus.filter(F.col(id_col) % every == 0).select(
         F.col(id_col).alias("centroid_id"),
         F.col("embedding").alias("centroid_emb"),
+    )
+
+
+def train_centroids_kmeans(
+    corpus: DataFrame,
+    n_centroids: int = 26,
+    seed: int = 7,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Seeded MLlib KMeans centroids — the quality alternative to
+    :func:`pick_centroids` (same output schema, drop-in for
+    ``ivf_topk``). Trained lists pack genuinely-near rows together, so
+    recall at equal nprobe improves substantially over modular picks
+    (gated in tests/test_ann_recall.py); the modular form remains the
+    engine-portable oracle path.
+
+    Scale shape: k-means|| init + Lloyd iterations are MLlib's
+    distributed implementation (per-iteration cost = one broadcast of k
+    centers + one map over the corpus + one k-row reduce — no corpus
+    shuffle). ``clusterCenters()`` brings k vectors (~sqrt(n), the same
+    broadcast-sized centroid table IVF needs anyway) to the driver.
+    Euclidean Lloyd on unit-norm embeddings orders assignments
+    identically to cosine (||q-c||^2 = 2 - 2 cos for unit vectors).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="features"
+    ).fit(feats)
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [
+            (i, [float(x) for x in center])
+            for i, center in enumerate(model.clusterCenters())
+        ],
+        "centroid_id long, centroid_emb array<double>",
     )
 
 

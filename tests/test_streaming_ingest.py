@@ -69,3 +69,26 @@ class TestDedupIngest:
         ingest_documents_batch(spark, batch2, 1, index_dir, corpus_dir)
         after = spark.read.parquet(corpus_dir).count()
         assert after == before
+
+    def test_corrupt_index_fails_loudly(self, spark, tmp_path):
+        # a corrupt index parquet must abort the batch, not be silently
+        # treated as "no history" (which would re-accept every dup)
+        import pytest
+
+        from polars_matmul_spark.streaming.ingest import _read_or_empty
+
+        bad = tmp_path / "index"
+        bad.mkdir()
+        (bad / "part-00000.parquet").write_bytes(b"this is not parquet")
+        with pytest.raises(Exception):
+            df = _read_or_empty(spark, str(bad), "doc_id long, band_idx int, band_hash long")
+            df.count() if df is not None else None
+
+    def test_missing_index_is_empty_history(self, spark, tmp_path):
+        from polars_matmul_spark.streaming.ingest import _read_or_empty
+
+        df = _read_or_empty(
+            spark, str(tmp_path / "never-written"), "doc_id long, band_idx int, band_hash long"
+        )
+        assert df is not None and df.count() == 0
+        assert _read_or_empty(spark, str(tmp_path / "nope2"), None) is None
