@@ -20,6 +20,8 @@ functions only — nested lambdas defeat whole-stage codegen):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -113,3 +115,62 @@ def quantized_topk_rerank(
         .filter(F.col("rank") <= k)
         .select(q_id, "rank", c_id, "score")
     )
+
+
+# --- float16 storage path --------------------------------------------------
+#
+# The reference documents f16 as STORAGE-ONLY: unsupported for compute
+# (reference README.md:154-156 — "Float16: not supported ... convert to
+# Float32"). Spark SQL likewise has no half-precision type, so the
+# storage form here is a binary column of packed IEEE-754 half floats
+# (2 bytes/element, half the bytes of array<float> before parquet
+# encoding) and compute ALWAYS promotes to f32 on unpack — the same
+# contract as the reference, with the conversion built in rather than
+# left to the user.
+
+
+def pack_f16(
+    df: DataFrame, emb_col: str = "embedding", out_col: str = "emb_f16"
+) -> DataFrame:
+    """embedding array<float|double> -> packed half-float binary.
+
+    Arrow-batched pandas UDF (the hot loop is one ``np.stack`` +
+    ``astype(float16)`` + per-row ``tobytes`` — no per-element Python).
+    Values outside f16 range (|x| > 65504) saturate to +-inf, matching
+    NumPy's cast; embeddings are normalized in practice so this is a
+    non-issue, but it is the documented edge.
+    """
+    @F.pandas_udf("binary")
+    def _pack(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if v is None else np.asarray(v, dtype=np.float16).tobytes()
+                for v in s
+            ],
+            dtype=object,
+        )
+
+    return df.withColumn(out_col, _pack(F.col(emb_col))).drop(emb_col)
+
+
+def unpack_f16(
+    df: DataFrame, bin_col: str = "emb_f16", out_col: str = "embedding"
+) -> DataFrame:
+    """Packed half-float binary -> array<float> (compute form).
+
+    Promotion to f32 on the way out is the reference's f16 rule: storage
+    may be half-width, compute never is.
+    """
+    @F.pandas_udf("array<float>")
+    def _unpack(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if b is None
+                else np.frombuffer(b, dtype=np.float16).astype(np.float32)
+                for b in s
+            ],
+            dtype=object,
+        )
+
+    return df.withColumn(out_col, _unpack(F.col(bin_col))).drop(bin_col)

@@ -129,3 +129,64 @@ def test_storage_4x_smaller(spark, sf_dir, tmp_path):
         )
 
     assert _bytes(f_path) / _bytes(q_path) >= 2.5
+
+
+class TestF16Storage:
+    def test_roundtrip_within_half_precision(self, spark, sf_dir):
+        import numpy as np
+
+        from polars_matmul_spark.operators.quantize import pack_f16, unpack_f16
+        from polars_matmul_spark.sources.tables import load_table
+
+        emb = load_table(spark, "embeddings", sf_dir).limit(200)
+        orig = emb.orderBy("vec_id").toPandas()
+        back = (
+            unpack_f16(pack_f16(emb))
+            .orderBy("vec_id")
+            .toPandas()
+        )
+        A = np.stack(orig["embedding"].to_numpy()).astype(np.float64)
+        B = np.stack(back["embedding"].to_numpy()).astype(np.float64)
+        # half has ~3 decimal digits: rel err bound 2^-10
+        np.testing.assert_allclose(B, A, rtol=1.5e-3, atol=1e-6)
+
+    def test_compute_form_is_f32(self, spark, sf_dir):
+        from polars_matmul_spark.operators.quantize import pack_f16, unpack_f16
+        from polars_matmul_spark.sources.tables import load_table
+
+        emb = load_table(spark, "embeddings", sf_dir).limit(10)
+        out = unpack_f16(pack_f16(emb))
+        assert out.schema["embedding"].dataType.simpleString() == "array<float>"
+
+    def test_parquet_bytes_shrink(self, spark, sf_dir, tmp_path):
+        import os
+
+        from polars_matmul_spark.operators.quantize import pack_f16
+        from polars_matmul_spark.sources.tables import load_table
+
+        emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+        emb.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "f32"))
+        pack_f16(emb).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "f16"))
+
+        def sz(d):
+            return sum(
+                os.path.getsize(os.path.join(d, f))
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            )
+
+        # random floats barely compress, so the 2-bytes-vs-4 ratio
+        # should survive parquet encoding nearly intact
+        assert sz(str(tmp_path / "f16")) < 0.65 * sz(str(tmp_path / "f32"))
+
+    def test_null_rows_pass_through(self, spark):
+        import pandas as pd
+
+        from polars_matmul_spark.operators.quantize import pack_f16, unpack_f16
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"vec_id": [0, 1], "embedding": [[1.5, -2.25], None]})
+        )
+        out = unpack_f16(pack_f16(df)).orderBy("vec_id").collect()
+        assert out[0]["embedding"] == [1.5, -2.25]  # exact in f16
+        assert out[1]["embedding"] is None

@@ -100,3 +100,36 @@ def test_salted_join_left_outer(spark, sf_dir):
     salted = salted_join(events, dim, "event_type", n_salt=4, how="left")
     cols = ["event_id", "event_type", "type_total"]
     assert _sorted_rows(salted, cols) == _sorted_rows(plain, cols)
+
+
+def test_normalize_ts_both_parquet_encodings(spark, tmp_path):
+    # the driver testdata has shipped ts as TIMESTAMP(NANOS)-read-as-long
+    # (rounds <=1) AND as timestamp[us]/TIMESTAMP_NTZ (round 2+); every
+    # reader must produce the SAME canonical timestamp column for both
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from polars_matmul_spark.sources.tables import normalize_ts
+
+    micros = [1_700_000_000_123_456, 1_700_003_600_654_321]
+    tbl_ns = pa.table(
+        {"ts": pa.array([m * 1000 for m in micros], pa.timestamp("ns")),
+         "v": [1.0, 2.0]}
+    )
+    tbl_us = pa.table(
+        {"ts": pa.array(micros, pa.timestamp("us")), "v": [1.0, 2.0]}
+    )
+    pq.write_table(tbl_ns, str(tmp_path / "ns.parquet"))
+    pq.write_table(tbl_us, str(tmp_path / "us.parquet"))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out = {}
+    for name in ("ns", "us"):
+        df = normalize_ts(spark.read.parquet(str(tmp_path / f"{name}.parquet")))
+        assert df.schema["ts"].dataType.simpleString() == "timestamp", name
+        out[name] = [
+            r["ts"] for r in df.orderBy("v").select("ts").collect()
+        ]
+    assert out["ns"] == out["us"]
+    # and the values are the actual instants, not off by 1000x
+    assert out["us"][0].year == 2023
