@@ -84,19 +84,28 @@ def main() -> None:
         "mm_byte_histogram",
         "mm_frame_sample",
     ]
+    # best-of-2 per query: the round-2 bench recorded 2-6x phantom
+    # regressions that two idle reruns traced to transient machine load
+    # during the single timed run; a second sample mostly dodges that
+    # while keeping the bench under ~2 min
     for name in headline:
         fn, _oracle = ALL_QUERIES[name]
-        times[name] = _timed(lambda: _force(fn(spark, SF_DIR)))
+        times[name] = min(
+            _timed(lambda: _force(fn(spark, SF_DIR))) for _ in range(2)
+        )
 
     # --- kernel path on the sf embeddings table ---
     emb = load_table(spark, "embeddings", SF_DIR)
     corpus_pdf = emb.filter(F.col("vec_id") >= 50).select("embedding").toPandas()
     corpus = np.stack(corpus_pdf["embedding"].to_numpy()).astype(np.float32)
     qdf = emb.filter(F.col("vec_id") < 50).select("vec_id", "embedding")
-    times["kernel_topk_sf"] = _timed(
-        lambda: _force(
-            topk_exploded(qdf, F.col("embedding"), corpus, k=10, keep=["vec_id"])
+    times["kernel_topk_sf"] = min(
+        _timed(
+            lambda: _force(
+                topk_exploded(qdf, F.col("embedding"), corpus, k=10, keep=["vec_id"])
+            )
         )
+        for _ in range(2)
     )
 
     # --- blocked distributed top-k (corpus-unbounded exact path) ---
@@ -106,8 +115,9 @@ def main() -> None:
     cd = emb.filter(F.col("vec_id") >= 50).select(
         F.col("vec_id").alias("corpus_id"), "embedding"
     )
-    times["blocked_topk_sf"] = _timed(
-        lambda: _force(topk_join_blocked(qd, cd, k=10, metric="cosine"))
+    times["blocked_topk_sf"] = min(
+        _timed(lambda: _force(topk_join_blocked(qd, cd, k=10, metric="cosine")))
+        for _ in range(2)
     )
 
     # --- streaming: hourly windowed agg, full availableNow replay ---
