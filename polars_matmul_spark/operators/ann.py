@@ -37,6 +37,7 @@ __all__ = [
     "assign_ivf",
     "ivf_topk",
     "brp_lsh_similarity_join",
+    "embedding_neardup_new_vs_index",
 ]
 
 
@@ -246,3 +247,67 @@ def brp_lsh_similarity_join(
     if dedupe_self:
         out = out.filter(F.col(id_a) < F.col(id_b))
     return out
+
+
+def embedding_neardup_new_vs_index(
+    new_batch: DataFrame,
+    index: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    nprobe: int = 2,
+    new_id: str = "new_id",
+    old_id: str = "old_id",
+) -> DataFrame:
+    """Incremental embedding near-dup: which rows of a NEW batch are
+    near-duplicates (cosine >= threshold) of an already-indexed corpus —
+    the embedding-space analog of ``dedup.neardup_new_vs_index``.
+
+    ``index`` is the persisted output of :func:`assign_ivf` (id,
+    embedding, centroid_id) — at 100 TB it lives partitioned by
+    centroid_id and is NEVER shuffled here: the new batch (small) is
+    assigned to its ``nprobe`` nearest centroids via a broadcast of the
+    centroid table, then broadcast into an equi-join on centroid_id, so
+    the big side is a pruned map-side scan. Exact cosine verifies every
+    candidate pair.
+
+    ``nprobe > 1`` catches pairs that straddle a centroid boundary: a
+    true near-dup whose indexed twin was assigned to the query row's
+    2nd-nearest list. Measured on planted dups over the sf data
+    (tests/test_ann_recall.py): 29/30 recall at nprobe=2 and 30/30 at
+    nprobe=4 even with untrained modular centroids; trained KMeans
+    lists tighten the cells further. For a guaranteed-exhaustive pass,
+    probe all lists (== blocked brute force, still index-shuffle-free).
+
+    Returns (new_id, old_id, score), one row per crossing pair.
+    """
+    cen = centroids.withColumn(
+        "__nn", _fold_dot(F.col("centroid_emb"), F.col("centroid_emb"))
+    )
+    q = new_batch.select(
+        F.col(new_id), F.col("embedding").alias("q_emb")
+    ).withColumn("__qq", _fold_dot(F.col("q_emb"), F.col("q_emb")))
+    probe_w = Window.partitionBy(new_id).orderBy(F.desc("__ps"), F.asc("centroid_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cen))
+        .withColumn(
+            "__ps",
+            _cosine(F.col("q_emb"), F.col("centroid_emb"), F.col("__qq"), F.col("__nn")),
+        )
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .filter(F.col("__pr") <= nprobe)
+        .select(new_id, "q_emb", "__qq", "centroid_id")
+    )
+    idx = index.select(
+        F.col(old_id), F.col("embedding").alias("c_emb"), "centroid_id"
+    ).withColumn("__cc", _fold_dot(F.col("c_emb"), F.col("c_emb")))
+    # broadcast the probed batch INTO the index scan: the TB side stays
+    # where it is, candidates stream out of the pruned lists
+    cand = idx.join(F.broadcast(probes), "centroid_id")
+    scored = cand.withColumn(
+        "score", _cosine(F.col("q_emb"), F.col("c_emb"), F.col("__qq"), F.col("__cc"))
+    )
+    return (
+        scored.filter(F.col("score") >= threshold)
+        .select(new_id, old_id, "score")
+        .distinct()  # a pair can surface once per probed list it shares
+    )

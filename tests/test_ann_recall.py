@@ -152,3 +152,102 @@ def test_kmeans_centroids_beat_modular_at_equal_nprobe(spark):
     again = train_centroids_kmeans(c, n_centroids=n_lists, seed=7).toPandas()
     first = trained.toPandas()
     assert first.equals(again)
+
+
+class TestIncrementalEmbeddingNeardup:
+    # the sf embeddings carry no natural near-dups (max pairwise cosine
+    # 0.51), so the NEW batch is constructed: 30 indexed vectors plus
+    # tiny deterministic noise (cosine vs source > 0.99 — true dups)
+    # and 10 fresh random vectors (true novelties)
+    THRESHOLD = 0.95
+
+    def _setup(self, spark):
+        import pandas as pd
+
+        from polars_matmul_spark.operators.ann import assign_ivf
+
+        emb = load_table(spark, "embeddings", SF01)
+        old = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+        op = old.orderBy("corpus_id").limit(30).toPandas()
+        rng = np.random.default_rng(11)
+        dup_rows = [
+            (1000 + i, (np.asarray(v, dtype=np.float64) + rng.normal(0, 0.02, len(v))).tolist())
+            for i, v in enumerate(op["embedding"])
+        ]
+        novel_rows = [
+            (2000 + i, rng.normal(0, 1.0, len(op["embedding"][0])).tolist())
+            for i in range(10)
+        ]
+        new = spark.createDataFrame(
+            pd.DataFrame(dup_rows + novel_rows, columns=["new_id", "embedding"])
+        )
+        cents = pick_centroids(old, "corpus_id", every=37)
+        index = assign_ivf(old, cents, "corpus_id").withColumnRenamed(
+            "corpus_id", "old_id"
+        )
+        return new, old, cents, index
+
+    def _brute_pairs(self, spark, new, old):
+        np_new = new.orderBy("new_id").toPandas()
+        np_old = old.orderBy("corpus_id").toPandas()
+        Q = np.stack(np_new["embedding"].to_numpy()).astype(np.float64)
+        C = np.stack(np_old["embedding"].to_numpy()).astype(np.float64)
+        S = (Q / np.linalg.norm(Q, axis=1, keepdims=True)) @ (
+            C / np.linalg.norm(C, axis=1, keepdims=True)
+        ).T
+        pairs = set()
+        for i, qid in enumerate(np_new["new_id"]):
+            for j, cid in enumerate(np_old["corpus_id"]):
+                if S[i, j] >= self.THRESHOLD:
+                    pairs.add((qid, cid))
+        return pairs
+
+    def test_probe_all_equals_brute_force(self, spark):
+        from polars_matmul_spark.operators.ann import (
+            embedding_neardup_new_vs_index,
+        )
+
+        new, old, cents, index = self._setup(spark)
+        got = embedding_neardup_new_vs_index(
+            new, index, cents, threshold=self.THRESHOLD, nprobe=10**6
+        ).toPandas()
+        want = self._brute_pairs(spark, new, old)
+        assert {(r.new_id, r.old_id) for r in got.itertuples()} == want
+        assert len(got) == len(want), "pair surfaced twice after distinct"
+
+    def test_probe_recall_on_planted_dups(self, spark):
+        # modular centroids give weak Voronoi structure, so a planted
+        # dup can straddle a boundary: measured 29/30 at nprobe=2,
+        # 30/30 at nprobe=4. Gate both levels.
+        from polars_matmul_spark.operators.ann import (
+            embedding_neardup_new_vs_index,
+        )
+
+        new, old, cents, index = self._setup(spark)
+        want = self._brute_pairs(spark, new, old)
+        assert len(want) == 30, "every planted dup must be a true pair"
+
+        def hits(nprobe):
+            got = embedding_neardup_new_vs_index(
+                new, index, cents, threshold=self.THRESHOLD, nprobe=nprobe
+            ).toPandas()
+            return len({(r.new_id, r.old_id) for r in got.itertuples()} & want)
+
+        assert hits(2) >= 27, f"recall {hits(2)}/30 at nprobe=2"
+        assert hits(4) == 30, f"recall {hits(4)}/30 at nprobe=4"
+
+    def test_index_side_never_shuffled(self, spark):
+        # the index scan must meet the probed batch in a broadcast hash
+        # join — a sort-merge join here would shuffle the TB-scale index
+        from polars_matmul_spark.operators.ann import (
+            embedding_neardup_new_vs_index,
+        )
+
+        new, _old, cents, index = self._setup(spark)
+        plan = (
+            embedding_neardup_new_vs_index(new, index, cents, nprobe=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SortMergeJoin" not in plan, plan
