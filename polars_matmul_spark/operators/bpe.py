@@ -148,12 +148,17 @@ def bpe_encode(
         {tuple(p): i for i, p in enumerate(merges)}
     )
     ids = list(id_cols)
+    missing = [c for c in ids + [text_col] if c not in df.columns]
+    if missing:
+        raise ValueError(f"no such columns: {missing}")
     fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in df.schema.fields
         if f.name in ids
     )
-    out_schema = f"{fields}, {out_col} array<string>, n_bpe long"
+    out_schema = ", ".join(
+        x for x in (fields, f"{out_col} array<string>, n_bpe long") if x
+    )
     src = df.select(*ids, F.lower(F.trim(F.col(text_col))).alias("__t"))
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

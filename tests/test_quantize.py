@@ -190,3 +190,38 @@ class TestF16Storage:
         out = unpack_f16(pack_f16(df)).orderBy("vec_id").collect()
         assert out[0]["embedding"] == [1.5, -2.25]  # exact in f16
         assert out[1]["embedding"] is None
+
+    def test_f16_storage_composes_with_topk(self, spark, sf_dir):
+        # the documented f16 contract: store half, compute f32 — the
+        # unpacked column must feed the kernel path and agree with the
+        # full-precision answer on which neighbors it finds
+        import numpy as np
+
+        from polars_matmul_spark import kernels as K
+        from polars_matmul_spark.functions import topk_exploded
+        from polars_matmul_spark.operators.quantize import pack_f16, unpack_f16
+        from polars_matmul_spark.sources.tables import load_table
+
+        emb = load_table(spark, "embeddings", sf_dir)
+        q = emb.filter("vec_id < 20").select("vec_id", "embedding")
+        c = emb.filter("vec_id >= 50").orderBy("vec_id")
+        cp = c.toPandas()
+        C = np.stack(cp["embedding"].to_numpy()).astype(np.float64)
+
+        q16 = unpack_f16(pack_f16(q))
+        from pyspark.sql import functions as F
+
+        got = (
+            topk_exploded(q16, F.col("embedding"), C, k=5, keep=["vec_id"])
+            .toPandas()
+            .groupby("vec_id")["index"]
+            .apply(set)
+        )
+        qp = q.orderBy("vec_id").toPandas()
+        Q = np.stack(qp["embedding"].to_numpy()).astype(np.float64)
+        idx, _ = K.topk(Q, C, 5, "cosine")
+        exact = {qid: set(idx[i]) for i, qid in enumerate(qp["vec_id"])}
+        overlap = sum(len(got[qid] & exact[qid]) for qid in exact)
+        # half-precision perturbs scores by ~1e-3 relative; at k=5 on
+        # 450 corpus rows the neighbor sets stay essentially identical
+        assert overlap >= 0.9 * 5 * len(exact)
