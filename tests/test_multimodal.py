@@ -102,3 +102,69 @@ def test_resize_fake_truncated_payload_clips_not_crashes(spark):
 def test_decode_asset_is_stubbed():
     with pytest.raises(NotImplementedError):
         M.decode_asset(b"\x00" * 16, "image")
+
+
+class TestAudioRmsWindows:
+    WIN, HOP = 64, 32
+
+    def test_vs_naive_numpy(self, spark, sf_dir):
+        import numpy as np
+
+        from polars_matmul_spark.operators.multimodal import (
+            asset_table,
+            audio_rms_windows,
+        )
+        from polars_matmul_spark.sources.tables import load_table
+
+        assets = asset_table(load_table(spark, "documents", sf_dir)).filter(
+            "kind = 'audio'"
+        )
+        got = (
+            audio_rms_windows(assets, self.WIN, self.HOP)
+            .toPandas()
+            .sort_values(["asset_id", "window_idx"])
+            .reset_index(drop=True)
+        )
+        src = assets.select("asset_id", "payload").orderBy("asset_id").toPandas()
+        rows = []
+        for _, r in src.iterrows():
+            x = np.frombuffer(bytes(r["payload"]), dtype=np.uint8).astype(
+                np.float64
+            ) - 128.0
+            i = 0
+            w = 0
+            while i + self.WIN <= len(x):
+                seg = x[i : i + self.WIN]
+                rows.append((r["asset_id"], w, float(np.sqrt(np.mean(seg * seg)))))
+                i += self.HOP
+                w += 1
+        assert len(got) == len(rows) > 0
+        for (aid, widx, rms), (_, g) in zip(rows, got.iterrows()):
+            assert g["asset_id"] == aid and g["window_idx"] == widx
+            assert abs(g["rms"] - rms) < 1e-12
+
+    def test_short_payloads_yield_no_windows(self, spark):
+        import pandas as pd
+
+        from polars_matmul_spark.operators.multimodal import audio_rms_windows
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"asset_id": [1, 2], "payload": [b"x" * 10, b"y" * 100]}
+            )
+        )
+        out = audio_rms_windows(df, win=64, hop=32).toPandas()
+        assert set(out["asset_id"]) == {2}
+        assert len(out) == (100 - 64) // 32 + 1
+
+    def test_bad_params_raise(self, spark):
+        import pandas as pd
+        import pytest
+
+        from polars_matmul_spark.operators.multimodal import audio_rms_windows
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"asset_id": [1], "payload": [b"x" * 10]})
+        )
+        with pytest.raises(ValueError, match="positive"):
+            audio_rms_windows(df, win=0)
