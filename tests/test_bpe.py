@@ -97,3 +97,79 @@ class TestEncode:
         ranks = {tuple(p): i for i, p in enumerate(merges)}
         for w in ["the", "supplier", "unusual", "accounts", "zzzqqq"]:
             assert apply_merges(w, ranks) == _naive_encode(w, merges)
+
+
+class TestBpeProperties:
+    # pure-Python properties (no Spark): fast hypothesis sweeps over
+    # the encode core shared by the distributed path
+
+    def test_roundtrip_any_word(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=300, deadline=None)
+        @given(
+            st.lists(
+                st.text(alphabet="abcdef", min_size=1, max_size=8),
+                min_size=1,
+                max_size=6,
+            ),
+            st.lists(
+                st.tuples(
+                    st.text(alphabet="abcdef", min_size=1, max_size=2),
+                    st.text(alphabet="abcdef" + EOW, min_size=1, max_size=4),
+                ),
+                max_size=10,
+            ),
+        )
+        def check(words, merges):
+            ranks = {tuple(p): i for i, p in enumerate(merges)}
+            for w in words:
+                pieces = apply_merges(w, ranks)
+                # concatenation restores the word + sentinel exactly
+                assert "".join(pieces) == w + EOW
+                # no piece is empty
+                assert all(p for p in pieces)
+
+        check()
+
+    def test_encode_matches_training_replay_randomized(self):
+        # rank-priority application == replaying merges in training
+        # order, for merge tables that actually came from training
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            st.lists(
+                st.text(alphabet="abc", min_size=1, max_size=6),
+                min_size=3,
+                max_size=20,
+            )
+        )
+        def check(corpus_words):
+            from collections import Counter
+
+            # train directly on the word list (driver-side trainer core)
+            vocab = {tuple(w) + (EOW,): c for w, c in Counter(corpus_words).items()}
+            merges = []
+            from polars_matmul_spark.operators.bpe import _merge_word
+
+            for _ in range(15):
+                pairs = Counter()
+                for word, c in vocab.items():
+                    for a, b in zip(word, word[1:]):
+                        pairs[(a, b)] += c
+                if not pairs:
+                    break
+                best = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))
+                if best[1] < 2:
+                    break
+                merges.append(best[0])
+                vocab = {_merge_word(w, best[0]): c for w, c in vocab.items()}
+
+            ranks = {tuple(p): i for i, p in enumerate(merges)}
+            for w in set(corpus_words):
+                assert apply_merges(w, ranks) == _naive_encode(w, merges)
+
+        check()
