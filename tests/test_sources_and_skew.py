@@ -133,3 +133,44 @@ def test_normalize_ts_both_parquet_encodings(spark, tmp_path):
     assert out["ns"] == out["us"]
     # and the values are the actual instants, not off by 1000x
     assert out["us"][0].year == 2023
+
+
+def test_orc_roundtrip(spark, sf_dir):
+    cust = load_table(spark, "customer", sf_dir).limit(200)
+    cols = ["c_custkey", "c_name", "c_acctbal"]
+    with tempfile.TemporaryDirectory() as tmp:
+        opath = os.path.join(tmp, "o")
+        cust.select(*cols).write.orc(opath)
+        oback = spark.read.orc(opath)
+        assert _sorted_rows(oback, cols) == _sorted_rows(cust, cols)
+
+
+def test_unpivot_stack_vs_pivot(spark, sf_dir):
+    # unpivot (df.unpivot / stack) is pivot's inverse: wide order-status
+    # counts back to long form must equal the original long-form counts
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, "orders", sf_dir)
+    long_form = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n")
+    )
+    wide = (
+        long_form.groupBy("o_orderpriority")
+        .pivot("o_orderstatus")
+        .agg(F.first("n"))
+    )
+    status_cols = [c for c in wide.columns if c != "o_orderpriority"]
+    back = (
+        wide.unpivot(
+            "o_orderpriority", status_cols, "o_orderstatus", "n"
+        )
+        .filter(F.col("n").isNotNull())
+    )
+    a = sorted(
+        (r["o_orderpriority"], r["o_orderstatus"], r["n"])
+        for r in long_form.collect()
+    )
+    b = sorted(
+        (r["o_orderpriority"], r["o_orderstatus"], r["n"]) for r in back.collect()
+    )
+    assert a == b and len(a) > 0
