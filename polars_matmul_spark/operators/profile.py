@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["profile_table"]
+__all__ = ["profile_table", "corr_matrix", "frequent_items"]
 
 _NUMERIC = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -92,3 +92,69 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             )
         )
     return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def corr_matrix(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations of numeric columns in ONE fused
+    aggregation (one scan): -> (col_a, col_b, corr) for every unordered
+    pair, the data-QA companion to :func:`profile_table`.
+
+    n columns -> n*(n-1)/2 agg expressions; fine for the dozens-of-
+    columns regime a table profile targets. All JVM-side.
+    """
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    unknown = [c for c in columns if c not in fields]
+    if unknown:
+        raise ValueError(f"no such columns: {unknown}")
+    non_num = [c for c in columns if not isinstance(fields[c], _NUMERIC)]
+    if non_num:
+        raise ValueError(f"non-numeric columns: {non_num}")
+
+    pairs = [
+        (a, b) for i, a in enumerate(columns) for b in columns[i + 1 :]
+    ]
+    aggs = [
+        F.corr(F.col(a).cast("double"), F.col(b).cast("double")).alias(
+            f"__c_{i}"
+        )
+        for i, (a, b) in enumerate(pairs)
+    ]
+    one = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col(f"__c_{i}").alias("corr"),
+        )
+        for i, (a, b) in enumerate(pairs)
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def frequent_items(
+    df: DataFrame, column: str, min_share: float = 0.01
+) -> DataFrame:
+    """Heavy hitters: every value of ``column`` whose share of rows is
+    >= ``min_share``, with exact counts — (value, n, share), share
+    descending.
+
+    Exact two-phase form (partial agg then one shuffled agg on the
+    value): at 100 TB the map-side combine means the shuffle carries at
+    most (distinct values x partitions) rows; for the heavy-hitter
+    regime (low-cardinality hot values) that is tiny. For unbounded-
+    cardinality columns where even that is too much, Spark's
+    ``df.stat.freqItems`` (one-pass, superset guarantee, no shuffle) is
+    the sketch alternative — this exact form is the oracle-friendly
+    default.
+    """
+    if not 0 < min_share <= 1:
+        raise ValueError(f"min_share must be in (0, 1], got {min_share}")
+    total = df.count()
+    floor = int(total * min_share)
+    return (
+        df.groupBy(F.col(column).alias("value"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= F.greatest(F.lit(1), F.lit(floor)))
+        .withColumn("share", F.col("n") / F.lit(float(total)))
+        .orderBy(F.desc("n"), F.asc("value"))
+    )

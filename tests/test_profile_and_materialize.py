@@ -87,3 +87,73 @@ class TestMaterializeBins:
         for _, row in pdf.iterrows():
             got_ids = [by_doc[s] for s in row["text"].split("␞")]
             assert got_ids == expected[row["bin_id"]]
+
+
+class TestCorrAndFreq:
+    def test_corr_matrix_vs_duckdb(self, spark):
+        import duckdb
+        import numpy as np
+
+        from polars_matmul_spark.operators.profile import corr_matrix
+        from polars_matmul_spark.sources.tables import load_table
+
+        sf = "/root/testdata/sf0.001"
+        li = load_table(spark, "lineitem", sf)
+        cols = ["l_quantity", "l_extendedprice", "l_discount"]
+        got = (
+            corr_matrix(li, cols)
+            .toPandas()
+            .sort_values(["col_a", "col_b"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+        for _, r in got.iterrows():
+            want = con.sql(
+                f"SELECT corr({r.col_a}, {r.col_b}) FROM lineitem"
+            ).fetchone()[0]
+            np.testing.assert_allclose(r["corr"], want, rtol=1e-9)
+        assert len(got) == 3  # C(3,2)
+
+    def test_corr_matrix_one_scan(self, spark):
+        from polars_matmul_spark.operators.profile import corr_matrix
+        from polars_matmul_spark.sources.tables import load_table
+
+        li = load_table(spark, "lineitem", "/root/testdata/sf0.001")
+        plan = (
+            corr_matrix(li, ["l_quantity", "l_discount"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Scan parquet") == 1, plan
+
+    def test_corr_rejects_non_numeric(self, spark):
+        import pytest
+
+        from polars_matmul_spark.operators.profile import corr_matrix
+        from polars_matmul_spark.sources.tables import load_table
+
+        li = load_table(spark, "lineitem", "/root/testdata/sf0.001")
+        with pytest.raises(ValueError, match="non-numeric"):
+            corr_matrix(li, ["l_quantity", "l_returnflag"])
+
+    def test_frequent_items_exact(self, spark):
+        import duckdb
+
+        from polars_matmul_spark.operators.profile import frequent_items
+        from polars_matmul_spark.sources.tables import load_table
+
+        sf = "/root/testdata/sf0.001"
+        ev = load_table(spark, "events", sf)
+        got = frequent_items(ev, "event_type", 0.05).toPandas()
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+        want = con.sql(
+            """SELECT event_type AS value, count(*) AS n FROM events
+               GROUP BY 1 HAVING count(*) >= (SELECT 0.05*count(*) FROM events)
+               ORDER BY n DESC, value"""
+        ).df()
+        assert list(got["value"]) == list(want["value"])
+        assert list(got["n"]) == list(want["n"])
+        assert (got["share"] >= 0.05).all()
