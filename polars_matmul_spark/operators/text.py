@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "canonicalize",
     "tokens",
     "shingles",
     "token_count",
@@ -131,3 +132,24 @@ def fingerprint(col: Column) -> Column:
     kernel tests; md5 is the cross-engine-reproducible form.)
     """
     return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+
+
+def canonicalize(col: Column, fold_digits: bool = False) -> Column:
+    """Dedup-grade text canonicalization, pure Catalyst: lowercase,
+    strip punctuation (everything outside [a-z0-9 ] after lowering),
+    collapse whitespace runs, trim. ``fold_digits=True`` additionally
+    maps every digit to ``0`` (catches near-dups differing only in
+    ids/dates/counters — the news-article case).
+
+    Feeding :func:`fingerprint` / MinHash with canonicalized text makes
+    exact and near dedup robust to formatting noise; all steps are
+    engine-portable string functions (the DuckDB oracle spells them
+    with the same regexes), so canonicalized pipelines stay
+    oracle-checkable.
+    """
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    if fold_digits:
+        c = F.regexp_replace(c, r"[0-9]", "0")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)

@@ -96,3 +96,63 @@ def test_tag_contaminated_broadcast_plan(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     # the only Exchange should be for the final groupBy, not the join
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+class TestCanonicalize:
+    def test_vs_duckdb(self, spark):
+        import duckdb
+
+        from polars_matmul_spark.operators.text import canonicalize
+        from polars_matmul_spark.sources.tables import load_table
+
+        sf = "/root/testdata/sf0.001"
+        docs = load_table(spark, "documents", sf)
+        got = (
+            docs.select("doc_id", canonicalize(F.col("text")).alias("canon"))
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+        want = con.sql(
+            r"""SELECT doc_id,
+                 trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                   '\s+', ' ', 'g')) AS canon
+               FROM documents ORDER BY doc_id"""
+        ).df()
+        assert list(got["canon"]) == list(want["canon"])
+
+    def test_formatting_noise_collapses_to_same_fingerprint(self, spark):
+        import pandas as pd
+
+        from polars_matmul_spark.operators.text import canonicalize, fingerprint
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3],
+                    "text": [
+                        "Hello, World!  Order #42 shipped.",
+                        "hello world --- order #42 SHIPPED",
+                        "a completely different document",
+                    ],
+                }
+            )
+        )
+        fp = df.select(
+            "doc_id", fingerprint(canonicalize(F.col("text"))).alias("fp")
+        ).toPandas()
+        assert fp.loc[fp.doc_id == 1, "fp"].iloc[0] == fp.loc[fp.doc_id == 2, "fp"].iloc[0]
+        assert fp.loc[fp.doc_id == 1, "fp"].iloc[0] != fp.loc[fp.doc_id == 3, "fp"].iloc[0]
+
+    def test_digit_fold(self, spark):
+        import pandas as pd
+
+        from polars_matmul_spark.operators.text import canonicalize
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"text": ["item 123 of 456", "item 999 of 000"]})
+        )
+        out = df.select(canonicalize(F.col("text"), fold_digits=True).alias("c")).collect()
+        assert out[0]["c"] == out[1]["c"] == "item 000 of 000"
