@@ -126,3 +126,46 @@ def tag_contaminated(
         F.count("*").alias("n_hits"),
         F.sort_array(F.collect_set(probe_id)).alias("probe_ids"),
     )
+
+
+# --- URL / domain curation -------------------------------------------------
+
+_URL_RE = r"https?://[^\s/]+[^\s]*"
+_DOMAIN_RE = r"https?://([^\s/:]+)"
+
+
+def extract_domains(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per (doc, domain) occurrence of an http(s) URL in the
+    text — the input to domain-level corpus curation (blocklists,
+    per-domain caps, domain mixing weights). Pure Catalyst:
+    regexp_extract_all + explode; lowercased hostnames.
+    """
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(_URL_RE), 0)
+    out = df.select(F.col(id_col).alias("doc_id"), F.explode(urls).alias("url"))
+    return out.select(
+        "doc_id",
+        "url",
+        F.lower(F.regexp_extract(F.col("url"), _DOMAIN_RE, 1)).alias("domain"),
+    )
+
+
+def domain_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop every document containing a URL whose domain is in the
+    blocklist (domain string column ``domain``). The blocklist
+    broadcasts; the corpus meets it through the exploded domain rows
+    and leaves via LEFT ANTI — the corpus itself is never shuffled.
+    """
+    hits = (
+        extract_domains(df, id_col, text_col)
+        .join(F.broadcast(blocklist.select("domain")), "domain")
+        .select(F.col("doc_id").alias("__bad_id"))
+        .distinct()
+    )
+    return df.join(hits, df[id_col] == F.col("__bad_id"), "left_anti")

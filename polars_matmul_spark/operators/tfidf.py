@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from polars_matmul_spark.operators.text import tokens
 
-__all__ = ["doc_terms", "tf_idf", "bm25_score", "build_vocab", "oov_rate"]
+__all__ = ["doc_terms", "tf_idf", "bm25_score", "build_vocab", "oov_rate", "unigram_logprob"]
 
 
 def doc_terms(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -211,4 +211,43 @@ def oov_rate(
             "n_oov",
             (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
         )
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style unigram language-model score: per document, the mean
+    log-probability of its tokens under the CORPUS unigram
+    distribution -> (doc_id, n_tokens, mean_logprob). Unusually high
+    scores mark repetitive/templated text, unusually low ones mark
+    noise — the standard cheap proxy where a real LM is unavailable.
+
+    Plan: the unigram table is one term-keyed partial agg; per-doc
+    scoring is the same explode joined back to it (term-keyed join,
+    AQE-skew-handled, broadcast when the vocab fits). Smoothing-free by
+    construction: every scored token exists in the corpus counts, so
+    probabilities are never zero.
+
+    Fully deterministic given the corpus (ln rounded by callers when an
+    engine-parity comparison is needed).
+    """
+    terms = doc_terms(df, id_col, text_col)
+    counts = terms.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = terms.agg(F.count("*").alias("total"))
+    scored = (
+        terms.join(counts, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (F.log(F.col("cnt").cast("double")) - F.log(F.col("total").cast("double"))).alias(
+                "lp"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.avg("lp").alias("mean_logprob"),
     )

@@ -156,3 +156,116 @@ class TestCanonicalize:
         )
         out = df.select(canonicalize(F.col("text"), fold_digits=True).alias("c")).collect()
         assert out[0]["c"] == out[1]["c"] == "item 000 of 000"
+
+
+class TestDomainCuration:
+    def test_extract_and_filter(self, spark):
+        import pandas as pd
+
+        from polars_matmul_spark.operators.text_filters import (
+            domain_filter,
+            extract_domains,
+        )
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3, 4],
+                    "text": [
+                        "see https://Spam.example.com/x and http://ok.org/page",
+                        "nothing here",
+                        "also http://spam.example.com:8080/y?z=1",
+                        "fine: https://good.net/a",
+                    ],
+                }
+            )
+        )
+        doms = extract_domains(df).toPandas()
+        got = set(zip(doms["doc_id"], doms["domain"]))
+        assert got == {
+            (1, "spam.example.com"),
+            (1, "ok.org"),
+            (3, "spam.example.com"),
+            (4, "good.net"),
+        }
+        block = spark.createDataFrame(
+            pd.DataFrame({"domain": ["spam.example.com"]})
+        )
+        kept = sorted(
+            r["doc_id"] for r in domain_filter(df, block).select("doc_id").collect()
+        )
+        assert kept == [2, 4]
+
+    def test_blocklist_meets_corpus_in_broadcast(self, spark):
+        import pandas as pd
+
+        from polars_matmul_spark.operators.text_filters import domain_filter
+        from polars_matmul_spark.sources.tables import load_table
+
+        docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+        block = spark.createDataFrame(pd.DataFrame({"domain": ["x.example"]}))
+        plan = (
+            domain_filter(docs, block)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SortMergeJoin" not in plan, plan
+
+
+class TestUnigramLogprob:
+    def test_vs_duckdb(self, spark):
+        import duckdb
+        import numpy as np
+
+        from polars_matmul_spark.operators.tfidf import unigram_logprob
+        from polars_matmul_spark.sources.tables import load_table
+
+        sf = "/root/testdata/sf0.001"
+        docs = load_table(spark, "documents", sf)
+        got = (
+            unigram_logprob(docs)
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+        want = con.sql(
+            r"""
+WITH terms AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+  FROM documents
+), ne AS (SELECT * FROM terms WHERE term <> ''),
+counts AS (SELECT term, count(*) AS cnt FROM ne GROUP BY 1),
+tot AS (SELECT count(*) AS total FROM ne)
+SELECT doc_id, count(*) AS n_tokens,
+       avg(ln(cnt) - ln(total)) AS mean_logprob
+FROM ne JOIN counts USING (term) CROSS JOIN tot
+GROUP BY doc_id ORDER BY doc_id
+"""
+        ).df()
+        assert list(got["doc_id"]) == list(want["doc_id"])
+        assert list(got["n_tokens"]) == list(want["n_tokens"])
+        np.testing.assert_allclose(
+            got["mean_logprob"], want["mean_logprob"], rtol=1e-12
+        )
+
+    def test_repetitive_scores_higher_than_rare(self, spark):
+        import pandas as pd
+
+        from polars_matmul_spark.operators.tfidf import unigram_logprob
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2],
+                    "text": [
+                        "the the the the the the the the",
+                        "zyzzyva quokka absquatulate",
+                    ],
+                }
+            )
+        )
+        out = unigram_logprob(df).toPandas().set_index("doc_id")
+        assert out.loc[1, "mean_logprob"] > out.loc[2, "mean_logprob"]
