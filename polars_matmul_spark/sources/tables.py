@@ -28,7 +28,13 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def normalize_ts(df: DataFrame, cols=("ts",)) -> DataFrame:
+#: every event-time/date-time column the testdata ships; all get the
+#: same canonical treatment so an encoding flip in ANY of them (the
+#: round-2 `ts` incident) is absorbed here, not in seven consumers
+TS_COLUMNS = ("ts", "l_shipdate", "o_orderdate")
+
+
+def normalize_ts(df: DataFrame, cols=TS_COLUMNS) -> DataFrame:
     """Normalize event-time columns to one canonical TIMESTAMP (ltz) type,
     whatever the parquet writer emitted. The testdata has shipped two
     encodings across rounds:
