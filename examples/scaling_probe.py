@@ -61,6 +61,59 @@ def main() -> None:
     def force(df):
         df.write.format("noop").mode("overwrite").save()
 
+    # events-side probe: replicate events K x with disjoint users/ids so
+    # session and window state grows with the data, not with collisions
+    events_base = load_table(spark, "events", sf_dir)
+    n_events = events_base.count()
+
+    def events_x(k: int):
+        parts = []
+        for i in range(k):
+            parts.append(
+                events_base.select(
+                    (F.col("event_id") + F.lit(i * 100_000_000)).alias("event_id"),
+                    "ts",
+                    (F.col("user_id") + F.lit(i * 10_000_000)).alias("user_id"),
+                    "event_type",
+                    "value",
+                    "props",
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.cache()
+
+    def sessionize(ev):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ) > 1800
+        return (
+            ev.withColumn("__new", F.when(gap, 1).otherwise(0))
+            .withColumn("session_seq", F.sum("__new").over(w))
+            .groupBy("user_id", "session_seq")
+            .agg(F.count("*").alias("n_events"))
+        )
+
+    for k in (1, 4, 8):
+        ev = events_x(k)
+        ev.count()
+        row = {"k": k, "n_events": n_events * k}
+        force(ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(F.count("*").alias("n")))
+        row["hourly_windows"] = timed(
+            lambda: force(
+                ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+                    F.count("*").alias("n")
+                )
+            )
+        )
+        row["sessionize"] = timed(lambda: force(sessionize(ev)))
+        print(json.dumps(row))
+        ev.unpersist()
+
     for k in (1, 2, 4, 8):
         docs = corpus_x(k)
         docs.count()  # materialize cache so the probe times the operator
