@@ -3,8 +3,23 @@
 - ``similarity_join``  exact distributed similarity score/top-k join
   (the 100 TB path: no driver-side corpus, pure Catalyst plan)
 - ``dedup``            exact + near-duplicate detection family
-- ``ann``              approximate nearest neighbor (IVF / LSH bucketed)
-- ``text``             text analysis: lang-id, quality, tokens, fingerprints
+- ``ann``              approximate nearest neighbor (IVF / LSH bucketed),
+  trained centroids, incremental embedding near-dup vs persisted index
+- ``text``             text analysis: lang-id, quality, tokens,
+  fingerprints, canonicalization
+- ``text_filters``     PII redaction, repetition, contamination,
+  domain-blocklist curation
+- ``tfidf``            TF-IDF / BM25 / vocabulary / OOV / unigram LM score
+- ``bpe``              subword BPE tokenizer (train + broadcast apply)
+- ``chunking``         context-window chunking
+- ``packing``          FFD sequence packing + bin materialization
+- ``sampling``         deterministic splits / stratified / mixture
+- ``quantize``         int8 quantization + f16 storage path
+- ``profile``          table profiling, correlation matrix, heavy hitters
+- ``merge``            CDC merge-upsert + SCD2 history
+- ``mllib_matmul``     BlockMatrix distributed matmul
+- ``asof`` / ``rangejoin``  temporal joins
+- ``sketches`` / ``skew``   approximate aggs, salted patterns
 - ``multimodal``       binary-column plumbing with stubbed decoders
 """
 
