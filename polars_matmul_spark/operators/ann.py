@@ -306,8 +306,9 @@ def embedding_neardup_new_vs_index(
     scored = cand.withColumn(
         "score", _cosine(F.col("q_emb"), F.col("c_emb"), F.col("__qq"), F.col("__cc"))
     )
-    return (
-        scored.filter(F.col("score") >= threshold)
-        .select(new_id, old_id, "score")
-        .distinct()  # a pair can surface once per probed list it shares
-    )
+    # each (new_id, old_id) pair surfaces at most once: an index row
+    # lives in exactly one list (assign_ivf argmax) and probes carries
+    # one row per (new_id, centroid_id), so no distinct() is needed —
+    # and on the streaming ingest hot path it would be a full extra
+    # shuffle of the candidate set per micro-batch
+    return scored.filter(F.col("score") >= threshold).select(new_id, old_id, "score")

@@ -12,12 +12,13 @@ Split of labor, sized for 100 TB:
   table — which is vocabulary-sized (unique words), not corpus-sized.
   ``max_words`` caps that table deterministically (top-N by count, ties
   on word) so driver memory is bounded no matter the corpus.
-- ``bpe_encode`` / ``bpe_token_ids``: application is the scale path —
-  the merge table broadcasts (it is ``num_merges`` rows), and encoding
-  runs in ``mapInPandas`` with a per-executor word -> pieces memo, so
-  each DISTINCT word is encoded once per executor, not once per
-  occurrence (Zipf makes this the difference between O(corpus) and
-  O(vocabulary) merge work).
+- ``bpe_encode``: application is the scale path — the merge table
+  broadcasts (it is ``num_merges`` rows), and encoding runs in
+  ``mapInPandas`` with a per-TASK word -> pieces memo, so each
+  distinct word is encoded once per task rather than once per
+  occurrence (on Zipfian text the hot words dominate occurrences, so
+  per-task merge work is ~O(task vocabulary), not O(task tokens);
+  the memo does not persist across tasks).
 
 Determinism: merge selection ties break on (count desc, pair
 lexicographic); training is a pure function of the word-frequency
@@ -140,8 +141,8 @@ def bpe_encode(
     subword pieces of each document, words encoded independently.
 
     The merge table rides a SparkContext broadcast; encoding is
-    mapInPandas (Arrow batches) with a per-executor word memo — the
-    hot path cost is one dict lookup per word occurrence.
+    mapInPandas (Arrow batches) with a per-task word memo — the hot
+    path cost is one dict lookup per word occurrence within a task.
     """
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(

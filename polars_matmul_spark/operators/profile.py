@@ -102,6 +102,8 @@ def corr_matrix(df: DataFrame, columns: list[str]) -> DataFrame:
     n columns -> n*(n-1)/2 agg expressions; fine for the dozens-of-
     columns regime a table profile targets. All JVM-side.
     """
+    if len(columns) < 2:
+        raise ValueError(f"corr_matrix needs at least two columns, got {columns}")
     fields = {f.name: f.dataType for f in df.schema.fields}
     unknown = [c for c in columns if c not in fields]
     if unknown:
@@ -147,14 +149,18 @@ def frequent_items(
     the sketch alternative — this exact form is the oracle-friendly
     default.
     """
+    import math
+
     if not 0 < min_share <= 1:
         raise ValueError(f"min_share must be in (0, 1], got {min_share}")
     total = df.count()
-    floor = int(total * min_share)
+    # ceil, not floor: with total=1010 and min_share=0.05 a value with
+    # n=50 has share 0.0495 < 0.05 and must NOT pass
+    threshold = math.ceil(total * min_share)
     return (
         df.groupBy(F.col(column).alias("value"))
         .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= F.greatest(F.lit(1), F.lit(floor)))
+        .filter(F.col("n") >= F.greatest(F.lit(1), F.lit(threshold)))
         .withColumn("share", F.col("n") / F.lit(float(total)))
         .orderBy(F.desc("n"), F.asc("value"))
     )

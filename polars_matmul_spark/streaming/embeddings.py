@@ -35,16 +35,11 @@ __all__ = ["ingest_embeddings_batch", "run_embedding_ingest_stream"]
 
 
 def _read_index_or_none(spark: SparkSession, path: str) -> DataFrame | None:
-    from pyspark.errors import AnalysisException
+    # same corrupt-vs-missing classification as the text ingest loop —
+    # one implementation, one test (corrupt index must fail loudly)
+    from polars_matmul_spark.streaming.ingest import _read_or_empty
 
-    try:
-        df = spark.read.parquet(path)
-        return None if not df.columns else df
-    except AnalysisException as e:
-        condition = getattr(e, "getCondition", lambda: None)() or ""
-        if "PATH_NOT_FOUND" in condition or "Path does not exist" in str(e):
-            return None
-        raise
+    return _read_or_empty(spark, path, None)
 
 
 def ingest_embeddings_batch(
@@ -61,13 +56,17 @@ def ingest_embeddings_batch(
     append IVF-assigned rows to ``index_dir/epoch=N``."""
     batch = batch_df.localCheckpoint(eager=True)
 
-    # 1. within-batch collapse: keep the lowest id of each similar pair
+    # 1. within-batch collapse: keep the lowest id of each similar pair.
+    # Probe ALL lists here (genuine batch-sized brute force): with the
+    # caller's nprobe a boundary-straddling within-batch pair could slip
+    # through and BOTH copies would enter the index permanently —
+    # micro-batches are small, so exhaustive probing is cheap
     self_pairs = embedding_neardup_new_vs_index(
         batch.select(F.col(id_col).alias("new_id"), "embedding"),
         assign_ivf(batch.withColumnRenamed(id_col, "old_id"), centroids, "old_id"),
         centroids,
         threshold=threshold,
-        nprobe=nprobe,
+        nprobe=10**9,
     ).filter(F.col("new_id") > F.col("old_id"))
     batch = batch.join(
         self_pairs.select(F.col("new_id").alias(id_col)).distinct(),

@@ -213,7 +213,9 @@ class TestIncrementalEmbeddingNeardup:
         ).toPandas()
         want = self._brute_pairs(spark, new, old)
         assert {(r.new_id, r.old_id) for r in got.itertuples()} == want
-        assert len(got) == len(want), "pair surfaced twice after distinct"
+        # pairs are unique by construction (one list per index row, one
+        # probe row per (new_id, centroid_id)) — no distinct() needed
+        assert len(got) == len(want), "a pair surfaced twice"
 
     def test_probe_recall_on_planted_dups(self, spark):
         # modular centroids give weak Voronoi structure, so a planted
