@@ -74,9 +74,11 @@ def test_ref_shape_topk_vs_numpy_ratio(spark, qdf_ref):
     run()  # warm python workers
     t_spark = min(_timed(run) for _ in range(3))
     # measured ~0.65x clean (matching the reference's 0.64x headline);
-    # the bound is 6x because the full pytest session contends for
-    # cores — it still catches falling off the Arrow/BLAS path (~50x)
-    assert t_spark < 6.0 * t_np, f"spark {t_spark:.3f}s vs numpy {t_np:.3f}s"
+    # the bound is 10x because a loaded CI box inflates the Spark wall
+    # far more than the single-threaded NumPy baseline (observed 6x
+    # flake during a 2x-slower full-suite run) — it still catches
+    # falling off the Arrow/BLAS path (~50x)
+    assert t_spark < 10.0 * t_np, f"spark {t_spark:.3f}s vs numpy {t_np:.3f}s"
 
 
 def test_f32_path_not_slower_than_f64(spark, qdf_ref):
