@@ -273,3 +273,34 @@ GROUP BY doc_id ORDER BY doc_id
         )
         out = unigram_logprob(df).toPandas().set_index("doc_id")
         assert out.loc[1, "mean_logprob"] > out.loc[2, "mean_logprob"]
+
+
+def test_canonicalize_unlocks_formatting_noise_neardups(spark):
+    # the intended composition: MinHash on raw text misses near-dups
+    # that differ only in punctuation/case/whitespace; on canonicalized
+    # text it finds them
+    import pandas as pd
+
+    from polars_matmul_spark.operators.dedup import neardup_pairs_minhash
+    from polars_matmul_spark.operators.text import canonicalize
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the quiet hills before night falls on the valley"
+    )
+    noisy = (
+        "The QUICK  brown fox, jumps over the lazy dog; and then runs far "
+        "away (into the quiet hills) before NIGHT falls on the valley!"
+    )
+    other = (
+        "completely unrelated content about spark catalyst optimizer "
+        "plans shuffles partitions and adaptive query execution at scale"
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, noisy, other]})
+    )
+    raw_pairs = neardup_pairs_minhash(df, threshold=0.9).count()
+    canon = df.select("doc_id", canonicalize(F.col("text")).alias("text"))
+    canon_pairs = neardup_pairs_minhash(canon, threshold=0.9).toPandas()
+    assert raw_pairs == 0
+    assert {(r.d1, r.d2) for r in canon_pairs.itertuples()} == {(1, 2)}
