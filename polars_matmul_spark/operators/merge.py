@@ -27,23 +27,66 @@ __all__ = ["merge_upsert", "scd2_apply", "scd2_current"]
 
 
 def merge_upsert(
-    target: DataFrame, changes: DataFrame, key_cols: list[str]
+    target: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str | None = None,
 ) -> DataFrame:
     """MERGE semantics: rows of ``changes`` replace same-key rows of
     ``target``; unmatched change rows are inserts. Schemas must match.
 
+    A batch may carry at most one row per key — enforced, because two
+    same-key rows have no defined winner. Pass ``seq_col`` to instead
+    apply documented last-wins: per key, the change row with the
+    highest ``seq_col`` value is applied and the rest are dropped
+    (deterministic; ties broken by the remaining columns descending).
+
+    Keys are matched null-safely (``<=>``): a NULL key in changes
+    replaces the NULL-key target row rather than inserting a duplicate.
+
     Plan: target LEFT ANTI changes (drop rows being replaced) UNION ALL
     changes. One shuffle (or broadcast) on the key; linear in
-    |target| + |changes|.
+    |target| + |changes|. The optional last-wins dedup is one extra
+    partial-aggregatable ``max(struct(...))`` over the (small) changes
+    side only.
     """
     missing = [c for c in target.columns if c not in changes.columns]
     if missing:
         raise ValueError(f"changes is missing columns: {missing}")
-    kept = target.join(changes.select(*key_cols).distinct(), key_cols, "left_anti")
+    if seq_col is not None:
+        if seq_col not in changes.columns:
+            raise ValueError(f"seq_col {seq_col!r} not in changes")
+        # last-wins: max(struct(seq, payload...)) per key is map-side
+        # combinable — no window, no global sort over the batch.
+        payload = [c for c in changes.columns if c not in key_cols]
+        ordered = [seq_col] + [c for c in payload if c != seq_col]
+        changes = (
+            changes.groupBy(*key_cols)
+            .agg(F.max(F.struct(*ordered)).alias("__w"))
+            .select(*key_cols, *[F.col(f"__w.{c}").alias(c) for c in payload])
+        )
+    else:
+        dup = (
+            changes.groupBy(*key_cols)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "changes batch has multiple rows for one key; pass seq_col "
+                "for last-wins semantics"
+            )
+    cond = None
+    for k in key_cols:
+        c = target[k].eqNullSafe(changes[k])
+        cond = c if cond is None else cond & c
+    kept = target.join(changes.select(*key_cols).distinct(), cond, "left_anti")
     return kept.unionByName(changes.select(*target.columns))
 
 
-def _not_distinct(a: Column, b: Column) -> Column:
+def _differs(a: Column, b: Column) -> Column:
     # null-safe inequality: a change to/from NULL is still a change
     return ~a.eqNullSafe(b)
 
@@ -91,12 +134,17 @@ def scd2_apply(
         *[F.col(c).alias(f"__new_{c}") for c in compare_cols],
         F.col(change_ts_col).alias("__chg_ts"),
     )
-    joined = cur.join(chg, key_cols, "full_outer")
+    # Explicit presence marker: valid_from nullability is NOT a safe
+    # proxy — initial-load SCD2 rows legitimately carry NULL valid_from
+    # and must still count as "current row existed".
+    joined = cur.withColumn("__had_cur", F.lit(True)).join(
+        chg, key_cols, "full_outer"
+    )
     differs = F.lit(False)
     for c in compare_cols:
-        differs = differs | _not_distinct(F.col(c), F.col(f"__new_{c}"))
+        differs = differs | _differs(F.col(c), F.col(f"__new_{c}"))
     has_change = F.col("__chg_ts").isNotNull()
-    had_current = F.col("valid_from").isNotNull()
+    had_current = F.col("__had_cur").isNotNull()
 
     # current rows: closed if a differing change arrived, else kept
     kept_current = joined.filter(had_current).select(

@@ -146,3 +146,91 @@ class TestScd2:
         ch = self._changes(spark, [(1, "a2", 20), (1, "a3", 21)])
         with pytest.raises(ValueError, match="multiple rows"):
             scd2_apply(dim, ch, ["k"], "ts")
+
+
+class TestMergeUpsertContracts:
+    def _target(self, spark):
+        return spark.createDataFrame(
+            pd.DataFrame({"k": [1, 2, 3], "v": ["t1", "t2", "t3"]})
+        ).select(F.col("k").cast("long"), "v")
+
+    def test_dup_key_batch_raises(self, spark):
+        tgt = self._target(spark)
+        ch = spark.createDataFrame(
+            pd.DataFrame({"k": [1, 1], "v": ["c1a", "c1b"]})
+        ).select(F.col("k").cast("long"), "v")
+        with pytest.raises(ValueError, match="multiple rows"):
+            merge_upsert(tgt, ch, ["k"]).count()
+
+    def test_seq_col_last_wins(self, spark):
+        tgt = self._target(spark)
+        ch = spark.createDataFrame(
+            pd.DataFrame(
+                {"k": [1, 1, 4], "v": ["old", "new", "ins"], "seq": [5, 9, 1]}
+            )
+        ).select(F.col("k").cast("long"), "v", F.col("seq").cast("long"))
+        out = merge_upsert(
+            tgt.withColumn("seq", F.lit(0).cast("long")), ch, ["k"], seq_col="seq"
+        ).toPandas()
+        got = dict(zip(out["k"], out["v"]))
+        assert got == {1: "new", 2: "t2", 3: "t3", 4: "ins"}
+
+    def test_null_key_null_safe_replace(self, spark):
+        tgt = spark.createDataFrame(
+            pd.DataFrame({"k": [1.0, None], "v": ["t1", "tnull"]})
+        ).select(F.col("k").cast("long"), "v")
+        ch = spark.createDataFrame(
+            pd.DataFrame({"k": [None], "v": ["cnull"]})
+        ).select(F.col("k").cast("long"), "v")
+        out = merge_upsert(tgt, ch, ["k"]).toPandas()
+        # the NULL-key change REPLACES the NULL-key target row (<=>),
+        # it must not append a duplicate
+        assert len(out) == 2
+        vals = set(out["v"])
+        assert vals == {"t1", "cnull"}
+
+
+class TestScd2InitialLoadNullValidFrom:
+    def test_null_valid_from_current_row_not_dropped(self, spark):
+        # initial-load SCD2 rows often carry NULL valid_from; the row
+        # must still count as an existing current version
+        dim = spark.createDataFrame(
+            pd.DataFrame(
+                {"k": [1], "attr": ["a0"], "valid_from": [None], "valid_to": [None]}
+            )
+        ).select(
+            "k",
+            "attr",
+            F.col("valid_from").cast("long"),
+            F.col("valid_to").cast("long"),
+        )
+        ch = spark.createDataFrame(
+            pd.DataFrame({"k": [1], "attr": ["a1"], "ts": [20]})
+        ).select("k", "attr", F.col("ts").cast("long"))
+        out = scd2_apply(dim, ch, ["k"], "ts").toPandas()
+        out = out.sort_values(["k", "attr"]).reset_index(drop=True)
+        rows = {
+            (r.k, r.attr, None if pd.isna(r.valid_from) else r.valid_from,
+             None if pd.isna(r.valid_to) else r.valid_to)
+            for r in out.itertuples()
+        }
+        # old version kept AND closed at ts=20; new version current
+        assert rows == {(1, "a0", None, 20), (1, "a1", 20, None)}
+
+    def test_identical_change_on_null_valid_from_is_noop(self, spark):
+        dim = spark.createDataFrame(
+            pd.DataFrame(
+                {"k": [1], "attr": ["a0"], "valid_from": [None], "valid_to": [None]}
+            )
+        ).select(
+            "k",
+            "attr",
+            F.col("valid_from").cast("long"),
+            F.col("valid_to").cast("long"),
+        )
+        ch = spark.createDataFrame(
+            pd.DataFrame({"k": [1], "attr": ["a0"], "ts": [20]})
+        ).select("k", "attr", F.col("ts").cast("long"))
+        out = scd2_apply(dim, ch, ["k"], "ts").toPandas()
+        assert len(out) == 1
+        assert pd.isna(out["valid_to"].iloc[0])
