@@ -46,10 +46,30 @@ def main() -> None:
     from polars_matmul_spark.registry import ALL_QUERIES
     from polars_matmul_spark.sources.tables import load_table
 
+    from polars_matmul_spark.calibration import calibration_wall, load_factor
+
     spark = get_spark("bench")
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
 
     times: dict[str, float] = {}
+
+    # --- machine-load calibration (round-4: every headline number is
+    # annotated with how contended the box was when it was taken, so a
+    # loaded-box bench is self-identifying instead of a mystery the
+    # next round has to re-diagnose) ---
+    calib: dict[str, float | bool] = {"retried": False}
+    w = calibration_wall(spark)
+    f, baseline = load_factor(w)
+    if f > 2.0:
+        # the box is visibly contended: give transient load one chance
+        # to clear before taking the numbers of record
+        time.sleep(15)
+        w = calibration_wall(spark)
+        f, baseline = load_factor(w)
+        calib["retried"] = True
+    calib["pre_wall"] = round(w, 3)
+    calib["idle_baseline"] = round(baseline, 3)
+    calib["pre_load_factor"] = round(f, 2)
 
     # --- warmup: boot python workers / JIT / codegen before timing ---
     emb_small = load_table(spark, "embeddings", SF_DIR).limit(64)
@@ -143,6 +163,19 @@ def main() -> None:
         _force(out["packed"])
 
     times["corpus_prep_pipeline"] = _timed(_run_pipeline)
+
+    # re-calibrate right before the ref-shape kernels — these are the
+    # numbers judged against BASELINE.md, so the load DURING them is
+    # what matters; retry once if the box is contended right now
+    w = calibration_wall(spark)
+    f, _ = load_factor(w)
+    if f > 2.0:
+        time.sleep(15)
+        w = calibration_wall(spark)
+        f, _ = load_factor(w)
+        calib["retried"] = True
+    calib["ref_shape_wall"] = round(w, 3)
+    calib["ref_shape_load_factor"] = round(f, 2)
 
     # --- reference canonical shape: 1000 x 10000 x 256, k=10, f32 ---
     # Methodology mirrors the reference benchmark (examples/
@@ -337,6 +370,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": {k: round(v, 3) for k, v in times.items()},
+                "calibration": calib,
                 "ratios_vs_same_machine_numpy": ratios,
                 "delta_vs_prev": delta_vs_prev,
                 "prev_bench": prev_name,

@@ -191,19 +191,19 @@ def matmul(col, corpus, flatten: bool = False, input_is_f32: bool = False) -> Co
     width with ``input_is_f32`` (the DataFrame helpers in
     ``operators.similarity`` resolve it from the schema automatically).
 
-    For ``flatten=True`` semantics use :func:`matmul_flatten`
-    (row count changes; needs a DataFrame).
+    ``flatten=True`` returns a generator expression
+    (``explode(matmul(...))``): used in a ``select``/``withColumn`` it
+    yields one row per (query, corpus) pair in the reference's
+    row-major order — the Column-level analog of Polars'
+    ``map_batches(is_elementwise=False)``
+    (python/polars_matmul/__init__.py:173-187). Spark's generator
+    restrictions apply (one generator per select list, not nestable
+    inside other expressions); for multi-generator plans or to carry
+    query ids through shuffles use :func:`matmul_flatten` /
+    :func:`matmul_flatten_series`.
     """
     if flatten:
-        raise ValueError(
-            "flatten=True changes the row count, which a Spark Column "
-            "expression cannot do (Polars map_batches(is_elementwise="
-            "False) has no Column-level analog). The one-call port is "
-            "matmul_flatten_series(df, col, corpus) -> a single-column "
-            "DataFrame of n_q * n_c scores in the reference's row-major "
-            "order; matmul_flatten(df, col, corpus, keep=[...]) "
-            "additionally carries query ids through shuffles."
-        )
+        return F.explode(matmul(col, corpus, input_is_f32=input_is_f32))
     mat = corpus_to_matrix(corpus)
     bc = _active_sc().broadcast(mat)
     out_np = K.promote_dtype(

@@ -48,13 +48,11 @@ class PmmNamespace:
 
     def matmul(self, corpus, flatten: bool = False, input_is_f32: bool = False) -> Column:
         """All-pairs dot products against a broadcast corpus (one score
-        array per query row). ``flatten=True`` changes the row count,
-        which no Spark Column expression can — the 1:1 port of the
-        reference's flatten mode is
-        ``functions.matmul_flatten_series(df, col, corpus)`` (row-major
-        flat scores as a single-column DataFrame); the raised error
-        points there. Reference: ``Expr.pmm.matmul``
-        (python/polars_matmul/__init__.py:121-196).
+        array per query row). ``flatten=True`` returns a generator
+        expression: ``df.select(col.pmm.matmul(corpus, flatten=True))``
+        yields the reference's n_q * n_c row-major flat scores — the
+        one-call port of the reference's flatten mode. Reference:
+        ``Expr.pmm.matmul`` (python/polars_matmul/__init__.py:121-196).
         """
         return _S.matmul(self._col, corpus, flatten=flatten, input_is_f32=input_is_f32)
 

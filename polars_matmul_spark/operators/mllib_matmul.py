@@ -38,10 +38,10 @@ def blockmatrix_matmul(
     ``toIndexedRowMatrix`` dense rows, not ``toCoordinateMatrix``,
     which silently drops entries whose value is exactly 0.0.
     """
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.mllib.common import callMLlibFunc
     from pyspark.mllib.linalg import Vectors
     from pyspark.mllib.linalg.distributed import IndexedRow, IndexedRowMatrix
-
-    spark = queries.sparkSession
 
     def to_irm(df: DataFrame, id_col: str) -> IndexedRowMatrix:
         rdd = df.select(id_col, emb_col).rdd.map(
@@ -54,17 +54,21 @@ def blockmatrix_matmul(
     ct_bm = to_irm(corpus, c_id).toBlockMatrix(block_size, block_size).transpose()
     product = q_bm.multiply(ct_bm)  # (n_q x n_c) scores, block-partitioned
 
-    rows = product.toIndexedRowMatrix().rows
-    out = spark.createDataFrame(
-        rows.flatMap(
-            lambda r: (
-                (int(r.index), j, float(v))
-                for j, v in enumerate(r.vector.toArray())
-            )
+    # Readback stays JVM-side: the Python `.rows` property would pull
+    # every IndexedRow through pickling and the old flatMap pushed all
+    # n_q x n_c entries through per-element Python — the bottleneck at
+    # exactly the nothing-broadcasts scale this operator exists for.
+    # Instead grab the (index, vector) DataFrame that the JVM already
+    # materializes for that property and posexplode the vector as a
+    # Generate, so the whole flatten is whole-stage-codegen.
+    irm = product.toIndexedRowMatrix()
+    rows_df = callMLlibFunc("getIndexedRows", irm._java_matrix_wrapper._java_model)
+    return rows_df.select(
+        F.col("index").alias(q_id),
+        F.posexplode(vector_to_array(F.col("vector"), "float64")).alias(
+            c_id, "score"
         ),
-        f"{q_id} long, {c_id} long, score double",
-    )
-    return out
+    ).select(F.col(q_id), F.col(c_id).cast("long"), F.col("score"))
 
 
 def blockmatrix_topk(

@@ -210,9 +210,21 @@ class TestFloat32:
         # matmul through the namespace too: one score-array per row
         m = queries.withColumn("s", F.col("embedding").pmm.matmul(corpus)).first()
         assert len(m.s) == 3
-        # flatten through the namespace points at the DataFrame form
-        with pytest.raises(ValueError, match="matmul_flatten"):
-            F.col("embedding").pmm.matmul(corpus, flatten=True)
+        # flatten through the namespace: the reference's flatten-mode
+        # test (tests/test_polars_matmul.py:204-222) 1:1 in the
+        # Column-expression spelling — explode(matmul) is a generator
+        # expression, so the single select changes the row count just
+        # like Polars map_batches(is_elementwise=False)
+        fdf = spark.createDataFrame(
+            pd.DataFrame({"embedding": [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]]})
+        ).coalesce(1)
+        fout = fdf.select(
+            F.col("embedding").pmm.matmul([[1.0, 0.0], [0.0, 1.0]], flatten=True).alias("flat")
+        )
+        assert fout.schema["flat"].dataType.simpleString() == "double"
+        flat = [r.flat for r in fout.collect()]
+        assert len(flat) == 6  # 3 queries x 2 corpus
+        assert flat == pytest.approx([1.0, 0.0, 0.0, 1.0, 1.0, 1.0])
 
     def test_flagship_corpus_materializes_f32(self, spark, sf_dir):
         # the entry() flagship path: the f32 embeddings parquet must
