@@ -146,10 +146,19 @@ def main() -> None:
         run_stream_to_memory,
     )
 
-    times["streaming_hourly_replay"] = _timed(
-        lambda: run_stream_to_memory(
-            hourly_event_counts_stream(spark, SF_DIR), "bench_hourly_mem", "complete"
+    # same methodology as every other headline: one warm run (one-time
+    # streaming-engine/memory-sink init costs ~3s and was the bulk of
+    # the round-3 "+47% regression" — a cold single-shot on a loaded
+    # box), then best-of-2 full availableNow replays. Each timed run is
+    # a genuine full replay (fresh query name + checkpoint).
+    def _replay(name):
+        run_stream_to_memory(
+            hourly_event_counts_stream(spark, SF_DIR), name, "complete"
         )
+
+    _replay("bench_hourly_warm")
+    times["streaming_hourly_replay"] = min(
+        _timed(lambda i=i: _replay(f"bench_hourly_mem_{i}")) for i in range(2)
     )
 
     # --- end-to-end corpus prep (filter -> redact -> dedup groups ->

@@ -1217,12 +1217,10 @@ CORE_QUERIES: dict[str, tuple] = {
     "embedding_neardup_cosine": (_embedding_neardup, _EMBEDDING_NEARDUP_ORACLE),
     "ann_ivf_topk": (_ann_ivf, _duck_ivf_oracle()),
     "ann_brp_lsh_join": (_ann_brp_lsh, None),
-    "explode_embedding": (_explode_embedding, _EXPLODE_EMBEDDING_ORACLE),
     # relational surface
     "q1_pricing_summary": (_q1, _Q1_SQL),
     "q3_shipping_priority": (_q3, _Q3_ORACLE),
     "q5_local_supplier": (_q5, _Q5_ORACLE),
-    "q6_forecast_revenue": (_q6, _Q6_SQL),
     "top_suppliers_per_nation": (_top_suppliers, _TOP_SUPPLIERS_ORACLE),
     "rollup_sales": (_rollup, _ROLLUP_SQL),
     "pivot_order_status": (_pivot_orders, _PIVOT_ORDERS_ORACLE),
@@ -1245,6 +1243,10 @@ CORE_QUERIES: dict[str, tuple] = {
     # json_event_props (get_json_object projection — props parsing also
     # exercised by sessionize/event queries), q10_returned_items and
     # q13_order_distribution (join+agg shapes covered by q3/q5/q18).
+    # Round 4 rotates out explode_embedding (H5/H8 posexplode+row-index
+    # — also exercised by matmul_flatten and mm_frame_sample) and
+    # q6_forecast_revenue (filter+agg subsumed by q1) so the SCD2 and
+    # int8-rerank families get driver rows (queries_pipeline.py).
     # The query functions remain above, importable and unit-covered.
     "sketch_distinct_users": (_sketch_distinct_users, None),
     "mllib_blockmatrix_matmul": (_mllib_blockmatmul, _MLLIB_BLOCKMATMUL_ORACLE),

@@ -189,10 +189,171 @@ FROM b
 """
 
 
+# --- SCD2 (round-4 rotation: CDC family gets a driver row) -----------------
+
+def _scd2_customers(spark, sf_dir):
+    """SCD2 batch apply over a customer dimension: initial versions from
+    the customer table, one change row per ordering customer (segment
+    flips to 'BULK' for even order counts — exercising close+append —
+    and stays identical for odd counts — exercising idempotent no-op),
+    plus two brand-new keys (insert path). Deterministic, float-free.
+    """
+    from polars_matmul_spark.operators.merge import scd2_apply
+
+    cust = load_table(spark, "customer", sf_dir)
+    dim = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    changes = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.max("c_mktsegment").alias("cur_segment"),
+        )
+        .select(
+            "c_custkey",
+            F.when(F.col("n_orders") % 2 == 0, F.lit("BULK"))
+            .otherwise(F.col("cur_segment"))
+            .alias("segment"),
+            F.lit(100).cast("long").alias("ts"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(900001, "NEWSEG", 100), (900002, "NEWSEG", 100)],
+                "c_custkey long, segment string, ts long",
+            )
+        )
+    )
+    return scd2_apply(dim, changes, ["c_custkey"], "ts")
+
+
+_SCD2_ORACLE = """
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment AS segment,
+         CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+  FROM customer
+), chg AS (
+  SELECT o.o_custkey AS c_custkey,
+         CASE WHEN count(*) % 2 = 0 THEN 'BULK' ELSE max(c.c_mktsegment) END AS segment,
+         CAST(100 AS BIGINT) AS ts
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY o.o_custkey
+  UNION ALL
+  SELECT * FROM (VALUES (900001, 'NEWSEG', CAST(100 AS BIGINT)),
+                        (900002, 'NEWSEG', CAST(100 AS BIGINT)))
+       t(c_custkey, segment, ts)
+), kept AS (
+  -- current rows: closed (valid_to = ts) iff a differing change arrived
+  SELECT d.c_custkey, d.segment, d.valid_from,
+         CASE WHEN ch.c_custkey IS NOT NULL
+                   AND ch.segment IS DISTINCT FROM d.segment
+              THEN ch.ts END AS valid_to
+  FROM dim d LEFT JOIN chg ch USING (c_custkey)
+), newv AS (
+  -- new versions: differing change on an existing key, or a new key
+  SELECT ch.c_custkey, ch.segment, ch.ts AS valid_from,
+         CAST(NULL AS BIGINT) AS valid_to
+  FROM chg ch LEFT JOIN dim d USING (c_custkey)
+  WHERE d.c_custkey IS NULL OR ch.segment IS DISTINCT FROM d.segment
+)
+SELECT * FROM kept UNION ALL SELECT * FROM newv
+"""
+
+
+# --- int8 quantized top-k with exact rerank (round-4 rotation) -------------
+
+def _quantized_rerank(spark, sf_dir):
+    """Two-stage search on the embeddings table: int8-quantized cosine
+    shortlist (k*4 per query), exact full-precision rerank. Scores in
+    the output are EXACT (the approximation only picks the shortlist),
+    and the quantization itself is deterministic arithmetic, so the
+    whole two-stage selection replays bit-for-bit in DuckDB.
+    """
+    from polars_matmul_spark.operators.quantize import quantized_topk_rerank
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.filter(F.col("vec_id") >= 50).select(
+        F.col("vec_id").alias("corpus_id"), "embedding"
+    )
+    out = quantized_topk_rerank(q, c, k=5, rerank_factor=4)
+    # float discipline: last-ulp divide/sqrt noise -> round to 6 dp on
+    # both sides (same rule as topk_kernel_cosine / mllib matmul)
+    return out.select(
+        "query_id", "rank", "corpus_id", F.round("score", 6).alias("score_r")
+    )
+
+
+# replicates quantize_int8 exactly: scale = amax/127 computed in double,
+# STORED as float32 (hence the REAL round-trip), codes = round(x/scale)
+_QUANTIZED_RERANK_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS emb
+           FROM embeddings WHERE vec_id < 50),
+     c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS emb
+           FROM embeddings WHERE vec_id >= 50),
+     qs AS (SELECT query_id, emb,
+                   CAST(CAST(CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END
+                             AS REAL) AS DOUBLE) AS s
+            FROM (SELECT query_id, emb,
+                         list_max(list_transform(emb, a -> abs(a))) AS amax
+                  FROM q)),
+     cs AS (SELECT corpus_id, emb,
+                   CAST(CAST(CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END
+                             AS REAL) AS DOUBLE) AS s
+            FROM (SELECT corpus_id, emb,
+                         list_max(list_transform(emb, a -> abs(a))) AS amax
+                  FROM c)),
+     qq AS (SELECT query_id, emb, list_transform(emb, x -> round(x / s)) AS qv
+            FROM qs),
+     cc AS (SELECT corpus_id, emb, list_transform(emb, x -> round(x / s)) AS qv
+            FROM cs),
+     approx AS (
+       SELECT query_id, corpus_id, qq.emb AS q_emb, cc.emb AS c_emb,
+              CASE WHEN sqrt(list_dot_product(qq.qv, qq.qv)) > 1e-10
+                    AND sqrt(list_dot_product(cc.qv, cc.qv)) > 1e-10
+                   THEN list_dot_product(qq.qv, cc.qv)
+                        / (sqrt(list_dot_product(qq.qv, qq.qv))
+                           * sqrt(list_dot_product(cc.qv, cc.qv)))
+                   ELSE 0.0 END AS ap
+       FROM qq CROSS JOIN cc),
+     short AS (
+       SELECT * FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+                                      ORDER BY ap DESC, corpus_id ASC) AS r
+         FROM approx) WHERE r <= 20),
+     rer AS (
+       SELECT query_id, corpus_id,
+              CASE WHEN sqrt(list_dot_product(q_emb, q_emb)) > 1e-10
+                    AND sqrt(list_dot_product(c_emb, c_emb)) > 1e-10
+                   THEN list_dot_product(q_emb, c_emb)
+                        / (sqrt(list_dot_product(q_emb, q_emb))
+                           * sqrt(list_dot_product(c_emb, c_emb)))
+                   ELSE 0.0 END AS score
+       FROM short)
+SELECT query_id, rn AS rank, corpus_id, round(score, 6) AS score_r
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, corpus_id ASC) AS rn
+      FROM rer)
+WHERE rn <= 5
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "tfidf_weights": (_tfidf_weights, _TFIDF_ORACLE),
     "bm25_search": (_bm25_search, _BM25_ORACLE),
     "chunk_documents": (_chunk_docs, _CHUNK_ORACLE),
     "profile_lineitem": (_profile_lineitem, _profile_oracle()),
     "hash_split_docs": (_hash_split_docs, _HASH_SPLIT_ORACLE),
+    # round-4 rotation (explode_embedding + q6_forecast_revenue out —
+    # their operator classes are covered by matmul_flatten/mm_frame_
+    # sample and q1 respectively): CDC/SCD2 and int8-rerank families in
+    "scd2_customers": (_scd2_customers, _SCD2_ORACLE),
+    "quantized_topk_rerank": (_quantized_rerank, _QUANTIZED_RERANK_ORACLE),
 }

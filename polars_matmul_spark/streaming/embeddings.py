@@ -9,9 +9,11 @@ Scale/semantics notes:
 - The vs-history check is ``ann.embedding_neardup_new_vs_index``: the
   batch broadcasts into the centroid-partitioned index scan; the
   TB-scale index is never shuffled.
-- Within-batch duplicates collapse by keeping the lowest id of each
-  pairwise-similar pair (batch-sized brute force via the same blocked
-  join — micro-batches are small by construction).
+- Within-batch duplicates collapse greedily by ascending id AGAINST
+  SURVIVORS: a row is dropped only if similar to an already-kept row,
+  so chain members whose only witness was itself dropped still enter
+  the index (batch-sized brute force via the same blocked join —
+  micro-batches are small by construction).
 - Writes use the repo's idempotent epoch-sink pattern (one OVERWRITTEN
   ``epoch=N`` subdir per foreachBatch epoch), and a replayed batch
   that finds ITSELF in the index must not self-reject (same guard as
@@ -56,11 +58,17 @@ def ingest_embeddings_batch(
     append IVF-assigned rows to ``index_dir/epoch=N``."""
     batch = batch_df.localCheckpoint(eager=True)
 
-    # 1. within-batch collapse: keep the lowest id of each similar pair.
+    # 1. within-batch collapse: greedy keep-lowest-id AGAINST SURVIVORS.
+    # A row is dropped only if it is similar to a row that was itself
+    # kept — plain pairwise drop mishandles chains (A~B, B~C, A!~C: C's
+    # only witness B is dropped by A, so C is novel relative to the
+    # kept set and must enter the index). The pair graph is batch-sized
+    # (micro-batches are small by construction), so the exact greedy
+    # pass runs on the driver over the collected pairs — one collect
+    # per micro-batch, the normal foreachBatch coordination cost.
     # Probe ALL lists here (genuine batch-sized brute force): with the
     # caller's nprobe a boundary-straddling within-batch pair could slip
-    # through and BOTH copies would enter the index permanently —
-    # micro-batches are small, so exhaustive probing is cheap
+    # through and BOTH copies would enter the index permanently.
     self_pairs = embedding_neardup_new_vs_index(
         batch.select(F.col(id_col).alias("new_id"), "embedding"),
         assign_ivf(batch.withColumnRenamed(id_col, "old_id"), centroids, "old_id"),
@@ -68,11 +76,20 @@ def ingest_embeddings_batch(
         threshold=threshold,
         nprobe=10**9,
     ).filter(F.col("new_id") > F.col("old_id"))
-    batch = batch.join(
-        self_pairs.select(F.col("new_id").alias(id_col)).distinct(),
-        id_col,
-        "left_anti",
-    )
+    adj: dict[int, set[int]] = {}
+    for r in self_pairs.select("new_id", "old_id").collect():
+        adj.setdefault(r.new_id, set()).add(r.old_id)
+        adj.setdefault(r.old_id, set()).add(r.new_id)
+    if adj:
+        kept: set[int] = set()
+        dropped: list[int] = []
+        for i in sorted(adj):  # rows with no similar pair are trivially kept
+            if adj[i] & kept:
+                dropped.append(i)
+            else:
+                kept.add(i)
+        if dropped:
+            batch = batch.filter(~F.col(id_col).isin(dropped))
 
     # 2. vs everything accepted so far (self-id guard for crash replay)
     index = _read_index_or_none(spark, index_dir)

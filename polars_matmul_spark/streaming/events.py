@@ -19,6 +19,15 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# schema-peek cache: one footer read per (sf_dir) per session — the
+# peek costs a Spark job (file listing + footer), and every stream
+# START repeats it otherwise (5+ stream builders x restarts added
+# whole seconds to the round-3 streaming bench). The testdata tables
+# are immutable within a session, so caching is safe; streaming-ingest
+# paths with evolving directories use their own readers.
+_EVENTS_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same defensive confs as sources.tables.load_table — the stream
     # must read whichever ts encoding the data ships (see normalize_ts)
@@ -31,9 +40,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (hard-coding LongType against timestamp[us] data silently yields
     # micros-as-nanos, timestamps 1000x too small). Footer-only: no data
     # scan happens here.
-    schema = (
-        spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir).schema
-    )
+    schema = _EVENTS_SCHEMA_CACHE.get(sf_dir)
+    if schema is None:
+        schema = (
+            spark.read.option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .schema
+        )
+        _EVENTS_SCHEMA_CACHE[sf_dir] = schema
     # the file source wants a directory; glob-filter down to the one table
     raw = (
         spark.readStream.schema(schema)

@@ -107,6 +107,30 @@ def test_brp_lsh_join_recall_and_precision(spark):
     assert recall >= 0.95, f"BRP-LSH recall = {recall:.3f} ({len(exact)} true pairs)"
 
 
+def test_brp_lsh_join_deterministic_across_refits(spark):
+    # the driver's rows-only check is only meaningful if the emitted
+    # pair set is stable run to run: two INDEPENDENT fits (fresh model,
+    # same seed) must produce the identical confirmed-pairs set — the
+    # seed fully determines MLlib's random projections, and every
+    # emitted pair is verified by exact distance, so the output is a
+    # reproducible subset of the exact answer even though no external
+    # engine can replay the JVM-private hash family (why the registry
+    # row is no_oracle permanently — see README).
+    from polars_matmul_spark.operators.ann import brp_lsh_similarity_join
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    a = emb.select(F.col("vec_id").alias("id_a"), "embedding")
+    b = emb.select(F.col("vec_id").alias("id_b"), "embedding")
+    runs = [
+        {
+            (r.id_a, r.id_b, round(r.dist, 9))
+            for r in brp_lsh_similarity_join(a, b, threshold=1.2).collect()
+        }
+        for _ in range(2)
+    ]
+    assert runs[0] == runs[1] and len(runs[0]) > 0
+
+
 def test_kmeans_centroids_beat_modular_at_equal_nprobe(spark):
     # trained lists must improve recall@5 over modular picks at the
     # same probe budget (that's the point of training them)

@@ -105,6 +105,35 @@ class TestEmbeddingIngest:
         got = {r["centroid_id"] for r in accepted.select("centroid_id").distinct().collect()}
         assert got <= cents
 
+    def test_chain_collapse_keeps_novel_endpoint(self, spark, tmp_path):
+        # A~B and B~C but A!~C (cos 15deg = .966 >= .95, cos 30deg =
+        # .866 < .95): greedy-vs-survivors must drop only B — C's sole
+        # witness was itself dropped, so C is novel relative to the
+        # kept set and enters the index. Plain pairwise drop would
+        # wrongly reject C too.
+        import math
+
+        a15, a30 = math.radians(15), math.radians(30)
+        vecs = {
+            1: [1.0, 0.0, 0.0, 0.0],
+            2: [math.cos(a15), math.sin(a15), 0.0, 0.0],
+            3: [math.cos(a30), math.sin(a30), 0.0, 0.0],
+        }
+        batch = spark.createDataFrame(
+            [(i, v) for i, v in vecs.items()],
+            "vec_id long, embedding array<float>",
+        )
+        centroids = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0, 0.0])],
+            "centroid_id long, centroid_emb array<float>",
+        )
+        index_dir = str(tmp_path / "chain_index")
+        ingest_embeddings_batch(
+            spark, batch, 0, index_dir, centroids, threshold=0.95, nprobe=1
+        )
+        ids = {r["vec_id"] for r in spark.read.parquet(index_dir).collect()}
+        assert ids == {1, 3}
+
     def test_epoch_replay_idempotent(self, spark, ingest_dirs):
         inp, index_dir, centroids = ingest_dirs
         before = spark.read.parquet(index_dir).count()
