@@ -50,3 +50,24 @@ def test_blockmatrix_orthogonal_pairs_score_zero(spark):
     got = blockmatrix_matmul(q, c).toPandas().sort_values(["query_id", "corpus_id"])
     assert len(got) == 4  # every pair, including the orthogonal one
     assert got["score"].tolist() == [0.0, 1.0, 1.0, 1.0]
+
+
+def test_blockmatrix_readback_is_jvm_side(spark):
+    # the flatten of the (n_q x n_c) product must be a Catalyst
+    # Generate (posexplode over vector_to_array), never a Python
+    # flatMap pickling every element — pin it in the physical plan
+    import pandas as pd
+
+    from polars_matmul_spark.operators.mllib_matmul import blockmatrix_matmul
+
+    q = spark.createDataFrame(
+        pd.DataFrame({"query_id": [0, 1], "embedding": [[1.0, 0.0], [0.0, 1.0]]})
+    )
+    c = spark.createDataFrame(
+        pd.DataFrame({"corpus_id": [0, 1], "embedding": [[0.0, 1.0], [1.0, 1.0]]})
+    )
+    plan = blockmatrix_matmul(q, c)._jdf.queryExecution().executedPlan().toString()
+    assert "Generate posexplode" in plan
+    # the only scan is the JVM object scan of IndexedRows; no
+    # BatchEvalPython / PythonRDD stage evaluates the elements
+    assert "BatchEvalPython" not in plan and "EvalPython" not in plan
