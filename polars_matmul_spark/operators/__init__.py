@@ -5,6 +5,8 @@
 - ``dedup``            exact + near-duplicate detection family
 - ``ann``              approximate nearest neighbor (IVF / LSH bucketed),
   trained centroids, incremental embedding near-dup vs persisted index
+- ``semdedup``         unsupervised semantic dedup (KMeans blocking,
+  top-2 probe, exact verify, component keep)
 - ``text``             text analysis: lang-id, quality, tokens,
   fingerprints, canonicalization
 - ``text_filters``     PII redaction, repetition, contamination,

@@ -361,10 +361,14 @@ def dedup_groups(
     - label propagation along symmetric edges; the per-round shuffle
       carries one row per (edge + vertex), same order as the input.
     """
+    # edges are re-joined on src EVERY round: partition them on the
+    # join key once, so the per-round exchange hits only the (smaller,
+    # changing) labels side. checkpoint preserves the partitioning.
     edges = (
         pairs.select(F.col(d1).alias("src"), F.col(d2).alias("dst"))
         .union(pairs.select(F.col(d2).alias("src"), F.col(d1).alias("dst")))
         .distinct()
+        .repartition("src")
         .localCheckpoint(eager=True)
     )
     labels = (
@@ -379,6 +383,9 @@ def dedup_groups(
             .groupBy(F.col("dst").alias("v2"))
             .agg(F.min("label").alias("nmin"))
         )
+        # carry the previous label through the checkpoint so the
+        # convergence check is a scan of the materialized round, not
+        # another shuffle join against the old labels
         new_labels = (
             labels.join(neighbor_min, labels.v == neighbor_min.v2, "left")
             .select(
@@ -386,16 +393,12 @@ def dedup_groups(
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
                     "label"
                 ),
+                F.col("label").alias("__prev"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("__prev")).count()
+        labels = new_labels.select("v", "label")
         if changed == 0:
             return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("group_id"))
     raise RuntimeError(f"dedup_groups did not converge in {max_iter} iterations")
