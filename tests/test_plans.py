@@ -217,3 +217,22 @@ def test_bin_materialization_bodies_move_at_most_twice(spark, sf_dir):
     lines = [l for l in plan.splitlines() if "Exchange" in l and "text#" in l]
     assert len(lines) <= 2, plan
     assert "Window" not in plan
+
+
+def test_semdedup_candidates_are_blocked_equi_join(spark, sf_dir):
+    # unsupervised semantic dedup must never fall into the unblocked
+    # O(n^2) trap: centroids broadcast, candidate generation is a hash
+    # equi-join on cluster_id, verification is flat column arithmetic
+    from polars_matmul_spark.operators.semdedup import semantic_dedup_pairs
+    from polars_matmul_spark.sources.tables import load_table as _lt
+
+    emb = _lt(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    pairs = semantic_dedup_pairs(emb, threshold=0.95, n_clusters=8)
+    plan = explain_str(pairs, "simple")
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins are the broadcast centroid scorings
+    # (assignment in semdedup + inside KMeans prediction paths)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    # candidate join on cluster_id is a hash join, not a sort of the
+    # cross product; exact verify adds no Python worker
+    assert not uses_python_worker(pairs)
