@@ -134,6 +134,72 @@ def main() -> None:
         row["tfidf"] = timed(lambda: force(tf_idf(docs)))
         print(json.dumps(row))
         docs.unpersist()
+
+    # embeddings-side probe: replicate K x under per-copy Rademacher
+    # sign flips — dot(u*s, v*s) == dot(u, v), so WITHIN-copy geometry
+    # (and therefore near-dup density) is exactly preserved, while
+    # cross-copy cosines scatter around 0 (random relative sign
+    # pattern): corpus grows K x, true pair count grows K x (linear),
+    # and a super-linear wall would expose an unblocked pass.
+    # n_clusters scales with K (the SemDeDup contract: cluster size,
+    # not cluster count, is what the within-cluster joins pay for).
+    import numpy as np
+
+    from polars_matmul_spark.operators.semdedup import semantic_dedup_pairs
+
+    emb_base = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    n_emb = emb_base.count()
+    dim = len(emb_base.select("embedding").first()[0])
+
+    def embeddings_x(k: int):
+        rng = np.random.default_rng(13)
+        parts = []
+        # each copy also plants near-dups of 5% of its rows (small
+        # noise, same copy's sign pattern) so the TRUE pair count —
+        # and with it the verify join's real work — grows exactly
+        # linearly in K
+        planted = emb_base.limit(max(n_emb // 20, 1)).select(
+            (F.col("vec_id") + F.lit(5_000_000)).alias("vec_id"),
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                # deterministic pseudo-noise (rand() is not allowed in
+                # higher-order lambdas); ~0.08 L2 perturbation on a
+                # unit vector -> cosine ~0.997, safely a near-dup
+                lambda x: x + F.sin(x * 9973.0) * 0.01,
+            ).alias("embedding"),
+        )
+        per_copy = emb_base.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        ).unionByName(planted)
+        for i in range(k):
+            signs = rng.choice([-1.0, 1.0], size=dim).tolist()
+            s_col = F.array(*[F.lit(s) for s in signs])
+            parts.append(
+                per_copy.select(
+                    (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+                    F.zip_with(
+                        F.col("embedding"), s_col, lambda x, s: x * s
+                    ).alias("embedding"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.cache()
+
+    for k in (1, 2, 4, 8):
+        emb = embeddings_x(k)
+        emb.count()
+        row = {"k": k, "n_vecs": emb.count()}
+        # n_clusters grows with K: constant cluster size keeps the
+        # within-cluster join linear; the n_rows x n_clusters
+        # assignment term is the asymptotic knob (hierarchical /
+        # IVF-style assignment at true cluster scale)
+        pairs = semantic_dedup_pairs(emb, threshold=0.95, n_clusters=16 * k)
+        row["semantic_dedup_pairs"] = timed(lambda: force(pairs))
+        row["n_pairs"] = pairs.count()
+        print(json.dumps(row))
+        emb.unpersist()
     spark.stop()
 
 
