@@ -126,6 +126,9 @@ _CEILINGS_SF01 = {
     "neardup_minhash_lsh": 16.0,
     "q1_pricing_summary": 12.0,
     "token_counts": 2.5,
+    # round-4 registry additions (idle walls ~2.0s / ~2.1s)
+    "scd2_customers": 8.0,
+    "quantized_topk_rerank": 9.0,
 }
 
 
