@@ -1,0 +1,133 @@
+"""Line-level deduplication (CCNet-style boilerplate removal).
+
+Web corpora repeat whole LINES far more than whole documents:
+navigation bars, cookie banners, footer legalese appear verbatim in
+thousands of pages whose body text is unique. Document-level dedup
+(``operators/dedup.py``) never catches these; line-level dedup removes
+the repeated lines and keeps the unique bodies — the CCNet recipe
+(Wenzek et al., 2020) and the reference corpus-prep pattern its users
+run upstream of `polars-matmul` similarity search.
+
+Plan shape, designed for 100 TB:
+
+1. ``line_occurrences``  — split on newlines, posexplode, md5 of the
+   canonicalized line. Scan-speed, no shuffle.
+2. ``frequent_lines``    — count DISTINCT docs per line hash; one
+   shuffle on the (uniform, 128-bit) hash with map-side partial
+   aggregation. Output is tiny relative to the corpus (only lines
+   crossing the ``min_docs`` threshold survive).
+3. ``strip_frequent_lines`` — re-explode, mark lines whose hash is in
+   the frequent set (broadcast join — the frequent-line table is
+   MB-scale even for TB corpora), reassemble per doc with an
+   order-pinned array sort. One shuffle on doc_id.
+
+The corpus is shuffled exactly twice (once keyed by line hash, once by
+doc id); the frequent set never shuffles anything — it broadcasts.
+Every step is engine-portable (split / md5 / count-distinct / string
+agg), so the whole operator replays in DuckDB for the driver oracle.
+
+Blank/whitespace-only lines are excluded from frequency counting AND
+from removal: they would otherwise always be "frequent" and their
+removal would destroy paragraph structure rather than boilerplate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["line_occurrences", "frequent_lines", "strip_frequent_lines"]
+
+
+def _line_hash(line):
+    # canonicalize just enough to catch trailing-whitespace/case noise
+    # without merging genuinely different lines: trim + collapse inner
+    # whitespace + lowercase, then md5. Engine-portable.
+    return F.md5(F.regexp_replace(F.lower(F.trim(line)), r"\s+", " "))
+
+
+def line_occurrences(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per (doc, line): (doc_id, pos, line, line_hash, is_blank).
+
+    ``pos`` is the 0-based line index within the document — the
+    order-restoration key for :func:`strip_frequent_lines`. Pure
+    Catalyst split + posexplode; no shuffle.
+    """
+    lines = F.split(F.col(text_col), r"\n")
+    out = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(lines).alias("pos", "line")
+    )
+    return out.select(
+        "doc_id",
+        "pos",
+        "line",
+        _line_hash(F.col("line")).alias("line_hash"),
+        (F.trim(F.col("line")) == "").alias("is_blank"),
+    )
+
+
+def frequent_lines(
+    df: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Line hashes appearing in at least ``min_docs`` DISTINCT documents
+    (blank lines excluded): (line_hash, n_docs).
+
+    Distinct-doc counting (not raw occurrence counting) so a single
+    document repeating its own line doesn't get it globally removed —
+    repetition WITHIN a doc is ``repetition_score``'s business
+    (operators/text_filters.py), not line dedup's.
+    """
+    occ = line_occurrences(df, id_col, text_col).filter(~F.col("is_blank"))
+    return (
+        occ.groupBy("line_hash")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_frequent_lines(
+    df: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove every non-blank line occurring in >= ``min_docs`` distinct
+    docs; returns (doc_id, text, n_lines, n_stripped) with surviving
+    lines rejoined by '\\n' in original order.
+
+    Documents ALL of whose lines are boilerplate survive with empty
+    text (and n_stripped == n_lines) — dropping them entirely is the
+    caller's policy decision, visible in the counters. Blank lines are
+    kept verbatim (see module docstring).
+    """
+    occ = line_occurrences(df, id_col, text_col)
+    freq = frequent_lines(df, min_docs, id_col, text_col)
+    # broadcast: the frequent-line table is bounded by boilerplate
+    # diversity, not corpus size — MBs at 100 TB
+    marked = occ.join(
+        F.broadcast(freq.select("line_hash", F.lit(True).alias("__freq"))),
+        "line_hash",
+        "left",
+    ).withColumn("drop", F.col("__freq").isNotNull() & ~F.col("is_blank"))
+    kept = marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("drop").cast("long")).alias("n_stripped"),
+        F.array_sort(
+            F.collect_list(
+                F.when(~F.col("drop"), F.struct("pos", "line"))
+            )
+        ).alias("__kept"),
+    )
+    return kept.select(
+        "doc_id",
+        F.concat_ws("\n", F.transform(F.col("__kept"), lambda s: s["line"])).alias(
+            "text"
+        ),
+        "n_lines",
+        "n_stripped",
+    )
