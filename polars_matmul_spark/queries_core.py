@@ -1223,15 +1223,11 @@ CORE_QUERIES: dict[str, tuple] = {
     "q5_local_supplier": (_q5, _Q5_ORACLE),
     "top_suppliers_per_nation": (_top_suppliers, _TOP_SUPPLIERS_ORACLE),
     "rollup_sales": (_rollup, _ROLLUP_SQL),
-    "pivot_order_status": (_pivot_orders, _PIVOT_ORDERS_ORACLE),
     "sessionize_events": (_sessionize, _SESSIONIZE_ORACLE),
     "event_hourly_windows": (_event_hourly, _EVENT_HOURLY_ORACLE),
-    "customer_set_ops": (_set_ops, _SET_OPS_ORACLE),
-    "anti_join_customers": (_anti_join, _ANTI_JOIN_ORACLE),
     "brand_above_avg_parts": (_brand_above_avg, _BRAND_ABOVE_AVG_ORACLE),
     "cube_sales": (_cube_sales, _CUBE_SALES_ORACLE),
     "cust_quartiles_by_nation": (_cust_quartiles, _CUST_QUARTILES_ORACLE),
-    "string_date_funcs": (_string_date_funcs, _STRING_DATE_ORACLE),
     "moving_avg_revenue": (_moving_avg_revenue, _MOVING_AVG_ORACLE),
     "salted_event_counts": (_salted_event_counts, _SALTED_EVENT_COUNTS_ORACLE),
     "q18_large_orders": (_q18, _Q18_ORACLE),
@@ -1246,7 +1242,13 @@ CORE_QUERIES: dict[str, tuple] = {
     # Round 4 rotates out explode_embedding (H5/H8 posexplode+row-index
     # — also exercised by matmul_flatten and mm_frame_sample) and
     # q6_forecast_revenue (filter+agg subsumed by q1) so the SCD2 and
-    # int8-rerank families get driver rows (queries_pipeline.py).
+    # int8-rerank families get driver rows (queries_pipeline.py); then
+    # customer_set_ops / anti_join_customers / string_date_funcs /
+    # pivot_order_status (set ops + anti joins live inside
+    # merge_upsert/domain_filter paths, pivot is pinned by the
+    # unpivot-inverts-pivot test, scalar funcs run everywhere) so the
+    # line-dedup / quality-model / DSIR / sharding families get driver
+    # rows (queries_datapipe.py).
     # The query functions remain above, importable and unit-covered.
     "sketch_distinct_users": (_sketch_distinct_users, None),
     "mllib_blockmatrix_matmul": (_mllib_blockmatmul, _MLLIB_BLOCKMATMUL_ORACLE),

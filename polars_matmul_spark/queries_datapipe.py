@@ -1,0 +1,252 @@
+"""Driver-facing queries for the round-4 corpus-pipeline families:
+line-level dedup, model-based quality scoring, DSIR selection,
+token-budget sharding.
+
+Round-4 rotation (registry stays at the driver's 50-query cap):
+``customer_set_ops`` / ``anti_join_customers`` / ``string_date_funcs``
+/ ``pivot_order_status`` rotate out — set ops, anti joins, scalar
+string/date functions and pivot are all exercised by other registered
+queries or pinned pytests (anti-join inside merge_upsert/domain_filter,
+pivot by the unpivot-inverts-pivot test, scalar funcs throughout) —
+and the four new pipeline families rotate in.
+
+Float discipline, per family:
+
+- line dedup + sharding: exact (strings, md5, integer counts) — no
+  rounding anywhere.
+- quality score: weights are DYADIC RATIONALS (multiples of 2^-10)
+  with small numerators, so the token-sum is EXACT in double no matter
+  the fold order, and the emitted logit (no sigmoid — exp is the only
+  engine-variant step, so it stays out of the compared output) is
+  bit-identical across engines by construction.
+- DSIR: the log-ratio table is computed ONCE in Python (math.log =
+  glibc) and baked into the Spark plan as a literal; the oracle
+  recomputes it with DuckDB's ln (same glibc on this box) and folds
+  with list_reduce in the same sequential order. The Gumbel key uses
+  JVM log on the Spark side, so it is NOT emitted — only membership
+  and log_w (rounded 9 dp) are compared, and selection-boundary ties
+  within 1e-9 are measure-zero under the hash-Gumbel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polars_matmul_spark.operators.dsir import (
+    dsir_log_weights,
+    gumbel_topk_sample,
+    hashed_unigram_logprobs,
+)
+from polars_matmul_spark.operators.linededup import strip_frequent_lines
+from polars_matmul_spark.operators.quality_model import linear_quality_score
+from polars_matmul_spark.operators.shards import assign_token_shards
+from polars_matmul_spark.operators.text import token_count
+from polars_matmul_spark.sources.tables import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "documents", sf_dir)
+
+
+# --- line-level dedup ------------------------------------------------------
+
+def _line_dedup_strip(spark, sf_dir):
+    # the synthetic corpus is single-line; inject newlines (space ->
+    # newline) identically in both engines so the operator sees a real
+    # multi-line corpus with genuinely shared lines
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.regexp_replace("text", " ", "\n")
+    )
+    return strip_frequent_lines(docs, min_docs=2)
+
+
+_LINE_DEDUP_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, replace(text, ' ', chr(10)) AS text FROM documents
+), occ AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM d
+), hashed AS (
+  SELECT doc_id, pos, line,
+         md5(regexp_replace(lower(trim(line)), '\s+', ' ', 'g')) AS h,
+         trim(line) = '' AS is_blank
+  FROM occ
+), freq AS (
+  SELECT h FROM hashed WHERE NOT is_blank
+  GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+), marked AS (
+  SELECT doc_id, pos, line,
+         (h IN (SELECT h FROM freq)) AND NOT is_blank AS dropped
+  FROM hashed
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN NOT dropped THEN line END, chr(10)
+                           ORDER BY pos), '') AS text,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_stripped
+FROM marked GROUP BY doc_id
+"""
+
+
+# --- model-based quality score ---------------------------------------------
+
+_QD = 64  # feature buckets
+# dyadic-rational weights (k/1024, |k| <= 512): token sums are exact
+# doubles in any fold order -> bit-identical logits across engines
+_QWEIGHTS = [(((b * 2654435761) % 1024) - 512) / 1024.0 for b in range(_QD)]
+_QBIAS = 0.25
+
+
+def _quality_model_score(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    # emit the logit, not sigmoid(logit): monotone-equivalent for
+    # filtering/ranking, and exactly comparable (no exp in the output)
+    w = F.array(*[F.lit(x) for x in _QWEIGHTS])
+    from polars_matmul_spark.operators.quality_model import token_bucket
+    from polars_matmul_spark.operators.text import tokens
+
+    toks = F.filter(tokens(F.col("text")), lambda t: t != "")
+    n = F.size(toks)
+    total = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc
+        + F.element_at(w, (token_bucket(t, _QD) + 1).cast("int")),
+    )
+    logit = F.lit(_QBIAS) + F.when(n > 0, total / n).otherwise(F.lit(0.0))
+    return docs.select("doc_id", "lang", logit.alias("q_logit"))
+
+
+def _quality_oracle() -> str:
+    wlit = "[" + ", ".join(repr(w) for w in _QWEIGHTS) + "]"
+    return rf"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+)
+SELECT doc_id, lang,
+       {_QBIAS} + CASE WHEN len(ts) > 0 THEN
+         list_sum(list_transform(ts, x ->
+           ({wlit})[CAST(('0x' || substr(md5(x), 1, 12))::BIGINT % {_QD}
+                    AS INT) + 1]))
+         / len(ts)
+       ELSE 0.0 END AS q_logit
+FROM t
+"""
+
+
+# --- DSIR selection --------------------------------------------------------
+
+_DSIR_D = 256
+_DSIR_ALPHA = 1.0
+_DSIR_K = 100
+
+
+def _dsir_resample(spark, sf_dir):
+    """Select the K raw docs most 'en'-like under hashed unigram LMs:
+    target = the lang='en' slice, raw = the whole corpus. Emits
+    (doc_id, log_w) for the selected set."""
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("lang") == "en")
+    t_lp = hashed_unigram_logprobs(target, n_buckets=_DSIR_D, alpha=_DSIR_ALPHA)
+    r_lp = hashed_unigram_logprobs(docs, n_buckets=_DSIR_D, alpha=_DSIR_ALPHA)
+    weighted = dsir_log_weights(docs, t_lp, r_lp)
+    sel = gumbel_topk_sample(weighted, _DSIR_K, "log_w", "doc_id")
+    return sel.select("doc_id", F.round("log_w", 9).alias("log_w_r"))
+
+
+_DSIR_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+), tok AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(t.x), 1, 12))::BIGINT % {_DSIR_D} AS INT)
+           AS bucket
+  FROM toks, unnest(ts) AS t(x)
+), tcnt AS (  -- target LM counts: the 'en' slice
+  SELECT bucket, count(*) AS c FROM tok WHERE lang = 'en' GROUP BY bucket
+), rcnt AS (  -- raw LM counts: everything
+  SELECT bucket, count(*) AS c FROM tok GROUP BY bucket
+), grid AS (
+  SELECT unnest(range(0, {_DSIR_D})) AS bucket
+), lm AS (
+  SELECT g.bucket,
+         ln((coalesce(t.c, 0) + {_DSIR_ALPHA})
+            / ((SELECT sum(c) FROM tcnt) + {_DSIR_ALPHA} * {_DSIR_D}))
+         - ln((coalesce(r.c, 0) + {_DSIR_ALPHA})
+              / ((SELECT sum(c) FROM rcnt) + {_DSIR_ALPHA} * {_DSIR_D}))
+           AS ratio
+  FROM grid g LEFT JOIN tcnt t ON g.bucket = t.bucket
+              LEFT JOIN rcnt r ON g.bucket = r.bucket
+), ratios AS (
+  SELECT list(ratio ORDER BY bucket) AS arr FROM lm
+), weighted AS (
+  -- list_reduce folds sequentially left-to-right == Spark F.aggregate
+  SELECT doc_id,
+         CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+           list_reduce(
+             list_prepend(0.0, list_transform(ts, x ->
+               arr[CAST(('0x' || substr(md5(x), 1, 12))::BIGINT % {_DSIR_D}
+                    AS INT) + 1])),
+             (a, b) -> a + b)
+         END AS log_w
+  FROM toks CROSS JOIN ratios
+), keyed AS (
+  SELECT doc_id, log_w,
+         log_w + -ln(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'gumbel'),
+                                          1, 12))::BIGINT % 1000000 + 0.5)
+                         / 1000000.0)) AS key
+  FROM weighted
+)
+SELECT doc_id, round(log_w, 9) AS log_w_r
+FROM keyed
+ORDER BY key DESC, doc_id ASC
+LIMIT {_DSIR_K}
+"""
+
+
+# --- token-budget shard assignment -----------------------------------------
+
+_SHARD_BUDGET = 50_000
+
+
+def _token_shards(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "text").withColumn(
+        "n_tokens", token_count(F.col("text"))
+    )
+    out = assign_token_shards(docs, tokens_per_shard=_SHARD_BUDGET)
+    return out.select("doc_id", "n_tokens", "shard_start", "shard_id")
+
+
+_SHARDS_ORACLE = rf"""
+WITH t AS (
+  -- mirrors text.token_count: len(split(trim(text))), empty tokens
+  -- included (split('') is [''] in both engines)
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS shard_start,
+       CAST(floor(shard_start / {_SHARD_BUDGET}) AS BIGINT) AS shard_id
+FROM t
+"""
+
+
+DATAPIPE_QUERIES: dict[str, tuple] = {
+    "line_dedup_strip": (_line_dedup_strip, _LINE_DEDUP_ORACLE),
+    "quality_model_score": (_quality_model_score, _quality_oracle()),
+    "dsir_resample": (_dsir_resample, _DSIR_ORACLE),
+    "token_shards_assign": (_token_shards, _SHARDS_ORACLE),
+}

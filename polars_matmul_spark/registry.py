@@ -8,6 +8,7 @@ SQL-expressible twin carry ``None`` (driver records a rows-only check).
 from __future__ import annotations
 
 from polars_matmul_spark.queries_core import CORE_QUERIES
+from polars_matmul_spark.queries_datapipe import DATAPIPE_QUERIES
 from polars_matmul_spark.queries_multimodal import MULTIMODAL_QUERIES
 from polars_matmul_spark.queries_pipeline import PIPELINE_QUERIES
 from polars_matmul_spark.queries_text import TEXT_QUERIES
@@ -17,6 +18,7 @@ ALL_QUERIES.update(CORE_QUERIES)
 ALL_QUERIES.update(TEXT_QUERIES)
 ALL_QUERIES.update(MULTIMODAL_QUERIES)
 ALL_QUERIES.update(PIPELINE_QUERIES)
+ALL_QUERIES.update(DATAPIPE_QUERIES)
 
 
 def queries():

@@ -130,7 +130,7 @@ SELECT doc_id,
        coalesce(string_agg(CASE WHEN NOT dropped THEN line END, chr(10)
                            ORDER BY pos), '') AS text,
        count(*) AS n_lines,
-       sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS n_stripped
+       CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_stripped
 FROM marked GROUP BY doc_id ORDER BY doc_id
 """
         ).df()

@@ -129,6 +129,11 @@ _CEILINGS_SF01 = {
     # round-4 registry additions (idle walls ~2.0s / ~2.1s)
     "scd2_customers": 8.0,
     "quantized_topk_rerank": 9.0,
+    # round-4 datapipe families (idle walls 1.1 / 0.4 / 1.8 / 0.6s)
+    "line_dedup_strip": 4.5,
+    "quality_model_score": 2.0,
+    "dsir_resample": 7.0,
+    "token_shards_assign": 2.5,
 }
 
 

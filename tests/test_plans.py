@@ -236,3 +236,77 @@ def test_semdedup_candidates_are_blocked_equi_join(spark, sf_dir):
     # candidate join on cluster_id is a hash join, not a sort of the
     # cross product; exact verify adds no Python worker
     assert not uses_python_worker(pairs)
+
+
+def test_quality_scorer_is_scan_speed(spark, sf_dir):
+    # the learned-quality scorer must behave like the heuristic one:
+    # weights ride as a plan literal, so scoring is a row-local
+    # projection — no Exchange, no Python worker, no join
+    from polars_matmul_spark.operators.quality_model import linear_quality_score
+
+    docs = load_table(spark, "documents", sf_dir)
+    w = [0.1 * (i % 7) - 0.3 for i in range(64)]
+    scored = docs.select(
+        "doc_id", linear_quality_score(F.col("text"), w, 0.1).alias("q")
+    )
+    assert count_shuffles(scored) == 0, explain_str(scored, "simple")
+    assert not uses_python_worker(scored)
+
+
+def test_dsir_weighting_is_scan_speed(spark, sf_dir):
+    # the per-doc importance weight is the same shape: log-ratio table
+    # is an array literal, the fold is row-local Catalyst
+    from polars_matmul_spark.operators.dsir import dsir_log_weights
+
+    docs = load_table(spark, "documents", sf_dir)
+    lp_a = [-1.0 - (i % 5) * 0.1 for i in range(128)]
+    lp_b = [-1.5 - (i % 3) * 0.2 for i in range(128)]
+    weighted = dsir_log_weights(docs, lp_a, lp_b)
+    assert count_shuffles(weighted) == 0, explain_str(weighted, "simple")
+    assert not uses_python_worker(weighted)
+
+
+def test_line_dedup_frequent_set_broadcasts(spark, sf_dir):
+    # the frequent-line table must BROADCAST back onto the exploded
+    # lines (it is boilerplate-bounded, not corpus-bounded); the corpus
+    # itself shuffles exactly twice: line-hash agg + doc reassembly
+    from polars_matmul_spark.operators.linededup import strip_frequent_lines
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "text", F.regexp_replace("text", " ", "\n")
+    )
+    out = strip_frequent_lines(docs, min_docs=2)
+    plan = explain_str(out, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert not uses_python_worker(out)
+    # the frequency side moves HASHES only (two slim exchanges for the
+    # two-phase count-distinct); line text crosses the wire exactly
+    # once — the doc-id reassembly
+    lines = [l for l in plan.splitlines() if "Exchange" in l]
+    assert 0 < len(lines) <= 4, plan
+    carrying_text = [l for l in lines if "line#" in l or "text#" in l]
+    assert len(carrying_text) <= 1, plan
+
+
+def test_shard_assignment_is_bucketed_not_global_window(spark, sf_dir):
+    # the prefix sum must come from bucket-partitioned windows plus a
+    # broadcast offsets join; the ONLY single-partition structure
+    # allowed is the 256-row bucket-totals table — never the corpus
+    from polars_matmul_spark.operators.shards import assign_token_shards
+    from polars_matmul_spark.operators.text import token_count
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        .withColumn("n_tokens", token_count(F.col("text")))
+    )
+    out = assign_token_shards(docs, tokens_per_shard=10_000)
+    plan = explain_str(out, "simple")
+    # corpus-side window partitions on the hash-prefix bucket
+    assert "hashpartitioning(__bucket" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # any SinglePartition exchange must carry only the totals (no text)
+    for line in plan.splitlines():
+        if "SinglePartition" in line:
+            assert "text#" not in line, line
+    assert not uses_python_worker(out)
