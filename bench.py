@@ -103,6 +103,11 @@ def main() -> None:
         "moving_avg_revenue",
         "mm_byte_histogram",
         "mm_frame_sample",
+        # round-4 corpus-pipeline families
+        "line_dedup_strip",
+        "quality_model_score",
+        "dsir_resample",
+        "token_shards_assign",
     ]
     # best-of-2 per query: the round-2 bench recorded 2-6x phantom
     # regressions that two idle reruns traced to transient machine load

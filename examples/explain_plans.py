@@ -75,6 +75,33 @@ CASES = [
         "exact rerank joins only k*factor rows per query back to full "
         "precision — broadcast, no second corpus scan shuffle",
     ),
+    (
+        "line_dedup_strip",
+        "CCNet-style line dedup: the frequency side moves md5 hashes "
+        "only (two slim exchanges for the distinct-doc count), the "
+        "frequent set BROADCASTS back onto the exploded lines, line "
+        "text crosses the wire exactly once (doc reassembly)",
+    ),
+    (
+        "quality_model_score",
+        "Learned quality scorer: the weight vector is a plan literal, "
+        "so scoring a 100 TB corpus is a zero-shuffle zero-Python "
+        "projection at scan speed — same shape as the heuristic score",
+    ),
+    (
+        "dsir_resample",
+        "DSIR selection: the hashed-LM log-ratio table rides as an "
+        "array literal (weighting is scan-speed, shuffle-free); the "
+        "Gumbel top-k compiles to TakeOrderedAndProject — per-partition "
+        "heaps, never a global sort",
+    ),
+    (
+        "token_shards_assign",
+        "Token-budget sharding: two-phase prefix sum — windows "
+        "partition on the md5-prefix bucket, the 256-row bucket-totals "
+        "table is the only thing that ever sees a single partition, "
+        "offsets return via BroadcastHashJoin",
+    ),
 ]
 
 # non-registry operators whose plan shape is part of the scale story

@@ -132,6 +132,41 @@ def main() -> None:
             lambda: force(D.neardup_pairs_minhash(docs, threshold=0.8))
         )
         row["tfidf"] = timed(lambda: force(tf_idf(docs)))
+        # round-4 pipeline families. Token salting preserves WITHIN-copy
+        # line sharing (every doc in copy i carries the same _{i}
+        # suffixes), so the frequent-line table grows linearly in K —
+        # the probe measures the plan, not a vanishing duplicate set.
+        from polars_matmul_spark.operators.dsir import dsir_log_weights
+        from polars_matmul_spark.operators.linededup import strip_frequent_lines
+        from polars_matmul_spark.operators.quality_model import linear_quality_score
+        from polars_matmul_spark.operators.shards import assign_token_shards
+
+        nl_docs = docs.withColumn("text", F.regexp_replace("text", " ", "\n"))
+        force(strip_frequent_lines(nl_docs, min_docs=2))
+        row["line_dedup"] = timed(
+            lambda: force(strip_frequent_lines(nl_docs, min_docs=2))
+        )
+        # warm first: the literal-array fold plans pay a one-off
+        # whole-stage-codegen compile (seconds, data-independent) that
+        # must not contaminate a scaling measurement
+        w64 = [((b * 2654435761) % 1024 - 512) / 1024.0 for b in range(64)]
+        qm = docs.select(
+            "doc_id", linear_quality_score(F.col("text"), w64, 0.1).alias("q")
+        )
+        force(qm)
+        row["quality_model"] = timed(lambda: force(qm))
+        # fixed LM constants: the probe measures the weighting plan,
+        # not LM fitting (which is corpus-size-independent output)
+        lp_a = [-6.0 - (b % 7) * 0.1 for b in range(256)]
+        lp_b = [-6.5 - (b % 5) * 0.2 for b in range(256)]
+        dw = dsir_log_weights(docs, lp_a, lp_b)
+        force(dw)
+        row["dsir_weight"] = timed(lambda: force(dw))
+        tok_docs = docs.withColumn("n_tokens", X.token_count(F.col("text")))
+        force(assign_token_shards(tok_docs, tokens_per_shard=50_000))
+        row["token_shards"] = timed(
+            lambda: force(assign_token_shards(tok_docs, tokens_per_shard=50_000))
+        )
         print(json.dumps(row))
         docs.unpersist()
 
