@@ -337,6 +337,7 @@ def dedup_groups(
     d1: str = "d1",
     d2: str = "d2",
     max_iter: int = 20,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs -> (doc_id, group_id).
 
@@ -360,13 +361,53 @@ def dedup_groups(
       ``checkpoint`` to HDFS/S3 would replace it.
     - label propagation along symmetric edges; the per-round shuffle
       carries one row per (edge + vertex), same order as the input.
+    - HYBRID: the edge list is the DUPLICATE graph, orders of
+      magnitude smaller than the corpus. When it fits the documented
+      driver envelope (``driver_threshold`` edges; 2M pairs of longs
+      ~= 32 MB, the same class as the broadcast-corpus envelopes),
+      a driver-side union-find replaces the iterative job storm —
+      each distributed round costs whole-stage scheduling latency
+      that dwarfs a few-MB union-find. Above the envelope the
+      distributed loop runs unchanged. Both paths emit the identical
+      contract (group_id = min doc id of the component; equivalence
+      pinned in tests/test_dedup_groups.py).
     """
     # edges are re-joined on src EVERY round: partition them on the
     # join key once, so the per-round exchange hits only the (smaller,
     # changing) labels side. checkpoint preserves the partitioning.
+    undirected = pairs.select(F.col(d1).alias("src"), F.col(d2).alias("dst")).distinct()
+    n_edges = undirected.count()
+    if n_edges <= driver_threshold:
+        rows = undirected.collect()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            a, b = find(r["src"]), find(r["dst"])
+            if a != b:
+                # union by MIN id: the surviving root is the smallest
+                # member, matching the hash-min contract directly
+                lo, hi = (a, b) if a < b else (b, a)
+                parent[hi] = lo
+        out = [(v, find(v)) for v in set(parent) | {r["src"] for r in rows} | {r["dst"] for r in rows}]
+        spark = pairs.sparkSession
+        schema = pairs.select(F.col(d1).alias("doc_id")).schema
+        id_type = schema.fields[0].dataType.simpleString()
+        return spark.createDataFrame(
+            out, f"doc_id {id_type}, group_id {id_type}"
+        )
+
     edges = (
-        pairs.select(F.col(d1).alias("src"), F.col(d2).alias("dst"))
-        .union(pairs.select(F.col(d2).alias("src"), F.col(d1).alias("dst")))
+        undirected.union(
+            pairs.select(F.col(d2).alias("src"), F.col(d1).alias("dst"))
+        )
         .distinct()
         .repartition("src")
         .localCheckpoint(eager=True)

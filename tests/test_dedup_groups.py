@@ -66,9 +66,31 @@ def test_empty_pairs_empty_groups(spark):
 
 
 def test_nonconvergence_raises(spark):
+    # driver_threshold=0 forces the distributed loop (union-find
+    # always converges, so the max_iter bound only exists there)
     df = spark.createDataFrame([(i, i + 1) for i in range(0, 40)], "d1 long, d2 long")
     with pytest.raises(RuntimeError, match="converge"):
-        dedup_groups(df, max_iter=2)
+        dedup_groups(df, max_iter=2, driver_threshold=0)
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    # the hybrid's two paths must emit the identical contract on the
+    # same graph: chain + star + clique + isolated pair
+    edges = (
+        [(i, i + 1) for i in range(10, 15)]          # chain
+        + [(100, x) for x in (101, 102, 103)]        # star
+        + [(200, 201), (200, 202), (201, 202)]       # clique
+        + [(300, 301)]
+    )
+    df = spark.createDataFrame(edges, "d1 long, d2 long")
+    small = {
+        (r["doc_id"], r["group_id"]) for r in dedup_groups(df).collect()
+    }
+    big = {
+        (r["doc_id"], r["group_id"])
+        for r in dedup_groups(df, driver_threshold=0).collect()
+    }
+    assert small == big and len(small) > 0
 
 
 def test_keep_canonical_end_to_end(spark, sf_dir):
