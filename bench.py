@@ -108,6 +108,8 @@ def main() -> None:
         "quality_model_score",
         "dsir_resample",
         "token_shards_assign",
+        "pq_adc_topk",
+        "bloom_incremental_dedup",
     ]
     # best-of-2 per query: the round-2 bench recorded 2-6x phantom
     # regressions that two idle reruns traced to transient machine load

@@ -1222,7 +1222,6 @@ CORE_QUERIES: dict[str, tuple] = {
     "q3_shipping_priority": (_q3, _Q3_ORACLE),
     "q5_local_supplier": (_q5, _Q5_ORACLE),
     "top_suppliers_per_nation": (_top_suppliers, _TOP_SUPPLIERS_ORACLE),
-    "rollup_sales": (_rollup, _ROLLUP_SQL),
     "sessionize_events": (_sessionize, _SESSIONIZE_ORACLE),
     "event_hourly_windows": (_event_hourly, _EVENT_HOURLY_ORACLE),
     "brand_above_avg_parts": (_brand_above_avg, _BRAND_ABOVE_AVG_ORACLE),

@@ -244,9 +244,155 @@ FROM t
 """
 
 
+# --- PQ / ADC top-k with deterministic codebooks ---------------------------
+#
+# The trained path (train_pq: seeded MLlib KMeans per subspace) is
+# recall-gated in tests/test_pq.py; JVM KMeans is not replayable in
+# another engine, so — exactly like ann.pick_centroids vs
+# train_centroids_kmeans — the DRIVER row uses deterministic codebooks
+# (subvectors of the n_codes lowest corpus ids), which makes encode +
+# ADC pure arithmetic that DuckDB replays. Float discipline: sum-order
+# ulp noise is absorbed by ranking on round(adist, 6) with a corpus_id
+# tiebreak in BOTH engines, over a 4x unrounded shortlist.
+
+_PQ_M, _PQ_DSUB, _PQ_CODES, _PQ_K = 8, 8, 8, 5
+
+
+def _pq_adc_topk(spark, sf_dir):
+    import numpy as np
+
+    from polars_matmul_spark.operators.pq import encode_pq, pq_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("corpus_id"), "embedding"
+    )
+    seed_rows = (
+        c.orderBy("corpus_id").limit(_PQ_CODES).select("embedding").collect()
+    )
+    seeds = np.array([list(r[0]) for r in seed_rows], dtype=np.float64)
+    # books[j, code, :] = subvector j of seed row `code`
+    books = np.stack(
+        [seeds[:, j * _PQ_DSUB : (j + 1) * _PQ_DSUB] for j in range(_PQ_M)]
+    )
+    codes = encode_pq(c, books, id_col="corpus_id")
+    short = pq_topk(
+        q, codes, books, k=_PQ_K * 4, codes_id_col="corpus_id"
+    ).withColumn("adist_r", F.round("adist", 6))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist_r"), F.asc("corpus_id")
+    )
+    return (
+        short.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PQ_K)
+        .select("query_id", "rank", "corpus_id", "adist_r")
+    )
+
+
+_PQ_ORACLE = rf"""
+WITH c AS (
+  SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS emb
+  FROM embeddings WHERE vec_id >= 20
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS emb
+  FROM embeddings WHERE vec_id < 20
+), cb AS (  -- deterministic codebooks: the {_PQ_CODES} lowest corpus ids
+  SELECT row_number() OVER (ORDER BY corpus_id) - 1 AS code_id, emb
+  FROM c ORDER BY corpus_id LIMIT {_PQ_CODES}
+), sub AS (  -- (subspace j, code) centroid subvectors
+  SELECT code_id, j, emb[j * {_PQ_DSUB} + 1 : j * {_PQ_DSUB} + {_PQ_DSUB}] AS cvec
+  FROM cb, unnest(range(0, {_PQ_M})) t(j)
+), cdist AS (  -- corpus encode distances per (row, subspace, code)
+  SELECT corpus_id, j, code_id,
+         list_sum(list_transform(range(1, {_PQ_DSUB} + 1), i ->
+           (c.emb[j * {_PQ_DSUB} + i] - cvec[i])
+           * (c.emb[j * {_PQ_DSUB} + i] - cvec[i]))) AS d
+  FROM c CROSS JOIN sub
+), codes AS (  -- argmin code per (row, subspace), first-min tiebreak
+  SELECT corpus_id, j, code_id FROM (
+    SELECT corpus_id, j, code_id,
+           row_number() OVER (PARTITION BY corpus_id, j
+                              ORDER BY d ASC, code_id ASC) AS rn
+    FROM cdist) WHERE rn = 1
+), lut AS (  -- exact query-subvector -> centroid distances
+  SELECT query_id, j, code_id,
+         list_sum(list_transform(range(1, {_PQ_DSUB} + 1), i ->
+           (q.emb[j * {_PQ_DSUB} + i] - cvec[i])
+           * (q.emb[j * {_PQ_DSUB} + i] - cvec[i]))) AS d
+  FROM q CROSS JOIN sub
+), adist AS (
+  SELECT query_id, corpus_id, sum(lut.d) AS adist
+  FROM codes JOIN lut USING (j, code_id)
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, corpus_id, adist_r FROM (
+  SELECT query_id, corpus_id, round(adist, 6) AS adist_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(adist, 6) ASC, corpus_id ASC)
+           AS rank
+  FROM adist) WHERE rank <= {_PQ_K}
+"""
+
+
+# --- Bloom-gated incremental exact dedup -----------------------------------
+#
+# The two-gate path (Bloom pre-filter -> exact anti-join for positives
+# only) is EXACT by construction — false positives are weeded by the
+# second gate, false negatives cannot exist — so the oracle is the
+# plain anti-join. The bitmap itself is separately pinned bit-for-bit
+# against DuckDB in tests/test_bloom.py.
+
+_BLOOM_M, _BLOOM_K = 63 * 2048, 5
+
+
+def _bloom_incremental(spark, sf_dir):
+    from polars_matmul_spark.operators.bloom import (
+        bloom_dedup_new_batch,
+        build_bloom,
+    )
+    from polars_matmul_spark.operators.text import fingerprint
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", fingerprint(F.col("text")).alias("fp")
+    )
+    history = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    bloom = build_bloom(history, "fp", _BLOOM_M, _BLOOM_K)
+    out = bloom_dedup_new_batch(new, bloom, history, "fp", _BLOOM_M, _BLOOM_K)
+    return out.select("doc_id", "lang", "fp")
+
+
+_BLOOM_ORACLE = r"""
+WITH fps AS (
+  SELECT doc_id, lang,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents
+), history AS (
+  SELECT * FROM fps WHERE doc_id % 2 = 0
+), new AS (
+  SELECT * FROM fps WHERE doc_id % 2 = 1
+)
+SELECT n.doc_id, n.lang, n.fp
+FROM new n
+WHERE NOT EXISTS (SELECT 1 FROM history h WHERE h.fp = n.fp)
+"""
+
+
 DATAPIPE_QUERIES: dict[str, tuple] = {
     "line_dedup_strip": (_line_dedup_strip, _LINE_DEDUP_ORACLE),
     "quality_model_score": (_quality_model_score, _quality_oracle()),
     "dsir_resample": (_dsir_resample, _DSIR_ORACLE),
     "token_shards_assign": (_token_shards, _SHARDS_ORACLE),
+    # second round-4 rotation (doc_fingerprint out — the fingerprint
+    # column is the exact_dedup_docs mechanism and stays exercised
+    # there; rollup_sales out — ROLLUP is exercised by
+    # hypertable_rollup and explicit GROUPING SETS pytests): PQ and
+    # Bloom families get driver rows
+    "pq_adc_topk": (_pq_adc_topk, _PQ_ORACLE),
+    "bloom_incremental_dedup": (_bloom_incremental, _BLOOM_ORACLE),
 }

@@ -199,7 +199,6 @@ TEXT_QUERIES: dict[str, tuple] = {
     "token_counts": (_token_counts, _TOKEN_COUNTS_ORACLE),
     "lang_id": (_lang_id, _duck_lang_case()),
     "quality_score": (_quality, _QUALITY_ORACLE),
-    "doc_fingerprint": (_fingerprint, _FINGERPRINT_ORACLE),
     "exact_dedup_docs": (_exact_dedup, _EXACT_DEDUP_ORACLE),
     "neardup_ngram_jaccard": (_neardup_exact, _duck_jaccard_pairs(0.5)),
     "neardup_minhash_lsh": (_neardup_minhash, _duck_jaccard_pairs(0.8)),

@@ -134,6 +134,10 @@ _CEILINGS_SF01 = {
     "quality_model_score": 2.0,
     "dsir_resample": 7.0,
     "token_shards_assign": 2.5,
+    # round-4 PQ + bloom rows (walls 1.2 / 1.3s on a 3.6x-loaded box,
+    # so idle ~0.4s; ceilings sized from the loaded measurement)
+    "pq_adc_topk": 4.5,
+    "bloom_incremental_dedup": 5.0,
 }
 
 
