@@ -102,6 +102,19 @@ CASES = [
         "table is the only thing that ever sees a single partition, "
         "offsets return via BroadcastHashJoin",
     ),
+    (
+        "pq_adc_topk",
+        "PQ/ADC top-k: the coded corpus streams through one mapInArrow "
+        "(queries + distance LUTs broadcast), only per-partition "
+        "candidate heaps shuffle — one slim Exchange, corpus never "
+        "decoded",
+    ),
+    (
+        "bloom_incremental_dedup",
+        "Bloom two-gate exact dedup: the MB-scale bitmap broadcasts "
+        "onto the new batch, Bloom-negative rows bypass the exact gate, "
+        "only suspects anti-join the history fingerprints",
+    ),
 ]
 
 # non-registry operators whose plan shape is part of the scale story
