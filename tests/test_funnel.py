@@ -1,0 +1,178 @@
+"""Funnel + retention cohorts (operators/funnel.py): hand-built
+semantics matrix (ordering, windows, the early-event trap) and full
+DuckDB replication on the events table."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from polars_matmul_spark.operators.funnel import funnel, retention_cohorts
+from polars_matmul_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'")
+    yield con
+    con.close()
+
+
+def _mk_events(spark, rows):
+    # rows: (user_id, event_type, t_seconds)
+    return spark.createDataFrame(
+        [(u, e, float(t)) for u, e, t in rows],
+        "user_id long, event_type string, ts double",
+    )
+
+
+class TestFunnelSemantics:
+    def test_ordering_matrix(self, spark):
+        rows = [
+            # u1: perfect A -> B -> C
+            (1, "A", 10), (1, "B", 20), (1, "C", 30),
+            # u2: B before A only -> stops after A
+            (2, "B", 5), (2, "A", 10),
+            # u3: A only
+            (3, "A", 1),
+            # u4: the early-event trap — a B BEFORE A and another after:
+            # must still convert via the later B
+            (4, "B", 1), (4, "A", 10), (4, "B", 20), (4, "C", 25),
+            # u5: never does A -> counted nowhere
+            (5, "B", 1), (5, "C", 2),
+            # u6: simultaneous A and B (strictly-after excludes ties)
+            (6, "A", 10), (6, "B", 10),
+        ]
+        out = {
+            r["step"]: r["n_users"]
+            for r in funnel(_mk_events(spark, rows), ["A", "B", "C"]).collect()
+        }
+        # A: u1,u2,u3,u4,u6 (u5 never does A); B: u1,u4 (u2's B is
+        # before its A, u6's is simultaneous); C: u1,u4
+        assert out == {"A": 5, "B": 2, "C": 2}
+
+    def test_window_expiry(self, spark):
+        rows = [
+            (1, "A", 0), (1, "B", 50),        # inside 100s window
+            (2, "A", 0), (2, "B", 150),       # outside
+        ]
+        out = {
+            r["step"]: r["n_users"]
+            for r in funnel(
+                _mk_events(spark, rows), ["A", "B"], within_seconds=100
+            ).collect()
+        }
+        assert out == {"A": 2, "B": 1}
+
+    def test_empty_steps_raises(self, spark):
+        with pytest.raises(ValueError, match="at least one step"):
+            funnel(_mk_events(spark, [(1, "A", 1)]), [])
+
+    def test_single_shuffle_plan(self, spark):
+        from polars_matmul_spark.plans.inspect import count_shuffles, uses_python_worker
+
+        ev = load_table(spark, "events", SF_DIR)
+        out = funnel(ev, ["view", "click", "purchase"])
+        # one user-keyed exchange + the final single-row agg exchange;
+        # crucially NOT O(steps) self-join shuffles
+        assert count_shuffles(out) <= 2
+        assert not uses_python_worker(out)
+
+    def test_vs_duckdb(self, spark, duck):
+        ev = load_table(spark, "events", SF_DIR)
+        got = {
+            r["step"]: r["n_users"]
+            for r in funnel(ev, ["view", "click", "purchase"]).collect()
+        }
+        want_rows = duck.sql(
+            """
+WITH r0 AS (
+  SELECT user_id, min(epoch(ts)) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), r1 AS (
+  SELECT e.user_id, min(epoch(e.ts)) AS t
+  FROM events e JOIN r0 USING (user_id)
+  WHERE e.event_type = 'click' AND epoch(e.ts) > r0.t GROUP BY 1
+), r2 AS (
+  SELECT e.user_id, min(epoch(e.ts)) AS t
+  FROM events e JOIN r1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch(e.ts) > r1.t GROUP BY 1
+)
+SELECT 'view' AS step, (SELECT count(*) FROM r0) AS n
+UNION ALL SELECT 'click', (SELECT count(*) FROM r1)
+UNION ALL SELECT 'purchase', (SELECT count(*) FROM r2)
+"""
+        ).fetchall()
+        want = {s: int(n) for s, n in want_rows}
+        assert got == want
+        assert got["view"] > 0 and got["view"] >= got["click"] >= got["purchase"]
+
+    def test_min_chaining_equals_greedy_oracle(self, spark, duck):
+        # windowed form vs a DuckDB greedy replication with deadline
+        ev = load_table(spark, "events", SF_DIR)
+        got = {
+            r["step"]: r["n_users"]
+            for r in funnel(
+                ev, ["view", "click"], within_seconds=86400
+            ).collect()
+        }
+        want_rows = duck.sql(
+            """
+WITH r0 AS (
+  SELECT user_id, min(epoch(ts)) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), r1 AS (
+  SELECT e.user_id
+  FROM events e JOIN r0 USING (user_id)
+  WHERE e.event_type = 'click' AND epoch(e.ts) > r0.t
+        AND epoch(e.ts) <= r0.t + 86400
+  GROUP BY 1
+)
+SELECT 'view' AS step, (SELECT count(*) FROM r0) AS n
+UNION ALL SELECT 'click', (SELECT count(*) FROM r1)
+"""
+        ).fetchall()
+        want = {s: int(n) for s, n in want_rows}
+        assert got == want
+
+
+class TestRetention:
+    def test_vs_duckdb(self, spark, duck):
+        ev = load_table(spark, "events", SF_DIR)
+        got = {
+            (r["cohort_period"], r["period_offset"]): r["n_users"]
+            for r in retention_cohorts(ev).collect()
+        }
+        want_rows = duck.sql(
+            """
+WITH up AS (
+  SELECT user_id AS u, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS p
+  FROM events
+), first AS (
+  SELECT u, min(p) AS cohort FROM up GROUP BY 1
+)
+SELECT cohort AS cohort_period, p - cohort AS period_offset,
+       count(DISTINCT u) AS n_users
+FROM up JOIN first USING (u)
+GROUP BY 1, 2
+"""
+        ).fetchall()
+        want = {(int(c), int(o)): int(n) for c, o, n in want_rows}
+        assert got == want and len(got) > 0
+
+    def test_offset_zero_is_cohort_size(self, spark):
+        ev = load_table(spark, "events", SF_DIR)
+        out = retention_cohorts(ev)
+        zero = out.filter(F.col("period_offset") == 0)
+        # every cohort has an offset-0 row and it is the max of its row
+        per_cohort = (
+            out.groupBy("cohort_period").agg(F.max("n_users").alias("mx"))
+        )
+        j = zero.join(per_cohort, "cohort_period").collect()
+        assert len(j) > 0
+        for r in j:
+            assert r["n_users"] == r["mx"]
