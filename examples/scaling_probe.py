@@ -167,6 +167,25 @@ def main() -> None:
         row["token_shards"] = timed(
             lambda: force(assign_token_shards(tok_docs, tokens_per_shard=50_000))
         )
+        # bloom: build on half the corpus, probe the other half — both
+        # sides grow linearly in K, the bitmap size stays fixed
+        from polars_matmul_spark.operators.bloom import build_bloom, probe_bloom
+
+        fps = docs.select(
+            "doc_id", X.fingerprint(F.col("text")).alias("fp")
+        )
+        hist = fps.filter(F.col("doc_id") % 2 == 0)
+        newb = fps.filter(F.col("doc_id") % 2 == 1)
+        m_bits, kh = 63 * 8192, 5
+        force(build_bloom(hist, "fp", m_bits, kh))
+        row["bloom_build"] = timed(lambda: force(build_bloom(hist, "fp", m_bits, kh)))
+        bloom = build_bloom(hist, "fp", m_bits, kh).cache()
+        bloom.count()
+        force(probe_bloom(newb, bloom, "fp", m_bits, kh))
+        row["bloom_probe"] = timed(
+            lambda: force(probe_bloom(newb, bloom, "fp", m_bits, kh))
+        )
+        bloom.unpersist()
         print(json.dumps(row))
         docs.unpersist()
 
@@ -233,6 +252,26 @@ def main() -> None:
         pairs = semantic_dedup_pairs(emb, threshold=0.95, n_clusters=16 * k)
         row["semantic_dedup_pairs"] = timed(lambda: force(pairs))
         row["n_pairs"] = pairs.count()
+        # PQ: codebooks fixed (trained once on the base copy — the
+        # operator contract), encode + ADC search over the Kx corpus;
+        # both walls must grow at most linearly
+        from polars_matmul_spark.operators.pq import encode_pq, pq_topk, train_pq
+
+        if k == 1:
+            global _PQ_BOOKS
+            _PQ_BOOKS = train_pq(
+                emb, vec_col="embedding", m=8, n_codes=64, seed=7, max_iter=10
+            )
+        force(encode_pq(emb, _PQ_BOOKS))
+        row["pq_encode"] = timed(lambda: force(encode_pq(emb, _PQ_BOOKS)))
+        codes = encode_pq(emb, _PQ_BOOKS).cache()
+        codes.count()
+        pq_q = emb.limit(20).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        force(pq_topk(pq_q, codes, _PQ_BOOKS, k=10))
+        row["pq_search"] = timed(lambda: force(pq_topk(pq_q, codes, _PQ_BOOKS, k=10)))
+        codes.unpersist()
         print(json.dumps(row))
         emb.unpersist()
     spark.stop()
