@@ -78,3 +78,99 @@ def prepare_training_corpus(
         "docs_in long, after_filter long, after_dedup long",
     ).withColumn("packed_bins", F.lit(packed.select("bin_id").distinct().count()))
     return {"corpus": corpus, "packed": packed, "stats": stats}
+
+
+def curate_and_export(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    target_lang: str = "en",
+    select_k: int = 300,
+    min_logit: float = -0.5,
+    tokens_per_shard: int = 20_000,
+    quality_weights: list[float] | None = None,
+) -> DataFrame:
+    """The round-4 curation flow, composed end to end:
+
+        scan -> line-level dedup (boilerplate strip)
+             -> learned quality floor (hashed-token linear scorer)
+             -> exact dedup via the Bloom two-gate
+             -> DSIR selection toward the target-language slice
+             -> token-budget shards written to ``out_dir``
+
+    Returns the selected, shard-assigned corpus (also persisted).
+    Every stage is the scale-shaped operator from its module; the
+    composition stays one lazy plan up to the two LM ``collect``s
+    (n_buckets doubles each) and the final write.
+    """
+    from polars_matmul_spark.operators.bloom import (
+        bloom_dedup_new_batch,
+        bloom_params,
+        build_bloom,
+    )
+    from polars_matmul_spark.operators.dsir import dsir_select
+    from polars_matmul_spark.operators.linededup import strip_frequent_lines
+    from polars_matmul_spark.operators.quality_model import linear_quality_score
+    from polars_matmul_spark.operators.shards import assign_token_shards
+    from polars_matmul_spark.operators.text import fingerprint
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "text")
+
+    # 1. boilerplate strip (docs emptied by the strip drop out with the
+    # quality floor below — their logit is sigmoid-centered at bias)
+    stripped = strip_frequent_lines(docs, min_docs=3).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+
+    # 2. learned quality floor (dyadic weights default: deterministic)
+    w = quality_weights or [
+        (((b * 2654435761) % 1024) - 512) / 1024.0 for b in range(64)
+    ]
+    # emit the logit (monotone in the sigmoid), same rule as the
+    # registry row
+    from polars_matmul_spark.operators.quality_model import token_bucket
+    from polars_matmul_spark.operators.text import tokens as _toks
+
+    warr = F.array(*[F.lit(x) for x in w])
+    toks = F.filter(_toks(F.col("text")), lambda t: t != "")
+    total = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc + F.element_at(warr, (token_bucket(t, len(w)) + 1).cast("int")),
+    )
+    logit = F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+    scored = stripped.withColumn("q_logit", logit).filter(
+        F.col("q_logit") >= min_logit
+    )
+
+    # 3. exact dedup, two-gate: history = even ids, new = odd ids (the
+    # incremental contract; a from-scratch run can pass any split)
+    fps = scored.withColumn("fp", fingerprint(F.col("text")))
+    hist = fps.filter(F.col("doc_id") % 2 == 0)
+    new = fps.filter(F.col("doc_id") % 2 == 1)
+    m_bits, kh = bloom_params(100_000, 0.01)
+    bloom = build_bloom(hist, "fp", m_bits, kh)
+    deduped = hist.unionByName(
+        bloom_dedup_new_batch(new, bloom, hist, "fp", m_bits, kh)
+    )
+
+    # 4. DSIR toward the target slice
+    target = deduped.filter(F.col("lang") == target_lang)
+    selected = dsir_select(deduped, target, k=select_k)
+
+    # 5. shard and export
+    from polars_matmul_spark.operators.text import token_count
+
+    sharded = assign_token_shards(
+        selected.withColumn("n_tokens", token_count(F.col("text"))),
+        tokens_per_shard=tokens_per_shard,
+    )
+    (
+        sharded.repartition(F.col("shard_id"))
+        .sortWithinPartitions("__order", "doc_id")
+        .drop("__order")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(out_dir)
+    )
+    return sharded

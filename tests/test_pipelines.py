@@ -38,3 +38,48 @@ def test_pipeline_deterministic_across_runs(spark, sf_dir):
     ka = {(r.doc_id, r.split) for r in a["corpus"].select("doc_id", "split").collect()}
     kb = {(r.doc_id, r.split) for r in b["corpus"].select("doc_id", "split").collect()}
     assert ka == kb
+
+
+class TestCurateAndExport:
+    def test_end_to_end(self, spark, tmp_path):
+        import os
+
+        from polars_matmul_spark.operators.text import fingerprint
+        from polars_matmul_spark.pipelines import curate_and_export
+
+        out = os.path.join(str(tmp_path), "export")
+        sharded = curate_and_export(
+            spark, "/root/testdata/sf0.001", out, select_k=200
+        )
+        rows = sharded.select("doc_id", "q_logit", "log_w", "shard_id").collect()
+        assert 0 < len(rows) <= 200
+        # quality floor held
+        assert all(r["q_logit"] >= -0.5 for r in rows)
+        # exact-dup-free: fingerprints unique in the export
+        back = spark.read.parquet(out)
+        assert back.count() == len(rows)
+        fps = back.withColumn("fp", fingerprint(F.col("text"))).select("fp")
+        assert fps.count() == fps.distinct().count()
+        # shards respect the budget + one-doc overshoot
+        per_shard = (
+            back.groupBy("shard_id").agg(F.sum("n_tokens").alias("t")).collect()
+        )
+        mx = back.agg(F.max("n_tokens")).collect()[0][0]
+        assert all(r["t"] <= 20_000 + mx for r in per_shard)
+
+    def test_deterministic(self, spark, tmp_path):
+        import os
+
+        from polars_matmul_spark.pipelines import curate_and_export
+
+        a = curate_and_export(
+            spark, "/root/testdata/sf0.001", os.path.join(str(tmp_path), "a"),
+            select_k=150,
+        )
+        b = curate_and_export(
+            spark, "/root/testdata/sf0.001", os.path.join(str(tmp_path), "b"),
+            select_k=150,
+        )
+        ka = sorted((r["doc_id"], r["shard_id"]) for r in a.collect())
+        kb = sorted((r["doc_id"], r["shard_id"]) for r in b.collect())
+        assert ka == kb and len(ka) > 0
