@@ -215,3 +215,27 @@ class TestPq:
             hits += len(exact & approx)
             tot += 5
         assert hits / tot >= 0.9, f"rerank recall {hits / tot}"
+
+
+def test_codes_shrink_parquet(spark, tmp_path, emb, books):
+    # the 32x claim on actual storage: coded corpus parquet must be
+    # much smaller than the f32 embedding parquet (codes are opaque
+    # bytes, so parquet encodings can't hide the difference)
+    import os
+
+    from polars_matmul_spark.operators.pq import encode_pq
+
+    full = os.path.join(str(tmp_path), "full")
+    coded = os.path.join(str(tmp_path), "coded")
+    emb.coalesce(1).write.parquet(full)
+    encode_pq(emb, books).coalesce(1).write.parquet(coded)
+
+    def size(d):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    assert size(full) / size(coded) >= 6.0
