@@ -1,0 +1,103 @@
+"""Z-order (Morton-curve) data layout for multi-column scan pruning.
+
+Sorting a table by one column gives perfect min/max pruning on that
+column and none on any other. Interleaving the bits of several
+columns' ranks (the Morton curve) gives GOOD pruning on every
+participating column at once: each written file covers a small
+hyper-rectangle of the key space, so a predicate on ANY z-column
+skips most files on parquet row-group/file statistics alone — the
+layout feature Delta/Iceberg `OPTIMIZE ZORDER BY` provides, here on
+plain parquet.
+
+Everything is pure Catalyst:
+
+1. per-column rank -> bounded integer bucket. Ranks (not raw values)
+   make the curve distribution-free: skewed or arbitrary-typed
+   columns spread uniformly. `percent_rank` costs one window per
+   column over the SORT of that column — at 100 TB replace with
+   `approxQuantile`-derived cut points broadcast as a literal (same
+   contract, sampled; the ``cuts`` parameter).
+2. bit-interleave the buckets into one long (fixed expression tree of
+   shifts/masks — no UDF, no loop at runtime).
+3. `repartitionByRange` on the z-value (range partitioner => each
+   output file owns a contiguous z-range = a compact hyper-rectangle)
+   with an in-partition sort for row-group-level stats.
+
+The pruning claim is tested from actual parquet footers: after
+z-order writing, a range predicate on EITHER column must prune most
+files, and strictly more than a single-column sort prunes on its
+non-sort column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["z_value", "zorder_write"]
+
+_BITS = 16  # bits per column; 2 cols -> 32-bit z, 4 cols -> 64
+
+
+def _bucket(col: Column, cuts: list[float] | None) -> Column:
+    """Rank-based bucket in [0, 2^_BITS): distribution-free."""
+    n_buckets = 1 << _BITS
+    if cuts is not None:
+        # broadcast-literal cut points (the at-scale path): bucket =
+        # count of cuts below the value, scaled into the bit range
+        arr = F.array(*[F.lit(float(c)) for c in cuts])
+        below = F.size(F.filter(arr, lambda c: c <= col.cast("double")))
+        return (below * ((n_buckets - 1) // max(len(cuts), 1))).cast("long")
+    from pyspark.sql import Window
+
+    pr = F.percent_rank().over(Window.orderBy(col))
+    return F.least(
+        (pr * n_buckets).cast("long"), F.lit(n_buckets - 1).cast("long")
+    )
+
+
+def z_value(buckets: list[Column]) -> Column:
+    """Morton interleave of per-column bucket ints (each < 2^_BITS)
+    into one long: bit j of column i lands at position
+    j * n_cols + i. Fixed expression tree — no loops at runtime."""
+    n = len(buckets)
+    if not (1 <= n <= 4):
+        raise ValueError(f"z-order supports 1..4 columns, got {n}")
+    z = F.lit(0).cast("long")
+    for j in range(_BITS):
+        for i, b in enumerate(buckets):
+            bit = F.shiftright(b.cast("long"), j).bitwiseAND(F.lit(1))
+            z = z + (bit * F.lit(1 << (j * n + i)).cast("long"))
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    cuts: dict[str, list[float]] | None = None,
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files z-ordered on ``cols``.
+
+    ``cuts``: optional per-column pre-computed cut points (e.g. from
+    ``df.approxQuantile``) — the 100 TB path that avoids the global
+    per-column rank windows. Without it, exact percent_rank windows
+    are used (fine up to the scale where a global sort per column is
+    acceptable; the windows run sequentially but each is one sort of
+    a single column).
+    """
+    buckets = [
+        _bucket(F.col(c), (cuts or {}).get(c)).alias(f"__b_{i}")
+        for i, c in enumerate(cols)
+    ]
+    withb = df.select("*", *buckets)
+    z = z_value([F.col(f"__b_{i}") for i in range(len(cols))]).alias("__z")
+    zdf = withb.select("*", z).drop(*[f"__b_{i}" for i in range(len(cols))])
+    (
+        zdf.repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
