@@ -138,7 +138,10 @@ def main() -> None:
         # the probe measures the plan, not a vanishing duplicate set.
         from polars_matmul_spark.operators.dsir import dsir_log_weights
         from polars_matmul_spark.operators.linededup import strip_frequent_lines
-        from polars_matmul_spark.operators.quality_model import linear_quality_score
+        from polars_matmul_spark.operators.quality_model import (
+            dyadic_weights,
+            linear_quality_score,
+        )
         from polars_matmul_spark.operators.shards import assign_token_shards
 
         nl_docs = docs.withColumn("text", F.regexp_replace("text", " ", "\n"))
@@ -149,7 +152,7 @@ def main() -> None:
         # warm first: the literal-array fold plans pay a one-off
         # whole-stage-codegen compile (seconds, data-independent) that
         # must not contaminate a scaling measurement
-        w64 = [((b * 2654435761) % 1024 - 512) / 1024.0 for b in range(64)]
+        w64 = dyadic_weights(64)
         qm = docs.select(
             "doc_id", linear_quality_score(F.col("text"), w64, 0.1).alias("q")
         )

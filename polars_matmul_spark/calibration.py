@@ -108,9 +108,13 @@ def load_factor(wall: float) -> tuple[float, float]:
     best = _read_state()
     best = sorted(best + [wall])[:_KEEP_BEST]
     _write_state(best)
-    if len(best) == 1:
-        # first observation: cap the seed so a loaded first run cannot
-        # poison the baseline high (round-3 rule, unchanged)
+    if len(best) < 3:
+        # too few observations for a meaningful median: cap at the
+        # seed so early LOADED runs cannot set the baseline high
+        # (which would read a genuinely contended box as idle and
+        # refuse to loosen the gates — the conservative direction is
+        # a LOW baseline: factor >= 1 loosens, never tightens). Raw
+        # walls are persisted uncapped so the pool stays honest.
         baseline = min(best[0], _SEED_CAP)
     else:
         baseline = best[len(best) // 2]

@@ -47,9 +47,9 @@ __all__ = [
 
 
 def bloom_params(n_items: int, fp_rate: float = 0.01) -> tuple[int, int]:
-    """Optimal (m_bits rounded up to a multiple of 64, k) for an
-    expected ``n_items`` at ``fp_rate``: m = -n ln p / ln(2)^2,
-    k = (m/n) ln 2."""
+    """Optimal (m_bits rounded up to a multiple of 63 — the word
+    width, see module docstring) and k for an expected ``n_items`` at
+    ``fp_rate``: m = -n ln p / ln(2)^2, k = (m/n) ln 2."""
     if not (0.0 < fp_rate < 1.0):
         raise ValueError(f"fp_rate must be in (0, 1), got {fp_rate}")
     if n_items <= 0:
@@ -87,7 +87,7 @@ def build_bloom(
     (word_idx long, bits long). Rows appear only for words with at
     least one set bit (the probe treats absent words as all-zero).
 
-    One explode (k rows per input) + one groupBy over at most m/64
+    One explode (k rows per input) + one groupBy over at most m/63
     keys — uniform, map-side-combinable, and the output is tiny.
     Filters built with the same (m_bits, k) merge by
     ``union -> groupBy word_idx -> bit_or`` (see the test).

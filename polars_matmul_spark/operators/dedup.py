@@ -375,7 +375,15 @@ def dedup_groups(
     # edges are re-joined on src EVERY round: partition them on the
     # join key once, so the per-round exchange hits only the (smaller,
     # changing) labels side. checkpoint preserves the partitioning.
-    undirected = pairs.select(F.col(d1).alias("src"), F.col(d2).alias("dst")).distinct()
+    # The upstream pairs plan (MinHash bands + exact verify) is the
+    # expensive part — materialize it ONCE here; the path choice, the
+    # driver collect, and the distributed loop all reuse the
+    # checkpointed edge list instead of recomputing the pair search.
+    undirected = (
+        pairs.select(F.col(d1).alias("src"), F.col(d2).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n_edges = undirected.count()
     if n_edges <= driver_threshold:
         rows = undirected.collect()
@@ -406,7 +414,9 @@ def dedup_groups(
 
     edges = (
         undirected.union(
-            pairs.select(F.col(d2).alias("src"), F.col(d1).alias("dst"))
+            undirected.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
         )
         .distinct()
         .repartition("src")

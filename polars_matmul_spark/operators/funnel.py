@@ -41,17 +41,22 @@ def funnel(
     within_seconds: int | None = None,
 ) -> DataFrame:
     """(step_idx, step, n_users): how many users reached each step IN
-    ORDER. A user reaches step i at their EARLIEST step-i event that is
-    strictly after their step-(i-1) reach time (and, with
-    ``within_seconds``, within that window of the step-0 reach time).
+    ORDER — a user reaches step i iff SOME strictly-increasing event
+    chain step_0 < step_1 < ... < step_i exists (with
+    ``within_seconds``, one whose whole span fits in
+    [t0, t0 + within] for SOME step-0 event t0).
 
-    One shuffle: groupBy(user) with per-step conditional min-ts
-    aggregates; the strictly-after chaining is a driver-side fold over
-    the aggregated struct, evaluated per user row in the projection.
-    min-ts chaining is the standard greedy funnel semantics: taking the
-    earliest qualifying event at every step dominates any other choice
-    (it can only admit MORE later steps), so the greedy count equals
-    the exists-an-ordered-subsequence count.
+    One shuffle: groupBy(user) collecting sorted per-step timestamp
+    lists, then a pure-Catalyst fold in the projection. Without a
+    window, the fold is single-pass greedy from the earliest step-0
+    event — taking the earliest qualifying event at each step
+    dominates any other choice, so greedy == exists. WITH a window,
+    greedy-from-the-earliest-t0 undercounts (an earlier t0 also
+    closes the deadline earlier), so the fold instead evaluates the
+    greedy chain per CANDIDATE t0 — exact for a fixed deadline — and
+    takes the max reached level over the user's step-0 events
+    (per-user work: |step-0 events| x steps x array scans, bounded by
+    per-user event counts).
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
@@ -70,32 +75,55 @@ def funnel(
     ]
     per_user = events.groupBy(F.col(user_col)).agg(*aggs)
 
-    # fold: reach_0 = first ts of step 0; reach_i = first ts_i >
-    # reach_{i-1} (and <= reach_0 + within). filter() + try_element_at
-    # (NULL, not an ANSI error, on users who never reach) keeps it
-    # pure Catalyst.
-    reach = [F.try_element_at(F.col("__ts_0"), F.lit(1))]
-    deadline = (
-        reach[0] + F.lit(float(within_seconds))
-        if within_seconds is not None
-        else None
-    )
+    n_steps = len(steps)
+    if within_seconds is None:
+        # single-pass greedy from the earliest step-0 event (exact
+        # without a deadline); try_element_at -> NULL (not an ANSI
+        # error) for users who never reach a step
+        # NB: predicates are bound via closure factories, NOT default
+        # args — PySpark reads a lambda's arity to decide the HOF
+        # variable count, so `lambda x, p=prev:` would be (element,
+        # index) and silently drop the ordering constraint
+        def _after(p):
+            return lambda x: x > p
 
-    def _qualifies(prev, dl):
-        if dl is None:
-            return lambda x: x > prev
-        return lambda x: (x > prev) & (x <= dl)
+        reach = [F.try_element_at(F.col("__ts_0"), F.lit(1))]
+        for i in range(1, n_steps):
+            cand = F.filter(F.col(f"__ts_{i}"), _after(reach[i - 1]))
+            reach.append(F.try_element_at(cand, F.lit(1)))
+        lvl = F.lit(0)
+        for i in range(n_steps):
+            lvl = F.when(reach[i].isNotNull(), F.lit(i + 1)).otherwise(lvl)
+        user_level = lvl
+    else:
+        w_lit = F.lit(float(within_seconds))
 
-    for i in range(1, len(steps)):
-        cand = F.filter(F.col(f"__ts_{i}"), _qualifies(reach[i - 1], deadline))
-        reach.append(F.try_element_at(cand, F.lit(1)))
-    proj = per_user.select(
-        *[reach[i].alias(f"__r_{i}") for i in range(len(steps))]
-    )
+        def _level_for(t0):
+            # greedy chain anchored at t0 with deadline t0 + W: exact
+            # for a fixed deadline. A null prev poisons every later
+            # comparison -> empty filter -> level stops incrementing.
+            def _in_window(p):
+                return lambda x: (x > p) & (x <= t0 + w_lit)
+
+            lvl = F.lit(1)
+            prev = t0
+            for i in range(1, n_steps):
+                cand = F.filter(F.col(f"__ts_{i}"), _in_window(prev))
+                nxt = F.try_element_at(cand, F.lit(1))
+                lvl = F.when(nxt.isNotNull(), lvl + 1).otherwise(lvl)
+                prev = nxt
+            return lvl
+
+        levels = F.transform(F.col("__ts_0"), _level_for)
+        user_level = F.when(
+            F.size("__ts_0") > 0, F.array_max(levels)
+        ).otherwise(F.lit(0))
+
+    proj = per_user.select(user_level.alias("__lvl"))
     counts = proj.agg(
         *[
-            F.count(F.col(f"__r_{i}")).alias(f"__n_{i}")
-            for i in range(len(steps))
+            F.sum((F.col("__lvl") >= i + 1).cast("long")).alias(f"__n_{i}")
+            for i in range(n_steps)
         ]
     )
     rows = counts.select(

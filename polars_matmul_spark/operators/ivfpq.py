@@ -37,6 +37,40 @@ from pyspark.sql import types as T
 __all__ = ["build_ivfpq", "ivfpq_topk"]
 
 
+def _assign_l2(corpus: DataFrame, cen_df: DataFrame, id_col: str) -> DataFrame:
+    """Nearest centroid by EUCLIDEAN distance — the same map-side-
+    combinable max(struct) shape as ann.assign_ivf, but L2 so the
+    build-side list assignment agrees with the search-side coarse
+    probe (argmin ||q-c||^2). ann.assign_ivf uses cosine; mixing the
+    two rules strands boundary vectors in lists the probe never
+    visits when centroid norms differ. argmin ||v-c||^2 = argmax
+    (v.c - c.c/2), so the centroid self-term is computed once per
+    centroid, not per pair."""
+    from polars_matmul_spark.operators.ann import _fold_dot
+
+    cen = cen_df.withColumn(
+        "__half_cc",
+        _fold_dot(F.col("centroid_emb"), F.col("centroid_emb")) / 2.0,
+    )
+    v = F.col("embedding").cast("array<double>")
+    scored = corpus.crossJoin(F.broadcast(cen)).withColumn(
+        "__s", _fold_dot(v, F.col("centroid_emb")) - F.col("__half_cc")
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("__s").alias("s"),
+                (-F.col("centroid_id")).alias("neg_id"),
+                F.col("centroid_id").alias("cid"),
+            )
+        ).alias("__best"),
+        F.first("embedding").alias("embedding"),
+    )
+    return best.select(
+        id_col, "embedding", F.col("__best.cid").alias("centroid_id")
+    )
+
+
 def build_ivfpq(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -50,15 +84,12 @@ def build_ivfpq(
     (id, centroid_id, pq_codes binary) plus the two broadcast-sized
     numpy artifacts search needs (centroids (C, d); residual
     codebooks (m, n_codes, d/m))."""
-    from polars_matmul_spark.operators.ann import (
-        assign_ivf,
-        train_centroids_kmeans,
-    )
+    from polars_matmul_spark.operators.ann import train_centroids_kmeans
     from polars_matmul_spark.operators.pq import encode_pq, train_pq
 
     src = corpus.select(F.col(id_col), F.col(vec_col).alias("embedding"))
     cen_df = train_centroids_kmeans(src, n_centroids, seed=seed)
-    assigned = assign_ivf(src, cen_df, id_col=id_col)
+    assigned = _assign_l2(src, cen_df, id_col=id_col)
     cen_rows = cen_df.orderBy("centroid_id").collect()
     centroids = np.array([list(r["centroid_emb"]) for r in cen_rows], dtype=np.float64)
     # residual = vector - its centroid (JVM zip_with; the centroid

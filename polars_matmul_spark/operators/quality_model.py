@@ -39,9 +39,22 @@ from polars_matmul_spark.operators.text import tokens
 
 __all__ = [
     "token_bucket",
+    "dyadic_weights",
+    "linear_quality_logit",
     "linear_quality_score",
     "train_quality_classifier",
 ]
+
+
+def dyadic_weights(n_buckets: int, denom_bits: int = 10) -> list[float]:
+    """Deterministic pseudo-weights that are DYADIC RATIONALS
+    (k / 2^denom_bits with |k| <= 2^(denom_bits-1)): token sums over
+    them are exact in double arithmetic in ANY fold order, so logits
+    are bit-identical across engines — the float discipline the
+    registry row and pipeline rely on. Knuth multiplicative hashing
+    spreads the signs/magnitudes."""
+    d = 1 << denom_bits
+    return [(((b * 2654435761) % d) - d // 2) / d for b in range(n_buckets)]
 
 
 def token_bucket(tok: Column, n_buckets: int, salt: str = "") -> Column:
@@ -56,17 +69,20 @@ def token_bucket(tok: Column, n_buckets: int, salt: str = "") -> Column:
     return F.conv(F.substring(h, 1, 12), 16, 10).cast("long") % n_buckets
 
 
-def linear_quality_score(
+def linear_quality_logit(
     col: Column,
     weights: Sequence[float],
     bias: float = 0.0,
     salt: str = "",
 ) -> Column:
-    """Sigmoid(bias + mean over tokens of weights[bucket(token)]).
+    """bias + mean over tokens of weights[bucket(token)] — the raw
+    logit (monotone-equivalent to the sigmoid score for filtering and
+    ranking, and — with dyadic weights — bit-exact across engines
+    because no transcendental touches it).
 
     Mean (not sum) pooling: document length must not saturate the
     logit, and mean pooling matches the normalized count features used
-    at train time. Empty documents score sigmoid(bias).
+    at train time. Empty documents score ``bias``.
 
     The weight array is a plan literal — Catalyst constant-folds the
     ``element_at`` lookups into the generated code; nothing is joined,
@@ -81,7 +97,19 @@ def linear_quality_score(
         F.lit(0.0),
         lambda acc, t: acc + F.element_at(w, (token_bucket(t, n_buckets, salt) + 1).cast("int")),
     )
-    logit = F.lit(float(bias)) + F.when(n > 0, total / n).otherwise(F.lit(0.0))
+    return F.lit(float(bias)) + F.when(n > 0, total / n).otherwise(F.lit(0.0))
+
+
+def linear_quality_score(
+    col: Column,
+    weights: Sequence[float],
+    bias: float = 0.0,
+    salt: str = "",
+) -> Column:
+    """Sigmoid of :func:`linear_quality_logit` — the probability-shaped
+    form (use the logit directly where cross-engine bit-exactness
+    matters; exp is the one engine-variant step)."""
+    logit = linear_quality_logit(col, weights, bias, salt)
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
 
 

@@ -34,14 +34,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["z_value", "zorder_write"]
-
-_BITS = 16  # bits per column; 2 cols -> 32-bit z, 4 cols -> 64
+__all__ = ["z_value", "zorder_write", "bits_per_column"]
 
 
-def _bucket(col: Column, cuts: list[float] | None) -> Column:
-    """Rank-based bucket in [0, 2^_BITS): distribution-free."""
-    n_buckets = 1 << _BITS
+def bits_per_column(n_cols: int) -> int:
+    """Bits per column such that the interleaved z stays within a
+    SIGNED 63-bit budget (bit 63 is the sign — setting it would both
+    overflow ``F.lit`` at 1<<63 and flip range ordering): 16 bits up
+    to 3 columns, 15 at 4 (still 32k buckets/column — far finer than
+    any realistic file count resolves)."""
+    return min(16, 63 // n_cols)
+
+
+def _bucket(col: Column, cuts: list[float] | None, bits: int) -> Column:
+    """Rank-based bucket in [0, 2^bits): distribution-free."""
+    n_buckets = 1 << bits
     if cuts is not None:
         # broadcast-literal cut points (the at-scale path): bucket =
         # count of cuts below the value, scaled into the bit range
@@ -57,14 +64,17 @@ def _bucket(col: Column, cuts: list[float] | None) -> Column:
 
 
 def z_value(buckets: list[Column]) -> Column:
-    """Morton interleave of per-column bucket ints (each < 2^_BITS)
-    into one long: bit j of column i lands at position
-    j * n_cols + i. Fixed expression tree — no loops at runtime."""
+    """Morton interleave of per-column bucket ints (each <
+    2^bits_per_column(n)) into one long: bit j of column i lands at
+    position j * n_cols + i. Fixed expression tree — no loops at
+    runtime. Highest used bit is bits*n - 1 <= 62, so z is always a
+    non-negative long and range-partitions correctly."""
     n = len(buckets)
     if not (1 <= n <= 4):
         raise ValueError(f"z-order supports 1..4 columns, got {n}")
+    bits = bits_per_column(n)
     z = F.lit(0).cast("long")
-    for j in range(_BITS):
+    for j in range(bits):
         for i, b in enumerate(buckets):
             bit = F.shiftright(b.cast("long"), j).bitwiseAND(F.lit(1))
             z = z + (bit * F.lit(1 << (j * n + i)).cast("long"))
@@ -87,8 +97,9 @@ def zorder_write(
     acceptable; the windows run sequentially but each is one sort of
     a single column).
     """
+    bits = bits_per_column(len(cols))
     buckets = [
-        _bucket(F.col(c), (cuts or {}).get(c)).alias(f"__b_{i}")
+        _bucket(F.col(c), (cuts or {}).get(c), bits).alias(f"__b_{i}")
         for i, c in enumerate(cols)
     ]
     withb = df.select("*", *buckets)

@@ -122,32 +122,39 @@ def curate_and_export(
         docs.select("doc_id", "lang"), "doc_id"
     )
 
-    # 2. learned quality floor (dyadic weights default: deterministic)
-    w = quality_weights or [
-        (((b * 2654435761) % 1024) - 512) / 1024.0 for b in range(64)
-    ]
-    # emit the logit (monotone in the sigmoid), same rule as the
-    # registry row
-    from polars_matmul_spark.operators.quality_model import token_bucket
-    from polars_matmul_spark.operators.text import tokens as _toks
+    # 2. learned quality floor (dyadic weights default: deterministic;
+    # logit form — monotone in the sigmoid — same rule as the registry
+    # row)
+    from polars_matmul_spark.operators.quality_model import (
+        dyadic_weights,
+        linear_quality_logit,
+    )
 
-    warr = F.array(*[F.lit(x) for x in w])
-    toks = F.filter(_toks(F.col("text")), lambda t: t != "")
-    total = F.aggregate(
-        toks,
-        F.lit(0.0),
-        lambda acc, t: acc + F.element_at(warr, (token_bucket(t, len(w)) + 1).cast("int")),
-    )
-    logit = F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
-    scored = stripped.withColumn("q_logit", logit).filter(
-        F.col("q_logit") >= min_logit
-    )
+    w = quality_weights or dyadic_weights(64)
+    scored = stripped.withColumn(
+        "q_logit", linear_quality_logit(F.col("text"), w)
+    ).filter(F.col("q_logit") >= min_logit)
 
     # 3. exact dedup, two-gate: history = even ids, new = odd ids (the
-    # incremental contract; a from-scratch run can pass any split)
+    # incremental contract; a from-scratch run can pass any split).
+    # Each side first collapses WITHIN itself (lowest id per
+    # fingerprint — the streaming-ingest rule): the two-gate check is
+    # new-vs-history only, so same-side duplicates would otherwise
+    # both survive.
+    from pyspark.sql import Window
+
     fps = scored.withColumn("fp", fingerprint(F.col("text")))
-    hist = fps.filter(F.col("doc_id") % 2 == 0)
-    new = fps.filter(F.col("doc_id") % 2 == 1)
+    wfp = Window.partitionBy("fp").orderBy(F.asc("doc_id"))
+
+    def _collapse(side):
+        return (
+            side.withColumn("__rn", F.row_number().over(wfp))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    hist = _collapse(fps.filter(F.col("doc_id") % 2 == 0))
+    new = _collapse(fps.filter(F.col("doc_id") % 2 == 1))
     m_bits, kh = bloom_params(100_000, 0.01)
     bloom = build_bloom(hist, "fp", m_bits, kh)
     deduped = hist.unionByName(

@@ -39,7 +39,6 @@ from polars_matmul_spark.operators.dsir import (
     hashed_unigram_logprobs,
 )
 from polars_matmul_spark.operators.linededup import strip_frequent_lines
-from polars_matmul_spark.operators.quality_model import linear_quality_score
 from polars_matmul_spark.operators.shards import assign_token_shards
 from polars_matmul_spark.operators.text import token_count
 from polars_matmul_spark.sources.tables import load_table
@@ -94,9 +93,15 @@ FROM marked GROUP BY doc_id
 # --- model-based quality score ---------------------------------------------
 
 _QD = 64  # feature buckets
-# dyadic-rational weights (k/1024, |k| <= 512): token sums are exact
-# doubles in any fold order -> bit-identical logits across engines
-_QWEIGHTS = [(((b * 2654435761) % 1024) - 512) / 1024.0 for b in range(_QD)]
+# dyadic-rational weights (quality_model.dyadic_weights: k/1024,
+# |k| <= 512) -> token sums exact in any fold order -> bit-identical
+# logits across engines
+from polars_matmul_spark.operators.quality_model import (
+    dyadic_weights,
+    linear_quality_logit,
+)
+
+_QWEIGHTS = dyadic_weights(_QD)
 _QBIAS = 0.25
 
 
@@ -104,19 +109,7 @@ def _quality_model_score(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     # emit the logit, not sigmoid(logit): monotone-equivalent for
     # filtering/ranking, and exactly comparable (no exp in the output)
-    w = F.array(*[F.lit(x) for x in _QWEIGHTS])
-    from polars_matmul_spark.operators.quality_model import token_bucket
-    from polars_matmul_spark.operators.text import tokens
-
-    toks = F.filter(tokens(F.col("text")), lambda t: t != "")
-    n = F.size(toks)
-    total = F.aggregate(
-        toks,
-        F.lit(0.0),
-        lambda acc, t: acc
-        + F.element_at(w, (token_bucket(t, _QD) + 1).cast("int")),
-    )
-    logit = F.lit(_QBIAS) + F.when(n > 0, total / n).otherwise(F.lit(0.0))
+    logit = linear_quality_logit(F.col("text"), _QWEIGHTS, _QBIAS)
     return docs.select("doc_id", "lang", logit.alias("q_logit"))
 
 

@@ -87,23 +87,17 @@ def bloom_ingest_batch(
         probed = probe_bloom(batch, merged, "fp", m_bits, k)
         clean = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
         suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-        # exact gate with the crash-replay self-id guard: a history row
-        # carrying the SAME doc id is this epoch's own half-committed
-        # write, not a duplicate
+        # exact gate with the crash-replay self-id guard, as ONE
+        # left-anti join: drop a suspect iff some history row shares
+        # its fingerprint under a DIFFERENT doc id (a same-id history
+        # row is this epoch's own half-committed write, not a dup)
         hist = corpus.select(
             F.col("fp").alias("__h_fp"), F.col(id_col).alias("__h_id")
         )
-        rejected = (
-            suspects.join(
-                hist,
-                (suspects["fp"] == hist["__h_fp"])
-                & (suspects[id_col] != hist["__h_id"]),
-                "left_semi",
-            )
-        )
         confirmed = suspects.join(
-            rejected.select(F.col(id_col).alias("__r_id")).distinct(),
-            suspects[id_col] == F.col("__r_id"),
+            hist,
+            (suspects["fp"] == hist["__h_fp"])
+            & (suspects[id_col] != hist["__h_id"]),
             "left_anti",
         )
         batch = clean.unionByName(confirmed)

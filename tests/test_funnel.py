@@ -68,6 +68,34 @@ class TestFunnelSemantics:
         }
         assert out == {"A": 2, "B": 1}
 
+    def test_window_anchors_on_any_step0_event(self, spark):
+        # the earliest-A-only trap: (A@0, A@60, B@70, W=50) converts
+        # via the A@60 anchor even though the A@0 window closed at 50
+        rows = [
+            (1, "A", 0), (1, "A", 60), (1, "B", 70),
+            # u2: only the early anchor exists -> no conversion
+            (2, "A", 0), (2, "B", 70),
+        ]
+        out = {
+            r["step"]: r["n_users"]
+            for r in funnel(
+                _mk_events(spark, rows), ["A", "B"], within_seconds=50
+            ).collect()
+        }
+        assert out == {"A": 2, "B": 1}
+
+    def test_window_chain_must_share_one_anchor(self, spark):
+        # three steps: each consecutive hop fits SOME window but no
+        # single anchor covers the whole chain -> stops at B
+        rows = [(1, "A", 0), (1, "B", 40), (1, "C", 80)]
+        out = {
+            r["step"]: r["n_users"]
+            for r in funnel(
+                _mk_events(spark, rows), ["A", "B", "C"], within_seconds=50
+            ).collect()
+        }
+        assert out == {"A": 1, "B": 1, "C": 0}
+
     def test_empty_steps_raises(self, spark):
         with pytest.raises(ValueError, match="at least one step"):
             funnel(_mk_events(spark, [(1, "A", 1)]), [])
@@ -111,8 +139,8 @@ UNION ALL SELECT 'purchase', (SELECT count(*) FROM r2)
         assert got == want
         assert got["view"] > 0 and got["view"] >= got["click"] >= got["purchase"]
 
-    def test_min_chaining_equals_greedy_oracle(self, spark, duck):
-        # windowed form vs a DuckDB greedy replication with deadline
+    def test_windowed_counts_vs_exists_oracle(self, spark, duck):
+        # windowed form vs a DuckDB EXISTS replication (any anchor)
         ev = load_table(spark, "events", SF_DIR)
         got = {
             r["step"]: r["n_users"]
@@ -123,14 +151,14 @@ UNION ALL SELECT 'purchase', (SELECT count(*) FROM r2)
         want_rows = duck.sql(
             """
 WITH r0 AS (
-  SELECT user_id, min(epoch(ts)) AS t FROM events
-  WHERE event_type = 'view' GROUP BY 1
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
 ), r1 AS (
-  SELECT e.user_id
-  FROM events e JOIN r0 USING (user_id)
-  WHERE e.event_type = 'click' AND epoch(e.ts) > r0.t
-        AND epoch(e.ts) <= r0.t + 86400
-  GROUP BY 1
+  -- exists-form: ANY view anchor whose window admits a later click
+  SELECT DISTINCT a.user_id
+  FROM events a JOIN events b USING (user_id)
+  WHERE a.event_type = 'view' AND b.event_type = 'click'
+        AND epoch(b.ts) > epoch(a.ts)
+        AND epoch(b.ts) <= epoch(a.ts) + 86400
 )
 SELECT 'view' AS step, (SELECT count(*) FROM r0) AS n
 UNION ALL SELECT 'click', (SELECT count(*) FROM r1)

@@ -44,6 +44,26 @@ class TestZValue:
         with pytest.raises(ValueError, match="1..4"):
             z_value([])
 
+    def test_four_columns_stay_in_signed_range(self, spark):
+        # 4 cols x 15 bits = 60 used bits: must build (no 1<<63
+        # literal) and stay non-negative so range ordering holds
+        from polars_matmul_spark.operators.zorder import bits_per_column
+
+        assert bits_per_column(4) == 15
+        mx = (1 << 15) - 1
+        rows = [(1, 0, 0, 0, 0), (2, mx, mx, mx, mx), (3, 5, 9, 1, 7)]
+        df = spark.createDataFrame(rows, "id long, a long, b long, c long, d long")
+        got = {
+            r["id"]: r["z"]
+            for r in df.select(
+                "id",
+                z_value([F.col(x) for x in ("a", "b", "c", "d")]).alias("z"),
+            ).collect()
+        }
+        for i, a, b, c, d in rows:
+            want = _morton([a, b, c, d], bits=15)
+            assert got[i] == want and got[i] >= 0
+
 
 def _file_stats(path, col):
     """(min, max) per parquet file for a column."""
