@@ -29,10 +29,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel", "retention_cohorts"]
+__all__ = ["funnel", "funnel_user_levels", "py_funnel_level", "retention_cohorts"]
 
 
-def funnel(
+def funnel_user_levels(
     events: DataFrame,
     steps: list[str],
     user_col: str = "user_id",
@@ -40,7 +40,7 @@ def funnel(
     ts_col: str = "ts",
     within_seconds: int | None = None,
 ) -> DataFrame:
-    """(step_idx, step, n_users): how many users reached each step IN
+    """(user, funnel_level): the deepest step each user reached IN
     ORDER — a user reaches step i iff SOME strictly-increasing event
     chain step_0 < step_1 < ... < step_i exists (with
     ``within_seconds``, one whose whole span fits in
@@ -119,10 +119,28 @@ def funnel(
             F.size("__ts_0") > 0, F.array_max(levels)
         ).otherwise(F.lit(0))
 
-    proj = per_user.select(user_level.alias("__lvl"))
-    counts = proj.agg(
+    return per_user.select(
+        F.col(user_col), user_level.cast("int").alias("funnel_level")
+    )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """(step_idx, step, n_users): the funnel counts — users with
+    :func:`funnel_user_levels` >= i+1 per step i."""
+    n_steps = len(steps)
+    lv = funnel_user_levels(
+        events, steps, user_col, type_col, ts_col, within_seconds
+    )
+    counts = lv.agg(
         *[
-            F.sum((F.col("__lvl") >= i + 1).cast("long")).alias(f"__n_{i}")
+            F.sum((F.col("funnel_level") >= i + 1).cast("long")).alias(f"__n_{i}")
             for i in range(n_steps)
         ]
     )
@@ -167,3 +185,38 @@ def retention_cohorts(
         )
         .agg(F.count_distinct("u").alias("n_users"))
     )
+
+def py_funnel_level(
+    ts_lists: list[list[float]], within_seconds: float | None = None
+) -> int:
+    """Pure-Python twin of the :func:`funnel_user_levels` fold over one
+    user's per-step SORTED timestamp lists — the update function of the
+    stateful streaming funnel (streaming/events.py) and the oracle the
+    property test holds both to."""
+    import bisect
+
+    n = len(ts_lists)
+    if not ts_lists or not ts_lists[0]:
+        return 0
+    if within_seconds is None:
+        prev = ts_lists[0][0]
+        lvl = 1
+        for i in range(1, n):
+            j = bisect.bisect_right(ts_lists[i], prev)
+            if j >= len(ts_lists[i]):
+                break
+            prev = ts_lists[i][j]
+            lvl += 1
+        return lvl
+    best = 1
+    for t0 in ts_lists[0]:
+        prev, lvl = t0, 1
+        deadline = t0 + within_seconds
+        for i in range(1, n):
+            j = bisect.bisect_right(ts_lists[i], prev)
+            if j >= len(ts_lists[i]) or ts_lists[i][j] > deadline:
+                break
+            prev = ts_lists[i][j]
+            lvl += 1
+        best = max(best, lvl)
+    return best

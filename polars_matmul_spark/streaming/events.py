@@ -270,3 +270,63 @@ def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "complete"
     )
     q.awaitTermination()
     return q
+
+
+def funnel_level_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    steps: list[str],
+    within_seconds: float | None = None,
+) -> DataFrame:
+    """Incremental per-user funnel via applyInPandasWithState: state =
+    the user's per-step sorted timestamp lists (bounded by that user's
+    activity, partitioned with the key — the scalable state shape);
+    each micro-batch appends its events and re-evaluates the EXACT
+    batch fold (operators/funnel.py::py_funnel_level, the same
+    semantics the batch operator compiles to Catalyst), emitting
+    (user_id, funnel_level) in UPDATE mode.
+
+    Late events are handled by construction: the state keeps the full
+    per-step lists, so an out-of-order arrival can still raise the
+    level on its batch (unlike reach-time-only state, which cannot
+    revise a greedy chain). stream == batch is pinned in
+    tests/test_streaming.py.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from polars_matmul_spark.operators.funnel import py_funnel_level
+
+    events = read_events_stream(spark, sf_dir)
+    n = len(steps)
+    if n == 0:
+        raise ValueError("funnel needs at least one step")
+    idx = {s: i for i, s in enumerate(steps)}
+    out_schema = "user_id long, funnel_level int"
+    state_schema = ", ".join(f"ts_{i} array<double>" for i in range(n))
+
+    def update(key, pdfs, state: GroupState):
+        stored = state.get if state.exists else tuple([] for _ in range(n))
+        lists = [list(x) if x is not None else [] for x in stored]
+        for pdf in pdfs:
+            sub = pdf[pdf["event_type"].isin(idx)]
+            if len(sub) == 0:
+                continue
+            ts = (
+                sub["ts"].astype("datetime64[ns]").astype("int64") // 1000
+            ) / 1e6  # epoch seconds (microsecond-exact, matches
+            # the batch operator's cast("double"))
+            for et, t in zip(sub["event_type"], ts):
+                lists[idx[et]].append(float(t))
+        for lst in lists:
+            lst.sort()
+        state.update(tuple(lists))
+        lvl = py_funnel_level(lists, within_seconds)
+        yield pd.DataFrame({"user_id": [key[0]], "funnel_level": [lvl]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

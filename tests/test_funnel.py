@@ -204,3 +204,40 @@ GROUP BY 1, 2
         assert len(j) > 0
         for r in j:
             assert r["n_users"] == r["mx"]
+
+class TestPyTwin:
+    def test_py_level_matches_spark_fold(self, spark):
+        # pseudo-random event streams, both windowed and not: the pure-
+        # Python twin (the streaming state update) must agree with the
+        # Catalyst fold user-by-user
+        import random
+
+        from polars_matmul_spark.operators.funnel import (
+            funnel_user_levels,
+            py_funnel_level,
+        )
+
+        rng = random.Random(17)
+        types = ["A", "B", "C", "noise"]
+        rows = []
+        for u in range(40):
+            for _ in range(rng.randint(1, 15)):
+                rows.append((u, rng.choice(types), float(rng.randint(0, 200))))
+        df = _mk_events(spark, rows)
+        per_user = {}
+        for u, et, t in rows:
+            per_user.setdefault(u, {k: [] for k in ("A", "B", "C")})
+            if et in per_user[u]:
+                per_user[u][et].append(t)
+        for w in (None, 60.0):
+            got = {
+                r["user_id"]: r["funnel_level"]
+                for r in funnel_user_levels(
+                    df, ["A", "B", "C"], within_seconds=w
+                ).collect()
+            }
+            for u, lists in per_user.items():
+                want = py_funnel_level(
+                    [sorted(lists[s]) for s in ("A", "B", "C")], w
+                )
+                assert got[u] == want, (u, w, lists, got[u], want)

@@ -203,3 +203,27 @@ def test_stateful_user_totals_matches_batch(spark):
     assert got["n"].tolist() == want["n"].tolist()
     for g, w in zip(got["total"], want["total"]):
         assert math.isclose(g, w, rel_tol=1e-6)
+
+
+def test_funnel_stream_matches_batch(spark):
+    """The stateful streaming funnel's final per-user levels equal the
+    batch operator's, windowed and not."""
+    from polars_matmul_spark.operators.funnel import funnel_user_levels
+    from polars_matmul_spark.sources.tables import load_table
+    from polars_matmul_spark.streaming.events import funnel_level_stream
+
+    steps = ["view", "click", "purchase"]
+    for w, name in ((None, "funnel_mem"), (86400.0, "funnel_mem_w")):
+        stream_df = funnel_level_stream(spark, SF_DIR, steps, within_seconds=w)
+        run_stream_to_memory(stream_df, name, output_mode="update")
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+        # availableNow over the single events file = one batch -> one
+        # update row per user
+        got = {r["user_id"]: r["funnel_level"] for r in rows}
+        assert len(got) == len(rows), "duplicate user rows in one batch"
+        ev = load_table(spark, "events", SF_DIR)
+        want = {
+            r["user_id"]: r["funnel_level"]
+            for r in funnel_user_levels(ev, steps, within_seconds=w).collect()
+        }
+        assert got == want and len(got) > 0
