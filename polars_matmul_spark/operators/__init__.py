@@ -23,6 +23,16 @@
 - ``asof`` / ``rangejoin``  temporal joins
 - ``sketches`` / ``skew``   approximate aggs, salted patterns
 - ``multimodal``       binary-column plumbing with stubbed decoders
+- ``linededup``        CCNet-style line-level boilerplate removal
+- ``quality_model``    learned hashed-token quality scorer + trainer
+- ``dsir``             DSIR importance resampling (hash-Gumbel top-k)
+- ``shards``           token-budget shard export (two-phase prefix sum)
+- ``bloom``            distributed Bloom filter, two-gate exact dedup
+- ``pq``               product quantization + ADC search
+- ``ivfpq``            IVF-PQ: inverted lists over PQ-coded residuals
+- ``funnel``           conversion funnels + retention cohorts
+- ``zorder``           Z-order/Morton multi-column data layout
+- ``mining``           contrastive hard/in-batch negative mining
 """
 
 from polars_matmul_spark.operators.similarity_join import (  # noqa: F401
