@@ -33,6 +33,8 @@
 - ``funnel``           conversion funnels + retention cohorts
 - ``zorder``           Z-order/Morton multi-column data layout
 - ``mining``           contrastive hard/in-batch negative mining
+- ``diagnose``         key-skew + partition-balance reports
+- ``projection``       seeded Gaussian JL projection, SRP bit signatures
 """
 
 from polars_matmul_spark.operators.similarity_join import (  # noqa: F401

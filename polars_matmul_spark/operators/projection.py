@@ -1,0 +1,173 @@
+"""Random projection over embedding columns — the dimensionality lever.
+
+Johnson-Lindenstrauss: a seeded Gaussian projection to ``out_dim``
+dimensions preserves pairwise distances within (1 +- eps) for
+eps ~ sqrt(8 ln n / out_dim), independent of the input dimension. At
+100 TB that converts directly into scan/shuffle/broadcast bytes: a
+256-d f32 embedding projected to 64-d is a 4x cut on the widest
+column in the table, and every downstream operator in this repo (IVF,
+PQ, exact top-k, near-dup blocking) runs unchanged on the projected
+column — only cheaper. The classic recipe is project -> shortlist ->
+exact-rerank in the original space, the same shape as
+``quantize.quantized_topk_rerank``.
+
+Everything here is row-local (no shuffle) and seeded (two runs, any
+partitioning, same output):
+
+- ``gaussian_matrix``: the (out_dim, in_dim) N(0, 1/out_dim) matrix.
+- ``random_project``: one ``mapInArrow`` batch GEMM against the
+  broadcast matrix — flat Arrow buffers in and out, zero per-row
+  Python, all other columns pass through.
+- ``srp_bits``: signed random projection packed to ONE int64 — a
+  hamming-space fingerprint of the embedding (the embedding-side
+  analogue of the text SimHash in ``dedup.simhash``). sign bits of
+  the same GEMM, so it shares all the plumbing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from polars_matmul_spark.functions.similarity import (
+    _active_sc,
+    _arrow_list_to_matrix,
+)
+
+__all__ = ["gaussian_matrix", "random_project", "srp_bits"]
+
+
+def gaussian_matrix(in_dim: int, out_dim: int, seed: int = 7) -> np.ndarray:
+    """Seeded (out_dim, in_dim) Gaussian JL matrix, entries
+    N(0, 1/out_dim) so projected squared norms are unbiased."""
+    if in_dim <= 0 or out_dim <= 0:
+        raise ValueError("gaussian_matrix dims must be positive")
+    rng = np.random.default_rng(seed)
+    return (
+        rng.standard_normal((out_dim, in_dim)) / np.sqrt(out_dim)
+    ).astype(np.float32)
+
+
+def _project_arrow(
+    df: DataFrame,
+    emb_col: str,
+    P: np.ndarray,
+    out_col: str,
+    emit,
+    out_field: T.StructField,
+) -> DataFrame:
+    """Shared mapInArrow plumbing: batch GEMM against broadcast ``P``,
+    then ``emit(Y, pa)`` turns the (n, out_dim) float32 score block
+    into the output Arrow array."""
+    import pyarrow as pa  # noqa: F401  (emit closures use the module)
+
+    bc = _active_sc().broadcast(P)
+    passthrough = [f.name for f in df.schema.fields if f.name != emb_col]
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != emb_col] + [out_field]
+    )
+
+    def fn(batches):
+        import pyarrow as pa
+
+        M = bc.value
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            Q = _arrow_list_to_matrix(
+                rb.column(rb.schema.get_field_index(emb_col)),
+                np.float32,
+                expected_dim=M.shape[1],
+            )
+            Y = Q @ M.T
+            cols = [
+                rb.column(rb.schema.get_field_index(name)) for name in passthrough
+            ]
+            yield pa.RecordBatch.from_arrays(
+                cols + [emit(Y, pa)], names=passthrough + [out_col]
+            )
+
+    return df.mapInArrow(fn, out_schema)
+
+
+def random_project(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    out_dim: int = 64,
+    seed: int = 7,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Project ``emb_col`` to ``out_dim`` dimensions with a seeded
+    Gaussian matrix. Default ``out_col=emb_col`` REPLACES the column,
+    so the result drops straight into every embedding operator in the
+    repo (ann/pq/similarity) at the reduced width.
+
+    Row-local and seeded: the matrix is regenerated from the seed,
+    never persisted, so two sessions agree. Across DIFFERENT
+    partitionings the outputs agree to within f32 GEMM reassociation
+    (~1 ulp — BLAS blocks the multiply differently for different batch
+    row counts); identical partitioning gives bit-identical output.
+    Anything consuming the projection for exact-match semantics (e.g.
+    hash-bucketing on the value) should quantize first — ``srp_bits``
+    is the sign-quantized form and IS partitioning-exact away from the
+    measure-zero case of a projection landing exactly on 0.
+    """
+    out_col = emb_col if out_col is None else out_col
+    in_dim = _peek_dim(df, emb_col)
+    P = gaussian_matrix(in_dim, out_dim, seed)
+
+    def emit(Y, pa):
+        n = Y.shape[0]
+        values = pa.array(Y.ravel(), type=pa.float32())
+        offs = pa.array(
+            np.arange(0, (n + 1) * out_dim, out_dim, dtype=np.int32),
+            type=pa.int32(),
+        )
+        return pa.ListArray.from_arrays(offs, values)
+
+    field = T.StructField(
+        out_col, T.ArrayType(T.FloatType(), containsNull=False), False
+    )
+    return _project_arrow(df, emb_col, P, out_col, emit, field)
+
+
+def srp_bits(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    n_bits: int = 32,
+    seed: int = 7,
+    out_col: str = "srp_sig",
+) -> DataFrame:
+    """Signed-random-projection fingerprint: ``n_bits`` sign bits of
+    the Gaussian projection packed into one BIGINT (bit i set iff
+    projection i > 0). Hamming distance between signatures estimates
+    angular distance — the embedding-side SimHash, usable for
+    banded near-dup blocking exactly like ``dedup.simhash``.
+
+    ``n_bits`` <= 63 so the packed value stays positive in an int64
+    (engine-portable: DuckDB and Spark agree on the arithmetic).
+    """
+    if not 1 <= n_bits <= 63:
+        raise ValueError("srp_bits needs 1 <= n_bits <= 63")
+    in_dim = _peek_dim(df, emb_col)
+    P = gaussian_matrix(in_dim, n_bits, seed)
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    def emit(Y, pa):
+        sig = (Y > 0).astype(np.int64) @ weights
+        return pa.array(sig, type=pa.int64())
+
+    field = T.StructField(out_col, T.LongType(), False)
+    return _project_arrow(df, emb_col, P, out_col, emit, field)
+
+
+def _peek_dim(df: DataFrame, emb_col: str) -> int:
+    """Input dimension from one row (the matrix shape must be fixed
+    before the plan is built; a scan of one row is the only way Spark
+    exposes it). Raises on an empty frame — a projection of nothing
+    has no defined width."""
+    row = df.select(emb_col).limit(1).collect()
+    if not row or row[0][0] is None:
+        raise ValueError(f"Cannot infer dimension of '{emb_col}': no non-null rows")
+    return len(row[0][0])

@@ -1,0 +1,248 @@
+"""Gates for the skew/balance diagnostics and random-projection ops.
+
+Oracles are NumPy / plain-Spark recomputation (both operators are
+deterministic row-local or single-agg constructs — nothing here needs
+DuckDB's SQL surface, and the registry sits at the 50-row driver cap).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from polars_matmul_spark.operators.diagnose import key_skew_report, partition_balance
+from polars_matmul_spark.operators.projection import (
+    gaussian_matrix,
+    random_project,
+    srp_bits,
+)
+
+
+# ---------------------------------------------------------------- diagnose
+
+
+def _skewed_df(spark, n=10_000, hot_share=0.5):
+    """n rows; one key ('hot') owns hot_share of them, the rest spread
+    over 100 uniform keys."""
+    n_hot = int(n * hot_share)
+    return spark.range(n).select(
+        F.when(F.col("id") < n_hot, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 100).cast("string")))
+        .alias("key"),
+        F.col("id"),
+    )
+
+
+class TestKeySkewReport:
+    def test_hot_key_tops_report_with_share_and_ratio(self, spark):
+        df = _skewed_df(spark, n=10_000, hot_share=0.5)
+        rep = key_skew_report(df, ["key"], top_n=5).collect()
+        assert rep[0]["key"] == "hot"
+        assert rep[0]["n_rows"] == 5_000
+        assert rep[0]["share"] == pytest.approx(0.5)
+        # 101 distinct keys, mean = 10000/101
+        assert rep[0]["skew_ratio"] == pytest.approx(5_000 / (10_000 / 101))
+        # remaining rows are the uniform keys at ~50 rows each
+        assert all(r["n_rows"] == 50 for r in rep[1:])
+
+    def test_counts_match_plain_groupby_oracle(self, spark):
+        df = _skewed_df(spark, n=3_000, hot_share=0.2)
+        rep = {r["key"]: r["n_rows"] for r in key_skew_report(df, ["key"], 200).collect()}
+        oracle = {
+            r["key"]: r["n"]
+            for r in df.groupBy("key").agg(F.count("*").alias("n")).collect()
+        }
+        assert rep == oracle
+
+    def test_null_keys_group_together(self, spark):
+        df = spark.range(100).select(
+            F.when(F.col("id") < 60, F.lit(None).cast("string"))
+            .otherwise(F.lit("x"))
+            .alias("key")
+        )
+        rep = key_skew_report(df, ["key"], top_n=2).collect()
+        assert rep[0]["key"] is None and rep[0]["n_rows"] == 60
+        assert rep[1]["key"] == "x" and rep[1]["n_rows"] == 40
+
+    def test_multi_key_and_empty_keys_error(self, spark):
+        df = spark.range(20).select(
+            (F.col("id") % 2).alias("a"), (F.col("id") % 5).alias("b")
+        )
+        rep = key_skew_report(df, ["a", "b"], top_n=100).collect()
+        assert len(rep) == 10 and all(r["n_rows"] == 2 for r in rep)
+        with pytest.raises(ValueError, match="at least one key"):
+            key_skew_report(df, [])
+
+    def test_plan_is_takeordered_not_global_sort(self, spark):
+        df = _skewed_df(spark, n=1_000)
+        plan = key_skew_report(df, ["key"], 10)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+
+
+class TestPartitionBalance:
+    def test_single_partition_is_perfectly_balanced(self, spark):
+        row = partition_balance(spark.range(1_000).coalesce(1)).collect()[0]
+        assert row["n_partitions"] == 1
+        assert row["total_rows"] == 1_000
+        assert row["cv"] == pytest.approx(0.0)
+        assert row["imbalance"] == pytest.approx(1.0)
+
+    def test_even_range_partitions_read_balanced(self, spark):
+        row = partition_balance(spark.range(0, 8_000, 1, 8)).collect()[0]
+        assert row["n_partitions"] == 8
+        assert row["min_rows"] == row["max_rows"] == 1_000
+        assert row["imbalance"] == pytest.approx(1.0)
+
+    def test_planted_straggler_shows_in_imbalance(self, spark):
+        # 90% of rows hash to one key -> repartition(4, key) makes one
+        # partition the straggler
+        df = spark.range(10_000).select(
+            F.when(F.col("id") < 9_000, F.lit(0)).otherwise(F.col("id")).alias("k")
+        ).repartition(4, "k")
+        row = partition_balance(df).collect()[0]
+        assert row["total_rows"] == 10_000
+        assert row["imbalance"] > 2.0
+        assert row["cv"] > 0.5
+
+
+# --------------------------------------------------------------- projection
+
+
+def _emb_df(spark, n=64, dim=16, seed=0, n_parts=4):
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((n, dim)).astype(np.float32)
+    rows = [(i, X[i].tolist()) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "id: long, embedding: array<float>")
+        .repartition(n_parts),
+        X,
+    )
+
+
+class TestRandomProject:
+    def test_matches_numpy_gemm_exactly(self, spark):
+        df, X = _emb_df(spark, n=32, dim=16)
+        out = random_project(df, "embedding", out_dim=8, seed=11).orderBy("id")
+        got = np.array(out.toPandas()["embedding"].tolist(), dtype=np.float32)
+        P = gaussian_matrix(16, 8, seed=11)
+        # f32 GEMM blocking differs between the per-partition batches
+        # and the single full-matrix oracle call — allow one-ulp-ish
+        # absolute slack near zero
+        np.testing.assert_allclose(got, X @ P.T, rtol=1e-5, atol=1e-5)
+
+    def test_partitioning_invariant_and_deterministic(self, spark):
+        # across different partitionings f32 GEMM reassociates (~1 ulp)
+        # — allclose, not bit-equal; see the random_project docstring
+        df1, _ = _emb_df(spark, n=48, dim=12, n_parts=7)
+        df2, _ = _emb_df(spark, n=48, dim=12, n_parts=2)
+        a = random_project(df1, out_dim=6, seed=3).orderBy("id").toPandas()
+        b = random_project(df2, out_dim=6, seed=3).orderBy("id").toPandas()
+        np.testing.assert_allclose(
+            np.array(a["embedding"].tolist()),
+            np.array(b["embedding"].tolist()),
+            rtol=1e-5,
+            atol=1e-5,
+        )
+        # same partitioning twice -> bit-identical (seeded, no RNG state)
+        c = random_project(df1, out_dim=6, seed=3).orderBy("id").toPandas()
+        np.testing.assert_array_equal(
+            np.array(a["embedding"].tolist()), np.array(c["embedding"].tolist())
+        )
+
+    def test_out_col_replaces_and_schema_width(self, spark):
+        df, _ = _emb_df(spark, n=8, dim=16)
+        out = random_project(df, out_dim=4, seed=1)
+        assert set(out.columns) == {"id", "embedding"}
+        assert all(len(v) == 4 for v in out.toPandas()["embedding"])
+
+    def test_jl_distance_preservation(self, spark):
+        # 128 -> 64: squared pairwise distances should be preserved on
+        # average (unbiased) with bounded relative spread. Seeded, so
+        # this is a deterministic check, not a flaky statistical one.
+        # NB: matrix seed must differ from the data seed — identical
+        # seeds make default_rng emit the SAME normal stream for both,
+        # i.e. the projection rows literally equal the first data rows
+        # (maximally correlated, wildly biased ratios)
+        df, X = _emb_df(spark, n=100, dim=128, seed=5)
+        out = random_project(df, out_dim=64, seed=77).orderBy("id")
+        Y = np.array(out.toPandas()["embedding"].tolist(), dtype=np.float64)
+        Xd = X.astype(np.float64)
+
+        def pdist2(M):
+            G = M @ M.T
+            d = np.diag(G)
+            return d[:, None] + d[None, :] - 2 * G
+
+        dx, dy = pdist2(Xd), pdist2(Y)
+        iu = np.triu_indices(100, k=1)
+        ratio = dy[iu] / dx[iu]
+        assert abs(ratio.mean() - 1.0) < 0.1
+        assert ratio.max() < 2.0 and ratio.min() > 0.4
+
+    def test_topk_recall_survives_projection(self, spark):
+        # planted clusters: each query's true neighbor set is its
+        # cluster; exact top-k on the PROJECTED vectors must recover it
+        rng = np.random.default_rng(9)
+        centers = rng.standard_normal((10, 64)).astype(np.float32) * 5
+        X = np.repeat(centers, 10, axis=0) + rng.standard_normal((100, 64)).astype(
+            np.float32
+        ) * 0.1
+        df = spark.createDataFrame(
+            [(i, X[i].tolist()) for i in range(100)],
+            "id: long, embedding: array<float>",
+        )
+        out = random_project(df, out_dim=16, seed=2).orderBy("id")
+        Y = np.array(out.toPandas()["embedding"].tolist(), dtype=np.float64)
+        # cosine top-9 neighbors in projected space == cluster mates
+        Yn = Y / np.linalg.norm(Y, axis=1, keepdims=True)
+        S = Yn @ Yn.T
+        np.fill_diagonal(S, -np.inf)
+        hits = 0
+        for i in range(100):
+            top = np.argpartition(-S[i], 9)[:9]
+            hits += sum(1 for j in top if j // 10 == i // 10)
+        assert hits / (100 * 9) >= 0.9
+
+    def test_empty_and_bad_dims(self, spark):
+        df = spark.createDataFrame([], "id: long, embedding: array<float>")
+        with pytest.raises(ValueError, match="no non-null rows"):
+            random_project(df, out_dim=4)
+        with pytest.raises(ValueError, match="positive"):
+            gaussian_matrix(16, 0)
+
+
+class TestSrpBits:
+    def test_matches_numpy_sign_pack(self, spark):
+        df, X = _emb_df(spark, n=40, dim=16)
+        got = (
+            srp_bits(df, n_bits=32, seed=13)
+            .orderBy("id")
+            .toPandas()["srp_sig"]
+            .to_numpy()
+        )
+        P = gaussian_matrix(16, 32, seed=13)
+        want = ((X @ P.T) > 0).astype(np.int64) @ (1 << np.arange(32, dtype=np.int64))
+        np.testing.assert_array_equal(got, want)
+
+    def test_near_vectors_have_small_hamming(self, spark):
+        rng = np.random.default_rng(21)
+        base = rng.standard_normal((20, 32)).astype(np.float32)
+        near = base + rng.standard_normal((20, 32)).astype(np.float32) * 0.01
+        far = rng.standard_normal((20, 32)).astype(np.float32)
+        rows = [(i, v.tolist()) for i, v in enumerate(np.vstack([base, near, far]))]
+        df = spark.createDataFrame(rows, "id: long, embedding: array<float>")
+        sig = (
+            srp_bits(df, n_bits=48, seed=4)
+            .orderBy("id")
+            .toPandas()["srp_sig"]
+            .to_numpy()
+        )
+        ham = lambda a, b: bin(int(a) ^ int(b)).count("1")  # noqa: E731
+        near_d = np.mean([ham(sig[i], sig[i + 20]) for i in range(20)])
+        far_d = np.mean([ham(sig[i], sig[i + 40]) for i in range(20)])
+        assert near_d < 5
+        assert far_d > 12
+
+    def test_bits_bounds(self, spark):
+        df, _ = _emb_df(spark, n=4, dim=8)
+        with pytest.raises(ValueError, match="1 <= n_bits <= 63"):
+            srp_bits(df, n_bits=64)
