@@ -35,7 +35,12 @@ from polars_matmul_spark.functions.similarity import (
     _arrow_list_to_matrix,
 )
 
-__all__ = ["gaussian_matrix", "random_project", "srp_bits"]
+__all__ = [
+    "gaussian_matrix",
+    "random_project",
+    "srp_bits",
+    "projected_topk_rerank",
+]
 
 
 def gaussian_matrix(in_dim: int, out_dim: int, seed: int = 7) -> np.ndarray:
@@ -160,6 +165,71 @@ def srp_bits(
 
     field = T.StructField(out_col, T.LongType(), False)
     return _project_arrow(df, emb_col, P, out_col, emit, field)
+
+
+def projected_topk_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    out_dim: int = 32,
+    seed: int = 7,
+    rerank_factor: int = 4,
+    q_id: str = "query_id",
+    c_id: str = "corpus_id",
+) -> DataFrame:
+    """The classic JL search pipeline: shortlist in the PROJECTED
+    space, exact-rerank in the original — same two-stage shape as
+    ``quantize.quantized_topk_rerank``, trading width (``out_dim``
+    floats per vector in the scan) instead of precision (int8 codes).
+
+    Both sides are projected with the SAME seeded matrix (cosines are
+    only comparable inside one projection). Stage 1 keeps the top
+    ``k*rerank_factor`` per query by projected cosine; stage 2 joins
+    those k*factor rows — not the corpus — back to full-precision
+    embeddings and reranks exactly. Returns (q_id, rank, c_id, score)
+    with EXACT scores; the projection only affects which candidates
+    make the shortlist (recall gated in tests).
+
+    At 100 TB: the corpus is projected once at ingest and stored, so
+    the brute-force scan moves out_dim/d of the bytes. The full-width
+    corpus is never shuffled — queries broadcast into stage 1's scan,
+    the per-query argselect exchanges only slim (q_id, c_id, approx)
+    rows, and stage 2's corpus join builds on the tiny shortlist side
+    (AQE broadcast), not the corpus.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from polars_matmul_spark.operators.similarity_join import score_expr
+
+    pq_ = random_project(
+        queries.select(q_id, "embedding"), out_dim=out_dim, seed=seed, out_col="__pq"
+    ).select(q_id, "__pq")
+    pc_ = random_project(
+        corpus.select(c_id, "embedding"), out_dim=out_dim, seed=seed, out_col="__pc"
+    ).select(c_id, "__pc")
+    scored = pc_.crossJoin(F.broadcast(pq_)).select(
+        q_id, c_id, score_expr(F.col("__pq"), F.col("__pc"), "cosine").alias("__approx")
+    )
+    w1 = Window.partitionBy(q_id).orderBy(F.desc("__approx"), F.asc(c_id))
+    shortlist = (
+        scored.withColumn("__r", F.row_number().over(w1))
+        .filter(F.col("__r") <= k * rerank_factor)
+        .select(q_id, c_id)
+    )
+    exact = (
+        shortlist.join(
+            F.broadcast(queries.select(q_id, F.col("embedding").alias("__qe"))), q_id
+        )
+        .join(corpus.select(c_id, F.col("embedding").alias("__ce")), c_id)
+        .withColumn("score", score_expr(F.col("__qe"), F.col("__ce"), "cosine"))
+    )
+    w2 = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(q_id, "rank", c_id, "score")
+    )
 
 
 def _peek_dim(df: DataFrame, emb_col: str) -> int:

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from polars_matmul_spark.operators.diagnose import key_skew_report, partition_balance
 from polars_matmul_spark.operators.projection import (
     gaussian_matrix,
+    projected_topk_rerank,
     random_project,
     srp_bits,
 )
@@ -208,6 +209,65 @@ class TestRandomProject:
             random_project(df, out_dim=4)
         with pytest.raises(ValueError, match="positive"):
             gaussian_matrix(16, 0)
+
+
+class TestProjectedTopkRerank:
+    def _data(self, spark, n_q=20, n_c=200, dim=64, seed=31):
+        # clustered corpus + queries perturbed off corpus points: the
+        # true neighbors are meaningfully closer than the bulk (pure
+        # iid-Gaussian data has near-tie cosines everywhere, which no
+        # approximate shortlist — JL, int8, IVF — can rank; that would
+        # gate noise, not the operator)
+        rng = np.random.default_rng(seed)
+        if n_c >= 10:
+            centers = rng.standard_normal((10, dim)).astype(np.float32) * 3
+            C = (
+                np.repeat(centers, n_c // 10, axis=0)
+                + rng.standard_normal((n_c, dim)).astype(np.float32)
+            )
+        else:
+            C = rng.standard_normal((n_c, dim)).astype(np.float32)
+        base = rng.integers(0, n_c, size=n_q)
+        Q = C[base] + rng.standard_normal((n_q, dim)).astype(np.float32) * 0.3
+        qdf = spark.createDataFrame(
+            [(i, Q[i].tolist()) for i in range(n_q)],
+            "query_id: long, embedding: array<float>",
+        )
+        cdf = spark.createDataFrame(
+            [(i, C[i].tolist()) for i in range(n_c)],
+            "corpus_id: long, embedding: array<float>",
+        )
+        return qdf, cdf, Q, C
+
+    def test_recall_vs_exact_and_scores_are_exact(self, spark):
+        qdf, cdf, Q, C = self._data(spark)
+        k = 5
+        got = projected_topk_rerank(qdf, cdf, k=k, out_dim=32, seed=77).toPandas()
+        # exact oracle
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        S = Qn @ Cn.T
+        hits = total = 0
+        for qid, grp in got.groupby("query_id"):
+            true_top = set(np.argsort(-S[qid])[:k])
+            hits += len(true_top & set(grp["corpus_id"]))
+            total += k
+            # returned scores must be EXACT cosines, not projected ones
+            for _, r in grp.iterrows():
+                assert r["score"] == pytest.approx(
+                    float(S[int(qid), int(r["corpus_id"])]), abs=1e-6
+                )
+            # ranks ordered by exact score desc
+            g = grp.sort_values("rank")
+            assert list(g["score"]) == sorted(g["score"], reverse=True)
+            assert list(g["rank"]) == list(range(1, k + 1))
+        assert hits / total >= 0.9
+
+    def test_shapes_and_k_clamp(self, spark):
+        qdf, cdf, _, _ = self._data(spark, n_q=3, n_c=8)
+        out = projected_topk_rerank(qdf, cdf, k=20, out_dim=8, seed=1).toPandas()
+        # k beyond corpus: every corpus row returned per query
+        assert len(out) == 3 * 8
 
 
 class TestSrpBits:
