@@ -42,6 +42,34 @@ def qdf_ref(spark):
     return df, Q
 
 
+def _assert_load_scaled(t, base_ceiling, factor, spark, label):
+    """Assert wall ``t`` under ``base_ceiling`` scaled by measured load.
+
+    The module-scoped load factor is measured ONCE at fixture time, so
+    contention arriving MID-suite (the full-suite run is ~20 min — a
+    concurrent bench or a hypervisor spike easily lands inside it) can
+    inflate a query wall while the gate still scales by the stale idle
+    factor. On first-pass failure, re-measure the load NOW and take the
+    max of both readings: contention present at fixture time or at
+    failure time both count; only a spike strictly inside the query
+    window and gone by re-measure still flakes (and then only once —
+    rerunning passes). A genuine plan regression fails both checks.
+    """
+    scaled = base_ceiling * max(1.0, factor)
+    if t < scaled:
+        return
+    from polars_matmul_spark.calibration import calibration_wall, load_factor
+
+    f2, _ = load_factor(calibration_wall(spark))
+    worst = max(factor, f2)
+    rescaled = base_ceiling * max(1.0, worst)
+    assert t < rescaled, (
+        f"{label}: {t:.2f}s >= {rescaled:.2f}s "
+        f"(base {base_ceiling:.2f}s, load {factor:.1f}x at fixture, "
+        f"{f2:.1f}x re-measured)"
+    )
+
+
 def test_topk_small_shape_wall_gate(spark):
     # reference gate: topk(50x500, d=64, k=10) < 1 s native; Spark pays
     # ~0.3 s of job overhead at any size — gate at 5 s
@@ -80,10 +108,8 @@ def test_ref_shape_topk_vs_numpy_ratio(spark, qdf_ref, machine_load_factor):
     run = lambda: _force(df.withColumn("m", topk(F.col("embedding"), C, k=10)))
     run()  # warm python workers
     t_spark = min(_timed(run) for _ in range(3))
-    scaled = 4.0 * max(1.0, machine_load_factor)
-    assert t_spark < scaled * t_np, (
-        f"spark {t_spark:.3f}s vs numpy {t_np:.3f}s "
-        f"(bound {scaled:.1f}x at load {machine_load_factor:.1f}x)"
+    _assert_load_scaled(
+        t_spark, 4.0 * t_np, machine_load_factor, spark, "ref_topk_vs_numpy"
     )
     # ungated coarse gate — no load excuses this one
     assert t_spark < 50.0 * t_np, f"spark {t_spark:.3f}s vs numpy {t_np:.3f}s (coarse 50x)"
@@ -151,11 +177,7 @@ def test_registry_query_wall_ceiling(spark, name, machine_load_factor):
     t = min(_timed(run) for _ in range(2))
     # load-scaled ceiling: a contended box loosens the bound in
     # proportion to measured contention instead of silencing the gate
-    scaled = _CEILINGS_SF01[name] * max(1.0, machine_load_factor)
-    assert t < scaled, (
-        f"{name}: {t:.2f}s >= {scaled:.1f}s "
-        f"(ceiling {_CEILINGS_SF01[name]}s x load {machine_load_factor:.1f})"
-    )
+    _assert_load_scaled(t, _CEILINGS_SF01[name], machine_load_factor, spark, name)
     # ungated coarse ceiling (10x): a genuine plan regression — the
     # all-pairs / lost-pushdown / Python-row-loop class — blows past
     # this no matter how loaded the box is
