@@ -127,6 +127,23 @@ EXTRA_CASES = [
         "generation is a hash equi-join on cluster_id — no unblocked "
         "O(n^2) pass, no Python worker",
     ),
+    (
+        "projected_topk_rerank",
+        "JL two-stage search: both sides projected row-locally "
+        "(mapInArrow vs a broadcast matrix), queries broadcast into the "
+        "scored scan, the per-query argselect exchanges only slim "
+        "(q_id, c_id, approx) rows, and the exact-rerank corpus join "
+        "builds on the k*factor shortlist — full-width corpus never "
+        "shuffled",
+    ),
+    (
+        "key_skew_report",
+        "Skew probe: ONE map-side-combinable groupBy on the key, "
+        "1-row totals broadcast back, TakeOrderedAndProject for top-N "
+        "— the probe you run before picking broadcast/salted/AQE-skew "
+        "never itself suffers the skew (partial counts, uniform-ish "
+        "reducer keys)",
+    ),
 ]
 
 
@@ -139,6 +156,18 @@ def _extra_df(spark, name):
     if name == "semantic_dedup_pairs":
         emb = load_table(spark, "embeddings", SF).select("vec_id", "embedding")
         return semantic_dedup_pairs(emb, threshold=0.95, n_clusters=8)
+    if name == "projected_topk_rerank":
+        from polars_matmul_spark.operators.projection import projected_topk_rerank
+
+        emb = load_table(spark, "embeddings", SF)
+        q = emb.limit(32).select(F.col("vec_id").alias("query_id"), "embedding")
+        c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+        return projected_topk_rerank(q, c, k=5, out_dim=16)
+    if name == "key_skew_report":
+        from polars_matmul_spark.operators.diagnose import key_skew_report
+
+        ev = load_table(spark, "events", SF)
+        return key_skew_report(ev, ["user_id"], top_n=20)
     raise KeyError(name)
 
 
