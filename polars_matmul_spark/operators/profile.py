@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["profile_table", "corr_matrix", "frequent_items"]
+__all__ = ["profile_table", "corr_matrix", "frequent_items", "profile_diff"]
 
 _NUMERIC = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -92,6 +92,109 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             )
         )
     return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def profile_diff(
+    prof_a: DataFrame,
+    prof_b: DataFrame,
+    null_rate_jump: float = 0.05,
+    mean_shift_sigmas: float = 3.0,
+    distinct_ratio: float = 2.0,
+) -> DataFrame:
+    """Drift findings between two :func:`profile_table` outputs — the
+    ingest gate that catches a corrupt batch BEFORE it joins a 100 TB
+    corpus (an upstream schema change, a feed suddenly emitting nulls,
+    an id column collapsing to one value).
+
+    ``prof_a`` is the reference (yesterday's batch / the accepted
+    corpus), ``prof_b`` the candidate. Returns a findings frame
+    (column, check, a_value, b_value) — EMPTY means no drift. Checks:
+
+    - ``column_removed`` / ``column_added``: present in only one side.
+    - ``dtype_changed``: same name, different type.
+    - ``null_rate``: null fraction moved by more than
+      ``null_rate_jump`` (absolute).
+    - ``mean_shift``: numeric mean moved more than
+      ``mean_shift_sigmas`` standard deviations (of the reference; a
+      constant reference column uses the candidate's sigma, and two
+      constants differ on any mean change).
+    - ``distinct_ratio``: approximate distinct count grew or shrank by
+      more than ``distinct_ratio`` x (both sides non-zero). The HLL
+      rsd is 2%, so leave the default at 2x unless columns are near-
+      constant.
+
+    Both inputs are n_cols-row frames, so every join here is trivially
+    broadcast — cost is the two profile scans that produced them, not
+    this diff.
+    """
+    a = prof_a.select([F.col(c).alias(f"a_{c}") for c in prof_a.columns])
+    b = prof_b.select([F.col(c).alias(f"b_{c}") for c in prof_b.columns])
+    j = a.join(
+        b, a["a_column"] == b["b_column"], "full_outer"
+    )
+
+    def finding(check, a_val, b_val):
+        return F.struct(
+            F.coalesce(F.col("a_column"), F.col("b_column")).alias("column"),
+            F.lit(check).alias("check"),
+            a_val.cast("string").alias("a_value"),
+            b_val.cast("string").alias("b_value"),
+        )
+
+    a_null_rate = F.col("a_n_nulls") / F.col("a_n_rows")
+    b_null_rate = F.col("b_n_nulls") / F.col("b_n_rows")
+    sigma = F.when(F.col("a_stddev") > 0, F.col("a_stddev")).otherwise(
+        F.col("b_stddev")
+    )
+    mean_moved = F.when(
+        sigma > 0,
+        F.abs(F.col("b_mean") - F.col("a_mean")) > mean_shift_sigmas * sigma,
+    ).otherwise(F.col("b_mean") != F.col("a_mean"))
+    dist_ratio = F.greatest(
+        F.col("a_n_distinct_approx") / F.col("b_n_distinct_approx"),
+        F.col("b_n_distinct_approx") / F.col("a_n_distinct_approx"),
+    )
+
+    checks = [
+        (
+            F.col("b_column").isNull(),
+            finding("column_removed", F.col("a_dtype"), F.lit(None)),
+        ),
+        (
+            F.col("a_column").isNull(),
+            finding("column_added", F.lit(None), F.col("b_dtype")),
+        ),
+        (
+            F.col("a_dtype") != F.col("b_dtype"),
+            finding("dtype_changed", F.col("a_dtype"), F.col("b_dtype")),
+        ),
+        (
+            F.abs(b_null_rate - a_null_rate) > null_rate_jump,
+            finding("null_rate", F.round(a_null_rate, 6), F.round(b_null_rate, 6)),
+        ),
+        (
+            mean_moved,
+            finding("mean_shift", F.col("a_mean"), F.col("b_mean")),
+        ),
+        (
+            (F.col("a_n_distinct_approx") > 0)
+            & (F.col("b_n_distinct_approx") > 0)
+            & (dist_ratio > distinct_ratio),
+            finding(
+                "distinct_ratio",
+                F.col("a_n_distinct_approx"),
+                F.col("b_n_distinct_approx"),
+            ),
+        ),
+    ]
+    findings = F.array_compact(
+        F.array(*[F.when(cond, row) for cond, row in checks])
+    )
+    return (
+        j.select(F.explode(findings).alias("f"))
+        .select("f.*")
+        .orderBy("column", "check")
+    )
 
 
 def corr_matrix(df: DataFrame, columns: list[str]) -> DataFrame:

@@ -157,3 +157,80 @@ class TestCorrAndFreq:
         assert list(got["value"]) == list(want["value"])
         assert list(got["n"]) == list(want["n"])
         assert (got["share"] >= 0.05).all()
+
+
+class TestProfileDiff:
+    """profile_diff drift findings between two profile_table outputs."""
+
+    def _profiles(self, spark, mutate):
+        """Reference frame vs a mutated candidate; both profiled."""
+        from polars_matmul_spark.operators.profile import profile_diff, profile_table
+
+        base = spark.range(1_000).select(
+            F.col("id"),
+            (F.col("id") % 50).cast("double").alias("x"),
+            F.concat(F.lit("u"), (F.col("id") % 200).cast("string")).alias("cat"),
+        )
+        return profile_diff(profile_table(base), profile_table(mutate(base)))
+
+    def test_identical_profiles_no_findings(self, spark):
+        out = self._profiles(spark, lambda df: df)
+        assert out.count() == 0
+
+    def test_schema_changes_flagged(self, spark):
+        out = self._profiles(
+            spark,
+            lambda df: df.drop("cat").withColumn("extra", F.lit(1)),
+        ).collect()
+        checks = {(r["column"], r["check"]) for r in out}
+        assert ("cat", "column_removed") in checks
+        assert ("extra", "column_added") in checks
+
+    def test_dtype_change_flagged(self, spark):
+        out = self._profiles(
+            spark, lambda df: df.withColumn("x", F.col("x").cast("string"))
+        ).collect()
+        assert any(r["check"] == "dtype_changed" and r["column"] == "x" for r in out)
+
+    def test_null_rate_jump_flagged(self, spark):
+        out = self._profiles(
+            spark,
+            lambda df: df.withColumn(
+                "x", F.when(F.col("id") % 5 == 0, None).otherwise(F.col("x"))
+            ),
+        ).collect()
+        hit = [r for r in out if r["check"] == "null_rate" and r["column"] == "x"]
+        assert hit and float(hit[0]["b_value"]) == pytest.approx(0.2)
+
+    def test_mean_shift_flagged_and_small_shift_not(self, spark):
+        # x ~ uniform(0..49): mean 24.5, std ~14.4 -> +100 is ~7 sigma
+        out = self._profiles(
+            spark, lambda df: df.withColumn("x", F.col("x") + 100.0)
+        ).collect()
+        assert any(r["check"] == "mean_shift" and r["column"] == "x" for r in out)
+        small = self._profiles(
+            spark, lambda df: df.withColumn("x", F.col("x") + 1.0)
+        ).collect()
+        assert not any(r["check"] == "mean_shift" for r in small)
+
+    def test_distinct_collapse_flagged(self, spark):
+        # cat: 200 distinct -> 1 distinct (the classic broken-feed id)
+        out = self._profiles(
+            spark, lambda df: df.withColumn("cat", F.lit("u0"))
+        ).collect()
+        assert any(
+            r["check"] == "distinct_ratio" and r["column"] == "cat" for r in out
+        )
+
+    def test_constant_reference_uses_candidate_sigma(self, spark):
+        from polars_matmul_spark.operators.profile import profile_diff, profile_table
+
+        a = spark.range(100).select(F.lit(5.0).alias("v"))
+        # candidate has spread; mean moved < 3 of ITS sigmas -> no flag
+        b = spark.range(100).select((F.lit(5.0) + F.col("id") % 10).alias("v"))
+        out = profile_diff(profile_table(a), profile_table(b)).collect()
+        assert not any(r["check"] == "mean_shift" for r in out)
+        # two constants differing -> flagged on any change
+        c = spark.range(100).select(F.lit(6.0).alias("v"))
+        out2 = profile_diff(profile_table(a), profile_table(c)).collect()
+        assert any(r["check"] == "mean_shift" for r in out2)
