@@ -59,6 +59,7 @@ def train_centroids_kmeans(
     n_centroids: int = 26,
     seed: int = 7,
     max_iter: int = 20,
+    max_train_rows: int | None = None,
 ) -> DataFrame:
     """Seeded MLlib KMeans centroids — the quality alternative to
     :func:`pick_centroids` (same output schema, drop-in for
@@ -74,11 +75,34 @@ def train_centroids_kmeans(
     broadcast-sized centroid table IVF needs anyway) to the driver.
     Euclidean Lloyd on unit-norm embeddings orders assignments
     identically to cosine (||q-c||^2 = 2 - 2 cos for unit vectors).
+
+    Training runs on a bounded sample: at most ``max_train_rows``
+    (default ``100 * n_centroids``) rows, selected by a deterministic
+    hash of the embedding (partitioning-invariant, no RNG state). Per-
+    iteration training cost scales with n x k, so training on the full
+    corpus makes the TRAINER the scale bottleneck precisely when both
+    n and k grow — the round-4 scaling probe measured exactly that
+    (semantic dedup wall 15x for 8x corpus, dominated by KMeans, while
+    assign+verify stayed linear). ~100 points per center is plenty to
+    place centers for BLOCKING purposes (recall gates in
+    tests/test_ann_recall.py and test_semdedup.py hold on sampled
+    training); pass ``max_train_rows=None``-> default cap, or a larger
+    cap when centers must resolve finer structure.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feats = corpus.select(
+    cap = 100 * n_centroids if max_train_rows is None else max_train_rows
+    n = corpus.count()
+    sample = corpus
+    if n > cap:
+        # keep-one-in-m by embedding hash: deterministic, scan-speed,
+        # independent of partitioning and row order
+        m = max(n // cap, 1)
+        sample = corpus.filter(
+            F.pmod(F.xxhash64(F.col("embedding"), F.lit(seed)), F.lit(m)) == 0
+        )
+    feats = sample.select(
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
     )
     model = KMeans(
