@@ -275,6 +275,26 @@ def main() -> None:
         force(pq_topk(pq_q, codes, _PQ_BOOKS, k=10))
         row["pq_search"] = timed(lambda: force(pq_topk(pq_q, codes, _PQ_BOOKS, k=10)))
         codes.unpersist()
+        # JL projection: row-local map, wall must grow at most linearly
+        # (any superlinear growth would mean the broadcast matrix or the
+        # Arrow exchange is being rebuilt per-partition-count)
+        from polars_matmul_spark.operators.projection import (
+            projected_topk_rerank,
+            random_project,
+        )
+
+        force(random_project(emb, out_dim=dim // 4, seed=7))
+        row["random_project"] = timed(
+            lambda: force(random_project(emb, out_dim=dim // 4, seed=7))
+        )
+        # two-stage JL search: corpus term linear in K (shortlist window
+        # over slim rows), queries fixed
+        jl_q = emb.limit(20).select(F.col("vec_id").alias("query_id"), "embedding")
+        jl_c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+        force(projected_topk_rerank(jl_q, jl_c, k=10, out_dim=dim // 4))
+        row["projected_topk_rerank"] = timed(
+            lambda: force(projected_topk_rerank(jl_q, jl_c, k=10, out_dim=dim // 4))
+        )
         print(json.dumps(row))
         emb.unpersist()
     spark.stop()
