@@ -190,7 +190,7 @@ def test_registry_query_wall_ceiling(spark, name, machine_load_factor):
 @pytest.fixture(scope="module")
 def machine_load_factor(spark):
     """Measured contention multiplier for this run: wall of a fixed
-    JVM-only calibration job vs the min-observed (persisted) idle wall
+    JVM-only calibration job vs the persisted idle baseline (median of best-5)
     on this machine — see polars_matmul_spark/calibration.py. Gates
     multiply their ceilings by this factor rather than skipping: a
     loaded box loosens bounds proportionally but never goes silent
