@@ -39,6 +39,7 @@ __all__ = [
     "gaussian_matrix",
     "random_project",
     "srp_bits",
+    "srp_neardup",
     "projected_topk_rerank",
 ]
 
@@ -165,6 +166,87 @@ def srp_bits(
 
     field = T.StructField(out_col, T.LongType(), False)
     return _project_arrow(df, emb_col, P, out_col, emit, field)
+
+
+def srp_neardup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bands: int = 8,
+    band_bits: int = 6,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding near-dup pairs via SRP banding — the KMeans-free
+    blocked path (the embedding-side analogue of MinHash-LSH banding
+    over text shingles, ``dedup.neardup_minhash_lsh``).
+
+    Signature = ``n_bands * band_bits`` sign bits of a seeded Gaussian
+    projection; a candidate pair must agree on ALL bits of at least one
+    band. For vectors at angle theta each bit agrees with probability
+    1 - theta/pi, so a band matches with (1-theta/pi)^band_bits and
+    the usual LSH S-curve applies across bands — cosine 0.95 (theta ~
+    18deg) gives per-band ~0.53 and >= 99.7% candidate recall at the
+    8x6 default, while uncorrelated vectors (per-band ~1.6%) almost
+    never collide. Every candidate is then verified by EXACT cosine >=
+    ``threshold`` — precision 1.0 by construction, banding only
+    affects recall.
+
+    Scale shape: one row-local signature pass (``srp_bits``), one
+    explode to ``n_bands`` slim (band, value, id) rows, one equi-join
+    on (band, value) — the only pairwise work is within buckets, the
+    classic LSH bound, no unblocked O(n^2) pass and no training step.
+    Returns (id_a, id_b, cosine) with id_a < id_b, distinct.
+    """
+    from pyspark.sql import functions as F
+
+    from polars_matmul_spark.operators.similarity_join import score_expr
+
+    if n_bands * band_bits > 63:
+        raise ValueError("n_bands * band_bits must be <= 63 (one int64 signature)")
+    sig = srp_bits(
+        df.select(id_col, emb_col),
+        emb_col=emb_col,
+        n_bits=n_bands * band_bits,
+        seed=seed,
+        out_col="__sig",
+    )
+    mask = (1 << band_bits) - 1
+    bands = sig.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("__sig"), i * band_bits).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    emb = df.select(F.col(id_col), F.col(emb_col).cast("array<double>").alias("__e"))
+    verified = (
+        cand.join(emb.select(F.col(id_col).alias("id_a"), F.col("__e").alias("__ea")), "id_a")
+        .join(emb.select(F.col(id_col).alias("id_b"), F.col("__e").alias("__eb")), "id_b")
+        .withColumn("cosine", score_expr(F.col("__ea"), F.col("__eb"), "cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+    return verified
 
 
 def projected_topk_rerank(

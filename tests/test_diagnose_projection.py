@@ -15,6 +15,7 @@ from polars_matmul_spark.operators.projection import (
     projected_topk_rerank,
     random_project,
     srp_bits,
+    srp_neardup,
 )
 
 
@@ -306,3 +307,79 @@ class TestSrpBits:
         df, _ = _emb_df(spark, n=4, dim=8)
         with pytest.raises(ValueError, match="1 <= n_bits <= 63"):
             srp_bits(df, n_bits=64)
+
+
+class TestSrpNeardup:
+    def _corpus(self, spark, n=200, dim=64, n_dups=20, seed=17):
+        """n base vectors + n_dups planted near-dups (tiny
+        perturbation of base i -> id 10_000+i)."""
+        rng = np.random.default_rng(seed)
+        X = rng.standard_normal((n, dim)).astype(np.float64)
+        dups = X[:n_dups] + rng.standard_normal((n_dups, dim)) * 0.02
+        rows = [(i, X[i].tolist()) for i in range(n)] + [
+            (10_000 + i, dups[i].tolist()) for i in range(n_dups)
+        ]
+        return (
+            spark.createDataFrame(rows, "vec_id: long, embedding: array<double>"),
+            X,
+            dups,
+        )
+
+    def test_planted_dups_recovered_with_exact_scores(self, spark):
+        df, X, dups = self._corpus(spark)
+        out = srp_neardup(df, threshold=0.95).toPandas()
+        found = set(zip(out["id_a"], out["id_b"]))
+        # recall on the planted pairs
+        hits = sum(1 for i in range(len(dups)) if (i, 10_000 + i) in found)
+        assert hits / len(dups) >= 0.9
+        # every returned cosine is the EXACT cosine and >= threshold
+        for _, r in out.iterrows():
+            a = X[int(r["id_a"])] if r["id_a"] < 10_000 else dups[int(r["id_a"]) - 10_000]
+            b = X[int(r["id_b"])] if r["id_b"] < 10_000 else dups[int(r["id_b"]) - 10_000]
+            want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            assert r["cosine"] == pytest.approx(want, abs=1e-9)
+            assert r["cosine"] >= 0.95
+
+    def test_precision_one_no_false_pairs(self, spark):
+        # corpus with NO near-dups: exact verify must return nothing
+        rng = np.random.default_rng(23)
+        X = rng.standard_normal((150, 64))
+        df = spark.createDataFrame(
+            [(i, X[i].tolist()) for i in range(150)],
+            "vec_id: long, embedding: array<double>",
+        )
+        assert srp_neardup(df, threshold=0.95).count() == 0
+
+    def test_matches_blocked_exact_on_crossing_pairs(self, spark):
+        # against the exact all-pairs oracle: srp_neardup output must be
+        # a SUBSET (banding loses recall, never precision) and >= 90%
+        df, X, dups = self._corpus(spark, n=100, n_dups=15)
+        A = np.vstack([X, dups])
+        ids = list(range(100)) + [10_000 + i for i in range(15)]
+        An = A / np.linalg.norm(A, axis=1, keepdims=True)
+        S = An @ An.T
+        exact = {
+            (ids[i], ids[j])
+            for i in range(len(ids))
+            for j in range(i + 1, len(ids))
+            if S[i, j] >= 0.95
+        }
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in srp_neardup(df, threshold=0.95).collect()
+        }
+        assert got <= exact
+        assert len(got) >= 0.9 * len(exact)
+
+    def test_band_budget_guard(self, spark):
+        df, _, _ = self._corpus(spark, n=10, n_dups=1)
+        with pytest.raises(ValueError, match="<= 63"):
+            srp_neardup(df, n_bands=16, band_bits=4)
+
+    def test_no_unblocked_cross_join_in_plan(self, spark):
+        df, _, _ = self._corpus(spark, n=50, n_dups=5)
+        plan = (
+            srp_neardup(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
