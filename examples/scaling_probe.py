@@ -295,6 +295,13 @@ def main() -> None:
         row["projected_topk_rerank"] = timed(
             lambda: force(projected_topk_rerank(jl_q, jl_c, k=10, out_dim=dim // 4))
         )
+        # SRP-banded near-dup: training-free LSH — bucket join work is
+        # sum(bucket_size^2); with random sign patterns across copies
+        # buckets stay uniform, so the wall must grow ~linearly
+        from polars_matmul_spark.operators.projection import srp_neardup
+
+        force(srp_neardup(emb, threshold=0.95))
+        row["srp_neardup"] = timed(lambda: force(srp_neardup(emb, threshold=0.95)))
         print(json.dumps(row))
         emb.unpersist()
     spark.stop()

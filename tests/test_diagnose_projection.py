@@ -373,8 +373,34 @@ class TestSrpNeardup:
 
     def test_band_budget_guard(self, spark):
         df, _, _ = self._corpus(spark, n=10, n_dups=1)
-        with pytest.raises(ValueError, match="<= 63"):
-            srp_neardup(df, n_bands=16, band_bits=4)
+        with pytest.raises(ValueError, match=r"\[1, 63\]"):
+            srp_neardup(df, n_bands=4, band_bits=64)
+
+    def test_wide_bands_cut_random_collisions(self, spark):
+        # candidate count on pure-noise data must FALL as band_bits
+        # grows (2^-band_bits collision rate) — the knob that keeps the
+        # bucket join subquadratic at larger n
+        rng = np.random.default_rng(31)
+        X = rng.standard_normal((300, 64))
+        df = spark.createDataFrame(
+            [(i, X[i].tolist()) for i in range(300)],
+            "vec_id: long, embedding: array<double>",
+        )
+
+        def n_cand(band_bits, n_bands):
+            from polars_matmul_spark.operators.projection import (
+                _peek_dim,
+                _project_arrow,
+            )
+            # count candidates via the operator with threshold -1 so
+            # the verify filter keeps every banded pair
+            return srp_neardup(
+                df, threshold=-1.0, n_bands=n_bands, band_bits=band_bits
+            ).count()
+
+        narrow = n_cand(6, 8)
+        wide = n_cand(12, 8)
+        assert wide < narrow / 4
 
     def test_no_unblocked_cross_join_in_plan(self, spark):
         df, _, _ = self._corpus(spark, n=50, n_dups=5)
