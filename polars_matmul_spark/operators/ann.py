@@ -54,12 +54,44 @@ def pick_centroids(corpus: DataFrame, id_col: str, every: int = 37) -> DataFrame
     )
 
 
+def _hash_sample(
+    df: DataFrame,
+    cap: int,
+    seed: int,
+    key_cols: list,
+    min_rows: int = 0,
+) -> DataFrame:
+    """Deterministic keep-one-in-m downsample to ~``cap`` rows, keyed on
+    ``key_cols`` — which must include a UNIQUE per-row column (an id),
+    never just the vector value: duplicate vectors share one hash
+    residue, so on a duplicate-heavy corpus (the normal input of a
+    dedup framework) a value-keyed sample is badly skewed, and in the
+    worst case (every row one value) EMPTY. Partitioning- and
+    row-order-invariant, no RNG state, scan-speed.
+
+    Falls back to the full ``df`` when the sample would land under
+    ``min_rows`` (e.g. fewer rows than KMeans clusters) — a crash guard
+    for adversarial hash/key distributions.
+    """
+    n = df.count()
+    if n <= cap:
+        return df
+    m = max(n // cap, 1)
+    sampled = df.filter(
+        F.pmod(F.xxhash64(*key_cols, F.lit(seed)), F.lit(m)) == 0
+    )
+    if min_rows and sampled.count() < min_rows:
+        return df
+    return sampled
+
+
 def train_centroids_kmeans(
     corpus: DataFrame,
     n_centroids: int = 26,
     seed: int = 7,
     max_iter: int = 20,
     max_train_rows: int | None = None,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Seeded MLlib KMeans centroids — the quality alternative to
     :func:`pick_centroids` (same output schema, drop-in for
@@ -78,10 +110,15 @@ def train_centroids_kmeans(
 
     Training runs on a bounded sample: at most ``max_train_rows``
     (default ``100 * n_centroids``) rows, selected by a deterministic
-    hash of the embedding (partitioning-invariant, no RNG state). Per-
-    iteration training cost scales with n x k, so training on the full
-    corpus makes the TRAINER the scale bottleneck precisely when both
-    n and k grow — the round-4 scaling probe measured exactly that
+    hash keyed on ``id_col`` when given, else on ALL columns of the
+    frame (partitioning-invariant, no RNG state). Pass the id column:
+    hashing only the embedding VALUE makes duplicate embeddings share
+    one residue, so a duplicate-heavy corpus gets a skewed sample — and
+    an all-one-value corpus an empty one. When the sample lands under
+    ``n_centroids`` rows the full corpus is used instead (crash guard).
+    Per-iteration training cost scales with n x k, so training on the
+    full corpus makes the TRAINER the scale bottleneck precisely when
+    both n and k grow — the round-4 scaling probe measured exactly that
     (semantic dedup wall 15x for 8x corpus, dominated by KMeans, while
     assign+verify stayed linear). ~100 points per center is plenty to
     place centers for BLOCKING purposes (recall gates in
@@ -93,15 +130,12 @@ def train_centroids_kmeans(
     from pyspark.ml.functions import array_to_vector
 
     cap = 100 * n_centroids if max_train_rows is None else max_train_rows
-    n = corpus.count()
-    sample = corpus
-    if n > cap:
-        # keep-one-in-m by embedding hash: deterministic, scan-speed,
-        # independent of partitioning and row order
-        m = max(n // cap, 1)
-        sample = corpus.filter(
-            F.pmod(F.xxhash64(F.col("embedding"), F.lit(seed)), F.lit(m)) == 0
-        )
+    key_cols = (
+        [F.col(id_col)] if id_col else [F.col(c) for c in corpus.columns]
+    )
+    sample = _hash_sample(
+        corpus, cap, seed, key_cols, min_rows=n_centroids
+    )
     feats = sample.select(
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
     )

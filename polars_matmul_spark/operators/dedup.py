@@ -363,14 +363,18 @@ def dedup_groups(
       carries one row per (edge + vertex), same order as the input.
     - HYBRID: the edge list is the DUPLICATE graph, orders of
       magnitude smaller than the corpus. When it fits the documented
-      driver envelope (``driver_threshold`` edges; 2M pairs of longs
-      ~= 32 MB, the same class as the broadcast-corpus envelopes),
-      a driver-side union-find replaces the iterative job storm —
-      each distributed round costs whole-stage scheduling latency
-      that dwarfs a few-MB union-find. Above the envelope the
-      distributed loop runs unchanged. Both paths emit the identical
-      contract (group_id = min doc id of the component; equivalence
-      pinned in tests/test_dedup_groups.py).
+      driver envelope (``driver_threshold`` edges), a driver-side
+      union-find replaces the iterative job storm — each distributed
+      round costs whole-stage scheduling latency that dwarfs a few-MB
+      union-find. The edge list crosses to the driver through Arrow
+      (``toPandas`` on the two id columns -> columnar buffers: 2M long
+      pairs ~= 32 MB plus the transient Python-int working set of the
+      union-find itself), NOT a ``collect()`` of 2M Row objects, which
+      costs 10-20x that in driver Python object overhead. Above the
+      envelope the distributed loop runs unchanged. Both paths emit
+      the identical contract (group_id = min doc id of the component;
+      equivalence and the activation boundary pinned in
+      tests/test_dedup_groups.py).
     """
     # edges are re-joined on src EVERY round: partition them on the
     # join key once, so the per-round exchange hits only the (smaller,
@@ -386,7 +390,10 @@ def dedup_groups(
     )
     n_edges = undirected.count()
     if n_edges <= driver_threshold:
-        rows = undirected.collect()
+        # Arrow columnar transfer, not Row collect (envelope honesty)
+        pdf = undirected.toPandas()
+        srcs = pdf["src"].tolist()
+        dsts = pdf["dst"].tolist()
         parent: dict = {}
 
         def find(x):
@@ -397,14 +404,14 @@ def dedup_groups(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in rows:
-            a, b = find(r["src"]), find(r["dst"])
+        for a0, b0 in zip(srcs, dsts):
+            a, b = find(a0), find(b0)
             if a != b:
                 # union by MIN id: the surviving root is the smallest
                 # member, matching the hash-min contract directly
                 lo, hi = (a, b) if a < b else (b, a)
                 parent[hi] = lo
-        out = [(v, find(v)) for v in set(parent) | {r["src"] for r in rows} | {r["dst"] for r in rows}]
+        out = [(v, find(v)) for v in set(parent) | set(srcs) | set(dsts)]
         spark = pairs.sparkSession
         schema = pairs.select(F.col(d1).alias("doc_id")).schema
         id_type = schema.fields[0].dataType.simpleString()

@@ -39,6 +39,7 @@ def funnel_user_levels(
     type_col: str = "event_type",
     ts_col: str = "ts",
     within_seconds: int | None = None,
+    max_t0_candidates: int | None = 1024,
 ) -> DataFrame:
     """(user, funnel_level): the deepest step each user reached IN
     ORDER — a user reaches step i iff SOME strictly-increasing event
@@ -54,9 +55,19 @@ def funnel_user_levels(
     greedy-from-the-earliest-t0 undercounts (an earlier t0 also
     closes the deadline earlier), so the fold instead evaluates the
     greedy chain per CANDIDATE t0 — exact for a fixed deadline — and
-    takes the max reached level over the user's step-0 events
-    (per-user work: |step-0 events| x steps x array scans, bounded by
-    per-user event counts).
+    takes the max reached level over the user's step-0 events.
+
+    That per-candidate evaluation is quadratic in a user's step-0
+    events, so the candidate set is BOUNDED: candidates are first
+    deduplicated to one per second (the earliest step-0 event in each
+    epoch second), then capped at the first ``max_t0_candidates``
+    survivors. Exact for any user whose step-0 events span at most
+    ``max_t0_candidates`` distinct seconds (every human user at the
+    default 1024); for an adversarial burst-bot the result is the
+    funnel over the capped candidate list — a documented lower bound,
+    never an overcount, equal to :func:`py_funnel_level` on the same
+    capped input (pinned in tests/test_funnel.py). Pass ``None`` to
+    evaluate every candidate (the exact-but-unbounded form).
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
@@ -97,6 +108,18 @@ def funnel_user_levels(
         user_level = lvl
     else:
         w_lit = F.lit(float(within_seconds))
+        t0s = F.col("__ts_0")
+        if max_t0_candidates is not None:
+            # bound the per-user candidate set: keep the FIRST step-0
+            # event of each epoch second (filter's 0-based index i vs
+            # 1-based element_at(arr, i) = the previous element), then
+            # the first N survivors. Pure Catalyst, no extra shuffle.
+            first_per_sec = F.filter(
+                F.col("__ts_0"),
+                lambda x, i: (i == F.lit(0))
+                | (F.floor(x) != F.floor(F.element_at(F.col("__ts_0"), i))),
+            )
+            t0s = F.slice(first_per_sec, 1, int(max_t0_candidates))
 
         def _level_for(t0):
             # greedy chain anchored at t0 with deadline t0 + W: exact
@@ -114,7 +137,7 @@ def funnel_user_levels(
                 prev = nxt
             return lvl
 
-        levels = F.transform(F.col("__ts_0"), _level_for)
+        levels = F.transform(t0s, _level_for)
         user_level = F.when(
             F.size("__ts_0") > 0, F.array_max(levels)
         ).otherwise(F.lit(0))

@@ -88,7 +88,7 @@ def build_ivfpq(
     from polars_matmul_spark.operators.pq import encode_pq, train_pq
 
     src = corpus.select(F.col(id_col), F.col(vec_col).alias("embedding"))
-    cen_df = train_centroids_kmeans(src, n_centroids, seed=seed)
+    cen_df = train_centroids_kmeans(src, n_centroids, seed=seed, id_col=id_col)
     assigned = _assign_l2(src, cen_df, id_col=id_col)
     cen_rows = cen_df.orderBy("centroid_id").collect()
     centroids = np.array([list(r["centroid_emb"]) for r in cen_rows], dtype=np.float64)
@@ -104,8 +104,20 @@ def build_ivfpq(
             lambda a, b: a - b,
         ).alias("residual"),
     )
+    # train the codebooks on a bounded deterministic sample of the
+    # residuals (keyed on the id, same cap pattern as the coarse
+    # trainer): train_pq's contract is sample-in, and m full-corpus
+    # MLlib fits would make the BUILD superlinear at scale. ~100 points
+    # per code cell places codebook centroids for quantization; the
+    # full corpus is still encoded below.
+    from polars_matmul_spark.operators.ann import _hash_sample
+
+    res_train = _hash_sample(
+        res, cap=100 * n_codes, seed=seed + 101, key_cols=[F.col(id_col)],
+        min_rows=n_codes,
+    )
     books = train_pq(
-        res, vec_col="residual", m=m, n_codes=n_codes, seed=seed
+        res_train, vec_col="residual", m=m, n_codes=n_codes, seed=seed
     )
     codes = encode_pq(res, books, vec_col="residual", id_col=id_col)
     index = res.select(id_col, "centroid_id").join(codes, id_col)

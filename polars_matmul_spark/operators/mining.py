@@ -26,7 +26,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from polars_matmul_spark.operators.sampling import hash_bucket
-from polars_matmul_spark.operators.similarity_join import topk_join_exact
 
 __all__ = ["hard_negatives", "in_batch_negatives"]
 
@@ -46,16 +45,42 @@ def hard_negatives(
     """(query_id, rank, corpus_id, score): the k nearest non-positive
     corpus items per query. ``positives`` is (query_id, corpus_id).
 
-    ``search_depth`` defaults to k + the LARGEST per-query positive
-    count (so exclusion can never leave a query short); pass a smaller
-    depth to trade completeness for speed on huge positive sets.
+    By default every query searches at depth ``k + ITS OWN positive
+    count`` (the per-query count joined into the window limit — no
+    driver scalar, no collect): exclusion can never leave a query
+    short, and one query with 10k labeled positives no longer widens
+    every OTHER query's retained candidate set to 10k+k. Pass an
+    explicit ``search_depth`` to force one fixed depth for all queries
+    (e.g. to cap work on adversarial positive sets — queries whose
+    positive count exceeds the cap may then return fewer than k rows).
     """
+    from polars_matmul_spark import kernels as K
+    from polars_matmul_spark.operators.similarity_join import (
+        similarity_join_exact,
+    )
+
+    scored = similarity_join_exact(
+        queries, corpus, q_col=q_emb, c_col=c_emb, metric=metric
+    )
+    c_id_eff = f"c_{c_id}" if c_id in queries.columns else c_id
+    higher = K.higher_is_better(K._canonical_metric(metric))
+    sdir = (
+        [F.desc("score"), F.asc(c_id_eff)]
+        if higher
+        else [F.asc("score"), F.asc(c_id_eff)]
+    )
+    sw = Window.partitionBy(q_id).orderBy(*sdir)
+    ranked = scored.withColumn("__sr", F.row_number().over(sw))
     if search_depth is None:
-        counts = positives.groupBy(q_id).agg(F.count("*").alias("c"))
-        row = counts.agg(F.max("c")).collect()[0][0]
-        search_depth = k + int(row or 0)
-    short = topk_join_exact(
-        queries, corpus, q_id, c_id, q_emb, c_emb, k=search_depth, metric=metric
+        counts = positives.groupBy(q_id).agg(F.count("*").alias("__pos_n"))
+        ranked = ranked.join(F.broadcast(counts), q_id, "left")
+        depth = F.lit(k) + F.coalesce(F.col("__pos_n"), F.lit(0))
+    else:
+        depth = F.lit(int(search_depth))
+    short = (
+        ranked.filter(F.col("__sr") <= depth)
+        .drop("__sr", "__pos_n")
+        .withColumnRenamed(c_id_eff, c_id)
     )
     # positives are labels — broadcast; LEFT ANTI on the pair
     pruned = short.join(

@@ -39,6 +39,7 @@ __all__ = [
     "gaussian_matrix",
     "random_project",
     "srp_bits",
+    "srp_band_plan",
     "srp_neardup",
     "projected_topk_rerank",
 ]
@@ -168,14 +169,74 @@ def srp_bits(
     return _project_arrow(df, emb_col, P, out_col, emit, field)
 
 
+def srp_band_plan(
+    n_rows: int,
+    n_bands: int | None = None,
+    band_bits: int | None = None,
+    bit_agree: float = 0.90,
+    target_recall: float = 0.99,
+    candidate_factor: int = 16,
+) -> tuple[int, int]:
+    """Derive an SRP banding config (n_bands, band_bits) for ``n_rows``
+    such that the EXPECTED number of random (uncorrelated-pair) band
+    collisions stays under ``candidate_factor * n_rows`` — linear in n,
+    never the silent quadratic a fixed config hits when n grows — while
+    holding candidate recall >= ``target_recall`` for pairs whose
+    per-bit agreement probability is ``bit_agree`` (0.90 ~ cosine 0.95).
+
+    Arithmetic: random pairs collide on some band with probability
+    ~ n_bands * 2^-band_bits, so expected random candidates ~=
+    n^2/2 * n_bands / 2^band_bits <= candidate_factor * n requires
+    band_bits >= log2(n * n_bands / (2 * candidate_factor)); recall
+    1-(1-bit_agree^band_bits)^n_bands then fixes n_bands up the
+    S-curve. The two interlock (weakly, through a log), so a short
+    fixed-point iteration settles both. Pass either knob explicitly to
+    pin it and derive only the other.
+    """
+    import math
+
+    n = max(int(n_rows), 2)
+
+    def _bits(nb: int) -> int:
+        return max(
+            1,
+            min(63, math.ceil(math.log2(n * nb / (2 * candidate_factor)))),
+        )
+
+    def _bands(bits: int) -> int:
+        p_band = bit_agree**bits
+        if p_band >= 1.0:
+            return 1
+        return max(
+            1,
+            math.ceil(math.log(1 - target_recall) / math.log(1 - p_band)),
+        )
+
+    if n_bands is not None and band_bits is not None:
+        return n_bands, band_bits
+    if n_bands is not None:
+        return n_bands, _bits(n_bands)
+    if band_bits is not None:
+        return _bands(band_bits), band_bits
+    nb = 16
+    for _ in range(10):
+        bits = _bits(nb)
+        needed = _bands(bits)
+        if needed == nb:
+            break
+        nb = needed
+    return nb, _bits(nb)
+
+
 def srp_neardup(
     df: DataFrame,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     threshold: float = 0.95,
-    n_bands: int = 16,
-    band_bits: int = 12,
+    n_bands: int | None = None,
+    band_bits: int | None = None,
     seed: int = 7,
+    expected_rows: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via SRP banding — the KMeans-free
     blocked path (the embedding-side analogue of MinHash-LSH banding
@@ -192,15 +253,19 @@ def srp_neardup(
     gives candidate recall ~0.995.
 
     Honest scale envelope: an UNCORRELATED pair collides on some band
-    with probability ~ n_bands * 2^-band_bits (~0.4% at 16x12), so the
-    candidate count is ~ n^2/2 x that rate PLUS the genuinely-similar
-    pairs. Raise ``band_bits`` (and ``n_bands`` with it, to hold
-    recall) as n grows — the bucket join stays uniform because sign
-    bits of random projections are balanced coin flips. This is the
-    training-free MODERATE-scale path (~1e6 rows per blocking domain
-    at the default); for the billion-row regime use the trained paths
-    (``semdedup`` cluster blocking, ``ann`` IVF) where bucket geometry
-    adapts to the data. Every candidate is verified by EXACT cosine >=
+    with probability ~ n_bands * 2^-band_bits, so the candidate count
+    is ~ n^2/2 x that rate PLUS the genuinely-similar pairs. The
+    banding config therefore AUTO-SCALES with n by default: when
+    ``n_bands``/``band_bits`` are not given, :func:`srp_band_plan`
+    derives them from ``expected_rows`` (or one ``df.count()`` when
+    that too is omitted) so expected random candidates stay under a
+    documented ~16n ceiling at recall >= 0.99 — a naive caller cannot
+    silently run a 16x12 config (fine at 1e4 rows, quadratic at 1e8)
+    on a huge corpus. The bucket join stays uniform as bits grow
+    because sign bits of random projections are balanced coin flips.
+    For the billion-row regime the trained paths (``semdedup`` cluster
+    blocking, ``ann`` IVF) remain preferable — bucket geometry adapts
+    to the data. Every candidate is verified by EXACT cosine >=
     ``threshold`` — precision 1.0 by construction, banding only
     affects recall.
 
@@ -214,6 +279,9 @@ def srp_neardup(
 
     from polars_matmul_spark.operators.similarity_join import score_expr
 
+    if n_bands is None or band_bits is None:
+        n_rows = expected_rows if expected_rows is not None else df.count()
+        n_bands, band_bits = srp_band_plan(n_rows, n_bands, band_bits)
     if not 1 <= band_bits <= 63:
         raise ValueError("band_bits must be in [1, 63] (one int64 per band)")
     in_dim = _peek_dim(df, emb_col)

@@ -113,7 +113,9 @@ def semantic_dedup_pairs(
     """
     if centroids is None:
         corpus = df.select(F.col(id_col).alias("corpus_id"), "embedding")
-        centroids = train_centroids_kmeans(corpus, n_centroids=n_clusters, seed=seed)
+        centroids = train_centroids_kmeans(
+            corpus, n_centroids=n_clusters, seed=seed, id_col="corpus_id"
+        )
     assigned = assign_top_clusters(df, centroids, id_col=id_col, n_probe=n_probe)
     a = assigned.select(
         F.col(id_col).alias("id_a"),

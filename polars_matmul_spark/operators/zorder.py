@@ -51,10 +51,23 @@ def _bucket(col: Column, cuts: list[float] | None, bits: int) -> Column:
     n_buckets = 1 << bits
     if cuts is not None:
         # broadcast-literal cut points (the at-scale path): bucket =
-        # count of cuts below the value, scaled into the bit range
+        # count of cuts below the value, scaled into the bit range.
+        # Scale AFTER multiplying (below * (n_buckets-1)) / len(cuts):
+        # the old integer pre-division (n_buckets-1)//len(cuts) hit 0
+        # whenever len(cuts) >= n_buckets, silently dropping the column
+        # from the z-order (every row -> bucket 0), and floor-wasted
+        # resolution for smaller cut lists.
+        if not cuts:
+            raise ValueError("cuts must be a non-empty list of cut points")
+        if len(cuts) >= n_buckets:
+            raise ValueError(
+                f"len(cuts)={len(cuts)} must be < n_buckets={n_buckets} "
+                f"({bits} bits/column): more cuts than buckets cannot be "
+                "represented — pass fewer quantiles or fewer z-columns"
+            )
         arr = F.array(*[F.lit(float(c)) for c in cuts])
         below = F.size(F.filter(arr, lambda c: c <= col.cast("double")))
-        return (below * ((n_buckets - 1) // max(len(cuts), 1))).cast("long")
+        return ((below * (n_buckets - 1)) / F.lit(len(cuts))).cast("long")
     from pyspark.sql import Window
 
     pr = F.percent_rank().over(Window.orderBy(col))

@@ -77,16 +77,26 @@ def bloom_ingest_batch(
         .localCheckpoint(eager=True)
     )
 
-    # 2+3. two-gate check vs the merged persisted bitmap + exact history
+    # 2+3. two-gate check: the EXACT gate runs whenever an accepted
+    # corpus exists — the bitmap is only the pre-filter that shrinks
+    # the exact gate's input, never the gate itself. (Gating both on
+    # the bloom dir alone would silently accept duplicates if the
+    # bitmap is deleted/relocated while the corpus survives, or under
+    # manual composition outside the availableNow driver.)
     bloom_parts = _read_or_empty(spark, bloom_dir, _BLOOM_SCHEMA)
     corpus = _read_or_empty(spark, corpus_dir, f"{id_col} long, fp string")
-    if bloom_parts.limit(1).count() > 0:
-        merged = bloom_parts.groupBy("word_idx").agg(
-            F.bit_or("bits").alias("bits")
-        )
-        probed = probe_bloom(batch, merged, "fp", m_bits, k)
-        clean = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
-        suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+    if corpus.limit(1).count() > 0:
+        if bloom_parts.limit(1).count() > 0:
+            merged = bloom_parts.groupBy("word_idx").agg(
+                F.bit_or("bits").alias("bits")
+            )
+            probed = probe_bloom(batch, merged, "fp", m_bits, k)
+            clean = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+            suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+        else:
+            # no bitmap: every row is a suspect for the exact gate
+            clean = None
+            suspects = batch
         # exact gate with the crash-replay self-id guard, as ONE
         # left-anti join: drop a suspect iff some history row shares
         # its fingerprint under a DIFFERENT doc id (a same-id history
@@ -100,7 +110,7 @@ def bloom_ingest_batch(
             & (suspects[id_col] != hist["__h_id"]),
             "left_anti",
         )
-        batch = clean.unionByName(confirmed)
+        batch = confirmed if clean is None else clean.unionByName(confirmed)
 
     novel = batch.localCheckpoint(eager=True)
 

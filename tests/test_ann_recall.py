@@ -277,3 +277,30 @@ class TestIncrementalEmbeddingNeardup:
             .toString()
         )
         assert "SortMergeJoin" not in plan, plan
+
+
+def test_kmeans_training_sample_survives_duplicate_corpus(spark):
+    """Regression (round-5): the training downsample used to hash the
+    embedding VALUE, so all duplicate embeddings shared one residue —
+    a duplicate-heavy corpus (the normal input of a dedup framework)
+    sampled skewed, and an all-one-value corpus above ~2x the cap
+    sampled EMPTY, crashing KMeans.fit. The key is now the unique id,
+    with a full-corpus fallback whenever the sample lands under
+    n_centroids."""
+    from polars_matmul_spark.operators.ann import train_centroids_kmeans
+
+    # 300 copies of each of two values: the old value-keyed sample had
+    # two hash residues total — at m=12 almost surely neither lands on
+    # residue 0, so the sample was empty and .fit crashed
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(300)] + [
+        (300 + i, [-9.0, 0.0, 5.0, 2.0]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "corpus_id long, embedding array<double>")
+    cen = train_centroids_kmeans(
+        df, n_centroids=2, seed=7, max_train_rows=50, id_col="corpus_id"
+    )
+    got = sorted(
+        tuple(round(x, 6) for x in r["centroid_emb"]) for r in cen.collect()
+    )
+    # the id-keyed sample sees BOTH point masses -> both centers exact
+    assert got == [(-9.0, 0.0, 5.0, 2.0), (1.0, 2.0, 3.0, 4.0)]

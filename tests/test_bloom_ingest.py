@@ -88,6 +88,30 @@ class TestBloomIngest:
         want = {r["fp"] for r in allin.select("fp").distinct().collect()}
         assert acc == want
 
+    def test_exact_gate_survives_missing_bloom_dir(self, spark, tmp_path):
+        """Regression (round-5): both gates used to key off the bloom
+        dir alone — a deleted/relocated bitmap with a surviving corpus
+        silently accepted duplicates. The exact anti-join now runs
+        whenever history exists; the bitmap is only the pre-filter."""
+        import shutil
+
+        docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+        bloom, corpus = str(tmp_path / "bloom"), str(tmp_path / "corpus")
+        b0 = docs.filter(F.col("doc_id") < 100)
+        bloom_ingest_batch(spark, b0, 0, bloom, corpus)
+        shutil.rmtree(bloom)
+        dup = docs.filter(F.col("doc_id") < 5).select(
+            (F.col("doc_id") + 7000).alias("doc_id"), "text"
+        )
+        b1 = (
+            docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150))
+            .unionByName(dup)
+        )
+        bloom_ingest_batch(spark, b1, 1, bloom, corpus)
+        acc = spark.read.parquet(corpus)
+        assert acc.filter(F.col("doc_id") >= 7000).count() == 0
+        assert acc.count() == acc.select("fp").distinct().count()
+
     def test_epoch_replay_idempotent(self, spark, ingest_dirs):
         inp, bloom_dir, corpus_dir = ingest_dirs
         before = sorted(

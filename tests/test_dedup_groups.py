@@ -93,6 +93,33 @@ def test_driver_and_distributed_paths_agree(spark):
     assert small == big and len(small) > 0
 
 
+def test_driver_path_boundary(spark, monkeypatch):
+    """The driver union-find activates iff n_edges <= driver_threshold,
+    and crosses to the driver via Arrow (toPandas), not Row collect."""
+    edges = [(i, i + 1) for i in range(10)]  # 10 distinct edges
+    df = spark.createDataFrame(edges, "d1 long, d2 long")
+    want = {(i, 0) for i in range(11)}
+
+    # patch the CONCRETE DataFrame class (pyspark.sql.DataFrame is a
+    # dispatch base in Spark 4; patching it misses the subclass method)
+    cls = type(df)
+    calls = []
+    orig = cls.toPandas
+
+    def spy(self):
+        calls.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(cls, "toPandas", spy)
+    # AT the boundary: driver path (exactly one Arrow transfer)
+    got = {(r.doc_id, r.group_id) for r in dedup_groups(df, driver_threshold=10).collect()}
+    assert got == want and len(calls) == 1
+    calls.clear()
+    # ONE BELOW: distributed loop, no driver-side edge materialization
+    got = {(r.doc_id, r.group_id) for r in dedup_groups(df, driver_threshold=9).collect()}
+    assert got == want and len(calls) == 0
+
+
 def test_keep_canonical_end_to_end(spark, sf_dir):
     """MinHash pairs -> groups -> kept corpus on the documents table:
     kept count == total - (non-canonical members), group sizes match the

@@ -409,3 +409,31 @@ class TestSrpNeardup:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestSrpBandPlan:
+    def test_random_candidates_stay_linear(self):
+        """The auto-derived banding keeps EXPECTED random (uncorrelated
+        -pair) band collisions under the documented 16n ceiling while
+        holding candidate recall >= 0.99 at bit-agreement 0.90
+        (~cosine 0.95) — at any corpus size, including the 1e6/1e8
+        regimes where the old fixed 16x12 default went quadratic."""
+        from polars_matmul_spark.operators.projection import srp_band_plan
+
+        for n in (10_000, 1_000_000, 100_000_000):
+            nb, bits = srp_band_plan(n)
+            assert 1 <= bits <= 63 and nb >= 1
+            exp_random = (n * n / 2) * nb / (2.0**bits)
+            assert exp_random <= 16 * n
+            p_band = 0.90**bits
+            recall = 1 - (1 - p_band) ** nb
+            assert recall >= 0.99
+
+    def test_explicit_knobs_honored(self):
+        from polars_matmul_spark.operators.projection import srp_band_plan
+
+        assert srp_band_plan(10**6, n_bands=16, band_bits=12) == (16, 12)
+        nb, bits = srp_band_plan(10**6, band_bits=20)
+        assert bits == 20 and nb >= 1
+        nb2, bits2 = srp_band_plan(10**6, n_bands=32)
+        assert nb2 == 32 and 1 <= bits2 <= 63

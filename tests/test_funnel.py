@@ -241,3 +241,57 @@ class TestPyTwin:
                     [sorted(lists[s]) for s in ("A", "B", "C")], w
                 )
                 assert got[u] == want, (u, w, lists, got[u], want)
+
+
+class TestT0CandidateCap:
+    def test_bot_user_bounded_and_matches_capped_oracle(self, spark):
+        """Adversarial burst bot: 10k step-0 events packed into 10
+        seconds. The windowed fold evaluates only the CAPPED candidate
+        set (first event per second, then first 1024), so the per-user
+        work is bounded and the result equals py_funnel_level on the
+        same capped input."""
+        import time
+
+        from polars_matmul_spark.operators.funnel import (
+            funnel_user_levels,
+            py_funnel_level,
+        )
+
+        t0s = [i / 1000.0 for i in range(10_000)]  # 10 distinct seconds
+        rows = [(1, "A", t) for t in t0s] + [(1, "B", 10.5), (1, "C", 11.0)]
+        ev = _mk_events(spark, rows)
+        start = time.monotonic()
+        got = [
+            (r["user_id"], r["funnel_level"])
+            for r in funnel_user_levels(
+                ev, ["A", "B", "C"], within_seconds=5
+            ).collect()
+        ]
+        wall = time.monotonic() - start
+        capped = []
+        for t in t0s:
+            if not capped or int(t) != int(capped[-1]):
+                capped.append(t)
+        capped = capped[:1024]
+        want = py_funnel_level([capped, [10.5], [11.0]], within_seconds=5)
+        assert got == [(1, want)]
+        assert wall < 60.0  # bounded fold, not 10k chains x 10k-scans
+
+    def test_cap_noop_when_t0s_span_distinct_seconds(self, spark):
+        # for human-scale users (every step-0 event in its own second,
+        # fewer than the cap) the capped and exact folds agree
+        from polars_matmul_spark.operators.funnel import funnel_user_levels
+
+        rows = [
+            (1, "A", 0), (1, "A", 3), (1, "B", 4), (1, "C", 5),
+            (2, "A", 0), (2, "B", 100),
+            (3, "B", 1), (3, "C", 2),
+        ]
+        ev = _mk_events(spark, rows)
+        capped = funnel_user_levels(ev, ["A", "B", "C"], within_seconds=10)
+        exact = funnel_user_levels(
+            ev, ["A", "B", "C"], within_seconds=10, max_t0_candidates=None
+        )
+        assert sorted(map(tuple, capped.collect())) == sorted(
+            map(tuple, exact.collect())
+        )

@@ -71,6 +71,43 @@ class TestHardNegatives:
         n0 = got.filter(F.col("query_id") == 0).count()
         assert n0 == 5
 
+    def test_per_query_depth_with_heavy_positive_query(self, spark, sides):
+        # one query with a huge positive set must not widen anyone
+        # else's search: the default depth is k + THAT query's positive
+        # count, joined per query. Results must equal (a) the NumPy
+        # oracle after exclusion and (b) the old global-max-depth form
+        # (explicit search_depth = k + max positives).
+        q, c = sides
+        heavy = [(0, cid) for cid in range(10, 50)]  # 40 positives
+        light = [(1, 11)]
+        pos = spark.createDataFrame(
+            heavy + light, "query_id long, corpus_id long"
+        )
+        k = 3
+        got = hard_negatives(q, c, pos, k=k).collect()
+        excluded = set(heavy) | set(light)
+        qr = {r["query_id"]: np.array(list(r["q_emb"])) for r in q.collect()}
+        cr = {r["corpus_id"]: np.array(list(r["c_emb"])) for r in c.collect()}
+        per_q = {}
+        for r in got:
+            per_q.setdefault(r["query_id"], []).append((r["rank"], r["corpus_id"]))
+        assert set(per_q) == set(qr)
+        for qi, lst in per_q.items():
+            qv = qr[qi]
+            scores = []
+            for cid, cv in cr.items():
+                if (qi, cid) in excluded:
+                    continue
+                s = float(qv @ cv / (np.linalg.norm(qv) * np.linalg.norm(cv)))
+                scores.append((-s, cid))
+            want = [cid for _, cid in sorted(scores)[:k]]
+            assert [cid for _, cid in sorted(lst)] == want
+        # old global-depth behavior agrees
+        legacy = hard_negatives(q, c, pos, k=k, search_depth=k + 40).collect()
+        assert sorted((r["query_id"], r["rank"], r["corpus_id"]) for r in got) == sorted(
+            (r["query_id"], r["rank"], r["corpus_id"]) for r in legacy
+        )
+
 
 class TestInBatchNegatives:
     def test_semantics_and_determinism(self, spark):

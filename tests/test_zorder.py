@@ -163,3 +163,34 @@ class TestZorderPruning:
         stats = _file_stats(path, "l_partkey")
         assert len(stats) >= 32
         assert _files_overlapping(stats, lo, hi) <= len(stats) * 2 // 3
+
+
+class TestBucketCuts:
+    def test_cuts_scale_to_full_bit_range(self, spark):
+        """Regression (round-5): the cuts path used to pre-divide
+        (n_buckets-1)//len(cuts), so len(cuts) >= n_buckets silently
+        mapped every row to bucket 0 (dropping the column from the
+        z-order) and smaller cut lists floor-wasted resolution."""
+        from polars_matmul_spark.operators.zorder import _bucket
+
+        bits = 4  # 16 buckets
+        df = spark.range(0, 100).select(F.col("id").cast("double").alias("v"))
+        cuts = [float(c) for c in range(10, 100, 10)]  # 9 cuts
+        rows = (
+            df.select("v", _bucket(F.col("v"), cuts, bits).alias("b"))
+            .orderBy("v")
+            .collect()
+        )
+        bs = [r["b"] for r in rows]
+        assert min(bs) == 0 and max(bs) == 15  # full range used
+        assert all(bs[i] <= bs[i + 1] for i in range(len(bs) - 1))
+
+    def test_cuts_validation(self, spark):
+        from polars_matmul_spark.operators.zorder import _bucket
+
+        with pytest.raises(ValueError, match="n_buckets"):
+            _bucket(F.col("v"), [float(i) for i in range(16)], 4)
+        with pytest.raises(ValueError, match="n_buckets"):
+            _bucket(F.col("v"), [float(i) for i in range(20)], 4)
+        with pytest.raises(ValueError, match="non-empty"):
+            _bucket(F.col("v"), [], 4)
