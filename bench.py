@@ -53,23 +53,33 @@ def main() -> None:
 
     times: dict[str, float] = {}
 
-    # --- machine-load calibration (round-4: every headline number is
-    # annotated with how contended the box was when it was taken, so a
-    # loaded-box bench is self-identifying instead of a mystery the
-    # next round has to re-diagnose) ---
-    calib: dict[str, float | bool] = {"retried": False}
-    w = calibration_wall(spark)
-    f, baseline = load_factor(w)
-    if f > 2.0:
-        # the box is visibly contended: give transient load one chance
-        # to clear before taking the numbers of record
-        time.sleep(15)
+    # --- machine-load calibration (round-5: the bench refuses to take
+    # numbers of record on a contended box — it retries with backoff
+    # until the 32-way calibration job reads <= 1.1x of the persisted
+    # idle baseline, and if the load never clears within the bounded
+    # retries it annotates the artifact as loaded so the verdict can
+    # discount it instead of re-diagnosing phantom regressions. This
+    # folds the former ad-hoc "idle rerun" sidecar methodology into
+    # the one artifact the driver records.) ---
+    calib: dict[str, float | bool | int] = {}
+
+    def _calibrate(key: str, threshold: float = 1.1, attempts: int = 4):
         w = calibration_wall(spark)
         f, baseline = load_factor(w)
-        calib["retried"] = True
-    calib["pre_wall"] = round(w, 3)
-    calib["idle_baseline"] = round(baseline, 3)
-    calib["pre_load_factor"] = round(f, 2)
+        tries = 1
+        while f > threshold and tries < attempts:
+            time.sleep(10 * tries)  # 10s, 20s, 30s backoff
+            w = calibration_wall(spark)
+            f, baseline = load_factor(w)
+            tries += 1
+        calib[f"{key}_wall"] = round(w, 3)
+        calib[f"{key}_load_factor"] = round(f, 2)
+        calib[f"{key}_attempts"] = tries
+        calib["idle_baseline"] = round(baseline, 3)
+        calib["loaded"] = bool(calib.get("loaded", False) or f > threshold)
+        return f
+
+    _calibrate("pre")
 
     # --- warmup: boot python workers / JIT / codegen before timing ---
     emb_small = load_table(spark, "embeddings", SF_DIR).limit(64)
@@ -110,6 +120,10 @@ def main() -> None:
         "token_shards_assign",
         "pq_adc_topk",
         "bloom_incremental_dedup",
+        # round-5 rotation: funnel + embedding-dedup families
+        "funnel_steps",
+        "srp_neardup_bands",
+        "semantic_dedup_pairs",
     ]
     # best-of-2 per query: the round-2 bench recorded 2-6x phantom
     # regressions that two idle reruns traced to transient machine load
@@ -182,16 +196,8 @@ def main() -> None:
 
     # re-calibrate right before the ref-shape kernels — these are the
     # numbers judged against BASELINE.md, so the load DURING them is
-    # what matters; retry once if the box is contended right now
-    w = calibration_wall(spark)
-    f, _ = load_factor(w)
-    if f > 2.0:
-        time.sleep(15)
-        w = calibration_wall(spark)
-        f, _ = load_factor(w)
-        calib["retried"] = True
-    calib["ref_shape_wall"] = round(w, 3)
-    calib["ref_shape_load_factor"] = round(f, 2)
+    # what matters; same <=1.1x retry-with-backoff gate
+    _calibrate("ref_shape")
 
     # --- reference canonical shape: 1000 x 10000 x 256, k=10, f32 ---
     # Methodology mirrors the reference benchmark (examples/

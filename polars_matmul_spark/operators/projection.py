@@ -237,6 +237,7 @@ def srp_neardup(
     band_bits: int | None = None,
     seed: int = 7,
     expected_rows: int | None = None,
+    catalyst_signature: bool = False,
 ) -> DataFrame:
     """Embedding near-dup pairs via SRP banding — the KMeans-free
     blocked path (the embedding-side analogue of MinHash-LSH banding
@@ -274,10 +275,23 @@ def srp_neardup(
     (band, value, id) rows, one equi-join on (band, value) — pairwise
     work only within buckets, no unblocked O(n^2) pass, no training.
     Returns (id_a, id_b, cosine) with id_a < id_b, distinct.
+
+    ``catalyst_signature=True`` computes the SAME sign bits with the
+    sequential-f64 fold expression (``_fold_dot``) and the projection
+    rows baked as plan literals, instead of the f32 NumPy batch GEMM —
+    bit-identical to DuckDB's ``list_dot_product`` on DOUBLE[], so an
+    external engine can replay the ENTIRE operator (sign-pack, band
+    join, verify) exactly. This is the oracle-parity form; the Arrow
+    GEMM is the throughput form (f32 reassociation can flip a
+    measure-zero sign near 0, which exact-verify mostly — not
+    provably — absorbs). Both share the banding/join/verify plan.
     """
     from pyspark.sql import functions as F
 
-    from polars_matmul_spark.operators.similarity_join import score_expr
+    from polars_matmul_spark.operators.similarity_join import (
+        _fold_dot as _jvm_fold_dot,
+        score_expr,
+    )
 
     if n_bands is None or band_bits is None:
         n_rows = expected_rows if expected_rows is not None else df.count()
@@ -299,10 +313,30 @@ def srp_neardup(
         )
         return pa.ListArray.from_arrays(offs, flat)
 
-    field = T.StructField(
-        "__bands", T.ArrayType(T.LongType(), containsNull=False), False
-    )
-    sig = _project_arrow(df.select(id_col, emb_col), emb_col, P, "__bands", emit, field)
+    if catalyst_signature:
+        band_exprs = []
+        for b in range(n_bands):
+            val = F.lit(0).cast("long")
+            for j in range(band_bits):
+                row = P[b * band_bits + j]
+                dot = _jvm_fold_dot(
+                    F.col(emb_col).cast("array<double>"),
+                    F.array(*[F.lit(float(x)) for x in row]),
+                )
+                val = val + F.when(dot > 0, F.lit(1 << j)).otherwise(
+                    F.lit(0)
+                ).cast("long")
+            band_exprs.append(val)
+        sig = df.select(
+            F.col(id_col), F.array(*band_exprs).alias("__bands")
+        )
+    else:
+        field = T.StructField(
+            "__bands", T.ArrayType(T.LongType(), containsNull=False), False
+        )
+        sig = _project_arrow(
+            df.select(id_col, emb_col), emb_col, P, "__bands", emit, field
+        )
     bands = sig.select(
         id_col, F.posexplode(F.col("__bands")).alias("band", "band_val")
     )

@@ -1206,11 +1206,45 @@ FROM events GROUP BY event_type
 """
 
 
+def _funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase conversion funnel over the
+    events table (operators/funnel.py): one user-keyed shuffle with a
+    pure-Catalyst chain fold — no O(steps) self-joins. The DuckDB
+    oracle is the classic chained-min formulation (min step-i timestamp
+    strictly after the user's min qualifying step-(i-1) timestamp),
+    which the greedy fold provably equals without a deadline window."""
+    from polars_matmul_spark.operators.funnel import funnel
+
+    events = load_table(spark, "events", sf_dir)
+    return funnel(events, ["view", "click", "purchase"])
+
+
+_FUNNEL_ORACLE = """
+WITH r0 AS (
+  SELECT user_id, min(epoch(ts)) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), r1 AS (
+  SELECT e.user_id, min(epoch(e.ts)) AS t
+  FROM events e JOIN r0 USING (user_id)
+  WHERE e.event_type = 'click' AND epoch(e.ts) > r0.t GROUP BY 1
+), r2 AS (
+  SELECT e.user_id, min(epoch(e.ts)) AS t
+  FROM events e JOIN r1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch(e.ts) > r1.t GROUP BY 1
+)
+SELECT CAST(0 AS INT) AS step_idx, 'view' AS step,
+       CAST((SELECT count(*) FROM r0) AS BIGINT) AS n_users
+UNION ALL SELECT CAST(1 AS INT), 'click',
+       CAST((SELECT count(*) FROM r1) AS BIGINT)
+UNION ALL SELECT CAST(2 AS INT), 'purchase',
+       CAST((SELECT count(*) FROM r2) AS BIGINT)
+"""
+
+
 CORE_QUERIES: dict[str, tuple] = {
     # similarity surface
     "topk_cosine": _make_topk("cosine"),
     "topk_kernel_cosine": (_topk_kernel, _topk_kernel_oracle()),
-    "topk_dot": _make_topk("dot"),
     "topk_euclidean": _make_topk("euclidean"),
     "matmul_flatten": (_matmul_flatten_scores, _MATMUL_FLATTEN_ORACLE),
     "matmul_nested": (_matmul_nested_scores, _MATMUL_NESTED_ORACLE),
@@ -1228,8 +1262,8 @@ CORE_QUERIES: dict[str, tuple] = {
     "cube_sales": (_cube_sales, _CUBE_SALES_ORACLE),
     "cust_quartiles_by_nation": (_cust_quartiles, _CUST_QUARTILES_ORACLE),
     "moving_avg_revenue": (_moving_avg_revenue, _MOVING_AVG_ORACLE),
-    "salted_event_counts": (_salted_event_counts, _SALTED_EVENT_COUNTS_ORACLE),
     "q18_large_orders": (_q18, _Q18_ORACLE),
+    "funnel_steps": (_funnel_steps, _FUNNEL_ORACLE),
     # Rotated out in round 3 to stay under the driver's 50-query cap
     # while the round-2 pipeline families (queries_pipeline.py) get
     # driver rows: q4_order_priority (EXISTS semi-join — anti/semi
@@ -1248,6 +1282,13 @@ CORE_QUERIES: dict[str, tuple] = {
     # unpivot-inverts-pivot test, scalar funcs run everywhere) so the
     # line-dedup / quality-model / DSIR / sharding families get driver
     # rows (queries_datapipe.py).
+    # Round 5 rotates out topk_dot (N4's dot metric stays driver-gated
+    # via matmul_flatten's dot scores plus kernel pytests) and
+    # salted_event_counts (salting==plain-groupBy equivalence is
+    # pytest-pinned in test_sources_and_skew.py; the unsalted groupBy
+    # shape stays driver-gated through q1/cube_sales) so the funnel and
+    # embedding-dedup families get driver rows (funnel_steps below,
+    # srp_neardup_bands + semantic_dedup_pairs in queries_datapipe.py).
     # The query functions remain above, importable and unit-covered.
     "sketch_distinct_users": (_sketch_distinct_users, None),
     "mllib_blockmatrix_matmul": (_mllib_blockmatmul, _MLLIB_BLOCKMATMUL_ORACLE),

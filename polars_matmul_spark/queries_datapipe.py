@@ -376,6 +376,145 @@ WHERE NOT EXISTS (SELECT 1 FROM history h WHERE h.fp = n.fp)
 """
 
 
+# --- SRP-banded embedding near-dup (deterministic projections) -------------
+#
+# Round-5 rotation target #1: the hyperplane-LSH banding operator gets
+# a full value oracle. The seeded Gaussian matrix is generated once in
+# NumPy and baked into BOTH plans as literals; the Spark side uses
+# ``catalyst_signature=True`` (sequential-f64 fold == DuckDB
+# list_dot_product, the parity property every embedding oracle here
+# relies on) so the sign-pack, band equi-join and exact verify are all
+# bit-replayable. Reference anchor: this is the banding extension of
+# the reference's top-k surface (src/matmul.rs:419-519) applied to
+# dedup blocking.
+
+_SRP_BANDS, _SRP_BITS, _SRP_SEED, _SRP_THRESH, _SRP_DIM = 4, 8, 7, 0.2, 64
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """score_expr's cosine (per-norm 1e-10 guard) in DuckDB SQL."""
+    return (
+        f"CASE WHEN sqrt(list_dot_product({a}, {a})) > 1e-10 "
+        f"AND sqrt(list_dot_product({b}, {b})) > 1e-10 "
+        f"THEN list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))) "
+        f"ELSE 0.0 END"
+    )
+
+
+def _srp_neardup_bands(spark, sf_dir):
+    from polars_matmul_spark.operators.projection import srp_neardup
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    return srp_neardup(
+        emb,
+        id_col="vec_id",
+        threshold=_SRP_THRESH,
+        n_bands=_SRP_BANDS,
+        band_bits=_SRP_BITS,
+        seed=_SRP_SEED,
+        catalyst_signature=True,
+    )
+
+
+def _srp_oracle() -> str:
+    from polars_matmul_spark.operators.projection import gaussian_matrix
+
+    P = gaussian_matrix(_SRP_DIM, _SRP_BANDS * _SRP_BITS, _SRP_SEED)
+
+    def lit(row):
+        return "[" + ", ".join(repr(float(x)) for x in row) + "]"
+
+    band_cols = []
+    for b in range(_SRP_BANDS):
+        terms = [
+            f"(CASE WHEN list_dot_product(e, {lit(P[b * _SRP_BITS + j])}) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(_SRP_BITS)
+        ]
+        band_cols.append("CAST(" + " + ".join(terms) + f" AS BIGINT) AS b{b}")
+    bands_union = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, b{b} AS val FROM sig"
+        for b in range(_SRP_BANDS)
+    )
+    return f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), sig AS (
+  SELECT vec_id, {", ".join(band_cols)} FROM emb
+), bands AS (
+  {bands_union}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.val = b.val AND a.vec_id < b.vec_id
+), scored AS (
+  SELECT cand.id_a, cand.id_b, {_cos_sql('ea.e', 'eb.e')} AS cosine
+  FROM cand
+  JOIN emb ea ON cand.id_a = ea.vec_id
+  JOIN emb eb ON cand.id_b = eb.vec_id
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {_SRP_THRESH}
+"""
+
+
+# --- SemDeDup-style semantic dedup (deterministic centroids) ---------------
+#
+# Round-5 rotation target #2: cluster-blocked embedding dedup with the
+# same deterministic-parameter trick as ann_ivf_topk — modular
+# centroids (every 37th vec_id) replace the trained KMeans table
+# (recall of the trained path stays pytest-gated in test_semdedup.py),
+# making top-2 assignment, within-cluster candidates and exact verify
+# pure f64 arithmetic DuckDB replays exactly.
+
+_SEM_EVERY, _SEM_PROBE, _SEM_THRESH = 37, 2, 0.2
+
+
+def _semantic_dedup(spark, sf_dir):
+    from polars_matmul_spark.operators.ann import pick_centroids
+    from polars_matmul_spark.operators.semdedup import semantic_dedup_pairs
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    cen = pick_centroids(emb, "vec_id", every=_SEM_EVERY)
+    return semantic_dedup_pairs(
+        emb,
+        threshold=_SEM_THRESH,
+        n_probe=_SEM_PROBE,
+        id_col="vec_id",
+        centroids=cen,
+    )
+
+
+def _semantic_dedup_oracle() -> str:
+    return f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), cen AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+  FROM embeddings WHERE vec_id % {_SEM_EVERY} = 0
+), scored AS (
+  SELECT emb.vec_id, cen.cid, {_cos_sql('emb.e', 'cen.ce')} AS s
+  FROM emb CROSS JOIN cen
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, cid ASC) AS rn
+    FROM scored) WHERE rn <= {_SEM_PROBE}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assign a JOIN assign b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+), v AS (
+  SELECT cand.id_a, cand.id_b, {_cos_sql('ea.e', 'eb.e')} AS cosine
+  FROM cand
+  JOIN emb ea ON cand.id_a = ea.vec_id
+  JOIN emb eb ON cand.id_b = eb.vec_id
+)
+SELECT id_a, id_b, cosine FROM v WHERE cosine >= {_SEM_THRESH}
+"""
+
+
 DATAPIPE_QUERIES: dict[str, tuple] = {
     "line_dedup_strip": (_line_dedup_strip, _LINE_DEDUP_ORACLE),
     "quality_model_score": (_quality_model_score, _quality_oracle()),
@@ -388,4 +527,12 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     # Bloom families get driver rows
     "pq_adc_topk": (_pq_adc_topk, _PQ_ORACLE),
     "bloom_incremental_dedup": (_bloom_incremental, _BLOOM_ORACLE),
+    # round-5 rotation (registry stays at the 50-slot cap): topk_dot
+    # rotates out of queries_core (the dot metric stays driver-gated
+    # through matmul_flatten's dot scores and kernel pytests) and
+    # mm_pixel_stats out of queries_multimodal (same vectorized-decode
+    # family as mm_byte_histogram, which stays) so the round-4
+    # embedding-dedup families get independent oracle rows:
+    "srp_neardup_bands": (_srp_neardup_bands, _srp_oracle()),
+    "semantic_dedup_pairs": (_semantic_dedup, _semantic_dedup_oracle()),
 }

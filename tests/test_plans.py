@@ -66,8 +66,13 @@ def test_dedup_and_text_plans_stay_jvm_side(spark, sf_dir):
     for name in ("token_counts", "lang_id", "quality_score", "exact_dedup_docs"):
         fn, _ = TEXT_QUERIES[name]
         assert not uses_python_worker(fn(spark, sf_dir)), name
-    # the composed operators stay JVM-side too
-    for name in ("asof_purchase_click", "salted_event_counts", "range_join_price_bands", "hypertable_rollup"):
+    # the composed operators stay JVM-side too (salted_event_counts
+    # rotated out of the registry in round 5 — still pinned here via
+    # its query function)
+    from polars_matmul_spark.queries_core import _salted_event_counts
+
+    assert not uses_python_worker(_salted_event_counts(spark, sf_dir))
+    for name in ("asof_purchase_click", "range_join_price_bands", "hypertable_rollup"):
         fn, _ = CORE_QUERIES[name]
         assert not uses_python_worker(fn(spark, sf_dir)), name
 
