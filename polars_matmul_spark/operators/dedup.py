@@ -77,35 +77,82 @@ def neardup_pairs_exact(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    max_shingle_docs: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via the shingle postings join.
 
     Candidate pairs = docs sharing >= 1 shingle (any pair with
     jaccard > 0 appears). The intersection count comes from the join
     group-by; union = n1 + n2 - inter. Hot shingles (stopword n-grams)
-    are the skew risk at scale — AQE skew-join handles moderate cases;
-    beyond that, drop top-frequency shingles (they only generate
-    candidates that MinHash would find anyway).
+    are the skew risk at scale — AQE skew-join handles moderate cases.
+
+    ``max_shingle_docs`` is the implemented cap beyond that: shingles
+    whose document frequency exceeds it are dropped from CANDIDATE
+    GENERATION only (one map-side-combinable doc-frequency pass, hot
+    set broadcast into a left-anti join), bounding every posting list
+    — a shingle in at most N docs generates at most N^2/2 candidate
+    rows, so no single stopword n-gram can go quadratic. Verification
+    then recomputes the intersection from the FULL shingle arrays
+    (``array_intersect``), so every emitted jaccard is still the true
+    uncapped jaccard; the only approximation is a MISSED pair whose
+    shared shingles are ALL hotter than the cap — such a pair's
+    similarity lives entirely in ubiquitous boilerplate, exactly the
+    pairs a boilerplate-stripping pass (linededup) removes anyway.
+    Pairs-at-threshold equality with a stopword-heavy shingle planted
+    is pinned in tests/test_datapipe_ops.py.
     """
     sh = shingled(df, text_col, id_col, n).cache()
     ex = sh.select(F.col(id_col), F.explode("shingles").alias("s"))
-    a = ex.alias("a")
+    post = ex
+    if max_shingle_docs is not None:
+        hot = (
+            ex.groupBy("s")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_shingle_docs)
+            .select("s")
+        )
+        post = ex.join(F.broadcast(hot), "s", "left_anti")
+    a = post.alias("a")
     # shuffle-hash beats sort-merge here 3.7x: postings are uniformly
     # hashed strings with bounded per-key frequency — hashing skips the
     # sort of both exploded sides
-    b = ex.hint("shuffle_hash").alias("b")
-    pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
-        .agg(F.count("*").alias("inter"))
+    b = post.hint("shuffle_hash").alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.s") == F.col("b.s"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     )
-    sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"))
+    if max_shingle_docs is None:
+        pairs = joined.groupBy(
+            F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
+        ).agg(F.count("*").alias("inter"))
+        sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"))
+        out = (
+            pairs.join(sizes.withColumnRenamed(id_col, "d1").withColumnRenamed("n_sh", "n1"), "d1")
+            .join(sizes.withColumnRenamed(id_col, "d2").withColumnRenamed("n_sh", "n2"), "d2")
+            .withColumn(
+                "jaccard",
+                F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+        return out.select("d1", "d2", "jaccard")
+    # capped postings undercount shared-hot-shingle intersections, so
+    # the candidate set re-verifies against the FULL shingle arrays —
+    # emitted jaccards are the true uncapped values
+    cand = joined.select(
+        F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
+    ).distinct()
+    s1 = sh.select(F.col(id_col).alias("d1"), F.col("shingles").alias("__sh1"))
+    s2 = sh.select(F.col(id_col).alias("d2"), F.col("shingles").alias("__sh2"))
     out = (
-        pairs.join(sizes.withColumnRenamed(id_col, "d1").withColumnRenamed("n_sh", "n1"), "d1")
-        .join(sizes.withColumnRenamed(id_col, "d2").withColumnRenamed("n_sh", "n2"), "d2")
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("inter", F.size(F.array_intersect("__sh1", "__sh2")))
         .withColumn(
             "jaccard",
-            F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter")),
+            F.col("inter").cast("double")
+            / (F.size("__sh1") + F.size("__sh2") - F.col("inter")),
         )
         .filter(F.col("jaccard") >= threshold)
     )

@@ -337,6 +337,14 @@ def srp_neardup(
         sig = _project_arrow(
             df.select(id_col, emb_col), emb_col, P, "__bands", emit, field
         )
+    # materialize the slim signature frame (id + n_bands longs) ONCE:
+    # it feeds BOTH sides of the band self-join, and the duplicated
+    # subplan would otherwise re-run the projection per side (measured
+    # ~2x the signature cost; Catalyst's exchange reuse does not kick
+    # in across the explode). This is the standard "build the LSH
+    # index, then join it to itself" materialization — at scale the
+    # signature table persists as its own dataset anyway.
+    sig = sig.localCheckpoint(eager=False)
     bands = sig.select(
         id_col, F.posexplode(F.col("__bands")).alias("band", "band_val")
     )

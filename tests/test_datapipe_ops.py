@@ -366,3 +366,80 @@ FROM t ORDER BY doc_id
         )
         max_doc = docs.agg(F.max("n_tokens")).collect()[0][0]
         assert (per_shard["tot"] <= self.BUDGET + max_doc).all()
+
+
+class TestHotShingleCap:
+    """neardup_pairs_exact(max_shingle_docs=...): bounded candidate
+    generation with full-array verification (round-5 stretch)."""
+
+    def _mk(self, spark):
+        # every doc ends with the same stopword-heavy boilerplate
+        # shingle source ("click here to subscribe now"), so the
+        # boilerplate n-grams appear in ALL docs — the quadratic hot
+        # key. Genuine near-dup pairs (0,1) and (2,3) share their
+        # distinctive prefixes too.
+        boiler = "click here to subscribe now"
+        rows = [
+            (0, f"alpha beta gamma delta epsilon zeta {boiler}"),
+            (1, f"alpha beta gamma delta epsilon eta {boiler}"),
+            (2, f"red orange yellow green blue indigo {boiler}"),
+            (3, f"red orange yellow green blue violet {boiler}"),
+            (4, f"one two three four five six {boiler}"),
+            (5, f"seven eight nine ten eleven twelve {boiler}"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_capped_pairs_equal_uncapped_at_threshold(self, spark):
+        from polars_matmul_spark.operators.dedup import neardup_pairs_exact
+
+        docs = self._mk(spark)
+        uncapped = sorted(
+            (r.d1, r.d2, round(r.jaccard, 9))
+            for r in neardup_pairs_exact(docs, threshold=0.5).collect()
+        )
+        capped = sorted(
+            (r.d1, r.d2, round(r.jaccard, 9))
+            for r in neardup_pairs_exact(
+                docs, threshold=0.5, max_shingle_docs=3
+            ).collect()
+        )
+        # the boilerplate shingles (doc frequency 6 > 3) leave candidate
+        # generation, but every >=0.5 pair still shares distinctive
+        # shingles -> identical pairs AND identical (true, uncapped)
+        # jaccard values
+        assert capped == uncapped and len(capped) >= 2
+        assert {(d1, d2) for d1, d2, _ in capped} >= {(0, 1), (2, 3)}
+
+    def test_cap_drops_boilerplate_only_pairs(self, spark):
+        from polars_matmul_spark.operators.dedup import neardup_pairs_exact
+
+        docs = self._mk(spark)
+        # at a threshold low enough that boilerplate alone qualifies,
+        # the capped form misses pairs whose ONLY shared shingles are
+        # hot — the documented approximation, and exactly the pairs a
+        # boilerplate-strip pass removes
+        uncapped = {
+            (r.d1, r.d2)
+            for r in neardup_pairs_exact(docs, threshold=0.05).collect()
+        }
+        capped = {
+            (r.d1, r.d2)
+            for r in neardup_pairs_exact(
+                docs, threshold=0.05, max_shingle_docs=3
+            ).collect()
+        }
+        assert capped < uncapped  # strictly fewer: (4,5)-style pairs gone
+        assert (4, 5) in uncapped and (4, 5) not in capped
+        # pairs that DO survive carry their true uncapped jaccard
+        j_cap = {
+            (r.d1, r.d2): r.jaccard
+            for r in neardup_pairs_exact(
+                docs, threshold=0.05, max_shingle_docs=3
+            ).collect()
+        }
+        j_unc = {
+            (r.d1, r.d2): r.jaccard
+            for r in neardup_pairs_exact(docs, threshold=0.05).collect()
+        }
+        for k, v in j_cap.items():
+            assert abs(v - j_unc[k]) == 0.0
