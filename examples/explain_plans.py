@@ -115,18 +115,33 @@ CASES = [
         "onto the new batch, Bloom-negative rows bypass the exact gate, "
         "only suspects anti-join the history fingerprints",
     ),
+    (
+        "funnel_steps",
+        "Ordered conversion funnel (round 5): ONE user-keyed shuffle "
+        "collecting per-step sorted timestamp lists, the chain fold is "
+        "pure projection arithmetic — no O(steps) self-joins, no "
+        "window, no Python",
+    ),
+    (
+        "srp_neardup_bands",
+        "SRP-banded embedding near-dup (round 5, oracle form): literal "
+        "projection rows -> sign-packed band values, slim signature "
+        "frame materialized once and self-joined on (band, value), "
+        "exact cosine verify — pairwise work only within buckets",
+    ),
+    (
+        "semantic_dedup_pairs",
+        "Unsupervised semantic dedup (SemDeDup-style, round-5 driver "
+        "row with deterministic centroids): broadcast centroid scoring, "
+        "top-2 cluster assignment collapses BEFORE its exchange "
+        "(partial collect over co-located rows), candidate generation "
+        "is a hash equi-join on cluster_id — no unblocked O(n^2) pass, "
+        "no Python worker",
+    ),
 ]
 
 # non-registry operators whose plan shape is part of the scale story
 EXTRA_CASES = [
-    (
-        "semantic_dedup_pairs",
-        "Unsupervised semantic dedup (SemDeDup-style): broadcast "
-        "centroid scoring, top-2 cluster assignment collapses BEFORE "
-        "its exchange (partial collect over co-located rows), candidate "
-        "generation is a hash equi-join on cluster_id — no unblocked "
-        "O(n^2) pass, no Python worker",
-    ),
     (
         "projected_topk_rerank",
         "JL two-stage search: both sides projected row-locally "
@@ -150,12 +165,8 @@ EXTRA_CASES = [
 def _extra_df(spark, name):
     from pyspark.sql import functions as F
 
-    from polars_matmul_spark.operators.semdedup import semantic_dedup_pairs
     from polars_matmul_spark.sources.tables import load_table
 
-    if name == "semantic_dedup_pairs":
-        emb = load_table(spark, "embeddings", SF).select("vec_id", "embedding")
-        return semantic_dedup_pairs(emb, threshold=0.95, n_clusters=8)
     if name == "projected_topk_rerank":
         from polars_matmul_spark.operators.projection import projected_topk_rerank
 

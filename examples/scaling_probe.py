@@ -111,6 +111,22 @@ def main() -> None:
             )
         )
         row["sessionize"] = timed(lambda: force(sessionize(ev)))
+        # round-5 event-analytics family: the funnel fold is one
+        # user-keyed shuffle; the windowed form's per-user work is
+        # bounded by the t0-candidate cap, so both walls must track
+        # the event count linearly
+        from polars_matmul_spark.operators.funnel import (
+            funnel,
+            retention_cohorts,
+        )
+
+        steps = ["view", "click", "purchase"]
+        force(funnel(ev, steps))
+        row["funnel"] = timed(lambda: force(funnel(ev, steps)))
+        row["funnel_windowed"] = timed(
+            lambda: force(funnel(ev, steps, within_seconds=86400))
+        )
+        row["retention"] = timed(lambda: force(retention_cohorts(ev)))
         print(json.dumps(row))
         ev.unpersist()
 
@@ -130,6 +146,14 @@ def main() -> None:
         )
         row["minhash_lsh"] = timed(
             lambda: force(D.neardup_pairs_minhash(docs, threshold=0.8))
+        )
+        # round-5: hot-shingle-capped exact jaccard — every posting
+        # list bounded at 64 docs, so the candidate join is O(n * cap)
+        # even though the UNCAPPED exact form is the quadratic oracle
+        row["jaccard_capped"] = timed(
+            lambda: force(
+                D.neardup_pairs_exact(docs, threshold=0.5, max_shingle_docs=64)
+            )
         )
         row["tfidf"] = timed(lambda: force(tf_idf(docs)))
         # round-4 pipeline families. Token salting preserves WITHIN-copy
@@ -302,6 +326,28 @@ def main() -> None:
 
         force(srp_neardup(emb, threshold=0.95))
         row["srp_neardup"] = timed(lambda: force(srp_neardup(emb, threshold=0.95)))
+        # round-5: contrastive mining — 20 fixed queries against the
+        # Kx corpus; exact scoring is 20 x n pairs (linear in K), and
+        # per-query depth means the one heavy-positive query below
+        # cannot widen the other 19's retained candidates
+        from polars_matmul_spark.operators.mining import hard_negatives
+
+        mq = emb.limit(20).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+        mc = emb.select(
+            F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("c_emb")
+        )
+        first_q = mq.select("query_id").first()[0]
+        pos_ids = [r[0] for r in mc.select("corpus_id").limit(50).collect()]
+        pos = spark.createDataFrame(
+            [(int(first_q), int(c)) for c in pos_ids],
+            "query_id long, corpus_id long",
+        )
+        force(hard_negatives(mq, mc, pos, k=5))
+        row["hard_negatives"] = timed(
+            lambda: force(hard_negatives(mq, mc, pos, k=5))
+        )
         print(json.dumps(row))
         emb.unpersist()
     spark.stop()
