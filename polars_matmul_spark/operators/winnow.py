@@ -1,0 +1,178 @@
+"""Winnowing document fingerprints + substring-overlap dedup.
+
+The substring-level dedup modality sitting between exact-document
+dedup (operators/dedup.py::exact_dedup) and shingle-set Jaccard
+(``neardup_pairs_exact``): two documents that share one long VERBATIM
+span — a quoted paragraph, boilerplate license text, copied code —
+but differ everywhere else have low set-Jaccard yet are exactly the
+pairs substring dedup (Lee et al., "Deduplicating Training Data Makes
+Language Models Better", ACL 2022) exists to catch.
+
+Algorithm: winnowing (Schleimer, Wilkerson, Aiken: "Winnowing: Local
+Algorithms for Document Fingerprinting", SIGMOD 2003 — the MOSS
+fingerprinter). Hash every character k-gram; in every window of
+``window`` consecutive k-gram hashes select the minimum (rightmost on
+ties); the selected (position, hash) set is the document fingerprint.
+
+The winnowing GUARANTEE (paper §3): any shared substring of length
+>= k + window - 1 contributes at least one selected fingerprint to
+BOTH documents, so a postings equi-join on fingerprint hashes finds
+every such pair. Density: ~2/(window+1) of positions are selected —
+the index is a small fraction of the text.
+
+Engine portability: the k-gram hash is the repo's md5-prefix idiom
+(first 12 hex chars -> 48-bit int), so DuckDB replays selection and
+join bit-for-bit (pinned in tests/test_winnow.py).
+
+Scale shape (100 TB):
+
+- ``winnow_fingerprints`` is row-local (no shuffle): per-doc array
+  expressions, whole plan JVM-side (no Python worker — plan-gated).
+  Per-row work is O(len * window) element comparisons.
+- ``winnow_dup_pairs`` is the postings shape shared with the shingle
+  join: explode fingerprints, equi-join on the 48-bit hash,
+  ``max_hash_docs`` bounds every posting list (the hot-hash analogue
+  of ``neardup_pairs_exact(max_shingle_docs=...)`` — ubiquitous
+  boilerplate hashes cannot go quadratic), group-by pair. Emitted
+  counts are SELECTED-fingerprint overlaps; candidates carry their
+  matched gram, so a verifier can extend spans if exact maximal
+  matches are needed downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["winnow_fingerprints", "winnow_dup_pairs"]
+
+# 48-bit md5-prefix hash of a k-gram: far below the 2^53 exact-integer
+# bound of conv()'s double, identical in DuckDB as
+# ('0x' || substr(md5(g), 1, 12))::BIGINT
+def _gram_hash(gram: Column) -> Column:
+    return F.conv(F.substring(F.md5(gram), 1, 12), 16, 10).cast("long")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per selected fingerprint: (id, pos, fp) where ``pos`` is
+    the 0-based character offset of the selected k-gram and ``fp`` its
+    48-bit hash. Documents shorter than ``k`` characters emit nothing
+    (no k-gram exists); docs shorter than k + window - 1 fall back to
+    a single window over however many grams exist.
+
+    Pure Catalyst: sequence -> transform(substring) -> transform(md5
+    prefix) -> per-window argmin (rightmost tie, the winnowing rule
+    that makes selections consistent across overlapping windows) ->
+    array_distinct -> explode. No shuffle, no Python worker.
+
+    The k-gram hash array is MATERIALIZED as a projection column before
+    the per-window pass: higher-order functions evaluate interpreted
+    (no codegen) and re-evaluate their lambda body per element, so an
+    inline ``hs`` sub-expression would be recomputed for every window —
+    O(n_grams^2) md5 calls per document (measured: a single sf0.001
+    partition ran 9+ minutes; materialized it's O(n_grams)).
+    """
+    if k < 1 or window < 1:
+        raise ValueError(f"k and window must be >= 1, got k={k}, window={window}")
+    t = F.col(text_col)
+    n_grams = F.greatest(F.length(t) - F.lit(k - 1), F.lit(0))
+    staged = (
+        df.filter(F.length(t) >= k)
+        .select(
+            F.col(id_col),
+            # hs[i] = hash of the k-gram at 0-based char offset i-1
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: _gram_hash(t.substr(i, F.lit(k))),
+            ).alias("__hs"),
+            F.greatest(n_grams - F.lit(window - 1), F.lit(1)).alias("__nwin"),
+            # short-doc fallback window
+            F.least(F.lit(window), n_grams).alias("__weff"),
+        )
+    )
+    hs, w_eff = F.col("__hs"), F.col("__weff")
+
+    def _select(j):
+        # window j (1-based start into hs): min hash, rightmost on tie.
+        # win/mv re-evaluate per reference but over the bound __hs
+        # column — O(window^2) comparisons per window, not O(n_grams).
+        win = F.slice(hs, j, w_eff)
+        mv = F.array_min(win)
+        off = F.array_max(
+            F.filter(
+                F.sequence(F.lit(1), w_eff),
+                lambda i: F.element_at(win, i) == mv,
+            )
+        )
+        return F.struct(
+            (j + off - F.lit(2)).cast("long").alias("pos"),  # 0-based char offset
+            mv.alias("fp"),
+        )
+
+    selected = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), F.col("__nwin")), _select)
+    )
+    return (
+        staged.select(F.col(id_col), F.explode(selected).alias("__s"))
+        .select(id_col, F.col("__s.pos").alias("pos"), F.col("__s.fp").alias("fp"))
+    )
+
+
+def winnow_dup_pairs(
+    df: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hash_docs: int | None = None,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` selected fingerprints:
+    (d1, d2, n_shared) with d1 < d2 — the MOSS-style substring-overlap
+    report. By the winnowing guarantee, any pair sharing a verbatim
+    span of length >= k + window - 1 shares at least one fingerprint;
+    ``min_shared`` > 1 demands proportionally longer (or repeated)
+    overlap and suppresses random 48-bit collisions (expected spurious
+    shared-fp count for a corpus of F total fingerprints is
+    ~F^2 / 2^49 — negligible below ~10^7 fingerprints per blocking
+    domain, and ``min_shared>=2`` squares that rate).
+
+    ``max_hash_docs`` bounds candidate generation exactly like
+    ``neardup_pairs_exact(max_shingle_docs=...)``: fingerprints present
+    in more docs than the cap (ubiquitous boilerplate) leave the
+    postings join, so no single hash can go quadratic; pairs whose
+    overlap is ONLY that boilerplate are the documented miss.
+    """
+    fps = winnow_fingerprints(df, k, window, text_col, id_col)
+    # a span shared at two positions within one doc still counts once
+    # per (doc, hash): distinct before the join so n_shared counts
+    # DISTINCT shared fingerprint hashes, not position pairs
+    post = fps.select(F.col(id_col), "fp").distinct()
+    if max_hash_docs is not None:
+        hot = (
+            post.groupBy("fp")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_hash_docs)
+            .select("fp")
+        )
+        post = post.join(F.broadcast(hot), "fp", "left_anti")
+    a = post.alias("a")
+    b = post.hint("shuffle_hash").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -1,0 +1,208 @@
+"""Winnowing fingerprints + substring-overlap dedup (operators/
+winnow.py): pure-Python winnowing oracle, full DuckDB replication,
+the shared-substring guarantee, density, and plan gates."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from polars_matmul_spark.operators.winnow import (
+    winnow_dup_pairs,
+    winnow_fingerprints,
+)
+from polars_matmul_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _h(gram: str) -> int:
+    return int(hashlib.md5(gram.encode()).hexdigest()[:12], 16)
+
+
+def py_winnow(text: str, k: int = 8, window: int = 4) -> set[tuple[int, int]]:
+    """Reference winnowing: per window of `window` k-gram hashes pick
+    the min, rightmost on ties; return the distinct (pos, hash) set."""
+    n = len(text) - k + 1
+    if n <= 0:
+        return set()
+    hs = [_h(text[i : i + k]) for i in range(n)]
+    w = min(window, n)
+    out = set()
+    for j in range(max(n - w + 1, 1)):
+        win = hs[j : j + w]
+        mv = min(win)
+        off = max(i for i, v in enumerate(win) if v == mv)
+        out.add((j + off, mv))
+    return out
+
+
+class TestFingerprints:
+    def test_matches_python_oracle(self, spark):
+        texts = [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "abcdefghijklmnopqrstuvwxyz"),
+            (2, "aaaaaaaaaaaaaaaa"),  # all-equal hashes: rightmost-tie rule
+            (3, "short"),  # < k: no fingerprints
+            (4, "exactlyk"),  # == k: one gram, one window
+            (5, "ninechars"),  # k+1 grams < window: short-doc fallback
+        ]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {}
+        for r in winnow_fingerprints(df, k=8, window=4).collect():
+            got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+        want = {i: py_winnow(t, 8, 4) for i, t in texts if len(t) >= 8}
+        want = {i: s for i, s in want.items() if s}
+        assert got == want
+        assert 3 not in got  # sub-k doc emits nothing
+
+    def test_vs_duckdb(self, spark):
+        docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+        got = sorted(
+            (r.doc_id, r.pos, r.fp)
+            for r in winnow_fingerprints(docs, k=8, window=4).collect()
+        )
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+        )
+        want = sorted(
+            map(
+                tuple,
+                con.sql(
+                    """
+WITH g AS (
+  SELECT doc_id, text, greatest(length(text) - 7, 0) AS n
+  FROM documents WHERE length(text) >= 8
+), hs AS (
+  SELECT doc_id, n,
+         list_transform(range(1, n + 1), i ->
+           ('0x' || substr(md5(substr(text, CAST(i AS INT), 8)), 1, 12))::BIGINT
+         ) AS h
+  FROM g
+), sel AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, greatest(n - least(4, n) + 1, 1) + 1), j ->
+           {'pos': j + list_reduce(
+                     list_transform(range(1, least(4, n) + 1), i ->
+                       CASE WHEN h[CAST(j + i - 1 AS INT)] =
+                            list_min(h[CAST(j AS INT):CAST(j + least(4, n) - 1 AS INT)])
+                            THEN i ELSE 0 END),
+                     (a, b) -> greatest(a, b)) - 2,
+            'fp': list_min(h[CAST(j AS INT):CAST(j + least(4, n) - 1 AS INT)])}
+         ) AS sels
+  FROM hs
+)
+SELECT DISTINCT doc_id, CAST(s.pos AS BIGINT) AS pos, s.fp AS fp
+FROM sel, unnest(sels) AS t(s)
+"""
+                ).fetchall(),
+            )
+        )
+        assert got == want and len(got) > 0
+
+    def test_density(self, spark):
+        # winnowing selects ~2/(window+1) of positions (paper §3.2);
+        # allow generous slack on real text
+        docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+        n_pos = docs.select(
+            F.sum(F.greatest(F.length("text") - F.lit(7), F.lit(0)))
+        ).collect()[0][0]
+        n_sel = winnow_fingerprints(docs, k=8, window=4).count()
+        frac = n_sel / n_pos
+        assert 0.2 < frac < 0.6  # theory: 2/5 = 0.4
+
+    def test_jvm_only_plan(self, spark):
+        docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+        plan = (
+            winnow_fingerprints(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Python" not in plan and "Exchange" not in plan
+
+    def test_validation(self, spark):
+        docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+        with pytest.raises(ValueError, match=">= 1"):
+            winnow_fingerprints(docs, k=0)
+        with pytest.raises(ValueError, match=">= 1"):
+            winnow_fingerprints(docs, window=0)
+
+
+class TestDupPairs:
+    def _mk(self, spark):
+        # shared verbatim span of 40 chars between 0 and 1 (>= k+w-1=11
+        # -> guaranteed common fingerprint); 2 shares nothing that long
+        span = "this exact span is copied verbatim twice"
+        rows = [
+            (0, f"unique prefix alpha {span} unique suffix omega"),
+            (1, f"completely different text here {span} and more tail"),
+            (2, "no overlap with anything else in this corpus at all"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_guarantee_finds_shared_span(self, spark):
+        pairs = {
+            (r.d1, r.d2): r.n_shared
+            for r in winnow_dup_pairs(self._mk(spark), min_shared=1).collect()
+        }
+        assert (0, 1) in pairs and pairs[(0, 1)] >= 1
+        assert all(d == (0, 1) for d in pairs)  # no spurious pair
+
+    def test_min_shared_filters(self, spark):
+        df = self._mk(spark)
+        lo = winnow_dup_pairs(df, min_shared=1)
+        n01 = {
+            (r.d1, r.d2): r.n_shared for r in lo.collect()
+        }[(0, 1)]
+        hi = winnow_dup_pairs(df, min_shared=n01 + 1)
+        assert hi.count() == 0
+
+    def test_hot_hash_cap(self, spark):
+        # boilerplate span shared by ALL docs leaves candidate gen under
+        # the cap; the pair sharing a DISTINCT span survives
+        boiler = "standard footer text appended to every single document"
+        span = "rare duplicated paragraph appearing in just two docs"
+        rows = [(i, f"doc {i} body {boiler}") for i in range(6)] + [
+            (10, f"first holder {span} {boiler}"),
+            (11, f"second holder {span} {boiler}"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        capped = {
+            (r.d1, r.d2)
+            for r in winnow_dup_pairs(
+                df, min_shared=1, max_hash_docs=3
+            ).collect()
+        }
+        assert (10, 11) in capped
+        # pure-boilerplate pairs (0..5 x each other) are the documented
+        # miss under the cap
+        assert not any(d1 < 6 and d2 < 6 for d1, d2 in capped)
+
+    def test_counts_distinct_hashes_not_positions(self, spark):
+        # a doc repeating the shared span twice still counts each
+        # shared fingerprint hash once
+        span = "repeated block of text long enough to fingerprint"
+        rows = [
+            (0, f"{span} middle filler then again {span}"),
+            (1, f"other document also contains {span} exactly once"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        once = {
+            (r.d1, r.d2): r.n_shared
+            for r in winnow_dup_pairs(df, min_shared=1).collect()
+        }
+        # count bounded by doc 1's own distinct fingerprint count
+        fp1 = (
+            winnow_fingerprints(df)
+            .filter(F.col("doc_id") == 1)
+            .select("fp")
+            .distinct()
+            .count()
+        )
+        assert once[(0, 1)] <= fp1
