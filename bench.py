@@ -112,7 +112,6 @@ def main() -> None:
         "cube_sales",
         "moving_avg_revenue",
         "mm_byte_histogram",
-        "mm_frame_sample",
         # round-4 corpus-pipeline families
         "line_dedup_strip",
         "quality_model_score",
@@ -124,6 +123,11 @@ def main() -> None:
         "funnel_steps",
         "srp_neardup_bands",
         "semantic_dedup_pairs",
+        # round-5 second rotation: substring dedup, retention, mining
+        # (mm_frame_sample left the registry with that rotation)
+        "winnow_dup_pairs",
+        "retention_cohorts",
+        "hard_negatives_topk",
     ]
     # best-of-2 per query: the round-2 bench recorded 2-6x phantom
     # regressions that two idle reruns traced to transient machine load

@@ -52,9 +52,23 @@ CASES = [
         "shuffle, no Python",
     ),
     (
-        "hash_split_docs",
-        "Deterministic split: md5-bucket filter is a narrow map over the "
-        "scan — no shuffle, no state, partitioning-invariant",
+        "winnow_dup_pairs",
+        "Winnowing substring dedup: materialized k-gram hash array, "
+        "per-window argmin selection (no shuffle, no Python), then the "
+        "postings equi-join + pair group-by — the MinHash candidate "
+        "shape applied to verbatim spans",
+    ),
+    (
+        "retention_cohorts",
+        "Retention cohorts: first-seen per user (one user-keyed "
+        "shuffle), cohort x offset distinct-count (one pair-keyed "
+        "shuffle) — both map-side combinable, no self-join",
+    ),
+    (
+        "hard_negatives_topk",
+        "Hard-negative mining: exact blocked top-k widened per query by "
+        "ITS positive count (broadcast count join), broadcast anti-join "
+        "exclusion, re-rank — corpus never shuffled",
     ),
     (
         "asof_purchase_click",

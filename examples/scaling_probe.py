@@ -155,6 +155,19 @@ def main() -> None:
                 D.neardup_pairs_exact(docs, threshold=0.5, max_shingle_docs=64)
             )
         )
+        # round-5: winnowing substring dedup — fingerprint pass is
+        # O(total chars), postings join bounded by the hot-hash cap;
+        # token salting means copies share no 20-gram spans, so the
+        # true pair count grows linearly in K
+        from polars_matmul_spark.operators.winnow import winnow_dup_pairs
+
+        row["winnow"] = timed(
+            lambda: force(
+                winnow_dup_pairs(
+                    docs, k=20, window=8, min_shared=2, max_hash_docs=64
+                )
+            )
+        )
         row["tfidf"] = timed(lambda: force(tf_idf(docs)))
         # round-4 pipeline families. Token salting preserves WITHIN-copy
         # line sharing (every doc in copy i carries the same _{i}

@@ -152,8 +152,11 @@ def winnow_dup_pairs(
     fps = winnow_fingerprints(df, k, window, text_col, id_col)
     # a span shared at two positions within one doc still counts once
     # per (doc, hash): distinct before the join so n_shared counts
-    # DISTINCT shared fingerprint hashes, not position pairs
-    post = fps.select(F.col(id_col), "fp").distinct()
+    # DISTINCT shared fingerprint hashes, not position pairs.
+    # localCheckpoint: without it the self-join re-runs the whole
+    # fingerprint pass (one md5 per char position) on BOTH sides —
+    # same fix as srp_neardup's signature frame (projection.py)
+    post = fps.select(F.col(id_col), "fp").distinct().localCheckpoint(eager=False)
     if max_hash_docs is not None:
         hot = (
             post.groupBy("fp")

@@ -1241,6 +1241,29 @@ UNION ALL SELECT CAST(2 AS INT), 'purchase',
 """
 
 
+def _retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily retention cohorts over the events table
+    (operators/funnel.py): first-seen day per user, then cohort x
+    day-offset distinct-user counts — two map-side-combinable shuffles.
+    Daily periods (weekly collapses this corpus's ~5-week span into a
+    single 5-row cohort — daily yields 59 informative rows at sf0.01)."""
+    from polars_matmul_spark.operators.funnel import retention_cohorts
+
+    events = load_table(spark, "events", sf_dir)
+    return retention_cohorts(events, period_seconds=86400)
+
+
+_RETENTION_ORACLE = """
+WITH up AS (
+  SELECT user_id AS u, CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS p
+  FROM events
+), f AS (SELECT u, min(p) AS cohort FROM up GROUP BY u)
+SELECT f.cohort AS cohort_period, up.p - f.cohort AS period_offset,
+       CAST(count(DISTINCT up.u) AS BIGINT) AS n_users
+FROM up JOIN f USING (u) GROUP BY 1, 2
+"""
+
+
 CORE_QUERIES: dict[str, tuple] = {
     # similarity surface
     "topk_cosine": _make_topk("cosine"),
@@ -1264,6 +1287,7 @@ CORE_QUERIES: dict[str, tuple] = {
     "moving_avg_revenue": (_moving_avg_revenue, _MOVING_AVG_ORACLE),
     "q18_large_orders": (_q18, _Q18_ORACLE),
     "funnel_steps": (_funnel_steps, _FUNNEL_ORACLE),
+    "retention_cohorts": (_retention, _RETENTION_ORACLE),
     # Rotated out in round 3 to stay under the driver's 50-query cap
     # while the round-2 pipeline families (queries_pipeline.py) get
     # driver rows: q4_order_priority (EXISTS semi-join — anti/semi
@@ -1289,6 +1313,11 @@ CORE_QUERIES: dict[str, tuple] = {
     # shape stays driver-gated through q1/cube_sales) so the funnel and
     # embedding-dedup families get driver rows (funnel_steps below,
     # srp_neardup_bands + semantic_dedup_pairs in queries_datapipe.py).
+    # Later in round 5, lang_id / mm_frame_sample / hash_split_docs
+    # rotate out of their packs (each pytest-pinned, each family still
+    # represented by a sibling green row) so retention_cohorts (above),
+    # winnow_dup_pairs (queries_text.py) and hard_negatives_topk
+    # (queries_datapipe.py) get driver rows.
     # The query functions remain above, importable and unit-covered.
     "sketch_distinct_users": (_sketch_distinct_users, None),
     "mllib_blockmatrix_matmul": (_mllib_blockmatmul, _MLLIB_BLOCKMATMUL_ORACLE),

@@ -515,6 +515,59 @@ SELECT id_a, id_b, cosine FROM v WHERE cosine >= {_SEM_THRESH}
 """
 
 
+# --- contrastive hard-negative mining --------------------------------------
+#
+# Round-5 rotation target #3: the mining operator gets a full value
+# oracle. The positive set is the deterministic arithmetic rule
+# corpus_id % 25 == query_id (each query ~1/25th of the corpus), so
+# DuckDB replays exclusion exactly; hard_negatives' per-query widened
+# search depth is an internal optimization — mathematically the result
+# IS the exact top-k over non-positives, which is what the oracle
+# computes. Scores go through similarity_join_exact's sequential fold
+# == list_dot_product (the established parity property).
+
+_HN_K, _HN_NQ, _HN_MOD = 5, 25, 25
+
+
+def _hard_negatives_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from polars_matmul_spark.operators.mining import hard_negatives
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < _HN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.filter(F.col("vec_id") >= 50).select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("c_emb")
+    )
+    pos = c.select(
+        (F.col("corpus_id") % _HN_MOD).alias("query_id"), "corpus_id"
+    ).filter(F.col("query_id") < _HN_NQ)
+    out = hard_negatives(q, c, pos, k=_HN_K, metric="cosine")
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "corpus_id", "score"
+    )
+
+
+_HARD_NEG_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+           FROM embeddings WHERE vec_id < {_HN_NQ}),
+     c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS c_emb
+           FROM embeddings WHERE vec_id >= 50),
+     scored AS (
+       SELECT query_id, corpus_id, {_cos_sql('q_emb', 'c_emb')} AS score
+       FROM q CROSS JOIN c),
+     np AS (SELECT * FROM scored WHERE corpus_id % {_HN_MOD} != query_id),
+     ranked AS (
+       SELECT query_id, corpus_id, score,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, corpus_id ASC) AS rank
+       FROM np)
+SELECT query_id, rank, corpus_id, score FROM ranked WHERE rank <= {_HN_K}
+"""
+
+
 DATAPIPE_QUERIES: dict[str, tuple] = {
     "line_dedup_strip": (_line_dedup_strip, _LINE_DEDUP_ORACLE),
     "quality_model_score": (_quality_model_score, _quality_oracle()),
@@ -535,4 +588,5 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     # embedding-dedup families get independent oracle rows:
     "srp_neardup_bands": (_srp_neardup_bands, _srp_oracle()),
     "semantic_dedup_pairs": (_semantic_dedup, _semantic_dedup_oracle()),
+    "hard_negatives_topk": (_hard_negatives_topk, _HARD_NEG_ORACLE),
 }

@@ -132,6 +132,9 @@ MULTIMODAL_QUERIES: dict[str, tuple] = {
     # mm_pixel_stats rotated out in round 5 (same vectorized-decode
     # family as mm_byte_histogram, which stays; the function remains
     # above, importable and pinned by tests/test_multimodal.py) so the
-    # round-4 embedding-dedup families get driver rows.
-    "mm_frame_sample": (_frame_sample, _FRAME_SAMPLE_ORACLE),
+    # round-4 embedding-dedup families get driver rows. Later in round
+    # 5 mm_frame_sample rotates out too (frame sampling stays pinned by
+    # tests/test_multimodal.py and its posexplode row-index shape stays
+    # driver-gated through matmul_flatten) so the winnowing / retention
+    # / hard-negative families get driver rows.
 }

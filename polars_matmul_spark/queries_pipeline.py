@@ -350,7 +350,12 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "bm25_search": (_bm25_search, _BM25_ORACLE),
     "chunk_documents": (_chunk_docs, _CHUNK_ORACLE),
     "profile_lineitem": (_profile_lineitem, _profile_oracle()),
-    "hash_split_docs": (_hash_split_docs, _HASH_SPLIT_ORACLE),
+    # hash_split_docs rotated out in round 5 (the md5-bucket split
+    # contract is pinned by tests/test_sampling_and_packing.py and the
+    # same hash_bucket mechanism stays driver-gated through
+    # dsir_resample and bloom_incremental_dedup; the function remains
+    # above) so the winnowing / retention / hard-negative families get
+    # driver rows.
     # round-4 rotation (explode_embedding + q6_forecast_revenue out —
     # their operator classes are covered by matmul_flatten/mm_frame_
     # sample and q1 respectively): CDC/SCD2 and int8-rerank families in

@@ -188,6 +188,54 @@ SELECT doc_id, CAST({fp_terms} AS BIGINT) AS simhash FROM sums
 """
 
 
+# --- winnowing substring-overlap pairs -------------------------------------
+#
+# Round-5 rotation target #4: the substring-level dedup modality
+# (operators/winnow.py, the MOSS fingerprinter) gets a full value
+# oracle. k=20 / window=8 means any shared verbatim span of >= 27
+# chars contributes a common selected fingerprint to both documents;
+# min_shared=2 demands repeated or extended overlap (at sf0.01 the
+# templated corpus shares enough 20-grams that min_shared=1 matches
+# ~every pair — 2 keeps the result discriminating: 129 pairs).
+
+_WIN_K, _WIN_W, _WIN_MIN = 20, 8, 2
+
+
+def _winnow_pairs(spark, sf_dir):
+    from polars_matmul_spark.operators.winnow import winnow_dup_pairs
+
+    return winnow_dup_pairs(
+        _docs(spark, sf_dir), k=_WIN_K, window=_WIN_W, min_shared=_WIN_MIN
+    )
+
+
+_WINNOW_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id, text, greatest(length(text) - {_WIN_K - 1}, 0) AS n
+  FROM documents WHERE length(text) >= {_WIN_K}
+), hs AS (
+  SELECT doc_id, n,
+         list_transform(range(1, n + 1), i ->
+           ('0x' || substr(md5(substr(text, CAST(i AS INT), {_WIN_K})), 1, 12))::BIGINT
+         ) AS h
+  FROM g
+), sel AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(n - least({_WIN_W}, n) + 1, 1) + 1), j ->
+           list_min(h[CAST(j AS INT):CAST(j + least({_WIN_W}, n) - 1 AS INT)])) AS fps
+  FROM hs
+), post AS (
+  SELECT DISTINCT doc_id, unnest(fps) AS fp FROM sel
+), pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared
+  FROM post a JOIN post b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, CAST(n_shared AS BIGINT) AS n_shared
+FROM pairs WHERE n_shared >= {_WIN_MIN}
+"""
+
+
 # NOTE: round 1 also registered `binary_payload_meta` (doc_id, n_bytes,
 # payload_sha256) here. It was a strict subset of `mm_asset_meta` in
 # queries_multimodal (same payload cast, same sha256, plus kind/dims),
@@ -197,7 +245,12 @@ SELECT doc_id, CAST({fp_terms} AS BIGINT) AS simhash FROM sums
 
 TEXT_QUERIES: dict[str, tuple] = {
     "token_counts": (_token_counts, _TOKEN_COUNTS_ORACLE),
-    "lang_id": (_lang_id, _duck_lang_case()),
+    # lang_id rotated out in round 5 (pure-Catalyst CASE chain of the
+    # same family as token_counts/quality_score which both stay green;
+    # the function remains above and its JVM-only plan is pinned in
+    # tests/test_plans.py) so the winnowing substring-dedup modality
+    # gets a driver row:
+    "winnow_dup_pairs": (_winnow_pairs, _WINNOW_ORACLE),
     "quality_score": (_quality, _QUALITY_ORACLE),
     "exact_dedup_docs": (_exact_dedup, _EXACT_DEDUP_ORACLE),
     "neardup_ngram_jaccard": (_neardup_exact, _duck_jaccard_pairs(0.5)),
