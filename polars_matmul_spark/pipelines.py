@@ -62,8 +62,13 @@ def prepare_training_corpus(
     n_filtered = filtered.count()
 
     # --- dedup: near-dup pairs -> duplicate groups -> canonical docs ---
+    # kept is the fan-out point: the funnel count, the split/corpus
+    # output AND the packing input all traverse it. Cache it once —
+    # uncached, each downstream force re-ran the canonical-keep joins
+    # (the pair search itself is already materialized exactly once by
+    # dedup_groups' eager checkpoint)
     pairs = neardup_pairs_minhash(filtered, threshold=neardup_threshold)
-    kept = keep_canonical(filtered, pairs)  # adds group_size
+    kept = keep_canonical(filtered, pairs).cache()  # adds group_size
     n_kept = kept.count()
 
     # --- deterministic split, then pack the train split ---
@@ -73,10 +78,13 @@ def prepare_training_corpus(
     )
     packed = pack_sequences(train, pack_budget, partitions=8)
 
+    # the bin count joins in LAZILY: an eager .count() here would run
+    # the whole packing stage at construction time and again when the
+    # caller forces `packed` — observability must not double the work
     stats = spark.createDataFrame(
         [(n_in, n_filtered, n_kept)],
         "docs_in long, after_filter long, after_dedup long",
-    ).withColumn("packed_bins", F.lit(packed.select("bin_id").distinct().count()))
+    ).crossJoin(packed.agg(F.count_distinct("bin_id").alias("packed_bins")))
     return {"corpus": corpus, "packed": packed, "stats": stats}
 
 
