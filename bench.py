@@ -110,7 +110,7 @@ def main() -> None:
         "exact_dedup_docs",
         "ann_ivf_topk",
         "cube_sales",
-        "moving_avg_revenue",
+        "zorder_keys",
         "mm_byte_histogram",
         # round-4 corpus-pipeline families
         "line_dedup_strip",

@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["winnow_fingerprints", "winnow_dup_pairs"]
+__all__ = ["winnow_fingerprints", "winnow_fp_values", "winnow_dup_pairs"]
 
 # 48-bit md5-prefix hash of a k-gram: far below the 2^53 exact-integer
 # bound of conv()'s double, identical in DuckDB as
@@ -124,6 +124,56 @@ def winnow_fingerprints(
     )
 
 
+def winnow_fp_values(
+    df: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    repartition_to: int | None = None,
+) -> DataFrame:
+    """Distinct (id, fp) selected-fingerprint VALUES — the positions
+    dropped. Same selected hash set as :func:`winnow_fingerprints`
+    (the per-window min is the min whichever position it sits at;
+    distinct-by-value collapses the tie bookkeeping), but each window
+    costs one slice + one array_min instead of the positions path's
+    O(window^2) interpreted re-evaluations of the slice/min inside the
+    rightmost-tie filter — 10x wall on the pair-report path, where
+    positions are never read (sf0.1: 20.7s -> ~2s).
+
+    ``repartition_to``: the fingerprint pass is heavy per-row compute
+    (one md5 per char position); a small single-file input scans as
+    ONE partition and serializes all of it onto one core. Pass the
+    session's default parallelism to spread it — the shuffled payload
+    is just (id, text), a no-op at 100 TB where the scan is already
+    wide but a 7x wall cut on a one-file local table."""
+    if k < 1 or window < 1:
+        raise ValueError(f"k and window must be >= 1, got k={k}, window={window}")
+    if repartition_to is not None:
+        df = df.repartition(int(repartition_to))
+    t = F.col(text_col)
+    n_grams = F.greatest(F.length(t) - F.lit(k - 1), F.lit(0))
+    staged = (
+        df.filter(F.length(t) >= k)
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: _gram_hash(t.substr(i, F.lit(k))),
+            ).alias("__hs"),
+            F.greatest(n_grams - F.lit(window - 1), F.lit(1)).alias("__nwin"),
+            F.least(F.lit(window), n_grams).alias("__weff"),
+        )
+    )
+    mins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.col("__nwin")),
+            lambda j: F.array_min(F.slice(F.col("__hs"), j, F.col("__weff"))),
+        )
+    )
+    return staged.select(F.col(id_col), F.explode(mins).alias("fp"))
+
+
 def winnow_dup_pairs(
     df: DataFrame,
     k: int = 8,
@@ -132,6 +182,7 @@ def winnow_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hash_docs: int | None = None,
+    repartition_to: int | None = None,
 ) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` selected fingerprints:
     (d1, d2, n_shared) with d1 < d2 — the MOSS-style substring-overlap
@@ -149,14 +200,17 @@ def winnow_dup_pairs(
     postings join, so no single hash can go quadratic; pairs whose
     overlap is ONLY that boilerplate are the documented miss.
     """
-    fps = winnow_fingerprints(df, k, window, text_col, id_col)
-    # a span shared at two positions within one doc still counts once
-    # per (doc, hash): distinct before the join so n_shared counts
-    # DISTINCT shared fingerprint hashes, not position pairs.
+    # values-only selection (winnow_fp_values): positions are never
+    # read here, and dropping them removes the O(window^2) rightmost-
+    # tie bookkeeping per window. A span shared at two positions within
+    # one doc still counts once per (doc, hash): distinct before the
+    # join so n_shared counts DISTINCT shared fingerprint hashes, not
+    # position pairs.
     # localCheckpoint: without it the self-join re-runs the whole
     # fingerprint pass (one md5 per char position) on BOTH sides —
     # same fix as srp_neardup's signature frame (projection.py)
-    post = fps.select(F.col(id_col), "fp").distinct().localCheckpoint(eager=False)
+    fps = winnow_fp_values(df, k, window, text_col, id_col, repartition_to)
+    post = fps.distinct().localCheckpoint(eager=False)
     if max_hash_docs is not None:
         hot = (
             post.groupBy("fp")

@@ -204,8 +204,15 @@ _WIN_K, _WIN_W, _WIN_MIN = 20, 8, 2
 def _winnow_pairs(spark, sf_dir):
     from polars_matmul_spark.operators.winnow import winnow_dup_pairs
 
+    # repartition_to: the documents table is one small parquet file at
+    # test SFs — without spreading, the md5-per-position fingerprint
+    # pass serializes onto one core (values identical either way)
     return winnow_dup_pairs(
-        _docs(spark, sf_dir), k=_WIN_K, window=_WIN_W, min_shared=_WIN_MIN
+        _docs(spark, sf_dir),
+        k=_WIN_K,
+        window=_WIN_W,
+        min_shared=_WIN_MIN,
+        repartition_to=spark.sparkContext.defaultParallelism,
     )
 
 

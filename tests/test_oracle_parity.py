@@ -50,9 +50,7 @@ def _normalize(rows, colnames):
     return out
 
 
-@pytest.mark.parametrize("name", sorted(ALL_QUERIES))
-def test_query_matches_oracle(name, spark, duck):
-    fn, oracle = ALL_QUERIES[name]
+def _assert_matches(name, fn, oracle, spark, duck):
     sdf = fn(spark, SF_DIR)
     spark_pdf = sdf.toPandas()
     # a 0-row result passes any value comparison trivially — every
@@ -75,3 +73,39 @@ def test_query_matches_oracle(name, spark, duck):
         (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
     ]
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", sorted(ALL_QUERIES))
+def test_query_matches_oracle(name, spark, duck):
+    fn, oracle = ALL_QUERIES[name]
+    _assert_matches(name, fn, oracle, spark, duck)
+
+
+def _rotated_queries():
+    """Every query rotated out of the 50-slot registry whose oracle
+    still exists keeps the EXACT same value comparison here — rotation
+    moves the gate from the driver to pytest, it never removes it."""
+    from polars_matmul_spark import queries_core as qc
+    from polars_matmul_spark import queries_multimodal as qm
+    from polars_matmul_spark import queries_pipeline as qp
+    from polars_matmul_spark import queries_text as qt
+
+    fn_dot, oracle_dot = qc._make_topk("dot")
+    return {
+        "topk_dot": (fn_dot, oracle_dot),
+        "salted_event_counts": (
+            qc._salted_event_counts,
+            qc._SALTED_EVENT_COUNTS_ORACLE,
+        ),
+        "moving_avg_revenue": (qc._moving_avg_revenue, qc._MOVING_AVG_ORACLE),
+        "lang_id": (qt._lang_id, qt._duck_lang_case()),
+        "mm_pixel_stats": (qm._pixel_stats, qm._PIXEL_STATS_ORACLE),
+        "mm_frame_sample": (qm._frame_sample, qm._FRAME_SAMPLE_ORACLE),
+        "hash_split_docs": (qp._hash_split_docs, qp._HASH_SPLIT_ORACLE),
+    }
+
+
+@pytest.mark.parametrize("name", sorted(_rotated_queries()))
+def test_rotated_query_still_matches_oracle(name, spark, duck):
+    fn, oracle = _rotated_queries()[name]
+    _assert_matches(name, fn, oracle, spark, duck)

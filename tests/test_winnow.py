@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from polars_matmul_spark.operators.winnow import (
     winnow_dup_pairs,
     winnow_fingerprints,
+    winnow_fp_values,
 )
 from polars_matmul_spark.sources.tables import load_table
 
@@ -132,6 +133,25 @@ FROM sel, unnest(sels) AS t(s)
             winnow_fingerprints(docs, k=0)
         with pytest.raises(ValueError, match=">= 1"):
             winnow_fingerprints(docs, window=0)
+        with pytest.raises(ValueError, match=">= 1"):
+            winnow_fp_values(docs, k=0)
+
+    def test_values_path_equals_positions_path(self, spark):
+        # the fast pair-report path must select the identical distinct
+        # (doc, fp) set as the full positions form
+        docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+        fast = {
+            (r.doc_id, r.fp)
+            for r in winnow_fp_values(docs, k=8, window=4).distinct().collect()
+        }
+        full = {
+            (r.doc_id, r.fp)
+            for r in winnow_fingerprints(docs, k=8, window=4)
+            .select("doc_id", "fp")
+            .distinct()
+            .collect()
+        }
+        assert fast == full and len(fast) > 0
 
 
 class TestDupPairs:
