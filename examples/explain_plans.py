@@ -59,6 +59,12 @@ CASES = [
         "shape applied to verbatim spans",
     ),
     (
+        "zorder_keys",
+        "Z-order keys: literal-cuts bucketing + Morton interleave is a "
+        "pure projection over the scan — no window, no shuffle; "
+        "zorder_write range-partitions on exactly these keys",
+    ),
+    (
         "retention_cohorts",
         "Retention cohorts: first-seen per user (one user-keyed "
         "shuffle), cohort x offset distinct-count (one pair-keyed "

@@ -32,6 +32,8 @@
 - ``ivfpq``            IVF-PQ: inverted lists over PQ-coded residuals
 - ``funnel``           conversion funnels + retention cohorts
 - ``zorder``           Z-order/Morton multi-column data layout
+- ``winnow``           winnowing (MOSS) substring-overlap dedup +
+  persistable fingerprint index for incremental checks
 - ``mining``           contrastive hard/in-batch negative mining
 - ``diagnose``         key-skew + partition-balance reports
 - ``projection``       seeded Gaussian JL projection, SRP bit signatures

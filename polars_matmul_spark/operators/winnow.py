@@ -44,7 +44,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["winnow_fingerprints", "winnow_fp_values", "winnow_dup_pairs"]
+__all__ = [
+    "winnow_fingerprints",
+    "winnow_fp_values",
+    "winnow_dup_pairs",
+    "build_winnow_index",
+    "winnow_new_vs_index",
+]
 
 # 48-bit md5-prefix hash of a k-gram: far below the 2^53 exact-integer
 # bound of conv()'s double, identical in DuckDB as
@@ -229,6 +235,72 @@ def winnow_dup_pairs(
         )
         .groupBy(
             F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def build_winnow_index(
+    df: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hash_docs: int | None = None,
+) -> DataFrame:
+    """The persistable substring-fingerprint index for a corpus: one
+    (doc_id, fp) row per distinct selected winnowing hash — the
+    substring analogue of :func:`dedup.build_minhash_bands`. Write it
+    once (partitioned/bucketed by ``fp``) and every future increment
+    checks against it without touching the corpus text
+    (:func:`winnow_new_vs_index`). Density ~2/(window+1) of char
+    positions, so the index is a small fraction of the text bytes.
+
+    ``max_hash_docs`` drops ubiquitous-boilerplate hashes AT BUILD
+    time (doc frequency measured over this corpus), keeping every
+    posting list bounded before the index is ever written."""
+    post = winnow_fp_values(df, k, window, text_col, id_col).distinct()
+    if max_hash_docs is not None:
+        hot = (
+            post.groupBy("fp")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_hash_docs)
+            .select("fp")
+        )
+        post = post.join(F.broadcast(hot), "fp", "left_anti")
+    return post
+
+
+def winnow_new_vs_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental substring dedup: which NEW docs share >=
+    ``min_shared`` selected fingerprints with the already-indexed
+    corpus -> (new_id, old_id, n_shared).
+
+    The 100 TB ingestion story mirrors ``neardup_new_vs_index``: the
+    corpus's fingerprint index is persisted once; each arriving batch
+    is fingerprinted (row-local, no shuffle) and its SMALL (id, fp)
+    table BROADCASTS into a map-side join against the TB-scale index,
+    which is scanned in place — never shuffled. k/window must match
+    the values the index was built with; ids must be disjoint."""
+    new_post = winnow_fp_values(
+        new_df, k, window, text_col, id_col
+    ).distinct()
+    ix = index.alias("ix")
+    nw = F.broadcast(new_post).alias("nw")
+    return (
+        ix.join(nw, F.col("ix.fp") == F.col("nw.fp"))
+        .groupBy(
+            F.col(f"nw.{id_col}").alias("new_id"),
+            F.col(f"ix.{id_col}").alias("old_id"),
         )
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)

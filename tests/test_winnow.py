@@ -11,9 +11,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from polars_matmul_spark.operators.winnow import (
+    build_winnow_index,
     winnow_dup_pairs,
     winnow_fingerprints,
     winnow_fp_values,
+    winnow_new_vs_index,
 )
 from polars_matmul_spark.sources.tables import load_table
 
@@ -203,6 +205,56 @@ class TestDupPairs:
         # pure-boilerplate pairs (0..5 x each other) are the documented
         # miss under the cap
         assert not any(d1 < 6 and d2 < 6 for d1, d2 in capped)
+
+    def test_incremental_equals_full_crossing_pairs(self, spark):
+        # index even ids, arrive with odd ids: the incremental check
+        # must equal the full-corpus pair run restricted to pairs that
+        # cross the split (the same contract pinned for the MinHash
+        # and IVF incremental forms)
+        docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+        hist = docs.filter(F.col("doc_id") % 2 == 0)
+        new = docs.filter(F.col("doc_id") % 2 == 1)
+        ix = build_winnow_index(hist, k=8, window=4)
+        inc = {
+            (r.new_id, r.old_id): r.n_shared
+            for r in winnow_new_vs_index(
+                new, ix, k=8, window=4, min_shared=2
+            ).collect()
+        }
+        full = {}
+        for r in winnow_dup_pairs(docs, k=8, window=4, min_shared=2).collect():
+            a, b = r.d1, r.d2
+            if a % 2 != b % 2:  # crossing pairs only
+                new_id, old_id = (a, b) if a % 2 == 1 else (b, a)
+                full[(new_id, old_id)] = r.n_shared
+        assert inc == full and len(inc) > 0
+
+    def test_incremental_broadcasts_new_side(self, spark):
+        # the TB-scale index must be scanned in place: the new batch's
+        # fingerprint table broadcasts, no shuffle of the index side
+        docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+        ix = build_winnow_index(docs.filter(F.col("doc_id") % 2 == 0))
+        out = winnow_new_vs_index(docs.filter(F.col("doc_id") % 2 == 1), ix)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_index_hot_hash_cap(self, spark):
+        # build-time cap: a boilerplate hash present in > cap docs
+        # leaves the index entirely
+        boiler = "standard footer text appended to every single document"
+        rows = [(i, f"doc {i} body {boiler}") for i in range(8)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        full = build_winnow_index(df, k=8, window=4)
+        capped = build_winnow_index(df, k=8, window=4, max_hash_docs=4)
+        hot_fps = {
+            r.fp
+            for r in full.groupBy("fp")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > 4)
+            .collect()
+        }
+        kept = {r.fp for r in capped.select("fp").distinct().collect()}
+        assert hot_fps and not (hot_fps & kept)
 
     def test_counts_distinct_hashes_not_positions(self, spark):
         # a doc repeating the shared span twice still counts each
