@@ -137,22 +137,54 @@ def neardup_pairs_exact(
             .filter(F.col("jaccard") >= threshold)
         )
         return out.select("d1", "d2", "jaccard")
-    # capped postings undercount shared-hot-shingle intersections, so
-    # the candidate set re-verifies against the FULL shingle arrays —
-    # emitted jaccards are the true uncapped values
-    cand = joined.select(
+    # capped postings undercount shared-HOT-shingle intersections.
+    # The capped join itself already counts every shared COLD shingle
+    # exactly (postings are distinct per doc), so the true intersection
+    # is that count PLUS the pair's hot-shingle overlap — and the hot
+    # correction only needs each doc's HOT-ONLY shingle array, which is
+    # bounded by the (small, broadcast) hot set. The first version of
+    # this branch instead re-joined the FULL shingle arrays onto every
+    # candidate pair: candidates x ~KB arrays made the verify shuffle
+    # grow into spill territory on templated corpora (the scaling
+    # probe measured 7 -> 187 s over 1x -> 8x — superlinear from spill,
+    # not candidate count). Emitted jaccards are identical either way:
+    # the true uncapped values.
+    inter_cold = joined.groupBy(
         F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
-    ).distinct()
-    s1 = sh.select(F.col(id_col).alias("d1"), F.col("shingles").alias("__sh1"))
-    s2 = sh.select(F.col(id_col).alias("d2"), F.col("shingles").alias("__sh2"))
+    ).agg(F.count("*").alias("__ic"))
+    hot_by_doc = (
+        ex.join(F.broadcast(hot), "s", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("s").alias("__hot_sh"))
+    )
+    sizes = sh.select(F.col(id_col), F.size("shingles").alias("__n"))
+    empty = F.array().cast("array<string>")
+    h1 = hot_by_doc.select(
+        F.col(id_col).alias("d1"), F.col("__hot_sh").alias("__h1")
+    )
+    h2 = hot_by_doc.select(
+        F.col(id_col).alias("d2"), F.col("__hot_sh").alias("__h2")
+    )
+    n1 = sizes.select(F.col(id_col).alias("d1"), F.col("__n").alias("__n1"))
+    n2 = sizes.select(F.col(id_col).alias("d2"), F.col("__n").alias("__n2"))
     out = (
-        cand.join(s1, "d1")
-        .join(s2, "d2")
-        .withColumn("inter", F.size(F.array_intersect("__sh1", "__sh2")))
+        inter_cold.join(h1, "d1", "left")
+        .join(h2, "d2", "left")
+        .join(n1, "d1")
+        .join(n2, "d2")
+        .withColumn(
+            "inter",
+            F.col("__ic")
+            + F.size(
+                F.array_intersect(
+                    F.coalesce("__h1", empty), F.coalesce("__h2", empty)
+                )
+            ),
+        )
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
-            / (F.size("__sh1") + F.size("__sh2") - F.col("inter")),
+            / (F.col("__n1") + F.col("__n2") - F.col("inter")),
         )
         .filter(F.col("jaccard") >= threshold)
     )
