@@ -164,6 +164,16 @@ _CEILINGS_SF01 = {
     # so idle ~0.4s; ceilings sized from the loaded measurement)
     "pq_adc_topk": 4.5,
     "bloom_incremental_dedup": 5.0,
+    # round-5 rotation rows (idle walls from the self-gated bench at
+    # calibration 1.02x: 0.43 / 3.53 / 2.46 / 1.33 / 0.44 / 0.76 /
+    # 0.63 s — ~4x ceilings)
+    "funnel_steps": 2.5,
+    "srp_neardup_bands": 14.0,
+    "semantic_dedup_pairs": 10.0,
+    "winnow_dup_pairs": 6.0,
+    "retention_cohorts": 2.0,
+    "hard_negatives_topk": 3.5,
+    "zorder_keys": 3.0,
 }
 
 
