@@ -50,6 +50,16 @@ def _normalize(rows, colnames):
     return out
 
 
+def test_registry_discipline():
+    """The driver records at most 50 queries — the registry must sit
+    EXACTLY at the cap (a 51st slot would silently never get a
+    CORRECTNESS row, the round-1 bug), and only the two intrinsically
+    non-replayable operators may lack oracles."""
+    assert len(ALL_QUERIES) == 50
+    no_oracle = {n for n, (_f, o) in ALL_QUERIES.items() if o is None}
+    assert no_oracle == {"ann_brp_lsh_join", "sketch_distinct_users"}
+
+
 def _assert_matches(name, fn, oracle, spark, duck):
     sdf = fn(spark, SF_DIR)
     spark_pdf = sdf.toPandas()
