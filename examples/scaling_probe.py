@@ -161,10 +161,18 @@ def main() -> None:
         # true pair count grows linearly in K
         from polars_matmul_spark.operators.winnow import winnow_dup_pairs
 
+        # repartition_to pins parallelism across K (the cached probe
+        # corpus has K partitions — without it the 1x row measures one
+        # core and the growth conflates partition count with plan cost)
         row["winnow"] = timed(
             lambda: force(
                 winnow_dup_pairs(
-                    docs, k=20, window=8, min_shared=2, max_hash_docs=64
+                    docs,
+                    k=20,
+                    window=8,
+                    min_shared=2,
+                    max_hash_docs=64,
+                    repartition_to=spark.sparkContext.defaultParallelism,
                 )
             )
         )

@@ -156,6 +156,34 @@ FROM sel, unnest(sels) AS t(s)
         assert fast == full and len(fast) > 0
 
 
+class TestGuaranteeProperty:
+    """The winnowing guarantee (Schleimer et al. §3), property-tested
+    against the pure-Python oracle: any span of length >= k + window - 1
+    shared verbatim by two texts contributes at least one common
+    selected fingerprint. Spark == py_winnow is pinned separately
+    (TestFingerprints.test_matches_python_oracle), so this chain covers
+    the distributed form without a Spark job per hypothesis example."""
+
+    def test_shared_span_always_fingerprinted(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        K, W = 8, 4
+        alpha = st.text(alphabet="abcdefgh ", min_size=0, max_size=60)
+        span = st.text(alphabet="xyzuvw", min_size=K + W - 1, max_size=40)
+
+        @given(pre1=alpha, suf1=alpha, pre2=alpha, suf2=alpha, s=span)
+        @settings(max_examples=200, deadline=None)
+        def check(pre1, suf1, pre2, suf2, s):
+            t1 = f"{pre1}{s}{suf1}"
+            t2 = f"{pre2}{s}{suf2}"
+            f1 = {fp for _pos, fp in py_winnow(t1, K, W)}
+            f2 = {fp for _pos, fp in py_winnow(t2, K, W)}
+            assert f1 & f2, (t1, t2, s)
+
+        check()
+
+
 class TestDupPairs:
     def _mk(self, spark):
         # shared verbatim span of 40 chars between 0 and 1 (>= k+w-1=11
