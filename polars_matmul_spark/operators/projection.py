@@ -290,7 +290,6 @@ def srp_neardup(
 
     from polars_matmul_spark.operators.similarity_join import (
         _fold_dot as _jvm_fold_dot,
-        score_expr,
     )
 
     if n_bands is None or band_bits is None:
@@ -361,11 +360,36 @@ def srp_neardup(
         )
         .distinct()
     )
-    emb = df.select(F.col(id_col), F.col(emb_col).cast("array<double>").alias("__e"))
+    # norms once per DOC, not per pair (the semdedup/_embedding_neardup
+    # pattern — oracle-parity preserved: sqrt(fold(e, e)) is the same
+    # deterministic value wherever it is computed, so per-pair verify
+    # folds drop 3 -> 1)
+    emb = df.select(
+        F.col(id_col), F.col(emb_col).cast("array<double>").alias("__e")
+    ).withColumn("__n", F.sqrt(_jvm_fold_dot(F.col("__e"), F.col("__e"))))
+    cos = F.when(
+        (F.col("__na") > 1e-10) & (F.col("__nb") > 1e-10),
+        _jvm_fold_dot(F.col("__ea"), F.col("__eb"))
+        / (F.col("__na") * F.col("__nb")),
+    ).otherwise(F.lit(0.0))
     verified = (
-        cand.join(emb.select(F.col(id_col).alias("id_a"), F.col("__e").alias("__ea")), "id_a")
-        .join(emb.select(F.col(id_col).alias("id_b"), F.col("__e").alias("__eb")), "id_b")
-        .withColumn("cosine", score_expr(F.col("__ea"), F.col("__eb"), "cosine"))
+        cand.join(
+            emb.select(
+                F.col(id_col).alias("id_a"),
+                F.col("__e").alias("__ea"),
+                F.col("__n").alias("__na"),
+            ),
+            "id_a",
+        )
+        .join(
+            emb.select(
+                F.col(id_col).alias("id_b"),
+                F.col("__e").alias("__eb"),
+                F.col("__n").alias("__nb"),
+            ),
+            "id_b",
+        )
+        .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
