@@ -109,6 +109,28 @@ class TestHardNegatives:
         )
 
 
+    def test_empty_positives(self, spark, sides):
+        # no labels at all: hard negatives degrade to plain exact top-k
+        from polars_matmul_spark.operators.mining import hard_negatives
+        from polars_matmul_spark.operators.similarity_join import (
+            topk_join_exact,
+        )
+
+        q, c = sides
+        empty_pos = spark.createDataFrame([], "query_id long, corpus_id long")
+        got = sorted(
+            (r.query_id, r.rank, r.corpus_id)
+            for r in hard_negatives(q, c, empty_pos, k=3).collect()
+        )
+        want = sorted(
+            (r.query_id, r.rank, r.corpus_id)
+            for r in topk_join_exact(
+                q, c, "query_id", "corpus_id", "q_emb", "c_emb", k=3
+            ).collect()
+        )
+        assert got == want and len(got) > 0
+
+
 class TestInBatchNegatives:
     def test_semantics_and_determinism(self, spark):
         pairs = spark.createDataFrame(

@@ -156,6 +156,34 @@ FROM sel, unnest(sels) AS t(s)
         assert fast == full and len(fast) > 0
 
 
+class TestEdgeCases:
+    def test_empty_corpus(self, spark):
+        df = spark.createDataFrame([], "doc_id long, text string")
+        assert winnow_fingerprints(df).count() == 0
+        assert winnow_dup_pairs(df).count() == 0
+        assert build_winnow_index(df).count() == 0
+
+    def test_all_docs_below_k(self, spark):
+        df = spark.createDataFrame(
+            [(0, "short"), (1, "tiny")], "doc_id long, text string"
+        )
+        assert winnow_fp_values(df, k=8).count() == 0
+        assert winnow_dup_pairs(df, k=8).count() == 0
+
+    def test_new_vs_empty_index(self, spark):
+        docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+        empty_ix = spark.createDataFrame([], "doc_id long, fp long")
+        assert winnow_new_vs_index(docs.limit(5), empty_ix).count() == 0
+
+    def test_single_doc_no_pairs(self, spark):
+        df = spark.createDataFrame(
+            [(0, "one single document long enough to fingerprint fully")],
+            "doc_id long, text string",
+        )
+        assert winnow_fp_values(df).count() > 0
+        assert winnow_dup_pairs(df).count() == 0
+
+
 class TestGuaranteeProperty:
     """The winnowing guarantee (Schleimer et al. §3), property-tested
     against the pure-Python oracle: any span of length >= k + window - 1
