@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from polars_matmul_spark.operators.text import shingles, tokens
 
-__all__ = ["redact_pii", "repetition_score", "tag_contaminated"]
+__all__ = ["redact_pii", "repetition_score", "tag_contaminated", "c4_clean"]
 
 # Deliberately conservative patterns (Java regex, no lookarounds so the
 # same pattern runs under RE2 engines too). Order matters: emails before
@@ -173,3 +173,61 @@ def domain_filter(
         .distinct()
     )
     return df.join(hits, df[id_col] == F.col("__bad_id"), "left_anti")
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 3,
+    min_sentences: int = 3,
+    bad_phrases: tuple[str, ...] = ("lorem ipsum", "{"),
+    drop_line_markers: tuple[str, ...] = ("javascript",),
+) -> DataFrame:
+    """C4-style heuristic cleaning (Raffel et al., "Exploring the
+    Limits of Transfer Learning…", JMLR 2020, §2.2) — the classic
+    rule set the curation family was missing, as one pure-Catalyst
+    row-local pass (no shuffle, no Python):
+
+    - LINE rules: keep only lines that end in terminal punctuation
+      ([.!?]), carry at least ``min_words_per_line`` words, and do not
+      contain any ``drop_line_markers`` substring (case-insensitive —
+      C4 drops "javascript" lines); surviving lines are rejoined with
+      a newline.
+    - DOC rules: after line filtering, drop docs with fewer than
+      ``min_sentences`` terminal-punctuation sentences or containing
+      any ``bad_phrases`` substring (case-insensitive — C4 drops
+      "lorem ipsum" placeholder text and curly-brace code pages).
+
+    Returns (id, cleaned text, n_lines_kept, n_lines_dropped,
+    n_sentences) for surviving docs. Rules are literal-substring and
+    tiny-regex predicates, so any engine replays them (DuckDB twin in
+    tests/test_text_filters.py). The de-duplication C4 pairs with
+    these rules lives in its own operators (exact_dedup / linededup /
+    winnow).
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def _keep(line: Column) -> Column:
+        lt = F.trim(line)
+        low = F.lower(lt)
+        cond = lt.rlike(r"[.!?]$") & (
+            F.size(F.split(lt, r"\s+")) >= min_words_per_line
+        )
+        for m in drop_line_markers:
+            cond = cond & ~low.contains(m.lower())
+        return cond
+
+    kept = F.filter(lines, _keep)
+    cleaned = F.array_join(kept, "\n")
+    out = df.select(
+        F.col(id_col),
+        cleaned.alias(text_col),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        (F.size(lines) - F.size(kept)).cast("long").alias("n_lines_dropped"),
+        F.regexp_count(cleaned, F.lit(r"[.!?]")).cast("long").alias("n_sentences"),
+    )
+    doc_ok = F.col("n_sentences") >= min_sentences
+    for p in bad_phrases:
+        doc_ok = doc_ok & ~F.lower(F.col(text_col)).contains(p.lower())
+    return out.filter(doc_ok)

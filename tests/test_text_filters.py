@@ -304,3 +304,106 @@ def test_canonicalize_unlocks_formatting_noise_neardups(spark):
     canon_pairs = neardup_pairs_minhash(canon, threshold=0.9).toPandas()
     assert raw_pairs == 0
     assert {(r.d1, r.d2) for r in canon_pairs.itertuples()} == {(1, 2)}
+
+
+class TestC4Clean:
+    """C4 heuristic rules (c4_clean): line/doc predicates against
+    hand-built cases and a full DuckDB replication on real docs."""
+
+    def _mk(self, spark):
+        rows = [
+            # 3 good sentences -> survives intact
+            (0, "one two three four.\nfive six seven eight!\nnine ten eleven twelve?"),
+            # line without terminal punct and a short line drop; doc
+            # then has only 2 sentences -> doc dropped
+            (1, "good line stays here.\nno terminal punct line\nshort one.\nanother good sentence here."),
+            # javascript line dropped (case-insensitive), rest survives
+            (2, "enable JavaScript to view this.\nreal sentence number one here.\nreal sentence number two here.\nreal sentence number three here."),
+            # lorem ipsum doc dropped outright
+            (3, "lorem ipsum dolor sit amet.\nsecond sentence right here.\nthird sentence right here."),
+            # curly brace (code) doc dropped
+            (4, "function foo() { return 1; }.\nreal sentence one here.\nreal sentence two here."),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_hand_cases(self, spark):
+        from polars_matmul_spark.operators.text_filters import c4_clean
+
+        out = {r.doc_id: r for r in c4_clean(self._mk(spark)).collect()}
+        assert set(out) == {0, 2}
+        assert out[0].n_lines_dropped == 0 and out[0].n_sentences == 3
+        # doc 2: javascript line dropped, 3 sentences remain
+        assert out[2].n_lines_dropped == 1 and out[2].n_sentences == 3
+        assert "JavaScript" not in out[2].text
+
+    def test_vs_duckdb(self, spark):
+        import duckdb
+
+        from polars_matmul_spark.operators.text_filters import c4_clean
+        from polars_matmul_spark.sources.tables import load_table
+
+        sf = "/root/testdata/sf0.001"
+        docs = load_table(spark, "documents", sf).select("doc_id", "text")
+        # the synthetic docs carry NO punctuation — synthesize
+        # sentence lines (a period+newline after every 5th word) with
+        # the identical two-step regex on both engines
+        pat = r"((?:\w+ ){4}\w+) "
+        docs = docs.withColumn(
+            "text",
+            F.regexp_replace(
+                F.regexp_replace("text", pat, "$1.@@"), "@@", "\n"
+            ),
+        )
+        got = sorted(
+            (r.doc_id, r.text, r.n_lines_kept, r.n_lines_dropped, r.n_sentences)
+            for r in c4_clean(docs).collect()
+        )
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW raw AS SELECT * FROM '{sf}/documents.parquet'")
+        want = sorted(
+            map(
+                tuple,
+                con.sql(r"""
+WITH d AS (
+  SELECT doc_id,
+         replace(regexp_replace(text, '((?:\w+ ){4}\w+) ', '\1.@@', 'g'),
+                 '@@', chr(10)) AS text
+  FROM raw
+), l AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines FROM d
+), k AS (
+  SELECT doc_id, lines,
+         list_filter(lines, x -> regexp_matches(trim(x), '[.!?]$')
+           AND len(regexp_split_to_array(trim(x), '\s+')) >= 3
+           AND NOT contains(lower(trim(x)), 'javascript')) AS kept
+  FROM l
+), c AS (
+  SELECT doc_id,
+         array_to_string(kept, chr(10)) AS text,
+         CAST(len(kept) AS BIGINT) AS n_lines_kept,
+         CAST(len(lines) - len(kept) AS BIGINT) AS n_lines_dropped,
+         CAST(len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]')) AS BIGINT) AS n_sentences
+  FROM k
+)
+SELECT doc_id, text, n_lines_kept, n_lines_dropped, n_sentences
+FROM c
+WHERE n_sentences >= 3
+  AND NOT contains(lower(text), 'lorem ipsum')
+  AND NOT contains(lower(text), '{')
+""").fetchall(),
+            )
+        )
+        assert got == want and len(got) > 0
+
+    def test_jvm_only_no_shuffle_plan(self, spark):
+        from polars_matmul_spark.operators.text_filters import c4_clean
+        from polars_matmul_spark.sources.tables import load_table
+
+        docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+        plan = (
+            c4_clean(docs.select("doc_id", "text"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Python" not in plan and "Exchange" not in plan
