@@ -14,7 +14,13 @@ from pyspark.sql import functions as F
 
 from polars_matmul_spark.operators.text import shingles, tokens
 
-__all__ = ["redact_pii", "repetition_score", "tag_contaminated", "c4_clean"]
+__all__ = [
+    "redact_pii",
+    "repetition_score",
+    "tag_contaminated",
+    "c4_clean",
+    "gopher_quality",
+]
 
 # Deliberately conservative patterns (Java regex, no lookarounds so the
 # same pattern runs under RE2 engines too). Order matters: emails before
@@ -231,3 +237,102 @@ def c4_clean(
     for p in bad_phrases:
         doc_ok = doc_ok & ~F.lower(F.col(text_col)).contains(p.lower())
     return out.filter(doc_ok)
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_line_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality rules (Rae et al., "Scaling Language Models:
+    … Gopher", 2021, §A1.1) — the third classic rule set alongside
+    :func:`c4_clean` and CCNet line dedup (operators/linededup.py),
+    as one row-local Catalyst pass returning every signal PLUS the
+    verdict, so callers can filter, re-weight, or audit:
+
+    - word count in [min_words, max_words]
+    - mean word length in [min_mean_word_len, max_mean_word_len]
+    - symbol-to-word ratio (# or ... per word) <= max_symbol_word_ratio
+    - fraction of lines starting with a bullet <= max_bullet_line_frac
+    - fraction of lines ending in an ellipsis <= max_ellipsis_line_frac
+    - fraction of lines containing an alphabetic char >= min_alpha_line_frac
+    - at least ``min_stop_hits`` distinct English stop words present
+
+    Returns (id, n_words, mean_word_len, symbol_word_ratio,
+    bullet_line_frac, ellipsis_line_frac, alpha_line_frac,
+    n_stop_hits, gopher_ok). Integer-count / double-division
+    arithmetic only — engine-portable (DuckDB twin in tests).
+    """
+    from polars_matmul_spark.operators.text import STOPWORDS
+
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_words = F.size(toks).cast("long")
+    nw_d = n_words.cast("double")
+    mean_wl = F.when(
+        n_words > 0,
+        F.aggregate(
+            toks, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")
+        )
+        / nw_d,
+    ).otherwise(F.lit(0.0))
+    n_sym = (
+        F.regexp_count(t, F.lit(r"#")) + F.regexp_count(t, F.lit(r"\.\.\."))
+    ).cast("double")
+    sym_ratio = F.when(n_words > 0, n_sym / nw_d).otherwise(F.lit(0.0))
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines).cast("double")
+    bullet_frac = (
+        F.size(
+            F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]"))
+        ).cast("double")
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))
+        ).cast("double")
+        / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"[A-Za-z]"))).cast("double")
+        / n_lines
+    )
+    stops = sorted(STOPWORDS["en"])
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(toks, F.lower)),
+            F.array(*[F.lit(s) for s in stops]),
+        )
+    ).cast("long")
+    ok = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (sym_ratio <= max_symbol_word_ratio)
+        & (bullet_frac <= max_bullet_line_frac)
+        & (ellipsis_frac <= max_ellipsis_line_frac)
+        & (alpha_frac >= min_alpha_line_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_line_frac"),
+        stop_hits.alias("n_stop_hits"),
+        ok.alias("gopher_ok"),
+    )

@@ -407,3 +407,105 @@ WHERE n_sentences >= 3
             .toString()
         )
         assert "Python" not in plan and "Exchange" not in plan
+
+
+class TestGopherQuality:
+    """Gopher rules (gopher_quality): per-rule hand cases + full DuckDB
+    replication of every signal and the verdict."""
+
+    def test_hand_cases(self, spark):
+        from polars_matmul_spark.operators.text_filters import gopher_quality
+
+        good = " ".join(
+            ["the quick brown fox jumps over a lazy dog near the river"] * 6
+        )
+        rows = [
+            (0, good),  # passes everything
+            (1, "too few words here."),  # < min_words
+            (2, " ".join(["supercalifragilisticexpialidocious"] * 60)),  # mean len high, no stops
+            (3, "\n".join(["- bullet line one", "- bullet line two"])),  # bullets + short
+            (4, good + " ###### " * 20),  # symbol ratio high
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in gopher_quality(df, min_words=20).collect()}
+        assert out[0].gopher_ok
+        assert not out[1].gopher_ok
+        assert not out[2].gopher_ok and out[2].n_stop_hits == 0
+        assert not out[3].gopher_ok and out[3].bullet_line_frac == 1.0
+        assert not out[4].gopher_ok and out[4].symbol_word_ratio > 0.1
+
+    def test_vs_duckdb(self, spark):
+        import duckdb
+
+        from polars_matmul_spark.operators.text import STOPWORDS
+        from polars_matmul_spark.operators.text_filters import gopher_quality
+        from polars_matmul_spark.sources.tables import load_table
+
+        sf = "/root/testdata/sf0.001"
+        docs = load_table(spark, "documents", sf).select("doc_id", "text")
+        got = sorted(
+            (
+                r.doc_id, r.n_words, r.mean_word_len, r.symbol_word_ratio,
+                r.bullet_line_frac, r.ellipsis_line_frac, r.alpha_line_frac,
+                r.n_stop_hits, r.gopher_ok,
+            )
+            for r in gopher_quality(docs, min_words=30).collect()
+        )
+        stops = ", ".join(f"'{s}'" for s in sorted(STOPWORDS["en"]))
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+        want = sorted(
+            map(
+                tuple,
+                con.sql(rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id, text, toks, lines,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS mean_word_len,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(len(regexp_extract_all(text, '#'))
+                + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS symbol_word_ratio,
+         CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+           / len(lines) AS bullet_line_frac,
+         CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS DOUBLE)
+           / len(lines) AS ellipsis_line_frac,
+         CAST(len(list_filter(lines, l -> regexp_matches(l, '[A-Za-z]'))) AS DOUBLE)
+           / len(lines) AS alpha_line_frac,
+         CAST(len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))),
+                                 [{stops}])) AS BIGINT) AS n_stop_hits
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
+       ellipsis_line_frac, alpha_line_frac, n_stop_hits,
+       (n_words >= 30 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_word_ratio <= 0.1
+        AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+        AND alpha_line_frac >= 0.8 AND n_stop_hits >= 2) AS gopher_ok
+FROM m
+""").fetchall(),
+            )
+        )
+        assert got == want and len(got) > 0
+        assert any(r[-1] for r in got) and any(not r[-1] for r in got)
+
+    def test_jvm_only_no_shuffle_plan(self, spark):
+        from polars_matmul_spark.operators.text_filters import gopher_quality
+        from polars_matmul_spark.sources.tables import load_table
+
+        docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+        plan = (
+            gopher_quality(docs.select("doc_id", "text"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Python" not in plan and "Exchange" not in plan
