@@ -103,7 +103,7 @@ def main() -> None:
         "sessionize_events",
         "event_hourly_windows",
         "token_counts",
-        "quality_score",
+        "gopher_quality",
         "neardup_ngram_jaccard",
         "neardup_minhash_lsh",
         "simhash_fingerprint",

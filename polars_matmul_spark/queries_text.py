@@ -188,6 +188,62 @@ SELECT doc_id, CAST({fp_terms} AS BIGINT) AS simhash FROM sums
 """
 
 
+# --- Gopher quality rules --------------------------------------------------
+#
+# Round-5 rotation target #5: the Gopher rule set (all eight signals +
+# verdict) replaces the simpler quality_score composite as the
+# heuristic-quality driver row — a strict signal upgrade for the same
+# family (quality_score keeps its exact oracle comparison in
+# test_oracle_parity's rotated-query gate and its JVM-only plan pin).
+
+_GOPHER_MIN_WORDS = 30
+
+
+def _gopher(spark, sf_dir):
+    from polars_matmul_spark.operators.text_filters import gopher_quality
+
+    return gopher_quality(_docs(spark, sf_dir), min_words=_GOPHER_MIN_WORDS)
+
+
+def _gopher_oracle() -> str:
+    stops = ", ".join(f"'{s}'" for s in sorted(STOPWORDS["en"]))
+    return rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS mean_word_len,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(len(regexp_extract_all(text, '#'))
+                + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS symbol_word_ratio,
+         CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+           / len(lines) AS bullet_line_frac,
+         CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS DOUBLE)
+           / len(lines) AS ellipsis_line_frac,
+         CAST(len(list_filter(lines, l -> regexp_matches(l, '[A-Za-z]'))) AS DOUBLE)
+           / len(lines) AS alpha_line_frac,
+         CAST(len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))),
+                                 [{stops}])) AS BIGINT) AS n_stop_hits
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
+       ellipsis_line_frac, alpha_line_frac, n_stop_hits,
+       (n_words >= {_GOPHER_MIN_WORDS} AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_word_ratio <= 0.1
+        AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+        AND alpha_line_frac >= 0.8 AND n_stop_hits >= 2) AS gopher_ok
+FROM m
+"""
+
+
 # --- winnowing substring-overlap pairs -------------------------------------
 #
 # Round-5 rotation target #4: the substring-level dedup modality
@@ -258,7 +314,10 @@ TEXT_QUERIES: dict[str, tuple] = {
     # tests/test_plans.py) so the winnowing substring-dedup modality
     # gets a driver row:
     "winnow_dup_pairs": (_winnow_pairs, _WINNOW_ORACLE),
-    "quality_score": (_quality, _QUALITY_ORACLE),
+    # quality_score rotated out late in round 5 for the richer Gopher
+    # rule set of the same family (exact oracle kept in the
+    # rotated-query gate; JVM-only plan pinned in test_plans.py):
+    "gopher_quality": (_gopher, _gopher_oracle()),
     "exact_dedup_docs": (_exact_dedup, _EXACT_DEDUP_ORACLE),
     "neardup_ngram_jaccard": (_neardup_exact, _duck_jaccard_pairs(0.5)),
     "neardup_minhash_lsh": (_neardup_minhash, _duck_jaccard_pairs(0.8)),

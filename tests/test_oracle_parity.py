@@ -109,6 +109,7 @@ def _rotated_queries():
         ),
         "moving_avg_revenue": (qc._moving_avg_revenue, qc._MOVING_AVG_ORACLE),
         "lang_id": (qt._lang_id, qt._duck_lang_case()),
+        "quality_score": (qt._quality, qt._QUALITY_ORACLE),
         "mm_pixel_stats": (qm._pixel_stats, qm._PIXEL_STATS_ORACLE),
         "mm_frame_sample": (qm._frame_sample, qm._FRAME_SAMPLE_ORACLE),
         "hash_split_docs": (qp._hash_split_docs, qp._HASH_SPLIT_ORACLE),

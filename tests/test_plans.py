@@ -65,17 +65,18 @@ def test_dedup_and_text_plans_stay_jvm_side(spark, sf_dir):
     assert not uses_python_worker(neardup_pairs_minhash(docs))
     for name in (
         "token_counts",
-        "quality_score",
+        "gopher_quality",
         "exact_dedup_docs",
         "winnow_dup_pairs",
     ):
         fn, _ = TEXT_QUERIES[name]
         assert not uses_python_worker(fn(spark, sf_dir)), name
-    # lang_id rotated out of the registry in round 5 — its JVM-only
-    # plan stays pinned here via the query function
-    from polars_matmul_spark.queries_text import _lang_id
+    # lang_id and quality_score rotated out of the registry in round 5
+    # — their JVM-only plans stay pinned here via the query functions
+    from polars_matmul_spark.queries_text import _lang_id, _quality
 
     assert not uses_python_worker(_lang_id(spark, sf_dir))
+    assert not uses_python_worker(_quality(spark, sf_dir))
     # the composed operators stay JVM-side too (salted_event_counts
     # rotated out of the registry in round 5 — still pinned here via
     # its query function)
