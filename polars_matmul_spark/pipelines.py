@@ -97,10 +97,13 @@ def curate_and_export(
     min_logit: float = -0.5,
     tokens_per_shard: int = 20_000,
     quality_weights: list[float] | None = None,
+    gopher_min_words: int | None = None,
 ) -> DataFrame:
-    """The round-4 curation flow, composed end to end:
+    """The round-4 curation flow, composed end to end (round 5 adds
+    the heuristic-rule front gate):
 
-        scan -> line-level dedup (boilerplate strip)
+        scan -> Gopher quality rules (optional front gate)
+             -> line-level dedup (boilerplate strip)
              -> learned quality floor (hashed-token linear scorer)
              -> exact dedup via the Bloom two-gate
              -> DSIR selection toward the target-language slice
@@ -110,6 +113,12 @@ def curate_and_export(
     Every stage is the scale-shaped operator from its module; the
     composition stays one lazy plan up to the two LM ``collect``s
     (n_buckets doubles each) and the final write.
+
+    ``gopher_min_words``: when set, documents failing the Gopher rule
+    set (operators/text_filters.py::gopher_quality with that word
+    floor) drop before any dedup work — the standard
+    rules-before-dedup ordering (cheap scan-speed predicates shrink
+    the corpus the expensive stages see). ``None`` skips the gate.
     """
     from polars_matmul_spark.operators.bloom import (
         bloom_dedup_new_batch,
@@ -123,6 +132,16 @@ def curate_and_export(
     from polars_matmul_spark.operators.text import fingerprint
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "text")
+
+    # 0. optional Gopher front gate: scan-speed rule predicates drop
+    # low-quality docs before any dedup stage pays for them
+    if gopher_min_words is not None:
+        from polars_matmul_spark.operators.text_filters import gopher_quality
+
+        ok = gopher_quality(docs, min_words=gopher_min_words).filter(
+            F.col("gopher_ok")
+        )
+        docs = docs.join(ok.select("doc_id"), "doc_id", "left_semi")
 
     # 1. boilerplate strip (docs emptied by the strip drop out with the
     # quality floor below — their logit is sigmoid-centered at bias)

@@ -67,6 +67,31 @@ class TestCurateAndExport:
         mx = back.agg(F.max("n_tokens")).collect()[0][0]
         assert all(r["t"] <= 20_000 + mx for r in per_shard)
 
+    def test_gopher_front_gate(self, spark, tmp_path):
+        import os
+
+        from polars_matmul_spark.operators.text_filters import gopher_quality
+        from polars_matmul_spark.pipelines import curate_and_export
+        from polars_matmul_spark.sources.tables import load_table
+
+        sf = "/root/testdata/sf0.001"
+        gated = curate_and_export(
+            spark, sf, os.path.join(str(tmp_path), "g"),
+            select_k=500, gopher_min_words=30,
+        )
+        ids = {r["doc_id"] for r in gated.select("doc_id").collect()}
+        docs = load_table(spark, "documents", sf).select("doc_id", "text")
+        failing = {
+            r.doc_id
+            for r in gopher_quality(docs, min_words=30)
+            .filter(~F.col("gopher_ok"))
+            .collect()
+        }
+        # every rule-failing doc is absent from the gated export, and
+        # the gate actually fired (this corpus has failing docs)
+        assert failing and not (ids & failing)
+        assert ids  # and survivors still flow through
+
     def test_deterministic(self, spark, tmp_path):
         import os
 
