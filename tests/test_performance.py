@@ -174,6 +174,7 @@ _CEILINGS_SF01 = {
     "retention_cohorts": 2.0,
     "hard_negatives_topk": 3.5,
     "zorder_keys": 3.0,
+    "gopher_quality": 3.0,
 }
 
 
