@@ -298,6 +298,11 @@ def main() -> None:
         # assignment term is the asymptotic knob (hierarchical /
         # IVF-style assignment at true cluster scale)
         pairs = semantic_dedup_pairs(emb, threshold=0.95, n_clusters=16 * k)
+        # warm first like every other entry: the cold run pays MLlib
+        # KMeans JIT + codegen and read 2x the warm wall (and in a
+        # long-lived probe session, accumulated GC inflated a cold
+        # k=8 run to 52s where two isolated runs read 17-19s)
+        force(pairs)
         row["semantic_dedup_pairs"] = timed(lambda: force(pairs))
         row["n_pairs"] = pairs.count()
         # PQ: codebooks fixed (trained once on the base copy — the
