@@ -39,6 +39,7 @@ __all__ = [
     "simhash16",
     "dedup_groups",
     "keep_canonical",
+    "dedup_report",
 ]
 
 
@@ -596,3 +597,60 @@ def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return sums.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def dedup_report(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    d1: str = "d1",
+    d2: str = "d2",
+) -> DataFrame:
+    """One-row dedup observability summary for a pair set over a
+    corpus: (n_docs, n_pairs, n_groups, n_dup_docs, n_dropped,
+    dup_frac, largest_group) — the numbers a 100 TB dedup run reports
+    before anyone commits to the drop.
+
+    - n_groups counts duplicate CLUSTERS (connected components of the
+      pair graph, >= 2 docs each);
+    - n_dup_docs counts docs in any cluster; n_dropped = those minus
+      the kept canonicals (= n_dup_docs - n_groups);
+    - dup_frac = n_dropped / n_docs — the corpus shrink the drop
+      would produce;
+    - largest_group flags pathological clusters (a boilerplate or
+      template family collapsing into one giant component).
+
+    Cost: the components run (dedup_groups) plus two tiny aggregates
+    over the (small) groups table; the corpus contributes one count.
+    """
+    n_docs = docs.select(F.count(F.col(id_col)).alias("n_docs"))
+    n_pairs = pairs.select(F.count("*").alias("n_pairs"))
+    groups = dedup_groups(pairs, d1, d2)
+    gstats = (
+        groups.groupBy("group_id")
+        .agg(F.count("*").alias("__sz"))
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.coalesce(F.sum("__sz"), F.lit(0)).alias("n_dup_docs"),
+            F.coalesce(F.max("__sz"), F.lit(0)).alias("largest_group"),
+        )
+    )
+    return (
+        n_docs.crossJoin(n_pairs)
+        .crossJoin(gstats)
+        .select(
+            "n_docs",
+            "n_pairs",
+            "n_groups",
+            "n_dup_docs",
+            (F.col("n_dup_docs") - F.col("n_groups")).alias("n_dropped"),
+            F.when(
+                F.col("n_docs") > 0,
+                (F.col("n_dup_docs") - F.col("n_groups")).cast("double")
+                / F.col("n_docs"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+            "largest_group",
+        )
+    )

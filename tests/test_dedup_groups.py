@@ -159,3 +159,50 @@ def test_exact_dedup_consistent_with_groups(spark, sf_dir):
     keep_ids_groups = {r.doc_id for r in kept.select("doc_id").collect()}
     keep_ids_exact = {r.keep_id for r in exact_dedup(docs).collect()}
     assert keep_ids_groups == keep_ids_exact
+
+
+class TestDedupReport:
+    def test_matches_union_find_oracle(self, spark):
+        from collections import Counter
+
+        from polars_matmul_spark.operators.dedup import dedup_report
+
+        # 0-1-2 chain, 3-4 pair, 5/6 untouched singletons
+        pairs = [(0, 1), (1, 2), (3, 4)]
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(7)], "doc_id long, text string"
+        )
+        pdf = spark.createDataFrame(pairs, "d1 long, d2 long")
+        r = dedup_report(docs, pdf).collect()[0]
+        comp = _uf_components(pairs)
+        sizes = Counter(comp.values())
+        assert r.n_docs == 7 and r.n_pairs == 3
+        assert r.n_groups == len(sizes) == 2
+        assert r.n_dup_docs == len(comp) == 5
+        assert r.n_dropped == 5 - 2 == 3
+        assert abs(r.dup_frac - 3 / 7) < 1e-12
+        assert r.largest_group == max(sizes.values()) == 3
+
+    def test_empty_pairs(self, spark):
+        from polars_matmul_spark.operators.dedup import dedup_report
+
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(4)], "doc_id long, text string"
+        )
+        pdf = spark.createDataFrame([], "d1 long, d2 long")
+        r = dedup_report(docs, pdf).collect()[0]
+        assert (r.n_docs, r.n_pairs, r.n_groups, r.n_dup_docs, r.n_dropped) == (
+            4, 0, 0, 0, 0,
+        )
+        assert r.dup_frac == 0.0 and r.largest_group == 0
+
+    def test_on_real_minhash_pairs(self, spark, sf_dir):
+        from polars_matmul_spark.operators.dedup import dedup_report, keep_canonical
+
+        docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+        pairs = neardup_pairs_minhash(docs, threshold=0.8)
+        r = dedup_report(docs, pairs).collect()[0]
+        # consistency with the actual keep/drop: dropped == docs - kept
+        kept = keep_canonical(docs, pairs).count()
+        assert r.n_dropped == docs.count() - kept
+        assert 0.0 <= r.dup_frac < 1.0
