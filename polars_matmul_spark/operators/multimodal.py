@@ -37,6 +37,9 @@ __all__ = [
     "resize_fake",
     "audio_rms_windows",
     "decode_asset",
+    "decode_wav",
+    "decode_bmp",
+    "decoded_asset_stats",
 ]
 
 #: fixed fake-image width; height is derived from the payload length
@@ -233,10 +236,75 @@ def resize_fake(
     return df.select(id_col, "payload", "width", "height").mapInPandas(resize, schema)
 
 
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """REAL audio decode for RIFF/WAVE PCM — pure NumPy, no codec
+    library: parse the chunk list, accept PCM (format 1) at 8 or 16
+    bits, mix channels down to mono, return (sample_rate, float64
+    samples in [-1, 1)). Bit-validated against the stdlib ``wave``
+    reader in tests. Raises ValueError on non-RIFF / non-PCM input.
+    """
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _brate, _align, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16) or n_ch < 1:
+        raise ValueError(f"unsupported WAV: format={audio_fmt} bits={bits}")
+    if bits == 16:
+        raw = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    else:
+        raw = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    n = (len(raw) // n_ch) * n_ch
+    mono = raw[:n].reshape(-1, n_ch).mean(axis=1)
+    return rate, mono
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL image decode for uncompressed 24-bit BMP — pure NumPy:
+    parse BITMAPFILEHEADER + BITMAPINFOHEADER, un-pad the 4-byte-
+    aligned bottom-up BGR rows, return an (h, w, 3) uint8 RGB array.
+    Raises ValueError on non-BMP / compressed / non-24-bit input."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    _hsz, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={comp}")
+    flip = h > 0  # positive height = bottom-up row order
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    px = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
+    rows = px.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if flip:
+        rows = rows[::-1]
+    return rows[..., ::-1].copy()  # BGR -> RGB
+
+
 def decode_asset(payload: bytes, kind: str):
-    """REAL codec decode — STUB. The container has no PIL/librosa/ffmpeg;
-    when one is present this becomes the entry point the fake decoders
-    mirror. Raises NotImplementedError until then."""
+    """REAL codec decode. Containers decodable with pure NumPy are
+    decoded for real — RIFF/WAVE PCM (:func:`decode_wav`) and
+    uncompressed 24-bit BMP (:func:`decode_bmp`), both sniffed by
+    magic bytes. Compressed formats (JPEG/PNG/MP3/MP4) still need a
+    codec library this container doesn't ship; for those the
+    deterministic fake decoders remain the documented stand-ins."""
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    if len(payload) >= 2 and payload[:2] == b"BM":
+        return decode_bmp(payload)
     try:
         if kind == "image":
             import PIL.Image  # noqa: F401
@@ -246,11 +314,68 @@ def decode_asset(payload: bytes, kind: str):
             import av  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            f"real {kind} decode requires a codec library not present in "
-            "this environment; use the deterministic fake decoders "
-            "(pixel_stats / byte_histogram_features / resize_fake) instead"
+            f"real {kind} decode of compressed containers requires a codec "
+            "library not present in this environment; WAV-PCM and 24-bit "
+            "BMP decode for real (decode_wav/decode_bmp), other formats "
+            "use the deterministic fake decoders (pixel_stats / "
+            "byte_histogram_features / resize_fake)"
         ) from exc
     raise NotImplementedError("codec present but real decode not wired yet")
+
+
+def decoded_asset_stats(df: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """REAL per-asset decode stats over a binary column: sniff each
+    payload's container; WAV-PCM rows emit (sample_rate, n_samples,
+    duration_s, audio_rms), 24-bit-BMP rows emit (width, height,
+    mean_r, mean_g, mean_b); anything else passes through as
+    container='opaque' with null stats — decodable and opaque assets
+    can share one table, exactly how a mixed crawl lands.
+
+    mapInPandas batches; the per-row decode is header parsing + one
+    vectorized NumPy pass per asset, and the operator never shuffles.
+    """
+    schema = (
+        f"{id_col} long, container string, sample_rate long, n_samples long, "
+        "duration_s double, audio_rms double, width long, height long, "
+        "mean_r double, mean_g double, mean_b double"
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf[id_col], pdf["payload"]):
+                p = bytes(payload)
+                base = {
+                    id_col: aid, "container": "opaque", "sample_rate": None,
+                    "n_samples": None, "duration_s": None, "audio_rms": None,
+                    "width": None, "height": None, "mean_r": None,
+                    "mean_g": None, "mean_b": None,
+                }
+                try:
+                    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                        rate, mono = decode_wav(p)
+                        base.update(
+                            container="wav", sample_rate=rate,
+                            n_samples=len(mono),
+                            duration_s=len(mono) / rate if rate else 0.0,
+                            audio_rms=float(np.sqrt(np.mean(mono * mono)))
+                            if len(mono) else 0.0,
+                        )
+                    elif p[:2] == b"BM":
+                        img = decode_bmp(p)
+                        base.update(
+                            container="bmp", width=img.shape[1],
+                            height=img.shape[0],
+                            mean_r=float(img[..., 0].mean()),
+                            mean_g=float(img[..., 1].mean()),
+                            mean_b=float(img[..., 2].mean()),
+                        )
+                except ValueError:
+                    pass  # malformed header: stays opaque
+                rows.append(base)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, "payload").mapInPandas(stats, schema)
 
 
 def audio_rms_windows(
