@@ -383,6 +383,7 @@ def audio_rms_windows(
     win: int = 256,
     hop: int = 128,
     id_col: str = "asset_id",
+    real_decode: bool = False,
 ) -> DataFrame:
     """Framewise audio energy over binary payloads: the fake-decode
     treats each byte as one unsigned 8-bit PCM sample (centered at
@@ -397,25 +398,39 @@ def audio_rms_windows(
     Fully vectorized per Arrow batch: one concatenated sample buffer,
     window starts built from offset arithmetic, one fancy-index gather
     into a (total_windows, win) matrix, one rowwise reduction — no
-    per-row Python. Real decoders slot in where the byte view is
-    (see ``decode_asset``); everything else is unchanged.
+    per-row Python over the samples.
+
+    ``real_decode=True`` sniffs each payload and runs RIFF/WAVE-PCM
+    assets through :func:`decode_wav` first, so the windows frame the
+    DECODED mono float samples (a 440 Hz half-amplitude sine reads
+    RMS ~0.5/sqrt(2), pinned in tests); non-WAV payloads keep the
+    byte-fake view, so mixed tables work in one call. The framing
+    math downstream of the sample buffer is byte-for-byte the same
+    code path either way.
     """
     if hop <= 0 or win <= 0:
         raise ValueError(f"win ({win}) and hop ({hop}) must be positive")
     schema = f"{id_col} long, window_idx long, rms double"
 
+    def _samples(p: bytes) -> np.ndarray:
+        if real_decode and p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+            try:
+                return decode_wav(p)[1]
+            except ValueError:
+                pass  # malformed WAV header: fall through to byte-fake
+        return np.frombuffer(p, dtype=np.uint8).astype(np.float64) - 128.0
+
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            bufs = [bytes(b) for b in pdf["payload"]]
-            nb = len(bufs)
-            lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=nb)
+            sams = [_samples(bytes(b)) for b in pdf["payload"]]
+            nb = len(sams)
+            lens = np.fromiter((len(s) for s in sams), dtype=np.int64, count=nb)
             n_win = np.where(lens >= win, (lens - win) // hop + 1, 0)
             total = int(n_win.sum())
             if total == 0:
                 yield pd.DataFrame({id_col: [], "window_idx": [], "rms": []})
                 continue
-            arr = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.float64)
-            arr -= 128.0
+            arr = np.concatenate(sams)
             offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
             doc_of_win = np.repeat(np.arange(nb), n_win)
             # window_idx restarts at 0 within each doc

@@ -288,3 +288,35 @@ class TestRealDecoders:
         assert out[2].container == "bmp" and (out[2].width, out[2].height) == (6, 4)
         assert out[2].mean_r == 200.0 and out[2].mean_g == 7.0
         assert out[3].container == "opaque" and out[3].sample_rate is None
+
+    def test_rms_windows_real_decode(self, spark):
+        import numpy as np
+
+        from polars_matmul_spark.operators.multimodal import audio_rms_windows
+
+        # half-amplitude sine: windowed RMS of the DECODED samples must
+        # read ~0.5/sqrt(2); the byte-fake view of the same payload
+        # (headers + int16 LE bytes re-centered at 128) reads wildly
+        # differently — the assertion separates the two paths
+        rate, n = 8000, 4096
+        payload, _ = self._wav_bytes(rate=rate, n=n)
+        df = spark.createDataFrame(
+            [(1, bytearray(payload))], "asset_id long, payload binary"
+        )
+        real = audio_rms_windows(df, win=512, hop=512, real_decode=True).collect()
+        assert len(real) == n // 512
+        for r in real:
+            assert abs(r.rms - 0.5 / np.sqrt(2)) < 0.01
+        fake = audio_rms_windows(df, win=512, hop=512).collect()
+        assert all(abs(r.rms - 0.5 / np.sqrt(2)) > 0.05 for r in fake)
+
+    def test_rms_windows_mixed_table(self, spark):
+        from polars_matmul_spark.operators.multimodal import audio_rms_windows
+
+        payload, _ = self._wav_bytes(n=2048)
+        rows = [(1, bytearray(payload)), (2, bytearray(bytes(range(256)) * 8))]
+        df = spark.createDataFrame(rows, "asset_id long, payload binary")
+        out = audio_rms_windows(df, win=256, hop=256, real_decode=True).collect()
+        # both assets produce windows; the opaque one via the byte-fake
+        ids = {r.asset_id for r in out}
+        assert ids == {1, 2}
