@@ -6,13 +6,18 @@ the training-pipeline extension layer: treat media as opaque ``binary``
 payloads with typed metadata, and run decode / feature-extract /
 resize / frame-sample as Arrow-batched Python stages.
 
-Real codec decode (PIL / librosa / ffmpeg) is NOT installed in this
-container, so ``decode_asset`` is a clearly-marked stub that raises
-``NotImplementedError`` unless a codec library appears. Everything
-Spark-side is real and tested: the binary schema, the mapInPandas
-batch shapes, deterministic fake decoders (payload bytes ARE the
-samples — documents are pure ASCII so byte == codepoint, which makes
-the fakes DuckDB-oracle-checkable).
+Containers decodable without a codec library decode for REAL in pure
+NumPy: RIFF/WAVE PCM (``decode_wav`` — stdlib-``wave``-validated) and
+uncompressed 24-bit BMP (``decode_bmp``), surfaced through
+``decoded_asset_stats``, ``audio_rms_windows(real_decode=True)`` and
+``resize_bmp_real``. Compressed formats (JPEG/PNG/MP3/MP4) need
+PIL / librosa / ffmpeg, which are NOT installed in this container, so
+for those ``decode_asset`` remains a clearly-marked stub raising
+``NotImplementedError``. Everything Spark-side is real and tested
+either way: the binary schema, the mapInPandas batch shapes,
+deterministic fake decoders (payload bytes ARE the samples —
+documents are pure ASCII so byte == codepoint, which makes the fakes
+DuckDB-oracle-checkable).
 
 Scale notes: payloads stay in executor-side Arrow buffers end-to-end
 (never collected); feature extraction is embarrassingly parallel per
@@ -40,6 +45,7 @@ __all__ = [
     "decode_wav",
     "decode_bmp",
     "decoded_asset_stats",
+    "resize_bmp_real",
 ]
 
 #: fixed fake-image width; height is derived from the payload length
@@ -448,3 +454,45 @@ def audio_rms_windows(
             )
 
     return df.select(id_col, "payload").mapInPandas(frames, schema)
+
+
+def resize_bmp_real(
+    df: DataFrame, out_w: int = 4, out_h: int = 4, id_col: str = "asset_id"
+) -> DataFrame:
+    """REAL image resize for 24-bit-BMP payloads: decode with
+    :func:`decode_bmp`, nearest-neighbor sample a (out_h, out_w) RGB
+    grid (the same np.linspace grid arithmetic as ``resize_fake``, so
+    fake and real paths stay comparable), and return the pixels as a
+    flat RGB byte payload plus the source geometry. Non-BMP payloads
+    are skipped (emit nothing) — run them through ``resize_fake``.
+
+    -> (asset_id, src_w, src_h, resized binary[out_h*out_w*3 RGB]).
+    mapInPandas, no shuffle; the only per-row Python is the BMP header
+    parse — the pixel gather is one vectorized fancy-index per asset.
+    """
+    schema = f"{id_col} long, src_w long, src_h long, resized binary"
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf[id_col], pdf["payload"]):
+                p = bytes(payload)
+                if p[:2] != b"BM":
+                    continue
+                try:
+                    img = decode_bmp(p)
+                except ValueError:
+                    continue
+                h, w, _ = img.shape
+                ys = np.linspace(0, h - 1, out_h).astype(np.int64)
+                xs = np.linspace(0, w - 1, out_w).astype(np.int64)
+                pix = img[ys[:, None], xs[None, :]]  # (out_h, out_w, 3)
+                rows.append(
+                    {id_col: aid, "src_w": w, "src_h": h,
+                     "resized": pix.tobytes()}
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "src_w", "src_h", "resized"]
+            )
+
+    return df.select(id_col, "payload").mapInPandas(resize, schema)

@@ -320,3 +320,24 @@ class TestRealDecoders:
         # both assets produce windows; the opaque one via the byte-fake
         ids = {r.asset_id for r in out}
         assert ids == {1, 2}
+
+    def test_resize_bmp_real(self, spark):
+        import numpy as np
+
+        from polars_matmul_spark.operators.multimodal import resize_bmp_real
+
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, size=(8, 6, 3), dtype=np.uint8)
+        rows = [
+            (1, bytearray(self._bmp_bytes(img))),
+            (2, bytearray(b"not an image at all")),
+        ]
+        df = spark.createDataFrame(rows, "asset_id long, payload binary")
+        out = {r.asset_id: r for r in resize_bmp_real(df, out_w=3, out_h=4).collect()}
+        assert set(out) == {1}  # non-BMP emits nothing
+        r = out[1]
+        assert (r.src_w, r.src_h) == (6, 8)
+        got = np.frombuffer(bytes(r.resized), dtype=np.uint8).reshape(4, 3, 3)
+        ys = np.linspace(0, 7, 4).astype(np.int64)
+        xs = np.linspace(0, 5, 3).astype(np.int64)
+        assert np.array_equal(got, img[ys[:, None], xs[None, :]])
