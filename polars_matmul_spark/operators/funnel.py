@@ -59,15 +59,17 @@ def funnel_user_levels(
 
     That per-candidate evaluation is quadratic in a user's step-0
     events, so the candidate set is BOUNDED: candidates are first
-    deduplicated to one per second (the earliest step-0 event in each
-    epoch second), then capped at the first ``max_t0_candidates``
-    survivors. Exact for any user whose step-0 events span at most
-    ``max_t0_candidates`` distinct seconds (every human user at the
-    default 1024); for an adversarial burst-bot the result is the
-    funnel over the capped candidate list — a documented lower bound,
-    never an overcount, equal to :func:`py_funnel_level` on the same
-    capped input (pinned in tests/test_funnel.py). Pass ``None`` to
-    evaluate every candidate (the exact-but-unbounded form).
+    deduplicated to DISTINCT timestamp values (two step-0 events at
+    the same exact ts share the same (t0, deadline), so the dedup is
+    lossless — no per-second collapse, which would be lossy for
+    fractional timestamps), then capped at the first
+    ``max_t0_candidates`` distinct values. Exact for any user with at
+    most ``max_t0_candidates`` DISTINCT step-0 timestamps (every human
+    user at the default 1024); for an adversarial burst-bot the result
+    is the funnel over the capped candidate list — a documented lower
+    bound, never an overcount, equal to :func:`py_funnel_level` on the
+    same capped input (pinned in tests/test_funnel.py). Pass ``None``
+    to evaluate every candidate (the exact-but-unbounded form).
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
@@ -110,16 +112,21 @@ def funnel_user_levels(
         w_lit = F.lit(float(within_seconds))
         t0s = F.col("__ts_0")
         if max_t0_candidates is not None:
-            # bound the per-user candidate set: keep the FIRST step-0
-            # event of each epoch second (filter's 0-based index i vs
-            # 1-based element_at(arr, i) = the previous element), then
-            # the first N survivors. Pure Catalyst, no extra shuffle.
-            first_per_sec = F.filter(
+            # bound the per-user candidate set: drop exact-duplicate
+            # timestamps (two step-0 events at the SAME ts value have
+            # the same (t0, deadline) pair, so dropping the later copy
+            # is lossless — unlike a per-second collapse, which with
+            # fractional timestamps could hide a later same-second t0
+            # whose later deadline reaches deeper), then keep the first
+            # N distinct values. filter's 0-based index i vs 1-based
+            # element_at(arr, i) = the previous element of the sorted
+            # list. Pure Catalyst, no extra shuffle.
+            distinct_t0 = F.filter(
                 F.col("__ts_0"),
                 lambda x, i: (i == F.lit(0))
-                | (F.floor(x) != F.floor(F.element_at(F.col("__ts_0"), i))),
+                | (x != F.element_at(F.col("__ts_0"), i)),
             )
-            t0s = F.slice(first_per_sec, 1, int(max_t0_candidates))
+            t0s = F.slice(distinct_t0, 1, int(max_t0_candidates))
 
         def _level_for(t0):
             # greedy chain anchored at t0 with deadline t0 + W: exact

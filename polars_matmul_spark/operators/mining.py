@@ -88,7 +88,7 @@ def hard_negatives(
     )
     order = (
         [F.desc("score"), F.asc(c_id)]
-        if metric in ("cosine", "dot")
+        if higher
         else [F.asc("score"), F.asc(c_id)]
     )
     w = Window.partitionBy(q_id).orderBy(*order)

@@ -259,7 +259,14 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         (sz,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8 : pos + 8 + sz]
         if cid == b"fmt ":
-            fmt = struct.unpack_from("<HHIIHH", body, 0)
+            try:
+                fmt = struct.unpack_from("<HHIIHH", body, 0)
+            except struct.error as exc:
+                # a truncated 'fmt ' chunk must surface as the same
+                # ValueError every other malformed-RIFF path raises, so
+                # mixed-table callers (decoded_asset_stats) keep their
+                # "malformed -> opaque" contract instead of crashing
+                raise ValueError("truncated WAV fmt chunk") from exc
         elif cid == b"data":
             data = body
         pos += 8 + sz + (sz & 1)  # chunks are word-aligned

@@ -247,7 +247,7 @@ class TestT0CandidateCap:
     def test_bot_user_bounded_and_matches_capped_oracle(self, spark):
         """Adversarial burst bot: 10k step-0 events packed into 10
         seconds. The windowed fold evaluates only the CAPPED candidate
-        set (first event per second, then first 1024), so the per-user
+        set (first 1024 DISTINCT timestamp values), so the per-user
         work is bounded and the result equals py_funnel_level on the
         same capped input."""
         import time
@@ -257,7 +257,7 @@ class TestT0CandidateCap:
             py_funnel_level,
         )
 
-        t0s = [i / 1000.0 for i in range(10_000)]  # 10 distinct seconds
+        t0s = [i / 1000.0 for i in range(10_000)]  # 10k distinct values
         rows = [(1, "A", t) for t in t0s] + [(1, "B", 10.5), (1, "C", 11.0)]
         ev = _mk_events(spark, rows)
         start = time.monotonic()
@@ -268,14 +268,37 @@ class TestT0CandidateCap:
             ).collect()
         ]
         wall = time.monotonic() - start
-        capped = []
-        for t in t0s:
-            if not capped or int(t) != int(capped[-1]):
-                capped.append(t)
-        capped = capped[:1024]
+        capped = sorted(set(t0s))[:1024]
         want = py_funnel_level([capped, [10.5], [11.0]], within_seconds=5)
         assert got == [(1, want)]
         assert wall < 60.0  # bounded fold, not 10k chains x 10k-scans
+
+    def test_fractional_ts_same_second_not_collapsed(self, spark):
+        """Two step-0 events inside the SAME epoch second where only
+        the LATER one's deadline reaches step B: a per-second collapse
+        (the pre-r6 bound) silently undercounted this to level 1; the
+        distinct-value dedup keeps both candidates, so the capped
+        default matches the exact (uncapped) fold."""
+        from polars_matmul_spark.operators.funnel import funnel_user_levels
+
+        rows = [(1, "A", 0.0), (1, "A", 0.9), (1, "B", 5.5)]
+        ev = _mk_events(spark, rows)
+        capped = funnel_user_levels(ev, ["A", "B"], within_seconds=5).collect()
+        exact = funnel_user_levels(
+            ev, ["A", "B"], within_seconds=5, max_t0_candidates=None
+        ).collect()
+        assert [tuple(r) for r in capped] == [(1, 2)]
+        assert [tuple(r) for r in capped] == [tuple(r) for r in exact]
+
+    def test_exact_duplicate_t0s_dedup_lossless(self, spark):
+        # repeated identical step-0 timestamps collapse to one
+        # candidate with no semantic change
+        from polars_matmul_spark.operators.funnel import funnel_user_levels
+
+        rows = [(1, "A", 2.5)] * 50 + [(1, "B", 7.0), (1, "C", 8.0)]
+        ev = _mk_events(spark, rows)
+        got = funnel_user_levels(ev, ["A", "B", "C"], within_seconds=6).collect()
+        assert [tuple(r) for r in got] == [(1, 3)]
 
     def test_cap_noop_when_t0s_span_distinct_seconds(self, spark):
         # for human-scale users (every step-0 event in its own second,

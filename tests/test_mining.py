@@ -109,6 +109,23 @@ class TestHardNegatives:
         )
 
 
+    def test_metric_alias_case_matches_canonical(self, spark, sides):
+        """r6 ADVICE regression: 'COSINE' passed canonicalization for
+        the depth window but the final re-rank checked the RAW string,
+        sorting ascending and returning the WORST retained candidates.
+        Both orderings now derive from one canonical direction."""
+        q, c = sides
+        pos = spark.createDataFrame(
+            [(i, 10 + i) for i in range(10)], "query_id long, corpus_id long"
+        )
+        key = lambda rows: sorted(  # noqa: E731
+            (r["query_id"], r["rank"], r["corpus_id"]) for r in rows
+        )
+        canon = key(hard_negatives(q, c, pos, k=4, metric="cosine").collect())
+        assert key(hard_negatives(q, c, pos, k=4, metric="COSINE").collect()) == canon
+        l2 = key(hard_negatives(q, c, pos, k=4, metric="euclidean").collect())
+        assert key(hard_negatives(q, c, pos, k=4, metric="L2").collect()) == l2
+
     def test_empty_positives(self, spark, sides):
         # no labels at all: hard negatives degrade to plain exact top-k
         from polars_matmul_spark.operators.mining import hard_negatives

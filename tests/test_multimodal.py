@@ -289,6 +289,32 @@ class TestRealDecoders:
         assert out[2].mean_r == 200.0 and out[2].mean_g == 7.0
         assert out[3].container == "opaque" and out[3].sample_rate is None
 
+    def test_truncated_fmt_chunk_is_valueerror_not_structerror(self, spark):
+        """r6 ADVICE regression: a RIFF payload whose 'fmt ' chunk body
+        is too short for the 16-byte format struct used to escape as
+        struct.error, crashing decoded_asset_stats' whole task instead
+        of landing in the documented malformed->opaque path."""
+        import struct
+
+        import pytest as _pytest
+
+        from polars_matmul_spark.operators.multimodal import (
+            decode_wav,
+            decoded_asset_stats,
+        )
+
+        bad = b"RIFF" + struct.pack("<I", 16) + b"WAVE" + b"fmt " + struct.pack("<I", 4) + b"\x00" * 4
+        with _pytest.raises(ValueError, match="truncated WAV fmt"):
+            decode_wav(bad)
+        ok, _ = self._wav_bytes(n=32)
+        df = spark.createDataFrame(
+            [(1, bytearray(bad)), (2, bytearray(ok))],
+            "asset_id long, payload binary",
+        )
+        out = {r.asset_id: r for r in decoded_asset_stats(df).collect()}
+        assert out[1].container == "opaque"  # survived, not crashed
+        assert out[2].container == "wav"
+
     def test_rms_windows_real_decode(self, spark):
         import numpy as np
 
