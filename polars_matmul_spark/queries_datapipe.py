@@ -37,6 +37,7 @@ from polars_matmul_spark.operators.dsir import (
     dsir_log_weights,
     gumbel_topk_sample,
     hashed_unigram_logprobs,
+    hashed_unigram_logprobs_pair,
 )
 from polars_matmul_spark.operators.linededup import strip_frequent_lines
 from polars_matmul_spark.operators.shards import assign_token_shards
@@ -145,9 +146,12 @@ def _dsir_resample(spark, sf_dir):
     target = the lang='en' slice, raw = the whole corpus. Emits
     (doc_id, log_w) for the selected set."""
     docs = _docs(spark, sf_dir)
-    target = docs.filter(F.col("lang") == "en")
-    t_lp = hashed_unigram_logprobs(target, n_buckets=_DSIR_D, alpha=_DSIR_ALPHA)
-    r_lp = hashed_unigram_logprobs(docs, n_buckets=_DSIR_D, alpha=_DSIR_ALPHA)
+    # target is the 'en' SLICE of raw, so both LMs come out of one
+    # fused tokenize pass (r6: was two full hashed_unigram_logprobs
+    # jobs — the tokenize pass is the dominant cost at scale)
+    t_lp, r_lp = hashed_unigram_logprobs_pair(
+        docs, F.col("lang") == "en", n_buckets=_DSIR_D, alpha=_DSIR_ALPHA
+    )
     weighted = dsir_log_weights(docs, t_lp, r_lp)
     sel = gumbel_topk_sample(weighted, _DSIR_K, "log_w", "doc_id")
     return sel.select("doc_id", F.round("log_w", 9).alias("log_w_r"))

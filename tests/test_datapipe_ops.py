@@ -264,6 +264,29 @@ class TestDsir:
             want = sum(t_np[bucket(t)] - r_np[bucket(t)] for t in toks)
             assert abs(got[doc_id] - want) < 1e-9
 
+    def test_pair_matches_two_separate_fits(self, spark):
+        """r6: the fused one-pass (target, raw) LM fit — for the common
+        target-is-a-slice-of-raw setup — must be numerically identical
+        to two separate hashed_unigram_logprobs jobs."""
+        from polars_matmul_spark.operators.dsir import (
+            hashed_unigram_logprobs_pair,
+        )
+
+        docs = load_table(spark, "documents", SF_DIR)
+        pred = F.col("lang") == "en"
+        t_sep = hashed_unigram_logprobs(docs.filter(pred), n_buckets=64, alpha=0.5)
+        r_sep = hashed_unigram_logprobs(docs, n_buckets=64, alpha=0.5)
+        t_fus, r_fus = hashed_unigram_logprobs_pair(
+            docs, pred, n_buckets=64, alpha=0.5
+        )
+        assert t_fus == t_sep and r_fus == r_sep
+        # empty target slice: smoothing-only LM, no crash
+        t0, r0 = hashed_unigram_logprobs_pair(
+            docs, F.lit(False), n_buckets=16
+        )
+        assert r0 == hashed_unigram_logprobs(docs, n_buckets=16)
+        assert all(abs(x - math.log(1.0 / 16)) < 1e-12 for x in t0)
+
     def test_gumbel_deterministic_and_partition_invariant(self, spark):
         docs = load_table(spark, "documents", SF_DIR).withColumn(
             "log_w", F.col("doc_id").cast("double") % 7
