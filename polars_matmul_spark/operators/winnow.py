@@ -48,9 +48,43 @@ __all__ = [
     "winnow_fingerprints",
     "winnow_fp_values",
     "winnow_dup_pairs",
+    "winnow_hash_cap",
     "build_winnow_index",
     "winnow_new_vs_index",
 ]
+
+
+def winnow_hash_cap(n_rows: int, candidate_factor: int = 16) -> int:
+    """Default ``max_hash_docs`` for a corpus of ``n_rows`` documents:
+    the largest per-fingerprint doc frequency whose candidate-pair
+    contribution (df * (df-1) / 2 ~ df^2 / 2) stays under
+    ``candidate_factor * n_rows`` — so ONE ubiquitous boilerplate
+    fingerprint (license header, template preamble) can contribute at
+    most ~candidate_factor * n pairs to the postings self-join, linear
+    in the corpus, never the silent quadratic an uncapped hot hash
+    produces. The same envelope philosophy as
+    :func:`projection.srp_band_plan` (expected candidates <= ~16n).
+
+    cap = max(64, floor(sqrt(2 * factor * n)) + 1). IEEE double sqrt
+    (not isqrt) so DuckDB's ``floor(sqrt(...))`` replays the exact cap
+    in driver oracles; the floor of 64 keeps tiny corpora exact.
+    At n = 10^8 docs the default is ~56_569 — a fingerprint must
+    appear in >56k documents before it is dropped, and what it costs
+    before that is <= 1.6e9 pairs ~ 16n.
+    """
+    import math
+
+    n = max(int(n_rows), 1)
+    return max(64, int(math.floor(math.sqrt(2.0 * candidate_factor * n))) + 1)
+
+
+def _resolve_hash_cap(df: DataFrame, max_hash_docs) -> int | None:
+    """'auto' (the default) -> :func:`winnow_hash_cap` of the corpus
+    row count (a parquet count(*) is metadata-only — no data scan);
+    None is the explicit unbounded opt-out; an int passes through."""
+    if max_hash_docs == "auto":
+        return winnow_hash_cap(df.count())
+    return max_hash_docs
 
 # 48-bit md5-prefix hash of a k-gram: far below the 2^53 exact-integer
 # bound of conv()'s double, identical in DuckDB as
@@ -187,7 +221,7 @@ def winnow_dup_pairs(
     min_shared: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_hash_docs: int | None = None,
+    max_hash_docs: int | None | str = "auto",
     repartition_to: int | None = None,
 ) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` selected fingerprints:
@@ -204,7 +238,12 @@ def winnow_dup_pairs(
     ``neardup_pairs_exact(max_shingle_docs=...)``: fingerprints present
     in more docs than the cap (ubiquitous boilerplate) leave the
     postings join, so no single hash can go quadratic; pairs whose
-    overlap is ONLY that boilerplate are the documented miss.
+    overlap is ONLY that boilerplate are the documented miss. The
+    default is ``"auto"`` — :func:`winnow_hash_cap` of the corpus row
+    count, which holds any one fingerprint's pair contribution to
+    ~16 * n_rows (r6: previously unbounded by default, the one
+    scale-killer the round-5 audit still flagged). Pass ``None`` to
+    opt out explicitly (exactness regardless of boilerplate).
     """
     # values-only selection (winnow_fp_values): positions are never
     # read here, and dropping them removes the O(window^2) rightmost-
@@ -215,6 +254,7 @@ def winnow_dup_pairs(
     # localCheckpoint: without it the self-join re-runs the whole
     # fingerprint pass (one md5 per char position) on BOTH sides —
     # same fix as srp_neardup's signature frame (projection.py)
+    max_hash_docs = _resolve_hash_cap(df, max_hash_docs)
     fps = winnow_fp_values(df, k, window, text_col, id_col, repartition_to)
     post = fps.distinct().localCheckpoint(eager=False)
     if max_hash_docs is not None:
@@ -247,7 +287,7 @@ def build_winnow_index(
     window: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_hash_docs: int | None = None,
+    max_hash_docs: int | None | str = "auto",
 ) -> DataFrame:
     """The persistable substring-fingerprint index for a corpus: one
     (doc_id, fp) row per distinct selected winnowing hash — the
@@ -259,7 +299,10 @@ def build_winnow_index(
 
     ``max_hash_docs`` drops ubiquitous-boilerplate hashes AT BUILD
     time (doc frequency measured over this corpus), keeping every
-    posting list bounded before the index is ever written."""
+    posting list bounded before the index is ever written; default
+    ``"auto"`` = :func:`winnow_hash_cap` of the corpus row count,
+    ``None`` the explicit unbounded opt-out."""
+    max_hash_docs = _resolve_hash_cap(df, max_hash_docs)
     post = winnow_fp_values(df, k, window, text_col, id_col).distinct()
     if max_hash_docs is not None:
         hot = (

@@ -289,9 +289,18 @@ WITH g AS (
   FROM hs
 ), post AS (
   SELECT DISTINCT doc_id, unnest(fps) AS fp FROM sel
+), hot AS (
+  -- the r6 default postings bound: winnow_hash_cap(n_rows) =
+  -- max(64, floor(sqrt(32 * n)) + 1); IEEE double sqrt on both
+  -- engines, so the cap literal-replays
+  SELECT fp FROM post GROUP BY fp
+  HAVING count(*) > greatest(64, CAST(floor(sqrt(
+           32.0 * (SELECT count(*) FROM documents))) AS BIGINT) + 1)
+), kept AS (
+  SELECT doc_id, fp FROM post WHERE fp NOT IN (SELECT fp FROM hot)
 ), pairs AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared
-  FROM post a JOIN post b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT d1, d2, CAST(n_shared AS BIGINT) AS n_shared

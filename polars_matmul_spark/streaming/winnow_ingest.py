@@ -64,13 +64,15 @@ def winnow_ingest_batch(
     k: int = 8,
     window: int = 4,
     min_shared: int = 2,
-    max_hash_docs: int | None = None,
+    max_hash_docs: int | None | str = "auto",
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> None:
     """Accept the substring-novel subset of one micro-batch; append
     docs to ``corpus_dir/epoch=N`` and their fingerprint index rows to
-    ``index_dir/epoch=N``."""
+    ``index_dir/epoch=N``. ``max_hash_docs`` default "auto" derives
+    the per-fingerprint doc-frequency cap from the batch size
+    (operators/winnow.py::winnow_hash_cap); None opts out."""
     batch = batch_df.localCheckpoint(eager=True)
 
     # 1. within-batch collapse, chains included: connected components

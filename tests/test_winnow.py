@@ -262,6 +262,66 @@ class TestDupPairs:
         # miss under the cap
         assert not any(d1 < 6 and d2 < 6 for d1, d2 in capped)
 
+    def test_auto_cap_bounds_planted_ubiquitous_fingerprint(self, spark):
+        """r6: max_hash_docs defaults to 'auto' (winnow_hash_cap of the
+        corpus row count). A license-header span planted in 100 of 202
+        docs exceeds the derived cap (81), so its fingerprints leave
+        the postings join — boilerplate-only pairs are the documented
+        miss — while a genuine two-doc duplicate span survives. The
+        explicit None opt-out reproduces the unbounded quadratic."""
+        import hashlib
+
+        from polars_matmul_spark.operators.winnow import winnow_hash_cap
+
+        boiler = "LICENSE HEADER: COMMON BOILERPLATE PREAMBLE SHARED EVERYWHERE. "
+        span = "zebra quantum flamingo paradox engine"
+        rows = [
+            (i, boiler + hashlib.md5(str(i).encode()).hexdigest())
+            for i in range(100)
+        ]
+        rows += [
+            (i, hashlib.md5(f"{i}filler".encode()).hexdigest() * 2)
+            for i in range(100, 200)
+        ]
+        rows += [(200, f"alpha {span} omega"), (201, f"start {span} finish")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        assert winnow_hash_cap(202) == 81  # floor(sqrt(32*202)) + 1
+        assert winnow_hash_cap(1) == 64  # tiny-corpus floor
+        assert winnow_hash_cap(10**8) == 56_569  # ~16n pairs max per fp
+
+        auto = {
+            (r.d1, r.d2, r.n_shared)
+            for r in winnow_dup_pairs(df, min_shared=1).collect()
+        }
+        explicit = {
+            (r.d1, r.d2, r.n_shared)
+            for r in winnow_dup_pairs(
+                df, min_shared=1, max_hash_docs=winnow_hash_cap(202)
+            ).collect()
+        }
+        assert auto == explicit  # 'auto' IS the derived cap
+        pairs = {(d1, d2) for d1, d2, _ in auto}
+        assert (200, 201) in pairs  # the genuine duplicate survives
+        # every fingerprint selected in ALL 100 boiler docs (the
+        # fully-interior boiler grams — df 100 > cap 81) left the join:
+        # boiler-pair shared counts collapse vs the unbounded run.
+        # (Boundary-straddling boiler grams win their window in only
+        # SOME docs, so low-df boiler fps legitimately survive — the
+        # cap bounds per-hash WORK, it is not a boilerplate classifier.)
+        unb = {
+            (r.d1, r.d2): r.n_shared
+            for r in winnow_dup_pairs(
+                df, min_shared=1, max_hash_docs=None
+            ).collect()
+        }
+        assert len(unb) >= 100 * 99 // 2  # the prevented quadratic
+        capped_n = {(d1, d2): n for d1, d2, n in auto}
+        boiler_pairs = [p for p in unb if p[0] < 100 and p[1] < 100]
+        assert all(
+            capped_n.get(p, 0) < unb[p] for p in boiler_pairs
+        )  # every boiler pair lost its ubiquitous fingerprints
+
     def test_incremental_equals_full_crossing_pairs(self, spark):
         # index even ids, arrive with odd ids: the incremental check
         # must equal the full-corpus pair run restricted to pairs that
