@@ -274,8 +274,23 @@ def gopher_quality(
     """
     from polars_matmul_spark.operators.text import STOPWORDS
 
+    # stage the token and line arrays ONCE before the signal
+    # expressions (r6): higher-order functions evaluate interpreted and
+    # re-evaluate their input expression per element, so an inline
+    # tokens(t) under F.aggregate re-tokenizes per token — the same
+    # measured trap winnow_fingerprints stages __hs against. Three
+    # output expressions read the token array; one projection pays for
+    # the tokenize.
     t = F.col(text_col)
-    toks = tokens(t)
+    df = df.select(
+        F.col(id_col),
+        tokens(t).alias("__toks"),
+        F.split(t, "\n").alias("__lines"),
+        (
+            F.regexp_count(t, F.lit(r"#")) + F.regexp_count(t, F.lit(r"\.\.\."))
+        ).cast("double").alias("__n_sym"),
+    )
+    toks = F.col("__toks")
     n_words = F.size(toks).cast("long")
     nw_d = n_words.cast("double")
     mean_wl = F.when(
@@ -285,11 +300,8 @@ def gopher_quality(
         )
         / nw_d,
     ).otherwise(F.lit(0.0))
-    n_sym = (
-        F.regexp_count(t, F.lit(r"#")) + F.regexp_count(t, F.lit(r"\.\.\."))
-    ).cast("double")
-    sym_ratio = F.when(n_words > 0, n_sym / nw_d).otherwise(F.lit(0.0))
-    lines = F.split(t, "\n")
+    sym_ratio = F.when(n_words > 0, F.col("__n_sym") / nw_d).otherwise(F.lit(0.0))
+    lines = F.col("__lines")
     n_lines = F.size(lines).cast("double")
     bullet_frac = (
         F.size(

@@ -174,7 +174,7 @@ _CEILINGS_SF01 = {
     "retention_cohorts": 2.0,
     "hard_negatives_topk": 3.5,
     "zorder_keys": 3.0,
-    "gopher_quality": 3.0,
+    "gopher_quality": 2.0,  # r6 staged-token rewrite: idle wall ~0.6-1.0s
 }
 
 
