@@ -1240,6 +1240,56 @@ UNION ALL SELECT CAST(2 AS INT), 'purchase',
        CAST((SELECT count(*) FROM r2) AS BIGINT)
 """
 
+_FUNNEL_W = 3600  # 1-hour conversion deadline
+
+
+def _funnel_levels_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 rotation: the WINDOWED per-user funnel fold (the
+    per-anchor greedy chain with a t0+W deadline, bounded by the
+    distinct-t0 candidate cap) gets a driver row. The DuckDB oracle is
+    the EXISTS formulation — a user reaches level 3 iff SOME
+    view<click<purchase chain fits inside [t_view, t_view + W] — which
+    the per-anchor greedy fold provably equals for a fixed deadline
+    (earliest qualifying next step maximizes the remaining window)."""
+    from polars_matmul_spark.operators.funnel import funnel_user_levels
+
+    events = load_table(spark, "events", sf_dir)
+    lv = funnel_user_levels(
+        events, ["view", "click", "purchase"], within_seconds=_FUNNEL_W
+    )
+    return lv.select(
+        "user_id", F.col("funnel_level").cast("long").alias("funnel_level")
+    )
+
+
+_FUNNEL_LEVELS_ORACLE = f"""
+WITH u AS (
+  SELECT DISTINCT user_id FROM events
+), v AS (
+  SELECT user_id, epoch(ts) AS t FROM events WHERE event_type = 'view'
+), c AS (
+  SELECT user_id, epoch(ts) AS t FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, epoch(ts) AS t FROM events WHERE event_type = 'purchase'
+), l3 AS (
+  SELECT DISTINCT v.user_id
+  FROM v JOIN c ON c.user_id = v.user_id
+             AND c.t > v.t AND c.t <= v.t + {_FUNNEL_W}
+         JOIN p ON p.user_id = v.user_id
+             AND p.t > c.t AND p.t <= v.t + {_FUNNEL_W}
+), l2 AS (
+  SELECT DISTINCT v.user_id
+  FROM v JOIN c ON c.user_id = v.user_id
+             AND c.t > v.t AND c.t <= v.t + {_FUNNEL_W}
+)
+SELECT u.user_id,
+       CAST(CASE WHEN u.user_id IN (SELECT user_id FROM l3) THEN 3
+                 WHEN u.user_id IN (SELECT user_id FROM l2) THEN 2
+                 WHEN u.user_id IN (SELECT user_id FROM v) THEN 1
+                 ELSE 0 END AS BIGINT) AS funnel_level
+FROM u
+"""
+
 
 def _zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton z-values for lineitem rows over (l_extendedprice,
@@ -1343,17 +1393,18 @@ CORE_QUERIES: dict[str, tuple] = {
     "top_suppliers_per_nation": (_top_suppliers, _TOP_SUPPLIERS_ORACLE),
     "sessionize_events": (_sessionize, _SESSIONIZE_ORACLE),
     "event_hourly_windows": (_event_hourly, _EVENT_HOURLY_ORACLE),
-    "brand_above_avg_parts": (_brand_above_avg, _BRAND_ABOVE_AVG_ORACLE),
     "cube_sales": (_cube_sales, _CUBE_SALES_ORACLE),
-    "cust_quartiles_by_nation": (_cust_quartiles, _CUST_QUARTILES_ORACLE),
     # moving_avg_revenue rotated out late in round 5 (the sliding ROWS
     # frame keeps its exact oracle comparison in test_oracle_parity's
     # rotated-query gate; window functions stay driver-gated via
     # cust_quartiles/top_suppliers/sessionize) so the z-order layout
     # family gets a driver row:
     "zorder_keys": (_zorder_keys, _zorder_oracle()),
-    "q18_large_orders": (_q18, _Q18_ORACLE),
     "funnel_steps": (_funnel_steps, _FUNNEL_ORACLE),
+    "funnel_user_levels_windowed": (
+        _funnel_levels_windowed,
+        _FUNNEL_LEVELS_ORACLE,
+    ),
     "retention_cohorts": (_retention, _RETENTION_ORACLE),
     # Rotated out in round 3 to stay under the driver's 50-query cap
     # while the round-2 pipeline families (queries_pipeline.py) get
@@ -1385,6 +1436,16 @@ CORE_QUERIES: dict[str, tuple] = {
     # represented by a sibling green row) so retention_cohorts (above),
     # winnow_dup_pairs (queries_text.py) and hard_negatives_topk
     # (queries_datapipe.py) get driver rows.
+    # Round 6 rotates out q18_large_orders (having+join-back agg —
+    # covered by q3/q5/cube_sales), cust_quartiles_by_nation (ntile
+    # window — rank windows stay driver-gated via
+    # top_suppliers_per_nation, frame windows via sessionize) and
+    # brand_above_avg_parts (scalar-subquery broadcast — the shape
+    # lives inside dsir/quality plan-literal paths too) so c4_clean +
+    # dedup_groups (queries_text.py), the windowed funnel fold (above),
+    # ivfpq_adc_topk (queries_datapipe.py) and mm_decoded_stats
+    # (queries_multimodal.py) get driver rows — all four keep exact
+    # oracle comparisons in test_oracle_parity's rotated-query gate.
     # The query functions remain above, importable and unit-covered.
     "sketch_distinct_users": (_sketch_distinct_users, None),
     "mllib_blockmatrix_matmul": (_mllib_blockmatmul, _MLLIB_BLOCKMATMUL_ORACLE),

@@ -336,6 +336,177 @@ SELECT query_id, rank, corpus_id, adist_r FROM (
 """
 
 
+# --- IVF-PQ / ADC top-k with deterministic centroids + codebooks -----------
+#
+# Round-6 rotation: the FAISS-style composed index (coarse inverted
+# lists + product-quantized RESIDUALS, operators/ivfpq.py) gets a
+# driver row by composing the two deterministic tricks already proven
+# green: modular coarse centroids (ann_ivf_topk's every-37th-id rule,
+# remapped to dense 0..C-1 slots) and residual codebooks seeded from
+# the n_codes lowest corpus ids (pq_adc_topk's rule, applied to
+# residuals). Assignment runs through _assign_l2's sequential fold ==
+# list_dot_product (the established parity property); encode, probe
+# and ADC are pure arithmetic DuckDB replays. Float discipline is the
+# PQ row's: rank on round(adist, 6) with a corpus_id tiebreak over a
+# 4x unrounded shortlist. The TRAINED path (KMeans centroids + KMeans
+# codebooks) stays recall-gated in tests/test_ivfpq.py.
+
+_IPQ_M, _IPQ_DSUB, _IPQ_CODES, _IPQ_K, _IPQ_NPROBE, _IPQ_EVERY = 8, 8, 8, 5, 2, 37
+
+
+def _ivfpq_adc_topk(spark, sf_dir):
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from polars_matmul_spark.operators.ann import pick_centroids
+    from polars_matmul_spark.operators.ivfpq import _assign_l2, ivfpq_topk
+    from polars_matmul_spark.operators.pq import encode_pq
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("corpus_id"), "embedding"
+    )
+    # modular centroids, remapped to DENSE slot ids (ivfpq_topk's
+    # probe arrays index centroids by position)
+    cen_rows = (
+        pick_centroids(c, "corpus_id", every=_IPQ_EVERY)
+        .orderBy("centroid_id")
+        .collect()
+    )
+    centroids = np.array(
+        [list(r["centroid_emb"]) for r in cen_rows], dtype=np.float64
+    )
+    cen_dense = spark.createDataFrame(
+        [(i, [float(x) for x in r["centroid_emb"]]) for i, r in enumerate(cen_rows)],
+        "centroid_id long, centroid_emb array<double>",
+    )
+    assigned = _assign_l2(c, cen_dense, id_col="corpus_id")
+    res = assigned.join(F.broadcast(cen_dense), "centroid_id").select(
+        "corpus_id",
+        "centroid_id",
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("centroid_emb"),
+            lambda a, b: a - b,
+        ).alias("residual"),
+    )
+    seed_rows = (
+        res.orderBy("corpus_id").limit(_IPQ_CODES).select("residual").collect()
+    )
+    seeds = np.array([list(r[0]) for r in seed_rows], dtype=np.float64)
+    books = np.stack(
+        [seeds[:, j * _IPQ_DSUB : (j + 1) * _IPQ_DSUB] for j in range(_IPQ_M)]
+    )
+    codes = encode_pq(res, books, vec_col="residual", id_col="corpus_id")
+    index = res.select("corpus_id", "centroid_id").join(codes, "corpus_id")
+    short = ivfpq_topk(
+        q,
+        index,
+        centroids,
+        books,
+        k=_IPQ_K * 4,
+        nprobe=_IPQ_NPROBE,
+        index_id_col="corpus_id",
+    ).withColumn("adist_r", F.round("adist", 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist_r"), F.asc("corpus_id")
+    )
+    return (
+        short.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _IPQ_K)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "corpus_id",
+            "adist_r",
+        )
+    )
+
+
+_IVFPQ_ORACLE = rf"""
+WITH c AS (
+  SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS emb
+  FROM embeddings WHERE vec_id >= 20
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS emb
+  FROM embeddings WHERE vec_id < 20
+), cen AS (  -- modular centroids with DENSE slot ids, ordered by vec_id
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         embedding::DOUBLE[] AS ce
+  FROM embeddings WHERE vec_id >= 20 AND vec_id % {_IPQ_EVERY} = 0
+), ch AS (
+  SELECT cid, ce, list_dot_product(ce, ce) / 2 AS hcc FROM cen
+), assign AS (  -- argmax (v.c - c.c/2), smallest cid on ties
+  SELECT corpus_id, emb, cid, ce FROM (
+    SELECT c.corpus_id, c.emb, ch.cid, ch.ce,
+           row_number() OVER (PARTITION BY c.corpus_id
+                              ORDER BY list_dot_product(c.emb, ch.ce) - ch.hcc
+                                DESC, ch.cid ASC) AS rn
+    FROM c CROSS JOIN ch) WHERE rn = 1
+), res AS (
+  SELECT corpus_id, cid,
+         list_transform(range(1, len(emb) + 1), i -> emb[i] - ce[i]) AS r
+  FROM assign
+), cb AS (  -- codebooks: residuals of the {_IPQ_CODES} lowest corpus ids
+  SELECT row_number() OVER (ORDER BY corpus_id) - 1 AS code_id, r
+  FROM res ORDER BY corpus_id LIMIT {_IPQ_CODES}
+), sub AS (
+  SELECT code_id, j,
+         r[j * {_IPQ_DSUB} + 1 : j * {_IPQ_DSUB} + {_IPQ_DSUB}] AS cvec
+  FROM cb, unnest(range(0, {_IPQ_M})) t(j)
+), cdist AS (
+  SELECT corpus_id, j, code_id,
+         list_sum(list_transform(range(1, {_IPQ_DSUB} + 1), i ->
+           (res.r[j * {_IPQ_DSUB} + i] - cvec[i])
+           * (res.r[j * {_IPQ_DSUB} + i] - cvec[i]))) AS d
+  FROM res CROSS JOIN sub
+), codes AS (  -- argmin code per (row, subspace), first-min tiebreak
+  SELECT corpus_id, j, code_id FROM (
+    SELECT corpus_id, j, code_id,
+           row_number() OVER (PARTITION BY corpus_id, j
+                              ORDER BY d ASC, code_id ASC) AS rn
+    FROM cdist) WHERE rn = 1
+), acode AS (
+  SELECT codes.corpus_id, codes.j, codes.code_id, a.cid
+  FROM codes JOIN (SELECT corpus_id, cid FROM assign) a USING (corpus_id)
+), probes AS (  -- nprobe nearest centroids per query by plain L2
+  SELECT query_id, cid, qe FROM (
+    SELECT q.query_id, cen.cid, q.emb AS qe,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_sum(list_transform(
+                                  range(1, len(q.emb) + 1),
+                                  i -> (q.emb[i] - ce[i]) * (q.emb[i] - ce[i])))
+                                ASC, cen.cid ASC) AS rn
+    FROM q CROSS JOIN cen) WHERE rn <= {_IPQ_NPROBE}
+), qres AS (  -- query residual vs each probed centroid
+  SELECT p.query_id, p.cid,
+         list_transform(range(1, len(p.qe) + 1), i -> p.qe[i] - cen.ce[i]) AS qr
+  FROM probes p JOIN cen ON p.cid = cen.cid
+), lut AS (
+  SELECT query_id, cid, j, code_id,
+         list_sum(list_transform(range(1, {_IPQ_DSUB} + 1), i ->
+           (qr[j * {_IPQ_DSUB} + i] - cvec[i])
+           * (qr[j * {_IPQ_DSUB} + i] - cvec[i]))) AS d
+  FROM qres CROSS JOIN sub
+), adist AS (  -- ADC: rows in probed lists only
+  SELECT l.query_id, a.corpus_id, sum(l.d) AS adist
+  FROM acode a
+  JOIN lut l ON l.cid = a.cid AND l.j = a.j AND l.code_id = a.code_id
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, corpus_id, adist_r FROM (
+  SELECT query_id, corpus_id, round(adist, 6) AS adist_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(adist, 6) ASC, corpus_id ASC)
+           AS rank
+  FROM adist) WHERE rank <= {_IPQ_K}
+"""
+
+
 # --- Bloom-gated incremental exact dedup -----------------------------------
 #
 # The two-gate path (Bloom pre-filter -> exact anti-join for positives
@@ -593,4 +764,9 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "srp_neardup_bands": (_srp_neardup_bands, _srp_oracle()),
     "semantic_dedup_pairs": (_semantic_dedup, _semantic_dedup_oracle()),
     "hard_negatives_topk": (_hard_negatives_topk, _HARD_NEG_ORACLE),
+    # round-6 rotation: the composed IVF-PQ index gets a driver row
+    # (tfidf_weights rotates out of queries_pipeline — its idf/tf
+    # machinery stays driver-gated end-to-end through bm25_search and
+    # exact in the rotated-query pytest gate):
+    "ivfpq_adc_topk": (_ivfpq_adc_topk, _IVFPQ_ORACLE),
 }

@@ -126,8 +126,125 @@ FROM f WHERE frame_no % 2 = 0
 """
 
 
+# --- REAL-decoder stats over deterministically encoded WAV/BMP -------------
+#
+# Round-6 rotation: the real pure-NumPy decoders (decode_wav /
+# decode_bmp, operators/multimodal.py) get a driver row with a FULL
+# value oracle — not the rows-only check the capability previously
+# allowed. Each document's text is deterministically ENCODED into a
+# genuine container (doc_id%3==0 -> RIFF/WAVE 16-bit PCM whose samples
+# are (byte-128)*256; doc_id%3==1 and len>=48 -> bottom-up 24-bit BMP
+# of the first h*48 bytes at width 16; everything else raw/opaque),
+# then decoded_asset_stats sniffs magic bytes, REALLY parses the
+# containers and emits per-asset stats. DuckDB never parses binary:
+# it replays the expected stats from the same text arithmetic. Float
+# parity is exact by construction — WAV samples are multiples of
+# 2^-7, their squares multiples of 2^-14, so every partial sum is
+# exactly representable and summation order cannot matter; BMP means
+# are integer sums over uint8.
+
+def _decoded_stats(spark, sf_dir):
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from polars_matmul_spark.operators.multimodal import decoded_asset_stats
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                b = (text or "").encode("ascii", "replace")
+                if did % 3 == 0 and len(b) >= 2:
+                    data = (
+                        (np.frombuffer(b, np.uint8).astype(np.int32) - 128) * 256
+                    ).astype("<i2").tobytes()
+                    pl = (
+                        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                        + b"data" + struct.pack("<I", len(data)) + data
+                    )
+                elif did % 3 == 1 and len(b) >= 48:
+                    h = len(b) // 48
+                    data = b[: h * 48]
+                    pl = (
+                        struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+                        + struct.pack(
+                            "<IiiHHIIiiII", 40, 16, h, 1, 24, 0, len(data), 0, 0, 0, 0
+                        )
+                        + data
+                    )
+                else:
+                    pl = bytes(b)
+                payloads.append(pl)
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
+
+    encoded = docs.mapInPandas(encode, "asset_id long, payload binary")
+    out = decoded_asset_stats(encoded)
+    # round only duration_s (n/8000.0 is one exact division — rounding
+    # is belt-and-braces for the hash compare; rms/means are exact)
+    return out.withColumn("duration_s", F.round("duration_s", 9))
+
+
+_DECODED_STATS_ORACLE = """
+WITH base AS (
+  SELECT doc_id AS asset_id, text, length(text) AS n, doc_id % 3 AS r
+  FROM documents
+), wavpos AS (
+  SELECT asset_id, unnest(range(1, n + 1)) AS i, text
+  FROM base WHERE r = 0 AND n >= 2
+), wavrms AS (
+  SELECT asset_id,
+         sqrt(avg(((unicode(substring(text, CAST(i AS INT), 1)) - 128) / 128.0)
+                * ((unicode(substring(text, CAST(i AS INT), 1)) - 128) / 128.0)))
+           AS rms
+  FROM wavpos GROUP BY asset_id
+), bpos AS (
+  SELECT asset_id, unnest(range(1, (n // 48) * 48 + 1)) AS i, text
+  FROM base WHERE r = 1 AND n >= 48
+), bstats AS (  -- pixels are BGR triples: channel = (i-1) % 3
+  SELECT asset_id,
+         avg(CASE WHEN (i - 1) % 3 = 2
+             THEN unicode(substring(text, CAST(i AS INT), 1)) END) AS mean_r,
+         avg(CASE WHEN (i - 1) % 3 = 1
+             THEN unicode(substring(text, CAST(i AS INT), 1)) END) AS mean_g,
+         avg(CASE WHEN (i - 1) % 3 = 0
+             THEN unicode(substring(text, CAST(i AS INT), 1)) END) AS mean_b
+  FROM bpos GROUP BY asset_id
+)
+SELECT b.asset_id,
+       CASE WHEN b.r = 0 AND b.n >= 2 THEN 'wav'
+            WHEN b.r = 1 AND b.n >= 48 THEN 'bmp'
+            ELSE 'opaque' END AS container,
+       CASE WHEN b.r = 0 AND b.n >= 2
+            THEN CAST(8000 AS BIGINT) END AS sample_rate,
+       CASE WHEN b.r = 0 AND b.n >= 2
+            THEN CAST(b.n AS BIGINT) END AS n_samples,
+       CASE WHEN b.r = 0 AND b.n >= 2
+            THEN round(b.n / 8000.0, 9) END AS duration_s,
+       w.rms AS audio_rms,
+       CASE WHEN b.r = 1 AND b.n >= 48
+            THEN CAST(16 AS BIGINT) END AS width,
+       CASE WHEN b.r = 1 AND b.n >= 48
+            THEN CAST(b.n // 48 AS BIGINT) END AS height,
+       s.mean_r, s.mean_g, s.mean_b
+FROM base b
+LEFT JOIN wavrms w USING (asset_id)
+LEFT JOIN bstats s USING (asset_id)
+"""
+
+
 MULTIMODAL_QUERIES: dict[str, tuple] = {
-    "mm_asset_meta": (_asset_meta, _ASSET_META_ORACLE),
+    # mm_asset_meta rotated out in round 6 (pure metadata select whose
+    # payload-sha256/kind/dims shapes stay pinned in the rotated-query
+    # pytest gate and tests/test_multimodal.py) so the REAL-decoder
+    # path gets the driver row below:
+    "mm_decoded_stats": (_decoded_stats, _DECODED_STATS_ORACLE),
     "mm_byte_histogram": (_byte_histogram, _duck_histogram_oracle()),
     # mm_pixel_stats rotated out in round 5 (same vectorized-decode
     # family as mm_byte_histogram, which stays; the function remains

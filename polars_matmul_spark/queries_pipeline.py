@@ -346,7 +346,11 @@ WHERE rn <= 5
 
 
 PIPELINE_QUERIES: dict[str, tuple] = {
-    "tfidf_weights": (_tfidf_weights, _TFIDF_ORACLE),
+    # tfidf_weights rotated out in round 6: bm25_search drives the same
+    # tokenize/df/idf machinery end-to-end and stays green; the exact
+    # tf-idf value comparison moves to test_oracle_parity's
+    # rotated-query gate, freeing the slot for ivfpq_adc_topk
+    # (queries_datapipe.py).
     "bm25_search": (_bm25_search, _BM25_ORACLE),
     "chunk_documents": (_chunk_docs, _CHUNK_ORACLE),
     "profile_lineitem": (_profile_lineitem, _profile_oracle()),

@@ -308,6 +308,110 @@ FROM pairs WHERE n_shared >= {_WIN_MIN}
 """
 
 
+# --- C4 heuristic cleaning (round-6 rotation) ------------------------------
+#
+# c4_clean's DuckDB twin has lived in tests/test_text_filters.py since
+# round 5; this promotes the curation classic to a driver row. The
+# synthetic documents carry no punctuation, so BOTH engines first
+# synthesize sentence lines with the identical two-step regex (a
+# period+newline after every 5th word) — the same transform the pytest
+# twin validated.
+
+_C4_PAT = r"((?:\w+ ){4}\w+) "
+
+
+def _c4_clean(spark, sf_dir):
+    from polars_matmul_spark.operators.text_filters import c4_clean
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text").withColumn(
+        "text",
+        F.regexp_replace(
+            F.regexp_replace("text", _C4_PAT, "$1.@@"), "@@", "\n"
+        ),
+    )
+    return c4_clean(docs)
+
+
+_C4_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+         replace(regexp_replace(text, '((?:\w+ ){4}\w+) ', '\1.@@', 'g'),
+                 '@@', chr(10)) AS text
+  FROM documents
+), l AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines FROM d
+), k AS (
+  SELECT doc_id, lines,
+         list_filter(lines, x -> regexp_matches(trim(x), '[.!?]$')
+           AND len(regexp_split_to_array(trim(x), '\s+')) >= 3
+           AND NOT contains(lower(trim(x)), 'javascript')) AS kept
+  FROM l
+), c AS (
+  SELECT doc_id,
+         array_to_string(kept, chr(10)) AS text,
+         CAST(len(kept) AS BIGINT) AS n_lines_kept,
+         CAST(len(lines) - len(kept) AS BIGINT) AS n_lines_dropped,
+         CAST(len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]'))
+           AS BIGINT) AS n_sentences
+  FROM k
+)
+SELECT doc_id, text, n_lines_kept, n_lines_dropped, n_sentences
+FROM c
+WHERE n_sentences >= 3
+  AND NOT contains(lower(text), 'lorem ipsum')
+  AND NOT contains(lower(text), '{')
+"""
+
+
+# --- duplicate-group closure (round-6 rotation) -----------------------------
+#
+# dedup_groups (operators/dedup.py — hybrid union-find / hash-min
+# label propagation) gets a driver row: edges are the exact-Jaccard
+# pairs at 0.8 (the SAME pair set the neardup_minhash_lsh row gates),
+# and DuckDB replays the connected-component closure with a recursive
+# transitive-reachability CTE; group_id = min doc id of the component
+# on both sides.
+
+def _dedup_groups_q(spark, sf_dir):
+    from polars_matmul_spark.operators.dedup import dedup_groups
+
+    pairs = D.neardup_pairs_minhash(_docs(spark, sf_dir), threshold=0.8)
+    return dedup_groups(pairs)
+
+
+_DEDUP_GROUPS_ORACLE = r"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        for i in range(1, len(toks) - 1)]) AS shingles
+  FROM tok WHERE len(toks) >= 3
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), ip AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n_sh FROM sh
+), p AS (
+  SELECT d1, d2 FROM ip
+  JOIN sizes s1 ON d1 = s1.doc_id
+  JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) >= 0.8
+), edges AS (
+  SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p
+), reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS group_id
+FROM reach GROUP BY a
+"""
+
+
 # NOTE: round 1 also registered `binary_payload_meta` (doc_id, n_bytes,
 # payload_sha256) here. It was a strict subset of `mm_asset_meta` in
 # queries_multimodal (same payload cast, same sha256, plus kind/dims),
@@ -331,4 +435,10 @@ TEXT_QUERIES: dict[str, tuple] = {
     "neardup_ngram_jaccard": (_neardup_exact, _duck_jaccard_pairs(0.5)),
     "neardup_minhash_lsh": (_neardup_minhash, _duck_jaccard_pairs(0.8)),
     "simhash_fingerprint": (_simhash, _duck_simhash()),
+    # round-6 rotation: the curation classic and the component closure
+    # get driver rows (q18 / cust_quartiles / brand_above_avg rotate
+    # out of queries_core — window/subquery classes multiply covered;
+    # exact oracles kept in tests/test_oracle_parity.py):
+    "c4_clean": (_c4_clean, _C4_ORACLE),
+    "dedup_groups": (_dedup_groups_q, _DEDUP_GROUPS_ORACLE),
 }

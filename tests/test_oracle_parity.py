@@ -113,6 +113,19 @@ def _rotated_queries():
         "mm_pixel_stats": (qm._pixel_stats, qm._PIXEL_STATS_ORACLE),
         "mm_frame_sample": (qm._frame_sample, qm._FRAME_SAMPLE_ORACLE),
         "hash_split_docs": (qp._hash_split_docs, qp._HASH_SPLIT_ORACLE),
+        # round-6 rotation: five slots freed for c4_clean, dedup_groups,
+        # funnel_user_levels_windowed, ivfpq_adc_topk, mm_decoded_stats
+        "q18_large_orders": (qc._q18, qc._Q18_ORACLE),
+        "cust_quartiles_by_nation": (
+            qc._cust_quartiles,
+            qc._CUST_QUARTILES_ORACLE,
+        ),
+        "brand_above_avg_parts": (
+            qc._brand_above_avg,
+            qc._BRAND_ABOVE_AVG_ORACLE,
+        ),
+        "mm_asset_meta": (qm._asset_meta, qm._ASSET_META_ORACLE),
+        "tfidf_weights": (qp._tfidf_weights, qp._TFIDF_ORACLE),
     }
 
 
