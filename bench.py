@@ -128,6 +128,12 @@ def main() -> None:
         "winnow_dup_pairs",
         "retention_cohorts",
         "hard_negatives_topk",
+        # round-6 rotation rows
+        "c4_clean",
+        "dedup_groups",
+        "funnel_user_levels_windowed",
+        "ivfpq_adc_topk",
+        "mm_decoded_stats",
     ]
     # best-of-2 per query: the round-2 bench recorded 2-6x phantom
     # regressions that two idle reruns traced to transient machine load
@@ -279,6 +285,29 @@ def main() -> None:
         _timed(lambda: _force(ident_plan)) for _ in range(3)
     )
 
+    # round-6 irreducibility experiment: the same identity Python stage
+    # over ONE ROW costs the same ~0.2 s as over the full ref shape —
+    # the floor is per-JOB dispatch latency (scheduler + worker
+    # handshake), NOT Arrow data transfer, so shrinking batches or
+    # inputs cannot move it and it amortizes per-task on a cluster.
+    # (Also measured, not kept: the grouped applyInArrow entry point
+    # pays the floor PLUS a shuffle, ~+0.08 s; two chained mapInArrow
+    # stages cost ONE floor — Spark runs them in the same task wave —
+    # and spark.python.worker.reuse is confirmed at its default true.)
+    one_row = (
+        spark.createDataFrame(
+            [(0, [0.0] * 4)], "query_id long, embedding array<float>"
+        )
+        .coalesce(1)
+        .cache()
+    )
+    one_row.count()
+    one_plan = one_row.mapInArrow(_ident, one_row.schema)
+    _force(one_plan)
+    times["python_stage_floor_1row"] = min(
+        _timed(lambda: _force(one_plan)) for _ in range(3)
+    )
+
     # matmul's dominant cost is its OUTPUT (1000 x 10000 scores = 40 MB
     # of Arrow), which the input-shaped identity floor above does not
     # model — so the matmul marginal uses an output-shaped floor: emit a
@@ -389,21 +418,27 @@ def main() -> None:
             prev_name = None
 
     total = sum(times.values())
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": {k: round(v, 3) for k, v in times.items()},
-                "calibration": calib,
-                "ratios_vs_same_machine_numpy": ratios,
-                "delta_vs_prev": delta_vs_prev,
-                "prev_bench": prev_name,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in times.items()},
+            "calibration": calib,
+            "ratios_vs_same_machine_numpy": ratios,
+            "delta_vs_prev": delta_vs_prev,
+            "prev_bench": prev_name,
+            "sf": sf,
+        }
     )
+    print(line)
+    # the r5 driver's stdout capture truncated the per-query dict;
+    # the sibling file is the durable record of the same line
+    try:
+        with open(os.path.join(here, "bench_out.json"), "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout stays the record
     spark.stop()
 
 

@@ -6,6 +6,14 @@ This is deliberately stricter than approximate comparison: values are
 compared exactly after sorting (floats must be bit-identical, which the
 oracle-parity design guarantees — sequential folds, decimal sums,
 integer ratios).
+
+This module IS the sf-scaled sweep, too: point it at a bigger SF
+(``SPARK_GRAFT_ORACLE_SF_DIR=/root/testdata/sf0.1 pytest
+tests/test_oracle_parity.py``) and every comparison — all 50 registry
+rows plus the rotated-query gate — replays at 10x the driver's scale,
+catching scale-dependent drift (window tie-breaks, float accumulation
+order, cap boundaries) before a larger SF ever lands. Round-6 run:
+64 passed at sf0.1 in 3:39.
 """
 
 import math

@@ -175,6 +175,13 @@ _CEILINGS_SF01 = {
     "hard_negatives_topk": 3.5,
     "zorder_keys": 3.0,
     "gopher_quality": 2.0,  # r6 staged-token rewrite: idle wall ~0.6-1.0s
+    # round-6 rotation rows (idle warm walls 0.79 / 3.03 / 0.79 /
+    # 3.67 / 0.45 s — ~4x ceilings)
+    "c4_clean": 3.5,
+    "dedup_groups": 12.0,
+    "funnel_user_levels_windowed": 3.5,
+    "ivfpq_adc_topk": 15.0,
+    "mm_decoded_stats": 2.0,
 }
 
 
