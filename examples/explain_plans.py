@@ -158,6 +158,48 @@ CASES = [
         "is a hash equi-join on cluster_id — no unblocked O(n^2) pass, "
         "no Python worker",
     ),
+    (
+        "c4_clean",
+        "C4 heuristic cleaning (round 6): line split, per-line rule "
+        "filter and document reassembly are one row-local Catalyst "
+        "projection over the scan — no shuffle, no window, no Python; "
+        "the 100 TB cost is exactly one corpus read",
+    ),
+    (
+        "dedup_groups",
+        "Duplicate-group closure (round 6): MinHash candidate edges -> "
+        "connected components; under the envelope the slim (d1, d2) "
+        "edge list is pulled via Arrow and union-found on the driver "
+        "(the plan below is the distributed edge build + the "
+        "createDataFrame label join-back), above it the distributed "
+        "hash-min propagation takes over — doc text never rides "
+        "through the component computation",
+    ),
+    (
+        "funnel_user_levels_windowed",
+        "Windowed per-user funnel (round 6): ONE user-keyed shuffle "
+        "collecting per-step sorted timestamp lists, the deadline-"
+        "bounded chain fold over capped step-0 candidates is pure "
+        "array arithmetic in the projection — no per-step self-joins, "
+        "no Python",
+    ),
+    (
+        "ivfpq_adc_topk",
+        "IVF-PQ/ADC top-k (round 6): coarse assignment is the IVF "
+        "max(struct) partial agg, residual encode is flat column "
+        "arithmetic, probed lists reach queries by centroid equi-join, "
+        "and ADC streams the CODED corpus through one mapInArrow with "
+        "query LUTs broadcast — full-precision vectors shuffle only "
+        "in the k*4 shortlist rerank",
+    ),
+    (
+        "mm_decoded_stats",
+        "Real-decoder stats (round 6): WAV-PCM/BMP payloads decode "
+        "per-row inside two Arrow-batched Python stages "
+        "(embarrassingly parallel, no shuffle before the stats "
+        "projection) — the plan is scan -> encode stage -> decode "
+        "stage, nothing wide anywhere",
+    ),
 ]
 
 # non-registry operators whose plan shape is part of the scale story

@@ -326,3 +326,28 @@ def test_shard_assignment_is_bucketed_not_global_window(spark, sf_dir):
         if "SinglePartition" in line:
             assert "text#" not in line, line
     assert not uses_python_worker(out)
+
+
+def test_c4_clean_is_scan_speed(spark, sf_dir):
+    # C4 cleaning is one row-local Catalyst projection: line split,
+    # per-line rule filter, document reassembly — a 100 TB corpus
+    # costs exactly one read, no shuffle, no Python worker
+    from polars_matmul_spark.queries_text import TEXT_QUERIES
+
+    fn, _ = TEXT_QUERIES["c4_clean"]
+    df = fn(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "Exchange" not in plan, plan
+    assert not uses_python_worker(df)
+
+
+def test_windowed_funnel_is_single_user_shuffle(spark, sf_dir):
+    # the deadline-bounded funnel fold collects per-step timestamp
+    # lists under ONE user-keyed shuffle; the chain evaluation is
+    # array arithmetic in the projection — no per-step self-joins
+    from polars_matmul_spark.queries_core import CORE_QUERIES
+
+    fn, _ = CORE_QUERIES["funnel_user_levels_windowed"]
+    df = fn(spark, sf_dir)
+    assert count_shuffles(df) == 1, explain_str(df, "simple")
+    assert not uses_python_worker(df)
