@@ -313,20 +313,46 @@ def srp_neardup(
         return pa.ListArray.from_arrays(offs, flat)
 
     if catalyst_signature:
+        # the projection matrix rides as DATA (one broadcast row), not
+        # as plan literals: n_bands*band_bits separate fold-dots with
+        # 64-literal rows made Catalyst spend ~2 s PLANNING the
+        # signature pass (optimizer passes over a ~2048-leaf tree —
+        # a 10-row LIMIT took the same wall as the full table), which
+        # dominated the whole query at bench scale. One nested
+        # transform over the broadcast matrix keeps the tree tiny and
+        # is bit-identical: each dot is the same sequential f64 fold
+        # (== DuckDB list_dot_product), measured 2.3x faster end to
+        # end at sf0.01. The per-dot fold stays interpreted either
+        # way (nested HOFs never codegen), so only plan size changes.
+        mat = df.sparkSession.createDataFrame(
+            [([[float(x) for x in row] for row in P],)],
+            "__P array<array<double>>",
+        )
+        e = F.col(emb_col).cast("array<double>")
+        dots = F.transform(
+            F.col("__P"),
+            lambda row: F.aggregate(
+                F.zip_with(e, row, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            ),
+        )
+        # __dots is expensive and referenced n_bands*band_bits times
+        # below — the select boundary keeps CollapseProject from
+        # inlining it per reference (the winnow __hs discipline)
+        staged = df.crossJoin(F.broadcast(mat)).select(
+            F.col(id_col), dots.alias("__dots")
+        )
+        d = F.col("__dots")
         band_exprs = []
         for b in range(n_bands):
             val = F.lit(0).cast("long")
             for j in range(band_bits):
-                row = P[b * band_bits + j]
-                dot = _jvm_fold_dot(
-                    F.col(emb_col).cast("array<double>"),
-                    F.array(*[F.lit(float(x)) for x in row]),
-                )
-                val = val + F.when(dot > 0, F.lit(1 << j)).otherwise(
-                    F.lit(0)
-                ).cast("long")
+                val = val + F.when(
+                    d[b * band_bits + j] > 0, F.lit(1 << j)
+                ).otherwise(F.lit(0)).cast("long")
             band_exprs.append(val)
-        sig = df.select(
+        sig = staged.select(
             F.col(id_col), F.array(*band_exprs).alias("__bands")
         )
     else:
