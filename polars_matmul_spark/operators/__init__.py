@@ -28,6 +28,8 @@
 - ``dsir``             DSIR importance resampling (hash-Gumbel top-k)
 - ``shards``           token-budget shard export (two-phase prefix sum)
 - ``bloom``            distributed Bloom filter, two-gate exact dedup
+- ``cms``              Count-Min sketch: mergeable bounded-size
+  per-key frequency summary (build/merge/lookup)
 - ``pq``               product quantization + ADC search
 - ``ivfpq``            IVF-PQ: inverted lists over PQ-coded residuals
 - ``funnel``           conversion funnels + retention cohorts

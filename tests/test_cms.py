@@ -1,0 +1,149 @@
+"""Count-Min sketch: guarantees, merge algebra, DuckDB replay, plan shape.
+
+The CMS guarantee is one-sided — estimate >= true always, and
+estimate <= true + eps*N with probability >= 1 - delta. The first
+half is deterministic and asserted for EVERY key; the second is
+asserted in aggregate at a comfortable margin (fixed md5 hashing, no
+flakiness).
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from polars_matmul_spark.operators.cms import (
+    build_cms,
+    cms_lookup,
+    cms_params,
+    merge_cms,
+)
+from polars_matmul_spark.plans.inspect import count_shuffles, explain_str
+from polars_matmul_spark.sources.tables import load_table
+
+WIDTH, DEPTH = 272, 5  # cms_params(0.01, 0.01)
+
+
+@pytest.fixture(scope="module")
+def words(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    w = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    return w.cache()
+
+
+@pytest.fixture(scope="module")
+def exact(words):
+    return {
+        r["word"]: r["n"]
+        for r in words.groupBy("word").agg(F.count("*").alias("n")).collect()
+    }
+
+
+def test_cms_params():
+    w, d = cms_params(0.01, 0.01)
+    assert w == 272 and d == 5
+    with pytest.raises(ValueError):
+        cms_params(0.0)
+    with pytest.raises(ValueError):
+        cms_params(0.01, 1.5)
+
+
+def test_estimate_never_undercounts_and_bounds_error(spark, words, exact):
+    cms = build_cms(words, "word", WIDTH, DEPTH).cache()
+    n_total = sum(exact.values())
+    keys = spark.createDataFrame([(k,) for k in exact], "word string")
+    got = {
+        r["word"]: r["est_count"]
+        for r in cms_lookup(keys, cms, "word", WIDTH, DEPTH).collect()
+    }
+    assert set(got) == set(exact)
+    eps = 2.718281828 / WIDTH
+    over = 0
+    for k, true_n in exact.items():
+        assert got[k] >= true_n, f"undercount for {k!r}"
+        if got[k] > true_n + eps * n_total:
+            over += 1
+    # P(exceed) <= delta = e^-depth < 0.7% per key; allow a hair of slack
+    assert over <= max(1, int(0.02 * len(exact))), over
+
+
+def test_sketch_is_bounded_and_single_shuffle(words):
+    # width differs from the other tests' sketch so the cache manager
+    # cannot substitute the cached InMemoryRelation (whose stored plan
+    # text would add phantom Exchange lines to the explain)
+    cms = build_cms(words, "word", WIDTH + 1, DEPTH)
+    assert cms.count() <= (WIDTH + 1) * DEPTH
+    assert count_shuffles(cms) == 1, explain_str(cms, "simple")
+
+
+def test_lookup_broadcasts_the_sketch(spark, words):
+    cms = build_cms(words, "word", WIDTH, DEPTH)
+    keys = spark.createDataFrame([("alpha",), ("beta",)], "word string")
+    plan = explain_str(cms_lookup(keys, cms, "word", WIDTH, DEPTH), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_merge_equals_build_on_union(words):
+    a = words.filter(F.length("word") % 2 == 0)
+    b = words.filter(F.length("word") % 2 == 1)
+    merged = merge_cms(
+        build_cms(a, "word", WIDTH, DEPTH), build_cms(b, "word", WIDTH, DEPTH)
+    )
+    full = build_cms(words, "word", WIDTH, DEPTH)
+    sym = merged.exceptAll(full).union(full.exceptAll(merged))
+    assert sym.count() == 0
+
+
+def test_weighted_build_counts_weights(spark):
+    df = spark.createDataFrame(
+        [("x", 3), ("x", 2), ("y", 7)], "k string, w int"
+    )
+    cms = build_cms(df, "k", WIDTH, DEPTH, weight_col="w")
+    got = {
+        r["k"]: r["est_count"]
+        for r in cms_lookup(
+            spark.createDataFrame([("x",), ("y",)], "k string"),
+            cms,
+            "k",
+            WIDTH,
+            DEPTH,
+        ).collect()
+    }
+    assert got["x"] >= 5 and got["y"] >= 7
+
+
+def test_unseen_key_estimate_is_small(spark, words, exact):
+    cms = build_cms(words, "word", WIDTH, DEPTH)
+    keys = spark.createDataFrame(
+        [("__never_seen_anywhere__",)], "word string"
+    )
+    [row] = cms_lookup(keys, cms, "word", WIDTH, DEPTH).collect()
+    n_total = sum(exact.values())
+    assert 0 <= row["est_count"] <= (2.718281828 / WIDTH) * n_total * 2
+
+
+def test_sketch_replays_in_duckdb(spark, words, sf_dir):
+    # the md5 double-hashing makes the COUNTER TABLE engine-portable:
+    # DuckDB rebuilds it bit-for-bit from the same parquet
+    cms = build_cms(words, "word", WIDTH, DEPTH)
+    got = {(r["row"], r["col"]): r["n"] for r in cms.collect()}
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    oracle = con.sql(f"""
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents
+), h AS (
+  SELECT ('0x' || substr(md5(word), 1, 12))::BIGINT AS h1,
+         ('0x' || substr(md5(word), 13, 12))::BIGINT * 2 + 1 AS h2
+  FROM w WHERE word <> ''
+), p AS (
+  SELECT r.range AS row, (h1 + r.range * h2) % {WIDTH} AS col
+  FROM h CROSS JOIN range(0, {DEPTH}) r
+)
+SELECT row, col, COUNT(*) AS n FROM p GROUP BY row, col
+""").fetchall()
+    assert {(r, c): n for r, c, n in oracle} == got
