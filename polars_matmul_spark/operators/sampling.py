@@ -31,6 +31,8 @@ __all__ = [
     "stratified_sample",
     "top_n_per_key",
     "mixture_sample",
+    "priority_sample",
+    "reservoir_sample",
 ]
 
 _BUCKETS = 1_000_000
@@ -119,6 +121,65 @@ def top_n_per_key(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    weight_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sample of exactly ``min(k, n)`` rows
+    WITHOUT replacement (Efraimidis & Spirakis 2006): each row gets a
+    priority ``ln(u) / w`` with ``u`` a hash-uniform in (0, 1) derived
+    from the row id, and the ``k`` largest priorities are the sample —
+    the probability a row enters is proportional to its weight, and
+    re-running (or repartitioning, or adding unrelated rows) never
+    changes an existing row's priority.
+
+    This is what ``df.sample`` / RDD ``takeSample`` cannot give a
+    100 TB pipeline: an exactly-``k`` weighted subset that is a pure
+    function of row identity (resumable, auditable, engine-portable —
+    the md5-derived ``u`` replays anywhere).
+
+    Rows with ``w <= 0`` (or null) are excluded — zero weight means
+    zero probability, and E-S priorities are undefined there.
+
+    Scale shape: priorities are row-local; the top-``k`` compiles to
+    ``TakeOrderedAndProject`` — per-partition heaps feeding one
+    k-row merge on the driver side of the exchange, never a global
+    sort (pinned in the tests). For per-stratum quotas compose with a
+    window instead, or call once per stratum.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    # u = (h48 + 0.5) / 2^48: strictly inside (0, 1) so ln(u) is finite
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 12),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(float(1 << 48))
+    if weight_col is None:
+        pri = F.log(u)
+    else:
+        w = F.col(weight_col).cast("double")
+        df = df.filter(w.isNotNull() & (w > 0))
+        pri = F.log(u) / w
+    return (
+        df.withColumn("__pri", pri)
+        .orderBy(F.desc("__pri"), F.asc(id_col))
+        .limit(k)
+        .drop("__pri")
+    )
+
+
+def reservoir_sample(df: DataFrame, id_col: str, k: int, salt: str = "") -> DataFrame:
+    """Uniform sample of exactly ``min(k, n)`` rows without
+    replacement — :func:`priority_sample` with unit weights. The
+    deterministic replacement for ``rdd.takeSample(False, k)``."""
+    return priority_sample(df, id_col, k, weight_col=None, salt=salt)
 
 
 def mixture_sample(

@@ -132,3 +132,76 @@ def test_pack_sequences_budget_and_completeness(spark, sf_dir):
 def test_pack_sequences_empty_input(spark):
     empty = spark.createDataFrame([], "doc_id long, n_tokens long")
     assert pack_sequences(empty, 128, partitions=2).count() == 0
+
+
+def test_priority_sample_replays_in_duckdb(spark, sf_dir):
+    # the E-S priority ln(u)/w is engine-portable: same md5-derived u,
+    # same ordering -> DuckDB picks the exact same id set
+    import duckdb
+
+    from polars_matmul_spark.operators.sampling import priority_sample
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.length("text").alias("w")
+    )
+    got = sorted(
+        r["doc_id"] for r in priority_sample(docs, "doc_id", 25, "w").collect()
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    oracle = sorted(
+        r[0]
+        for r in con.sql("""
+SELECT doc_id FROM (
+  SELECT doc_id,
+         ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT + 0.5)
+            / 281474976710656.0) / length(text) AS pri
+  FROM documents WHERE length(text) > 0
+) ORDER BY pri DESC, doc_id ASC LIMIT 25
+""").fetchall()
+    )
+    assert got == oracle
+
+
+def test_priority_sample_weights_bias_selection(spark):
+    from polars_matmul_spark.operators.sampling import priority_sample
+
+    rows = [(i, 10.0 if i % 2 == 0 else 1.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    picked = priority_sample(df, "id", 200, "w").collect()
+    heavy = sum(1 for r in picked if r["id"] % 2 == 0)
+    # heavy rows are 10x likelier; expectation ~#180/200 — assert well
+    # above the unweighted 100 but loose enough to be deterministic-safe
+    assert heavy > 140, heavy
+
+
+def test_priority_sample_clamps_excludes_and_plans(spark):
+    from polars_matmul_spark.operators.sampling import priority_sample
+    from polars_matmul_spark.plans.inspect import explain_str
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0), (3, -4.0), (4, None), (5, 2.0)],
+        "id long, w double",
+    )
+    out = priority_sample(df, "id", 10, "w")
+    assert sorted(r["id"] for r in out.collect()) == [1, 5]  # w<=0/null drop
+    assert "TakeOrderedAndProject" in explain_str(out, "simple")
+    with pytest.raises(ValueError):
+        priority_sample(df, "id", 0)
+
+
+def test_reservoir_sample_uniform_and_partition_invariant(spark, sf_dir):
+    from polars_matmul_spark.operators.sampling import reservoir_sample
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    a = sorted(r["doc_id"] for r in reservoir_sample(docs, "doc_id", 17).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in reservoir_sample(docs.repartition(13), "doc_id", 17).collect()
+    )
+    assert a == b and len(a) == 17
+    # a different salt draws a different (deterministic) subset
+    c = sorted(
+        r["doc_id"] for r in reservoir_sample(docs, "doc_id", 17, salt="v2").collect()
+    )
+    assert c != a
