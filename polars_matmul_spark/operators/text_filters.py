@@ -16,6 +16,7 @@ from polars_matmul_spark.operators.text import shingles, tokens
 
 __all__ = [
     "redact_pii",
+    "repetition_expr",
     "repetition_score",
     "tag_contaminated",
     "c4_clean",
@@ -66,21 +67,26 @@ def redacted_docs(
     )
 
 
-def repetition_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                     n: int = 2) -> DataFrame:
-    """Gopher-style repetition signal: fraction of n-gram occurrences
-    belonging to the single most frequent n-gram of the document.
+def repetition_expr(text: Column, n: int = 2) -> Column:
+    """Row-local Gopher-style repetition signal as ONE expression:
+    ``struct(n_grams, top_gram_ratio)`` where top_gram_ratio is the
+    fraction of n-gram occurrences belonging to the document's single
+    most frequent n-gram.
 
-    High values flag boilerplate/spam (navigation bars, keyword
-    stuffing). Plan shape: explode n-grams -> two-level aggregation
-    (count per (doc, gram), then max/sum per doc). Both aggregations
-    have map-side partial combine; the shuffle carries one row per
-    distinct (doc, gram) — bounded by document length, uniform keys.
+    The document's top n-gram multiplicity never needs a shuffle:
+    sort the gram array and take the longest run of equal neighbors —
+    O(g log g) per row inside the scan projection. (The original form
+    exploded grams through TWO aggregations plus a join back onto the
+    corpus; at 100 TB that shuffled one row per (doc, gram) twice and
+    moved the text a third time for the join. This expression costs
+    zero exchanges and composes into any filter.)
 
-    Returns (id, n_grams, top_gram_ratio). Docs with fewer than n
-    tokens score 0.0 (nothing repeats).
+    The run-length fold's lambda touches only the accumulator and the
+    element, so the interpreted-HOF re-evaluation trap (see
+    winnow_fingerprints) does not bite: the sorted array input is
+    evaluated once per row.
     """
-    t = tokens(F.col(text_col))
+    t = tokens(text)
     # raw n-gram occurrences (NOT distinct — counting repeats is the point)
     m = F.size(t) - (n - 1)
     cols = [F.slice(t, j + 1, m) for j in range(n)]
@@ -88,18 +94,45 @@ def repetition_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     for j in range(n - 2, -1, -1):
         zipped = F.zip_with(cols[j], zipped, lambda a, b: F.concat(a, F.lit(" "), b))
     grams = F.when(F.size(t) >= n, zipped).otherwise(F.array().cast("array<string>"))
-    ex = df.select(F.col(id_col), F.explode_outer(grams).alias("g"))
-    per_gram = ex.groupBy(id_col, "g").agg(F.count("*").alias("c"))
-    per_doc = per_gram.groupBy(id_col).agg(
-        F.sum(F.when(F.col("g").isNotNull(), F.col("c")).otherwise(0)).alias("n_grams"),
-        F.max(F.when(F.col("g").isNotNull(), F.col("c")).otherwise(0)).alias("top_c"),
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
     )
-    return per_doc.select(
+
+    def step(a, x):
+        newrun = (
+            F.when(a["prev"].eqNullSafe(x), a["run"] + F.lit(1).cast("long"))
+            .otherwise(F.lit(1).cast("long"))
+        )
+        return F.struct(
+            x.alias("prev"),
+            newrun.alias("run"),
+            F.greatest(a["best"], newrun).alias("best"),
+        )
+
+    top_c = F.aggregate(F.array_sort(grams), zero, step)["best"]
+    n_grams = (
+        F.when(F.size(t) >= n, F.size(t) - (n - 1)).otherwise(F.lit(0)).cast("long")
+    )
+    ratio = F.when(n_grams > 0, top_c.cast("double") / n_grams).otherwise(F.lit(0.0))
+    return F.struct(n_grams.alias("n_grams"), ratio.alias("top_gram_ratio"))
+
+
+def repetition_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                     n: int = 2) -> DataFrame:
+    """DataFrame form of :func:`repetition_expr` — same
+    (id, n_grams, top_gram_ratio) output the explode+aggregate
+    original produced (equivalence pinned in the tests), now a
+    zero-shuffle scan-speed projection. Docs with fewer than n tokens
+    score 0.0 (nothing repeats)."""
+    staged = df.select(
+        F.col(id_col), repetition_expr(F.col(text_col), n).alias("__rep")
+    )
+    return staged.select(
         id_col,
-        F.col("n_grams").cast("long").alias("n_grams"),
-        F.when(F.col("n_grams") > 0, F.col("top_c").cast("double") / F.col("n_grams"))
-        .otherwise(F.lit(0.0))
-        .alias("top_gram_ratio"),
+        F.col("__rep.n_grams").alias("n_grams"),
+        F.col("__rep.top_gram_ratio").alias("top_gram_ratio"),
     )
 
 

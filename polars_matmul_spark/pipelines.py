@@ -22,7 +22,7 @@ from polars_matmul_spark.operators.dedup import keep_canonical, neardup_pairs_mi
 from polars_matmul_spark.operators.packing import pack_sequences
 from polars_matmul_spark.operators.sampling import hash_split
 from polars_matmul_spark.operators.text import quality_score, token_count
-from polars_matmul_spark.operators.text_filters import redact_pii, repetition_score
+from polars_matmul_spark.operators.text_filters import redact_pii, repetition_expr
 from polars_matmul_spark.sources.tables import load_table
 
 __all__ = ["prepare_training_corpus"]
@@ -49,11 +49,17 @@ def prepare_training_corpus(
     n_in = docs.count()
 
     # --- hygiene: quality floor, repetition ceiling, PII scrub ---
-    scored = docs.withColumn("quality", quality_score(F.col("text")))
-    rep = repetition_score(docs)  # (doc_id, n_grams, top_gram_ratio)
+    # both signals are row-local expressions, so the whole hygiene
+    # stage is ONE scan-speed filter — repetition_expr replaced the
+    # explode+agg+join-back form that shuffled (doc, gram) rows twice
+    # and moved the text a third time for the join
     filtered = (
-        scored.join(rep.select("doc_id", "top_gram_ratio"), "doc_id")
-        .filter((F.col("quality") >= min_quality) & (F.col("top_gram_ratio") <= max_repetition))
+        docs.withColumn("quality", quality_score(F.col("text")))
+        .withColumn("__rep", repetition_expr(F.col("text")))
+        .filter(
+            (F.col("quality") >= min_quality)
+            & (F.col("__rep.top_gram_ratio") <= max_repetition)
+        )
         .select("doc_id", redact_pii(F.col("text")).alias("text"))
     )
     # the dedup stages below traverse `filtered` multiple times (shingle

@@ -509,3 +509,66 @@ FROM m
             .toString()
         )
         assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_repetition_expr_matches_explode_agg_form(spark, sf_dir):
+    # the row-local sort+run-length rewrite must reproduce the original
+    # explode -> count-per-(doc,gram) -> max/sum aggregation exactly
+    from polars_matmul_spark.operators.text import tokens
+    from polars_matmul_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+
+    def explode_agg_form(df, n=2):
+        t = tokens(F.col("text"))
+        m = F.size(t) - (n - 1)
+        cols = [F.slice(t, j + 1, m) for j in range(n)]
+        zipped = cols[n - 1]
+        for j in range(n - 2, -1, -1):
+            zipped = F.zip_with(
+                cols[j], zipped, lambda a, b: F.concat(a, F.lit(" "), b)
+            )
+        grams = F.when(F.size(t) >= n, zipped).otherwise(
+            F.array().cast("array<string>")
+        )
+        ex = df.select("doc_id", F.explode_outer(grams).alias("g"))
+        per_gram = ex.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        per_doc = per_gram.groupBy("doc_id").agg(
+            F.sum(
+                F.when(F.col("g").isNotNull(), F.col("c")).otherwise(0)
+            ).alias("n_grams"),
+            F.max(
+                F.when(F.col("g").isNotNull(), F.col("c")).otherwise(0)
+            ).alias("top_c"),
+        )
+        return per_doc.select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.col("top_c").cast("double") / F.col("n_grams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_gram_ratio"),
+        )
+
+    for n in (2, 3):
+        a = {
+            r["doc_id"]: (r["n_grams"], r["top_gram_ratio"])
+            for r in repetition_score(docs, n=n).collect()
+        }
+        b = {
+            r["doc_id"]: (r["n_grams"], r["top_gram_ratio"])
+            for r in explode_agg_form(docs, n=n).collect()
+        }
+        assert a == b
+
+
+def test_repetition_score_is_zero_shuffle(spark, sf_dir):
+    from polars_matmul_spark.plans.inspect import explain_str, uses_python_worker
+    from polars_matmul_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    out = repetition_score(docs)
+    assert "Exchange" not in explain_str(out, "simple")
+    assert not uses_python_worker(out)
