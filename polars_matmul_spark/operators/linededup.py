@@ -36,7 +36,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["line_occurrences", "frequent_lines", "strip_frequent_lines"]
+__all__ = [
+    "line_occurrences",
+    "frequent_lines",
+    "strip_frequent_lines",
+    "build_line_cms",
+    "strip_frequent_lines_cms",
+]
 
 
 def _line_hash(line):
@@ -90,6 +96,94 @@ def frequent_lines(
     )
 
 
+def _reassemble(marked: DataFrame) -> DataFrame:
+    """(doc_id, pos, line, drop, ...) -> (doc_id, text, n_lines,
+    n_stripped): surviving lines rejoined by newline in original
+    order. One shuffle on doc_id."""
+    kept = marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("drop").cast("long")).alias("n_stripped"),
+        F.array_sort(
+            F.collect_list(F.when(~F.col("drop"), F.struct("pos", "line")))
+        ).alias("__kept"),
+    )
+    return kept.select(
+        "doc_id",
+        F.concat_ws("\n", F.transform(F.col("__kept"), lambda s: s["line"])).alias(
+            "text"
+        ),
+        "n_lines",
+        "n_stripped",
+    )
+
+
+def build_line_cms(
+    df: DataFrame,
+    width: int,
+    depth: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-Min sketch over DISTINCT-per-doc line hashes — the
+    bounded, MERGEABLE state behind :func:`strip_frequent_lines_cms`.
+
+    The exact path's frequent-line table is bounded by boilerplate
+    diversity; its full count-distinct STATE is not — to dedup a new
+    batch against history exactly you must keep every line hash ever
+    seen. This sketch caps that state at depth*width counters forever:
+    per-batch sketches fold into the persisted one with
+    ``cms.merge_cms`` (counters add; the distinct-per-doc pre-collapse
+    keeps a doc's internal repeats from inflating its lines' counts),
+    which is what a streaming/incremental line-dedup keeps instead of
+    the unbounded hash set.
+    """
+    from polars_matmul_spark.operators.cms import build_cms
+
+    occ = (
+        line_occurrences(df, id_col, text_col)
+        .filter(~F.col("is_blank"))
+        .select("doc_id", "line_hash")
+        .distinct()
+    )
+    return build_cms(occ, "line_hash", width, depth)
+
+
+def strip_frequent_lines_cms(
+    df: DataFrame,
+    cms: DataFrame,
+    width: int,
+    depth: int,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet line dedup against a Count-Min sketch instead of the exact
+    frequent-line set — same output shape as
+    :func:`strip_frequent_lines`.
+
+    A line is stripped when its ESTIMATED distinct-doc count reaches
+    ``min_docs``. The CMS error is one-sided (never undercounts), so
+    every truly frequent line is stripped — recall 1.0 by construction
+    — and a rare line is wrongly stripped only on a counter collision
+    (probability <= delta per key at the sketch's eps*N additive
+    error), the safe direction for boilerplate removal. Sized
+    generously (``cms_params(eps, delta)`` with eps*N well under
+    ``min_docs``) the outputs match the exact operator bit-for-bit
+    (pinned in the tests).
+
+    Scale shape: the sketch BROADCASTS (bounded MBs by construction);
+    the corpus shuffles once for the doc reassembly. History never
+    re-scans — merge new batches into ``cms`` and re-strip.
+    """
+    from polars_matmul_spark.operators.cms import cms_lookup
+
+    occ = line_occurrences(df, id_col, text_col)
+    marked = cms_lookup(occ, cms, "line_hash", width, depth).withColumn(
+        "drop", (F.col("est_count") >= min_docs) & ~F.col("is_blank")
+    )
+    return _reassemble(marked)
+
+
 def strip_frequent_lines(
     df: DataFrame,
     min_docs: int = 2,
@@ -114,20 +208,4 @@ def strip_frequent_lines(
         "line_hash",
         "left",
     ).withColumn("drop", F.col("__freq").isNotNull() & ~F.col("is_blank"))
-    kept = marked.groupBy("doc_id").agg(
-        F.count("*").alias("n_lines"),
-        F.sum(F.col("drop").cast("long")).alias("n_stripped"),
-        F.array_sort(
-            F.collect_list(
-                F.when(~F.col("drop"), F.struct("pos", "line"))
-            )
-        ).alias("__kept"),
-    )
-    return kept.select(
-        "doc_id",
-        F.concat_ws("\n", F.transform(F.col("__kept"), lambda s: s["line"])).alias(
-            "text"
-        ),
-        "n_lines",
-        "n_stripped",
-    )
+    return _reassemble(marked)

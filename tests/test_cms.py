@@ -147,3 +147,63 @@ WITH w AS (
 SELECT row, col, COUNT(*) AS n FROM p GROUP BY row, col
 """).fetchall()
     assert {(r, c): n for r, c, n in oracle} == got
+
+
+# --- CMS-backed line dedup (bounded-state CCNet) ----------------------------
+
+
+def test_cms_line_dedup_matches_exact_when_generously_sized(spark, sf_dir):
+    from polars_matmul_spark.operators.linededup import (
+        build_line_cms,
+        strip_frequent_lines,
+        strip_frequent_lines_cms,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.regexp_replace("text", " ", "\n").alias("text")
+    )
+    w, d = 8192, 5  # eps*N far under min_docs at this corpus size
+    cms = build_line_cms(docs, w, d)
+    got = strip_frequent_lines_cms(docs, cms, w, d, min_docs=3)
+    exact = strip_frequent_lines(docs, min_docs=3)
+    sym = got.exceptAll(exact).union(exact.exceptAll(got))
+    assert sym.count() == 0
+
+
+def test_cms_line_dedup_is_incremental(spark, sf_dir):
+    # the merged per-batch sketches strip identically to the sketch
+    # built over the full corpus — history never re-scans
+    from polars_matmul_spark.operators.cms import merge_cms
+    from polars_matmul_spark.operators.linededup import (
+        build_line_cms,
+        strip_frequent_lines_cms,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.regexp_replace("text", " ", "\n").alias("text")
+    )
+    w, d = 8192, 5
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    merged = merge_cms(build_line_cms(b1, w, d), build_line_cms(b2, w, d))
+    full = build_line_cms(docs, w, d)
+    a = strip_frequent_lines_cms(b2, merged, w, d, min_docs=3)
+    b = strip_frequent_lines_cms(b2, full, w, d, min_docs=3)
+    sym = a.exceptAll(b).union(b.exceptAll(a))
+    assert sym.count() == 0
+
+
+def test_cms_line_dedup_never_misses_frequent_lines(spark):
+    # one-sided guarantee: even an undersized sketch strips every truly
+    # frequent line (it can only over-strip, never under-strip)
+    from polars_matmul_spark.operators.linededup import (
+        build_line_cms,
+        strip_frequent_lines_cms,
+    )
+
+    rows = [(i, "COOKIE BANNER\nunique body %d" % i) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    w, d = 16, 2  # deliberately tiny
+    cms = build_line_cms(df, w, d)
+    out = strip_frequent_lines_cms(df, cms, w, d, min_docs=2).collect()
+    assert all("COOKIE BANNER" not in r["text"] for r in out)
