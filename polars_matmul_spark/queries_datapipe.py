@@ -394,6 +394,12 @@ def _ivfpq_adc_topk(spark, sf_dir):
             lambda a, b: a - b,
         ).alias("residual"),
     )
+    # the residual frame feeds THREE consumers (the codebook-seed
+    # collect, the PQ encode and the index join) — materialize the
+    # assign+residual subtree once instead of re-running its
+    # crossJoin+groupBy per consumer (the srp/winnow localCheckpoint
+    # discipline; at scale this is the persisted index-build artifact)
+    res = res.localCheckpoint(eager=False)
     seed_rows = (
         res.orderBy("corpus_id").limit(_IPQ_CODES).select("residual").collect()
     )
