@@ -117,29 +117,51 @@ def semantic_dedup_pairs(
             corpus, n_centroids=n_clusters, seed=seed, id_col="corpus_id"
         )
     assigned = assign_top_clusters(df, centroids, id_col=id_col, n_probe=n_probe)
-    a = assigned.select(
-        F.col(id_col).alias("id_a"),
-        F.col("embedding").alias("__ea"),
-        "cluster_id",
-    ).withColumn("__na", F.sqrt(_fold_dot(F.col("__ea"), F.col("__ea"))))
-    b = assigned.select(
-        F.col(id_col).alias("id_b"),
-        F.col("embedding").alias("__eb"),
-        "cluster_id",
-    ).withColumn("__nb", F.sqrt(_fold_dot(F.col("__eb"), F.col("__eb"))))
-    # pairs sharing BOTH probed clusters appear twice -> distinct on ids
-    cand = (
-        a.join(b, "cluster_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__ea", "__eb", "__na", "__nb")
-        .dropDuplicates(["id_a", "id_b"])
+    # the srp_neardup discipline, applied here (round 6): the slim
+    # (id, cluster_id) table feeds BOTH sides of the blocking
+    # self-join — materialize it once (the duplicated subplan used to
+    # re-run the broadcast-scoring aggregation per side), and keep
+    # embeddings OUT of the candidate shuffle: pairs sharing both
+    # probed clusters dedup as bare id pairs, then embeddings (and
+    # once-per-doc norms) join back only for the verify.
+    slim = assigned.select(F.col(id_col), "cluster_id").localCheckpoint(
+        eager=False
     )
+    cand = (
+        slim.alias("a")
+        .join(slim.alias("b"), "cluster_id")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    emb = df.select(
+        F.col(id_col), F.col("embedding").alias("__e")
+    ).withColumn("__n", F.sqrt(_fold_dot(F.col("__e"), F.col("__e"))))
     cos = F.when(
         (F.col("__na") > 1e-10) & (F.col("__nb") > 1e-10),
         _fold_dot(F.col("__ea"), F.col("__eb")) / (F.col("__na") * F.col("__nb")),
     ).otherwise(F.lit(0.0))
     return (
-        cand.withColumn("cosine", cos)
+        cand.join(
+            emb.select(
+                F.col(id_col).alias("id_a"),
+                F.col("__e").alias("__ea"),
+                F.col("__n").alias("__na"),
+            ),
+            "id_a",
+        )
+        .join(
+            emb.select(
+                F.col(id_col).alias("id_b"),
+                F.col("__e").alias("__eb"),
+                F.col("__n").alias("__nb"),
+            ),
+            "id_b",
+        )
+        .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
