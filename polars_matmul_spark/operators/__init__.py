@@ -38,7 +38,8 @@
   persistable fingerprint index for incremental checks
 - ``mining``           contrastive hard/in-batch negative mining
 - ``diagnose``         key-skew + partition-balance reports
-- ``projection``       seeded Gaussian JL projection, SRP bit signatures
+- ``projection``       seeded Gaussian JL projection, SRP bit
+  signatures, rerank-free hamming top-k
 """
 
 from polars_matmul_spark.operators.similarity_join import (  # noqa: F401

@@ -42,6 +42,8 @@ __all__ = [
     "srp_band_plan",
     "srp_neardup",
     "projected_topk_rerank",
+    "hamming_expr",
+    "hamming_topk",
 ]
 
 
@@ -496,3 +498,67 @@ def _peek_dim(df: DataFrame, emb_col: str) -> int:
     if not row or row[0][0] is None:
         raise ValueError(f"Cannot infer dimension of '{emb_col}': no non-null rows")
     return len(row[0][0])
+
+
+def hamming_expr(a, b, packed_array: bool = False):
+    """Hamming distance between two packed sign-bit signatures —
+    ``bit_count(a XOR b)``, summed across words when the signatures
+    are ``array<long>`` (``packed_array=True``, the ``srp_neardup``
+    band layout) rather than one BIGINT (the ``srp_bits`` layout).
+    Pure integer Catalyst, engine-portable (DuckDB:
+    ``bit_count(xor(a, b))``)."""
+    from pyspark.sql import functions as F
+
+    if not packed_array:
+        return F.bit_count(a.bitwiseXOR(b)).cast("long")
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda s, d: s + d,
+    )
+
+
+def hamming_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    q_id: str = "query_id",
+    c_id: str = "corpus_id",
+    sig_col: str = "srp_sig",
+) -> DataFrame:
+    """Rerank-free approximate top-k by Hamming distance over packed
+    SRP signatures: (query_id, rank, corpus_id, hamming), ascending
+    distance, corpus-id tiebreak.
+
+    This is the cheapest search in the embedding family: after
+    :func:`srp_bits` the corpus is ONE BIGINT per row (or a few words
+    via the band layout), so the scan is 8-bytes-per-row tight, the
+    distance is two integer instructions, and nothing ever touches
+    the float vectors — the candidate generator for
+    ``projected_topk_rerank``-style exact reranking, or a standalone
+    coarse search when ~n_bits-resolution angular ordering suffices
+    (Charikar 2002: E[hamming] = n_bits * theta / pi).
+
+    Scale shape: queries broadcast into the corpus scan (the corpus
+    never shuffles full-width — only slim (q, c, dist) triples move
+    for the per-query top-k window). Same plan skeleton as
+    ``topk_join_exact``, integer arithmetic instead of float folds.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    packed = dict(corpus.dtypes)[sig_col].startswith("array")
+    q = queries.select(F.col(q_id), F.col(sig_col).alias("__qs"))
+    c = corpus.select(F.col(c_id), F.col(sig_col).alias("__cs"))
+    dist = hamming_expr(F.col("__qs"), F.col("__cs"), packed_array=packed)
+    scored = c.crossJoin(F.broadcast(q)).select(
+        q_id, c_id, dist.alias("hamming")
+    )
+    w = Window.partitionBy(q_id).orderBy(F.asc("hamming"), F.asc(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, "rank", c_id, "hamming")
+    )

@@ -437,3 +437,109 @@ class TestSrpBandPlan:
         assert bits == 20 and nb >= 1
         nb2, bits2 = srp_band_plan(10**6, n_bands=32)
         assert nb2 == 32 and 1 <= bits2 <= 63
+
+
+# --- hamming top-k over packed SRP signatures -------------------------------
+
+
+def test_hamming_topk_matches_numpy_popcount(spark, sf_dir):
+    import numpy as np
+
+    from polars_matmul_spark.operators.projection import hamming_topk, srp_bits
+    from polars_matmul_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    sigs = srp_bits(emb, n_bits=48).select("vec_id", "srp_sig")
+    rows = {r["vec_id"]: r["srp_sig"] for r in sigs.collect()}
+    q = sigs.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    c = sigs.filter(F.col("vec_id") >= 5).withColumnRenamed("vec_id", "corpus_id")
+    got = hamming_topk(q, c, k=7)
+    ids = sorted(rows)
+    for r in got.collect():
+        expect = bin(rows[r["query_id"]] ^ rows[r["corpus_id"]]).count("1")
+        assert r["hamming"] == expect
+    # full ranking oracle for one query
+    q0 = min(ids)
+    oracle = sorted(
+        ((bin(rows[q0] ^ rows[c_]).count("1"), c_) for c_ in ids if c_ >= 5)
+    )[:7]
+    got0 = [
+        (r["hamming"], r["corpus_id"])
+        for r in got.filter(F.col("query_id") == q0).orderBy("rank").collect()
+    ]
+    assert got0 == oracle
+
+
+def test_hamming_topk_replays_in_duckdb(spark):
+    import duckdb
+
+    from polars_matmul_spark.operators.projection import hamming_topk
+
+    rows = [(i, (i * 2654435761) % (1 << 48)) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, srp_sig long")
+    q = df.filter(F.col("vec_id") < 4).withColumnRenamed("vec_id", "query_id")
+    c = df.filter(F.col("vec_id") >= 4).withColumnRenamed("vec_id", "corpus_id")
+    got = sorted(
+        map(tuple, hamming_topk(q, c, k=5).collect())
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE sigs AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {v}::BIGINT)" for i, v in rows)
+        + ") t(vec_id, sig)"
+    )
+    oracle = sorted(
+        map(
+            tuple,
+            con.sql("""
+SELECT query_id, rank, corpus_id, hamming FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         bit_count(xor(q.sig::BIT, c.sig::BIT)) AS hamming,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY bit_count(xor(q.sig::BIT, c.sig::BIT)) ASC,
+                                     c.vec_id ASC) AS rank
+  FROM sigs q JOIN sigs c ON q.vec_id < 4 AND c.vec_id >= 4
+) WHERE rank <= 5
+""").fetchall(),
+        )
+    )
+    assert got == oracle
+
+
+def test_hamming_topk_multiword_and_plan(spark):
+    from polars_matmul_spark.operators.projection import hamming_expr, hamming_topk
+    from polars_matmul_spark.plans.inspect import explain_str, uses_python_worker
+
+    rows = [(i, [i * 7 % 255, i * 13 % 255]) for i in range(32)]
+    df = spark.createDataFrame(rows, "vec_id long, srp_sig array<long>")
+    q = df.filter(F.col("vec_id") < 2).withColumnRenamed("vec_id", "query_id")
+    c = df.filter(F.col("vec_id") >= 2).withColumnRenamed("vec_id", "corpus_id")
+    got = hamming_topk(q, c, k=3)
+    # multi-word distance == popcount over concatenated words
+    vals = {r["vec_id"]: r["srp_sig"] for r in df.collect()}
+    for r in got.collect():
+        a, b = vals[r["query_id"]], vals[r["corpus_id"]]
+        assert r["hamming"] == sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+    plan = explain_str(got, "simple")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert not uses_python_worker(got)
+    with pytest.raises(ValueError):
+        hamming_topk(q, c, k=0)
+
+
+def test_hamming_tracks_angle(spark):
+    # planted near-duplicate must be the hamming-nearest neighbor
+    import numpy as np
+
+    from polars_matmul_spark.operators.projection import hamming_topk, srp_bits
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 64)).astype("float32")
+    dup = base[7] + 0.01 * rng.standard_normal(64).astype("float32")
+    rows = [(i, v.tolist()) for i, v in enumerate(base)] + [(100, dup.tolist())]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sigs = srp_bits(df, n_bits=63).select("vec_id", "srp_sig")
+    q = sigs.filter(F.col("vec_id") == 100).withColumnRenamed("vec_id", "query_id")
+    c = sigs.filter(F.col("vec_id") != 100).withColumnRenamed("vec_id", "corpus_id")
+    [top] = hamming_topk(q, c, k=1).collect()
+    assert top["corpus_id"] == 7
