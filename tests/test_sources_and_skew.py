@@ -7,6 +7,7 @@ through partitioned parquet, JSON, and CSV sinks.
 Skew: salted forms must be row-identical to their unsalted twins.
 """
 
+import pytest
 import os
 import tempfile
 
@@ -174,3 +175,74 @@ def test_unpivot_stack_vs_pivot(spark, sf_dir):
         (r["o_orderpriority"], r["o_orderstatus"], r["n"]) for r in back.collect()
     )
     assert a == b and len(a) > 0
+
+
+# --- quarantine ingestion ----------------------------------------------------
+
+
+def test_jsonl_quarantine_splits_good_and_bad(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from polars_matmul_spark.sources.ingest import read_jsonl_quarantine
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "alpha"}\n'
+        '{"doc_id": 2, "text": "beta"\n'          # truncated JSON
+        '{"doc_id": "not a number", "text": "x"}\n'  # type failure
+        'garbage line\n'
+        '{"doc_id": 4, "text": "delta"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    good, bad = read_jsonl_quarantine(spark, str(p), schema)
+    assert sorted((r["doc_id"], r["text"]) for r in good.collect()) == [
+        (1, "alpha"),
+        (4, "delta"),
+    ]
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 3
+    assert all(r["raw"] and "feed.jsonl" in r["source_file"] for r in bad_rows)
+    # raw text of every rejected line is preserved verbatim
+    assert any("garbage line" in r["raw"] for r in bad_rows)
+
+
+def test_jsonl_quarantine_rejects_reserved_field(spark):
+    from pyspark.sql import types as T
+
+    from polars_matmul_spark.sources.ingest import read_jsonl_quarantine
+
+    schema = T.StructType([T.StructField("__corrupt_record", T.StringType())])
+    with pytest.raises(ValueError):
+        read_jsonl_quarantine(spark, "/nonexistent", schema)
+
+
+def test_csv_quarantine_malformed_rows(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from polars_matmul_spark.sources.ingest import read_csv_quarantine
+
+    p = tmp_path / "feed.csv"
+    p.write_text(
+        "id,score\n"
+        "1,0.5\n"
+        "2,not_a_double\n"
+        "3,0.25\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    good, bad = read_csv_quarantine(spark, str(p), schema)
+    assert sorted((r["id"], r["score"]) for r in good.collect()) == [
+        (1, 0.5),
+        (3, 0.25),
+    ]
+    [b] = bad.collect()
+    assert "not_a_double" in b["raw"]
