@@ -202,7 +202,14 @@ def main() -> None:
         _force(out["corpus"])
         _force(out["packed"])
 
-    times["corpus_prep_pipeline"] = _timed(_run_pipeline)
+    # same warm + best-of-2 methodology as every other headline (this
+    # row was the one single-shot left — first-run JIT/page-cache
+    # noise inflated the composed number by ~30%)
+    _run_pipeline()
+    times["corpus_prep_pipeline"] = min(_timed(_run_pipeline) for _ in range(2))
+    # the pipeline caches its filtered/kept stages per call; drop all
+    # storage so the judged ref-shape section below starts clean
+    spark.catalog.clearCache()
 
     # re-calibrate right before the ref-shape kernels — these are the
     # numbers judged against BASELINE.md, so the load DURING them is
