@@ -144,12 +144,14 @@ def main() -> None:
                 docs.select("doc_id", X.quality_score(F.col("text")).alias("q"))
             )
         )
+        force(D.neardup_pairs_minhash(docs, threshold=0.8))
         row["minhash_lsh"] = timed(
             lambda: force(D.neardup_pairs_minhash(docs, threshold=0.8))
         )
         # round-5: hot-shingle-capped exact jaccard — every posting
         # list bounded at 64 docs, so the candidate join is O(n * cap)
         # even though the UNCAPPED exact form is the quadratic oracle
+        force(D.neardup_pairs_exact(docs, threshold=0.5, max_shingle_docs=64))
         row["jaccard_capped"] = timed(
             lambda: force(
                 D.neardup_pairs_exact(docs, threshold=0.5, max_shingle_docs=64)
@@ -164,6 +166,16 @@ def main() -> None:
         # repartition_to pins parallelism across K (the cached probe
         # corpus has K partitions — without it the 1x row measures one
         # core and the growth conflates partition count with plan cost)
+        # warm first (the semantic_dedup_pairs lesson below: a cold
+        # run in a long-lived probe session pays accumulated-GC and
+        # JIT costs that read as phantom superlinearity — one unwarmed
+        # k=8 winnow read 47s where three isolated runs read 9-14s)
+        force(
+            winnow_dup_pairs(
+                docs, k=20, window=8, min_shared=2, max_hash_docs=64,
+                repartition_to=spark.sparkContext.defaultParallelism,
+            )
+        )
         row["winnow"] = timed(
             lambda: force(
                 winnow_dup_pairs(
@@ -176,6 +188,7 @@ def main() -> None:
                 )
             )
         )
+        force(tf_idf(docs))
         row["tfidf"] = timed(lambda: force(tf_idf(docs)))
         # round-4 pipeline families. Token salting preserves WITHIN-copy
         # line sharing (every doc in copy i carries the same _{i}
@@ -234,6 +247,33 @@ def main() -> None:
             lambda: force(probe_bloom(newb, bloom, "fp", m_bits, kh))
         )
         bloom.unpersist()
+        # round-6: Count-Min sketch — build on half the corpus, look up
+        # the other half's line hashes; counter table FIXED at
+        # depth x width no matter what K is, so both walls must grow
+        # linearly (build: one explode + bounded-key partial agg;
+        # lookup: broadcast join)
+        from polars_matmul_spark.operators.cms import build_cms, cms_lookup
+
+        cw, cd = 8192, 5
+        force(build_cms(hist, "fp", cw, cd))
+        row["cms_build"] = timed(lambda: force(build_cms(hist, "fp", cw, cd)))
+        cms = build_cms(hist, "fp", cw, cd).cache()
+        cms.count()
+        force(cms_lookup(newb, cms, "fp", cw, cd))
+        row["cms_lookup"] = timed(
+            lambda: force(cms_lookup(newb, cms, "fp", cw, cd))
+        )
+        cms.unpersist()
+        # round-6: weighted priority sample — priorities are row-local,
+        # the top-k is per-partition heaps + one k-row merge
+        # (TakeOrderedAndProject), so the wall tracks the scan
+        from polars_matmul_spark.operators.sampling import priority_sample
+
+        wdocs = docs.select("doc_id", F.length("text").alias("w"))
+        force(priority_sample(wdocs, "doc_id", 100, "w"))
+        row["priority_sample"] = timed(
+            lambda: force(priority_sample(wdocs, "doc_id", 100, "w"))
+        )
         print(json.dumps(row))
         docs.unpersist()
 
@@ -352,6 +392,19 @@ def main() -> None:
 
         force(srp_neardup(emb, threshold=0.95))
         row["srp_neardup"] = timed(lambda: force(srp_neardup(emb, threshold=0.95)))
+        # round-6: hamming top-k over packed SRP signatures — 20 fixed
+        # queries broadcast against the Kx signature scan (8 bytes per
+        # corpus row); integer distance, per-query window top-k over
+        # slim triples: the wall must track the scan linearly
+        from polars_matmul_spark.operators.projection import hamming_topk, srp_bits
+
+        sigs = srp_bits(emb, n_bits=48).select("vec_id", "srp_sig").cache()
+        sigs.count()
+        hq = sigs.limit(20).withColumnRenamed("vec_id", "query_id")
+        hc = sigs.withColumnRenamed("vec_id", "corpus_id")
+        force(hamming_topk(hq, hc, k=10))
+        row["hamming_topk"] = timed(lambda: force(hamming_topk(hq, hc, k=10)))
+        sigs.unpersist()
         # round-5: contrastive mining — 20 fixed queries against the
         # Kx corpus; exact scoring is 20 x n pairs (linear in K), and
         # per-query depth means the one heavy-positive query below
