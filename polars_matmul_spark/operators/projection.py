@@ -330,11 +330,19 @@ def srp_neardup(
             [([[float(x) for x in row] for row in P],)],
             "__P array<array<double>>",
         )
-        e = F.col(emb_col).cast("array<double>")
+        # promote per ELEMENT inside the lambda rather than casting the
+        # whole array up front: an array-level cast expression would
+        # sit inside the interpreted transform over __P and re-allocate
+        # a d-element double array once per projection row (the
+        # shared-subexpression HOF trap, and CollapseProject inlines
+        # single-use aliases so staging alone cannot prevent it);
+        # (double)x * y is bit-identical arithmetic with zero extra
+        # allocations
+        e = F.col(emb_col)
         dots = F.transform(
             F.col("__P"),
             lambda row: F.aggregate(
-                F.zip_with(e, row, lambda x, y: x * y),
+                F.zip_with(e, row, lambda x, y: x.cast("double") * y),
                 F.lit(0.0),
                 lambda s, x: s + x,
             ),

@@ -80,8 +80,16 @@ def winnow_hash_cap(n_rows: int, candidate_factor: int = 16) -> int:
 
 def _resolve_hash_cap(df: DataFrame, max_hash_docs) -> int | None:
     """'auto' (the default) -> :func:`winnow_hash_cap` of the corpus
-    row count (a parquet count(*) is metadata-only — no data scan);
-    None is the explicit unbounded opt-out; an int passes through."""
+    row count; None is the explicit unbounded opt-out; an int passes
+    through.
+
+    NOTE: 'auto' makes the call EAGER — ``df.count()`` runs a Spark
+    job at construction time (a zero-column scan: cheap over parquet,
+    a full pass over derived/filtered inputs). Callers that know the
+    size, build repeatedly over the same frame, or must stay lazy
+    should resolve :func:`winnow_hash_cap` once themselves and pass
+    the int (the streaming ingest does exactly this — one count per
+    micro-batch, threaded into both its stages)."""
     if max_hash_docs == "auto":
         return winnow_hash_cap(df.count())
     return max_hash_docs

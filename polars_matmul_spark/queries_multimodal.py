@@ -153,7 +153,15 @@ def _decoded_stats(spark, sf_dir):
 
     from polars_matmul_spark.operators.multimodal import decoded_asset_stats
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    # normalize non-ASCII to '?' in the PLAN (and identically in the
+    # oracle's base CTE) so the byte arithmetic both engines replay is
+    # defined on the same codepoints — the Python-side
+    # encode('ascii','replace') below then never changes anything, and
+    # the bit-exact comparison survives a future SF with non-ASCII text
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.regexp_replace("text", "[^\\x00-\\x7F]", "?").alias("text"),
+    )
 
     def encode(batches):
         for pdf in batches:
@@ -192,9 +200,12 @@ def _decoded_stats(spark, sf_dir):
 
 
 _DECODED_STATS_ORACLE = """
-WITH base AS (
-  SELECT doc_id AS asset_id, text, length(text) AS n, doc_id % 3 AS r
+WITH norm AS (
+  SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g') AS text
   FROM documents
+), base AS (
+  SELECT doc_id AS asset_id, text, length(text) AS n, doc_id % 3 AS r
+  FROM norm
 ), wavpos AS (
   SELECT asset_id, unnest(range(1, n + 1)) AS i, text
   FROM base WHERE r = 0 AND n >= 2

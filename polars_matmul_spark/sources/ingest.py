@@ -110,7 +110,10 @@ def read_csv_quarantine(
     opts.update(options)
     raw = _raw_lines(spark, path)
     if header:
-        sep = options.get("sep", ",")
+        # from_csv honors both 'sep' and its 'delimiter' alias — the
+        # header-drop filter must render the header with whichever one
+        # the caller used, or every file's header would land in `bad`
+        sep = options.get("sep") or options.get("delimiter") or ","
         raw = raw.filter(F.col("raw") != sep.join(schema.fieldNames()))
     parsed = F.from_csv(F.col("raw"), full.simpleString(), opts)
     return _split_parsed(raw, parsed, schema.fieldNames())

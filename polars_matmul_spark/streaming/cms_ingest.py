@@ -85,7 +85,9 @@ def cms_strip_ingest_batch(
     prior = _read_or_empty(spark, cms_dir, _CMS_SCHEMA)
     if "epoch" in prior.columns:
         prior = prior.filter(F.col("epoch") != epoch_id).select("row", "col", "n")
-    merged = merge_cms(prior, own) if prior.limit(1).count() > 0 else own
+    # unconditional merge: union+sum over an empty prior IS own's
+    # counters — a non-empty guard would cost an extra job per batch
+    merged = merge_cms(prior, own)
 
     cleaned = strip_frequent_lines_cms(
         batch.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),

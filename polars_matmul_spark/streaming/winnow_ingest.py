@@ -72,8 +72,15 @@ def winnow_ingest_batch(
     docs to ``corpus_dir/epoch=N`` and their fingerprint index rows to
     ``index_dir/epoch=N``. ``max_hash_docs`` default "auto" derives
     the per-fingerprint doc-frequency cap from the batch size
-    (operators/winnow.py::winnow_hash_cap); None opts out."""
+    (operators/winnow.py::winnow_hash_cap); None opts out. The cap is
+    resolved ONCE here and threaded into BOTH the within-batch
+    collapse and the index build — one count job per batch, and an
+    explicit value (or the None opt-out) reaches every stage."""
+    from polars_matmul_spark.operators.winnow import winnow_hash_cap
+
     batch = batch_df.localCheckpoint(eager=True)
+    if max_hash_docs == "auto":
+        max_hash_docs = winnow_hash_cap(batch.count())
 
     # 1. within-batch collapse, chains included: connected components
     # over the overlap pairs, lowest id of each cluster survives —
@@ -82,7 +89,7 @@ def winnow_ingest_batch(
     from polars_matmul_spark.operators.dedup import keep_canonical
 
     pairs = winnow_dup_pairs(
-        batch, k, window, min_shared, text_col, id_col
+        batch, k, window, min_shared, text_col, id_col, max_hash_docs
     )
     if pairs.limit(1).count() > 0:
         batch = keep_canonical(batch, pairs, id_col=id_col).drop("group_size")

@@ -367,3 +367,39 @@ class TestRealDecoders:
         ys = np.linspace(0, 7, 4).astype(np.int64)
         xs = np.linspace(0, 5, 3).astype(np.int64)
         assert np.array_equal(got, img[ys[:, None], xs[None, :]])
+
+
+def test_decoded_stats_row_survives_non_ascii_text(spark, tmp_path):
+    # the registry row's encoder uses encode('ascii','replace') while
+    # the DuckDB oracle reads codepoints — both sides now normalize
+    # non-ASCII to '?' first, so the bit-exact comparison survives a
+    # future SF with accented/emoji text (incl. surrogate pairs)
+    import duckdb
+
+    from polars_matmul_spark.registry import ALL_QUERIES
+
+    fn, oracle = ALL_QUERIES["mm_decoded_stats"]
+    rows = [
+        (0, "héllo wörld " * 20),
+        (1, "naïve café ü " * 30),
+        (2, "plain ascii " * 25),
+        (3, "emoji \U0001F600 mix " * 15),
+        (4, "ascii again " * 40),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    s = fn(spark, str(tmp_path)).toPandas()
+    d = con.sql(oracle).df()
+    s = s.reindex(sorted(s.columns), axis=1).sort_values(
+        sorted(s.columns)
+    ).reset_index(drop=True)
+    d = d.reindex(sorted(d.columns), axis=1).sort_values(
+        sorted(d.columns)
+    ).reset_index(drop=True)
+    assert s.equals(d.astype(s.dtypes.to_dict()))

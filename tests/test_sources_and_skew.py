@@ -246,3 +246,26 @@ def test_csv_quarantine_malformed_rows(spark, tmp_path):
     ]
     [b] = bad.collect()
     assert "not_a_double" in b["raw"]
+
+
+def test_csv_quarantine_honors_delimiter_alias(spark, tmp_path):
+    # from_csv accepts both sep= and delimiter=; the header-drop filter
+    # must render the header with whichever the caller used
+    from pyspark.sql import types as T
+
+    from polars_matmul_spark.sources.ingest import read_csv_quarantine
+
+    p = tmp_path / "feed.csv"
+    p.write_text("id;score\n1;0.5\n2;0.25\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    good, bad = read_csv_quarantine(spark, str(p), schema, delimiter=";")
+    assert sorted((r["id"], r["score"]) for r in good.collect()) == [
+        (1, 0.5),
+        (2, 0.25),
+    ]
+    assert bad.count() == 0  # the header must NOT land in quarantine

@@ -106,3 +106,22 @@ class TestWinnowIngest:
             for r in spark.read.parquet(corpus_dir).collect()
         )
         assert after == before
+
+
+def test_ingest_cap_threads_into_within_batch_collapse(spark, tmp_path):
+    # max_hash_docs must reach BOTH stages: with the cap disabled
+    # (None), a batch whose duplicates share only a ubiquitous
+    # fingerprint still collapses; the "auto"/int paths resolve once
+    # per batch instead of re-counting per stage
+    from polars_matmul_spark.streaming.winnow_ingest import winnow_ingest_batch
+
+    boiler = "0123456789abcdef" * 4  # one long shared span
+    rows = [(i, boiler) for i in range(6)]  # 6 exact-span duplicates
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    idx, corp = str(tmp_path / "idx"), str(tmp_path / "corp")
+    winnow_ingest_batch(
+        spark, batch, 0, idx, corp, k=8, window=4, max_hash_docs=None
+    )
+    acc = spark.read.parquet(corp)
+    # all six share every fingerprint -> one canonical survivor
+    assert acc.count() == 1 and acc.first()["doc_id"] == 0
