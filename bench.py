@@ -101,7 +101,6 @@ def main() -> None:
         "matmul_flatten",
         "embedding_neardup_cosine",
         "sessionize_events",
-        "event_hourly_windows",
         "token_counts",
         "gopher_quality",
         "neardup_ngram_jaccard",
@@ -109,9 +108,7 @@ def main() -> None:
         "simhash_fingerprint",
         "exact_dedup_docs",
         "ann_ivf_topk",
-        "cube_sales",
         "zorder_keys",
-        "mm_byte_histogram",
         # round-4 corpus-pipeline families
         "line_dedup_strip",
         "quality_model_score",
@@ -134,6 +131,13 @@ def main() -> None:
         "funnel_user_levels_windowed",
         "ivfpq_adc_topk",
         "mm_decoded_stats",
+        # round-6 second rotation: CMS, weighted sampling, Hamming
+        # search (cube_sales / event_hourly_windows / mm_byte_histogram
+        # left the registry with that rotation)
+        "cms_word_counts",
+        "cms_line_dedup",
+        "priority_sample_docs",
+        "hamming_topk_srp",
     ]
     # best-of-2 per query: the round-2 bench recorded 2-6x phantom
     # regressions that two idle reruns traced to transient machine load

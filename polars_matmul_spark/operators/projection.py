@@ -40,6 +40,7 @@ __all__ = [
     "random_project",
     "srp_bits",
     "srp_band_plan",
+    "srp_signature",
     "srp_neardup",
     "projected_topk_rerank",
     "hamming_expr",
@@ -230,6 +231,114 @@ def srp_band_plan(
     return nb, _bits(nb)
 
 
+def srp_signature(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_bands: int = 16,
+    band_bits: int = 12,
+    seed: int = 7,
+    out_col: str = "srp_sig",
+    catalyst: bool = False,
+) -> DataFrame:
+    """(id, ``out_col`` array<long>) — the banded SRP sign signature:
+    ``n_bands`` independent blocks of ``band_bits`` sign bits of one
+    seeded Gaussian projection, each block packed into its own int64.
+
+    This is the shared signature pass behind :func:`srp_neardup`
+    (band equi-join blocking) and :func:`hamming_topk` (multi-word
+    Hamming ranking) — build it once, persist it as its own dataset,
+    and both consumers scan 8*n_bands bytes per row instead of the
+    float vectors.
+
+    ``catalyst=True`` computes the SAME sign bits with the
+    sequential-f64 fold expression and the projection matrix riding
+    as broadcast DATA — bit-identical to DuckDB's
+    ``list_dot_product`` on DOUBLE[], so external engines replay the
+    signature exactly (the oracle-parity form). Default is the f32
+    Arrow batch GEMM (the throughput form; a measure-zero sign flip
+    near 0 is possible under f32 reassociation).
+
+    Row-local in both forms: no shuffle, all other plans unchanged.
+    """
+    from pyspark.sql import functions as F
+
+    if not 1 <= band_bits <= 63:
+        raise ValueError("band_bits must be in [1, 63] (one int64 per band)")
+    if n_bands < 1:
+        raise ValueError(f"n_bands must be positive, got {n_bands}")
+    in_dim = _peek_dim(df, emb_col)
+    P = gaussian_matrix(in_dim, n_bands * band_bits, seed)
+    weights = 1 << np.arange(band_bits, dtype=np.int64)
+
+    def emit(Y, pa):
+        bits = (Y > 0).astype(np.int64)
+        # (n, n_bands, band_bits) -> one packed int64 per band
+        vals = bits.reshape(len(bits), n_bands, band_bits) @ weights
+        flat = pa.array(vals.ravel(), type=pa.int64())
+        offs = pa.array(
+            np.arange(0, (len(bits) + 1) * n_bands, n_bands, dtype=np.int32),
+            type=pa.int32(),
+        )
+        return pa.ListArray.from_arrays(offs, flat)
+
+    if catalyst:
+        # the projection matrix rides as DATA (one broadcast row), not
+        # as plan literals: n_bands*band_bits separate fold-dots with
+        # 64-literal rows made Catalyst spend ~2 s PLANNING the
+        # signature pass (optimizer passes over a ~2048-leaf tree —
+        # a 10-row LIMIT took the same wall as the full table), which
+        # dominated the whole query at bench scale. One nested
+        # transform over the broadcast matrix keeps the tree tiny and
+        # is bit-identical: each dot is the same sequential f64 fold
+        # (== DuckDB list_dot_product), measured 2.3x faster end to
+        # end at sf0.01. The per-dot fold stays interpreted either
+        # way (nested HOFs never codegen), so only plan size changes.
+        mat = df.sparkSession.createDataFrame(
+            [([[float(x) for x in row] for row in P],)],
+            "__P array<array<double>>",
+        )
+        # promote per ELEMENT inside the lambda rather than casting the
+        # whole array up front: an array-level cast expression would
+        # sit inside the interpreted transform over __P and re-allocate
+        # a d-element double array once per projection row (the
+        # shared-subexpression HOF trap, and CollapseProject inlines
+        # single-use aliases so staging alone cannot prevent it);
+        # (double)x * y is bit-identical arithmetic with zero extra
+        # allocations
+        e = F.col(emb_col)
+        dots = F.transform(
+            F.col("__P"),
+            lambda row: F.aggregate(
+                F.zip_with(e, row, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            ),
+        )
+        # __dots is expensive and referenced n_bands*band_bits times
+        # below — the select boundary keeps CollapseProject from
+        # inlining it per reference (the winnow __hs discipline)
+        staged = df.crossJoin(F.broadcast(mat)).select(
+            F.col(id_col), dots.alias("__dots")
+        )
+        d = F.col("__dots")
+        band_exprs = []
+        for b in range(n_bands):
+            val = F.lit(0).cast("long")
+            for j in range(band_bits):
+                val = val + F.when(
+                    d[b * band_bits + j] > 0, F.lit(1 << j)
+                ).otherwise(F.lit(0)).cast("long")
+            band_exprs.append(val)
+        return staged.select(F.col(id_col), F.array(*band_exprs).alias(out_col))
+    field = T.StructField(
+        out_col, T.ArrayType(T.LongType(), containsNull=False), False
+    )
+    return _project_arrow(
+        df.select(id_col, emb_col), emb_col, P, out_col, emit, field
+    )
+
+
 def srp_neardup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -299,79 +408,16 @@ def srp_neardup(
         n_bands, band_bits = srp_band_plan(n_rows, n_bands, band_bits)
     if not 1 <= band_bits <= 63:
         raise ValueError("band_bits must be in [1, 63] (one int64 per band)")
-    in_dim = _peek_dim(df, emb_col)
-    P = gaussian_matrix(in_dim, n_bands * band_bits, seed)
-    weights = 1 << np.arange(band_bits, dtype=np.int64)
-
-    def emit(Y, pa):
-        bits = (Y > 0).astype(np.int64)
-        # (n, n_bands, band_bits) -> one packed int64 per band
-        vals = bits.reshape(len(bits), n_bands, band_bits) @ weights
-        flat = pa.array(vals.ravel(), type=pa.int64())
-        offs = pa.array(
-            np.arange(0, (len(bits) + 1) * n_bands, n_bands, dtype=np.int32),
-            type=pa.int32(),
-        )
-        return pa.ListArray.from_arrays(offs, flat)
-
-    if catalyst_signature:
-        # the projection matrix rides as DATA (one broadcast row), not
-        # as plan literals: n_bands*band_bits separate fold-dots with
-        # 64-literal rows made Catalyst spend ~2 s PLANNING the
-        # signature pass (optimizer passes over a ~2048-leaf tree —
-        # a 10-row LIMIT took the same wall as the full table), which
-        # dominated the whole query at bench scale. One nested
-        # transform over the broadcast matrix keeps the tree tiny and
-        # is bit-identical: each dot is the same sequential f64 fold
-        # (== DuckDB list_dot_product), measured 2.3x faster end to
-        # end at sf0.01. The per-dot fold stays interpreted either
-        # way (nested HOFs never codegen), so only plan size changes.
-        mat = df.sparkSession.createDataFrame(
-            [([[float(x) for x in row] for row in P],)],
-            "__P array<array<double>>",
-        )
-        # promote per ELEMENT inside the lambda rather than casting the
-        # whole array up front: an array-level cast expression would
-        # sit inside the interpreted transform over __P and re-allocate
-        # a d-element double array once per projection row (the
-        # shared-subexpression HOF trap, and CollapseProject inlines
-        # single-use aliases so staging alone cannot prevent it);
-        # (double)x * y is bit-identical arithmetic with zero extra
-        # allocations
-        e = F.col(emb_col)
-        dots = F.transform(
-            F.col("__P"),
-            lambda row: F.aggregate(
-                F.zip_with(e, row, lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
-                lambda s, x: s + x,
-            ),
-        )
-        # __dots is expensive and referenced n_bands*band_bits times
-        # below — the select boundary keeps CollapseProject from
-        # inlining it per reference (the winnow __hs discipline)
-        staged = df.crossJoin(F.broadcast(mat)).select(
-            F.col(id_col), dots.alias("__dots")
-        )
-        d = F.col("__dots")
-        band_exprs = []
-        for b in range(n_bands):
-            val = F.lit(0).cast("long")
-            for j in range(band_bits):
-                val = val + F.when(
-                    d[b * band_bits + j] > 0, F.lit(1 << j)
-                ).otherwise(F.lit(0)).cast("long")
-            band_exprs.append(val)
-        sig = staged.select(
-            F.col(id_col), F.array(*band_exprs).alias("__bands")
-        )
-    else:
-        field = T.StructField(
-            "__bands", T.ArrayType(T.LongType(), containsNull=False), False
-        )
-        sig = _project_arrow(
-            df.select(id_col, emb_col), emb_col, P, "__bands", emit, field
-        )
+    sig = srp_signature(
+        df,
+        id_col=id_col,
+        emb_col=emb_col,
+        n_bands=n_bands,
+        band_bits=band_bits,
+        seed=seed,
+        out_col="__bands",
+        catalyst=catalyst_signature,
+    )
     # materialize the slim signature frame (id + n_bands longs) ONCE:
     # it feeds BOTH sides of the band self-join, and the duplicated
     # subplan would otherwise re-run the projection per side (measured

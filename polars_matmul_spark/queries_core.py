@@ -1380,7 +1380,11 @@ CORE_QUERIES: dict[str, tuple] = {
     # similarity surface
     "topk_cosine": _make_topk("cosine"),
     "topk_kernel_cosine": (_topk_kernel, _topk_kernel_oracle()),
-    "topk_euclidean": _make_topk("euclidean"),
+    # topk_euclidean rotated out in round 6 (the euclidean metric stays
+    # pytest-gated in test_kernels/test_similarity_functions and its
+    # exact value comparison moves to test_oracle_parity's
+    # rotated-query gate) so the CMS/sampling/Hamming families get
+    # driver rows in queries_datapipe:
     "matmul_flatten": (_matmul_flatten_scores, _MATMUL_FLATTEN_ORACLE),
     "matmul_nested": (_matmul_nested_scores, _MATMUL_NESTED_ORACLE),
     "embedding_neardup_cosine": (_embedding_neardup, _EMBEDDING_NEARDUP_ORACLE),
@@ -1392,8 +1396,12 @@ CORE_QUERIES: dict[str, tuple] = {
     "q5_local_supplier": (_q5, _Q5_ORACLE),
     "top_suppliers_per_nation": (_top_suppliers, _TOP_SUPPLIERS_ORACLE),
     "sessionize_events": (_sessionize, _SESSIONIZE_ORACLE),
-    "event_hourly_windows": (_event_hourly, _EVENT_HOURLY_ORACLE),
-    "cube_sales": (_cube_sales, _CUBE_SALES_ORACLE),
+    # event_hourly_windows and cube_sales rotated out in round 6
+    # (tumbling windows stay driver-gated through hypertable_rollup
+    # and the stream==batch pytests; GROUPING SETS stay pinned in
+    # test_window_breadth; both keep exact value comparisons in the
+    # rotated-query gate) — slots freed for the round-6 second
+    # rotation in queries_datapipe:
     # moving_avg_revenue rotated out late in round 5 (the sliding ROWS
     # frame keeps its exact oracle comparison in test_oracle_parity's
     # rotated-query gate; window functions stay driver-gated via

@@ -749,6 +749,272 @@ SELECT query_id, rank, corpus_id, score FROM ranked WHERE rank <= {_HN_K}
 """
 
 
+# --- Count-Min sketch: bounded per-key frequency service -------------------
+#
+# Round-6 second rotation target #1: the CMS family gets an end-to-end
+# driver row — build the counter table over the word-BIGRAM stream
+# (bigrams, not unigrams: the synthetic vocab is ~31 words, which
+# would leave the 1024-wide sketch collision-free and the min-fold
+# untested; ~900 distinct bigrams at sf0.01 / ~10x more at sf0.1 give
+# real collision mass), then estimate EVERY distinct bigram's count
+# through the broadcast lookup. The md5 double-hashing (bloom.py's
+# Kirsch-Mitzenmacher scheme) is engine-portable, so DuckDB replays
+# the sketch — counters, probe positions, and the min-fold —
+# bit-for-bit at ANY scale: collisions replay identically, nothing
+# depends on corpus statistics. (The counter table alone is replayed
+# bit-for-bit in test_cms.py; the one-sided error guarantee is
+# pytest-gated there too.)
+
+_CMS_W, _CMS_D = 1024, 4
+
+
+def _cms_word_counts(spark, sf_dir):
+    from polars_matmul_spark.operators.cms import build_cms, cms_lookup
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.split(F.trim("text"), r"\s+").alias("a")).filter(
+        F.size("a") >= 2
+    )
+    words = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("a") - 2),
+                lambda i: F.concat_ws(" ", F.col("a")[i], F.col("a")[i + 1]),
+            )
+        ).alias("word")
+    )
+    cms = build_cms(words, "word", _CMS_W, _CMS_D)
+    return cms_lookup(words.distinct(), cms, "word", _CMS_W, _CMS_D)
+
+
+_CMS_WORD_ORACLE = f"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS a FROM documents
+), t2 AS (
+  SELECT a FROM toks WHERE len(a) >= 2
+), idx AS (
+  SELECT a, unnest(range(1, len(a))) AS i FROM t2
+), w2 AS (
+  SELECT a[i] || ' ' || a[i + 1] AS word FROM idx
+), h AS (
+  SELECT word,
+         ('0x' || substr(md5(word), 1, 12))::BIGINT AS h1,
+         ('0x' || substr(md5(word), 13, 12))::BIGINT * 2 + 1 AS h2
+  FROM w2
+), p AS (
+  SELECT r.range AS row, (h1 + r.range * h2) % {_CMS_W} AS col
+  FROM h CROSS JOIN range(0, {_CMS_D}) r
+), cnt AS (
+  SELECT row, col, COUNT(*) AS n FROM p GROUP BY row, col
+), keys AS (
+  SELECT DISTINCT word FROM w2
+), kh AS (
+  SELECT word,
+         ('0x' || substr(md5(word), 1, 12))::BIGINT AS h1,
+         ('0x' || substr(md5(word), 13, 12))::BIGINT * 2 + 1 AS h2
+  FROM keys
+), kp AS (
+  SELECT word, r.range AS row, (h1 + r.range * h2) % {_CMS_W} AS col
+  FROM kh CROSS JOIN range(0, {_CMS_D}) r
+)
+SELECT kp.word, MIN(coalesce(cnt.n, 0)) AS est_count
+FROM kp LEFT JOIN cnt ON kp.row = cnt.row AND kp.col = cnt.col
+GROUP BY kp.word
+"""
+
+
+# --- CMS-backed CCNet line dedup (bounded incremental state) ---------------
+#
+# Round-6 second rotation target #2: the bounded-state line-dedup path
+# gets its own driver row. Unlike the exact line_dedup_strip row (the
+# frequent set comes from a count-distinct over every line hash), the
+# state here is the depth x width counter table — the form a streaming
+# or 100 TB incremental pipeline actually persists. The oracle replays
+# the SKETCH itself (distinct-per-doc inserts -> md5 double-hash
+# counters -> min-fold estimates -> strip >= min_docs), so the
+# comparison is bit-for-bit at any SF regardless of counter collisions
+# (collisions replay identically in both engines); equality with the
+# EXACT operator when generously sized stays pinned in test_cms.py.
+
+_CLD_W, _CLD_D, _CLD_MIN = 8192, 5, 2
+
+
+def _cms_line_dedup(spark, sf_dir):
+    from polars_matmul_spark.operators.linededup import (
+        build_line_cms,
+        strip_frequent_lines_cms,
+    )
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.regexp_replace("text", " ", "\n")
+    )
+    cms = build_line_cms(docs, _CLD_W, _CLD_D)
+    return strip_frequent_lines_cms(docs, cms, _CLD_W, _CLD_D, min_docs=_CLD_MIN)
+
+
+_CMS_LINE_DEDUP_ORACLE = rf"""
+WITH d AS (
+  SELECT doc_id, replace(text, ' ', chr(10)) AS text FROM documents
+), occ AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM d
+), hashed AS (
+  SELECT doc_id, pos, line,
+         md5(regexp_replace(lower(trim(line)), '\s+', ' ', 'g')) AS h,
+         trim(line) = '' AS is_blank
+  FROM occ
+), ins AS (
+  SELECT DISTINCT doc_id, h FROM hashed WHERE NOT is_blank
+), hh AS (
+  SELECT ('0x' || substr(md5(h), 1, 12))::BIGINT AS h1,
+         ('0x' || substr(md5(h), 13, 12))::BIGINT * 2 + 1 AS h2
+  FROM ins
+), p AS (
+  SELECT r.range AS row, (h1 + r.range * h2) % {_CLD_W} AS col
+  FROM hh CROSS JOIN range(0, {_CLD_D}) r
+), cnt AS (
+  SELECT row, col, COUNT(*) AS n FROM p GROUP BY row, col
+), keys AS (
+  SELECT DISTINCT h FROM hashed
+), kh AS (
+  SELECT h,
+         ('0x' || substr(md5(h), 1, 12))::BIGINT AS h1,
+         ('0x' || substr(md5(h), 13, 12))::BIGINT * 2 + 1 AS h2
+  FROM keys
+), kp AS (
+  SELECT h, r.range AS row, (h1 + r.range * h2) % {_CLD_W} AS col
+  FROM kh CROSS JOIN range(0, {_CLD_D}) r
+), est AS (
+  SELECT kp.h, MIN(coalesce(cnt.n, 0)) AS est
+  FROM kp LEFT JOIN cnt ON kp.row = cnt.row AND kp.col = cnt.col
+  GROUP BY kp.h
+), marked AS (
+  SELECT hashed.doc_id, pos, line,
+         (est.est >= {_CLD_MIN}) AND NOT is_blank AS dropped
+  FROM hashed JOIN est ON hashed.h = est.h
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN NOT dropped THEN line END, chr(10)
+                           ORDER BY pos), '') AS text,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_stripped
+FROM marked GROUP BY doc_id
+"""
+
+
+# --- deterministic weighted sampling (Efraimidis-Spirakis) -----------------
+#
+# Round-6 second rotation target #3: priority_sample's exactly-k
+# weighted subset is a pure function of row identity (md5-derived
+# uniform -> ln(u)/w priority -> top-k with id tiebreak), so DuckDB
+# picks the EXACT same rows. Weight = document length in chars.
+
+_PS_K = 100
+
+
+def _priority_sample_docs(spark, sf_dir):
+    from polars_matmul_spark.operators.sampling import priority_sample
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("long").alias("weight")
+    )
+    return priority_sample(docs, "doc_id", _PS_K, "weight")
+
+
+_PRIORITY_SAMPLE_ORACLE = f"""
+SELECT doc_id, CAST(length(text) AS BIGINT) AS weight FROM (
+  SELECT doc_id, text,
+         ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT + 0.5)
+            / 281474976710656.0) / length(text) AS pri
+  FROM documents WHERE length(text) > 0
+) ORDER BY pri DESC, doc_id ASC LIMIT {_PS_K}
+"""
+
+
+# --- Hamming top-k over packed SRP signatures ------------------------------
+#
+# Round-6 second rotation target #4: the rerank-free integer search
+# gets a driver row. Signatures come from srp_signature's catalyst
+# form (sequential-f64 fold == DuckDB list_dot_product — the
+# established parity property), so the sign-pack, the multi-word
+# popcount distance and the per-query ranking all replay exactly.
+
+_HAM_BANDS, _HAM_BITS, _HAM_NQ, _HAM_K = 4, 12, 25, 10
+
+
+def _hamming_topk_srp(spark, sf_dir):
+    from polars_matmul_spark.operators.projection import (
+        hamming_topk,
+        srp_signature,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    # one signature pass feeds both join sides (the srp_neardup
+    # materialize-once discipline)
+    sig = srp_signature(
+        emb,
+        id_col="vec_id",
+        emb_col="embedding",
+        n_bands=_HAM_BANDS,
+        band_bits=_HAM_BITS,
+        seed=_SRP_SEED,
+        catalyst=True,
+    ).localCheckpoint(eager=False)
+    q = sig.filter(F.col("vec_id") < _HAM_NQ).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    c = sig.filter(F.col("vec_id") >= _HAM_NQ).withColumnRenamed(
+        "vec_id", "corpus_id"
+    )
+    out = hamming_topk(q, c, k=_HAM_K)
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "corpus_id", "hamming"
+    )
+
+
+def _hamming_oracle() -> str:
+    from polars_matmul_spark.operators.projection import gaussian_matrix
+
+    P = gaussian_matrix(_SRP_DIM, _HAM_BANDS * _HAM_BITS, _SRP_SEED)
+
+    def lit(row):
+        return "[" + ", ".join(repr(float(x)) for x in row) + "]"
+
+    band_cols = []
+    for b in range(_HAM_BANDS):
+        terms = [
+            f"(CASE WHEN list_dot_product(e, {lit(P[b * _HAM_BITS + j])}) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(_HAM_BITS)
+        ]
+        band_cols.append("CAST(" + " + ".join(terms) + f" AS BIGINT) AS b{b}")
+    ham = " + ".join(
+        f"bit_count(xor(q.b{b}::BIT, c.b{b}::BIT))" for b in range(_HAM_BANDS)
+    )
+    return f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), sig AS (
+  SELECT vec_id, {", ".join(band_cols)} FROM emb
+), q AS (SELECT * FROM sig WHERE vec_id < {_HAM_NQ}),
+c AS (SELECT * FROM sig WHERE vec_id >= {_HAM_NQ}),
+d AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         CAST({ham} AS BIGINT) AS hamming
+  FROM q CROSS JOIN c
+), r AS (
+  SELECT query_id, corpus_id, hamming,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY hamming ASC, corpus_id ASC) AS rank
+  FROM d
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, corpus_id, hamming
+FROM r WHERE rank <= {_HAM_K}
+"""
+
+
 DATAPIPE_QUERIES: dict[str, tuple] = {
     "line_dedup_strip": (_line_dedup_strip, _LINE_DEDUP_ORACLE),
     "quality_model_score": (_quality_model_score, _quality_oracle()),
@@ -775,4 +1041,16 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     # machinery stays driver-gated end-to-end through bm25_search and
     # exact in the rotated-query pytest gate):
     "ivfpq_adc_topk": (_ivfpq_adc_topk, _IVFPQ_ORACLE),
+    # round-6 second rotation (registry stays at the 50-slot cap):
+    # topk_euclidean, cube_sales and event_hourly_windows rotate out of
+    # queries_core and mm_byte_histogram out of queries_multimodal
+    # (each multiply covered — euclidean kernels, GROUPING SETS,
+    # tumbling windows and the vectorized-decode family all stay
+    # pytest- and sibling-row-gated; exact value comparisons move to
+    # test_oracle_parity's rotated-query gate) so the CMS, weighted-
+    # sampling and Hamming-search families get driver rows:
+    "cms_word_counts": (_cms_word_counts, _CMS_WORD_ORACLE),
+    "cms_line_dedup": (_cms_line_dedup, _CMS_LINE_DEDUP_ORACLE),
+    "priority_sample_docs": (_priority_sample_docs, _PRIORITY_SAMPLE_ORACLE),
+    "hamming_topk_srp": (_hamming_topk_srp, _hamming_oracle()),
 }

@@ -256,7 +256,10 @@ MULTIMODAL_QUERIES: dict[str, tuple] = {
     # pytest gate and tests/test_multimodal.py) so the REAL-decoder
     # path gets the driver row below:
     "mm_decoded_stats": (_decoded_stats, _DECODED_STATS_ORACLE),
-    "mm_byte_histogram": (_byte_histogram, _duck_histogram_oracle()),
+    # mm_byte_histogram rotated out in round 6 (the vectorized-decode
+    # family keeps its driver row via mm_decoded_stats — the REAL
+    # decoder path — and the histogram keeps its exact value
+    # comparison in the rotated-query gate):
     # mm_pixel_stats rotated out in round 5 (same vectorized-decode
     # family as mm_byte_histogram, which stays; the function remains
     # above, importable and pinned by tests/test_multimodal.py) so the

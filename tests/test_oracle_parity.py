@@ -134,6 +134,12 @@ def _rotated_queries():
         ),
         "mm_asset_meta": (qm._asset_meta, qm._ASSET_META_ORACLE),
         "tfidf_weights": (qp._tfidf_weights, qp._TFIDF_ORACLE),
+        # round-6 second rotation: four slots freed for cms_word_counts,
+        # cms_line_dedup, priority_sample_docs, hamming_topk_srp
+        "topk_euclidean": qc._make_topk("euclidean"),
+        "cube_sales": (qc._cube_sales, qc._CUBE_SALES_ORACLE),
+        "event_hourly_windows": (qc._event_hourly, qc._EVENT_HOURLY_ORACLE),
+        "mm_byte_histogram": (qm._byte_histogram, qm._duck_histogram_oracle()),
     }
 
 
