@@ -200,6 +200,36 @@ CASES = [
         "projection) — the plan is scan -> encode stage -> decode "
         "stage, nothing wide anywhere",
     ),
+    (
+        "cms_word_counts",
+        "Count-Min build+lookup (round 6): explode to depth probe "
+        "rows -> ONE map-side-combinable groupBy over at most "
+        "depth*width uniform keys; the lookup side broadcast-joins the "
+        "bounded counter table and min-folds per key — the sketch "
+        "never shuffles, history never re-scans",
+    ),
+    (
+        "cms_line_dedup",
+        "Bounded-state CCNet line dedup (round 6): distinct-per-doc "
+        "line hashes feed the CMS build; the strip pass broadcast-"
+        "joins the counter table and reassembles docs with one "
+        "doc-keyed shuffle — state is depth*width counters forever, "
+        "vs the exact path's unbounded hash set",
+    ),
+    (
+        "priority_sample_docs",
+        "Weighted sampling (round 6): row-local E-S priorities, then "
+        "TakeOrderedAndProject — per-partition heaps feeding one "
+        "k-row merge, never a global sort",
+    ),
+    (
+        "hamming_topk_srp",
+        "Hamming search (round 6): one row-local signature pass "
+        "(broadcast projection matrix), queries broadcast into the "
+        "8-bytes-per-band corpus scan, integer popcount distance, "
+        "per-query top-k window over slim (q, c, dist) rows — the "
+        "float vectors are never touched after the signature pass",
+    ),
 ]
 
 # non-registry operators whose plan shape is part of the scale story
