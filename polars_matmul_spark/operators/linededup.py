@@ -177,7 +177,11 @@ def strip_frequent_lines_cms(
     """
     from polars_matmul_spark.operators.cms import cms_lookup
 
-    occ = line_occurrences(df, id_col, text_col)
+    # materialize the occurrence table once: cms_lookup reads it twice
+    # (distinct probe keys + the join-back) and _reassemble once more —
+    # without the checkpoint the line split/hash pass runs three times
+    # (the srp_neardup signature-frame discipline)
+    occ = line_occurrences(df, id_col, text_col).localCheckpoint(eager=False)
     marked = cms_lookup(occ, cms, "line_hash", width, depth).withColumn(
         "drop", (F.col("est_count") >= min_docs) & ~F.col("is_blank")
     )

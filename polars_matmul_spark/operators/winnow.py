@@ -51,6 +51,7 @@ __all__ = [
     "winnow_hash_cap",
     "build_winnow_index",
     "winnow_new_vs_index",
+    "excise_duplicate_spans",
 ]
 
 
@@ -286,6 +287,152 @@ def winnow_dup_pairs(
         )
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def excise_duplicate_spans(
+    df: DataFrame,
+    k: int = 20,
+    min_docs: int = 2,
+    keep_first: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_frequent: bool = True,
+) -> DataFrame:
+    """Exact substring dedup by REMOVAL (Lee et al., ACL 2022): cut
+    every cross-document verbatim span of length >= ``k`` out of the
+    non-canonical copies, instead of dropping whole documents.
+
+    Mechanism: hash every character k-gram (the winnowing gram hash,
+    NO winnowed selection — selection samples ~2/(window+1) positions,
+    which finds dup PAIRS but cannot delimit the span to cut). A
+    position is duplicated when its k-gram appears in >= ``min_docs``
+    DISTINCT documents; the union of the duplicated positions'
+    ``[pos, pos+k)`` intervals is exactly the union of the maximal
+    shared substrings of length >= k (a shared span of length L >= k
+    shares all of its L-k+1 k-grams), up to 48-bit hash collisions
+    (~F^2/2^49 spurious gram matches corpus-wide). Returns
+    (id, text, n_spans_removed, n_chars_removed) for EVERY input row;
+    untouched docs pass through with zeros.
+
+    ``keep_first=True`` (the Lee-et-al policy): each frequent gram has
+    a canonical OWNER — the smallest doc id among the docs containing
+    it — and the owner keeps its copy. For a span shared by one set of
+    documents every gram has the same owner (min of the same sharer
+    set), so whole spans stay or go together; when spans with
+    different sharer sets overlap, ownership is resolved per gram
+    (still deterministic). ``keep_first=False`` strips frequent spans
+    from every copy — CCNet line-dedup semantics at substring
+    granularity (boilerplate removal mode).
+
+    Scale shape (the honest cost of EXACT substring dedup — suffix
+    arrays are also O(total bytes)): one (id, pos, hash) explode of
+    the text, one distinct + map-side-combinable groupBy over gram
+    hashes (uniform 48-bit keys), the frequent-gram table (bounded by
+    cross-doc boilerplate diversity, NOT corpus size) broadcasts back
+    into the slim gram stream, one per-doc aggregation of excise
+    positions, one id-keyed join to reassemble — the line-dedup plan
+    with k-grams in place of lines, no self-join anywhere, so a
+    ubiquitous span costs O(its occurrences), never O(occ^2). Set
+    ``broadcast_frequent=False`` when the frequent set is too large to
+    broadcast (it becomes a shuffle join on the 8-byte hash).
+
+    Engine portability: md5-prefix gram hashes, min-id ownership,
+    sorted-position interval merge — DuckDB replays the whole operator
+    (pinned in tests/test_winnow.py).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    t = F.col(text_col)
+    n_grams = F.greatest(F.length(t) - F.lit(k - 1), F.lit(0))
+    # one hash pass (materialized __hs — the interpreted-HOF rule), one
+    # slim (id, pos, hash) stream for BOTH the frequency count and the
+    # excise-position pick
+    grams = (
+        df.filter(F.length(t) >= k)
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: _gram_hash(t.substr(i, F.lit(k))),
+            ).alias("__hs"),
+        )
+        .select(F.col(id_col), F.posexplode(F.col("__hs")).alias("pos", "__h"))
+    )
+    frequent = (
+        grams.select(id_col, "__h")
+        .distinct()
+        .groupBy("__h")
+        .agg(
+            F.count("*").alias("__df"),
+            F.min(id_col).alias("__owner"),
+        )
+        .filter(F.col("__df") >= min_docs)
+        .select("__h", "__owner")
+    )
+    if broadcast_frequent:
+        frequent = F.broadcast(frequent)
+    hits = grams.join(frequent, "__h")
+    if keep_first:
+        hits = hits.filter(F.col("__owner") != F.col(id_col))
+    cuts = hits.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("pos")).alias("__cuts")
+    )
+    # row-local reassembly: fold the sorted excise starts left to
+    # right, copying the kept gap before each new interval and
+    # extending the cursor through overlaps; spans and chars are
+    # counted in the same fold. All interval ends are pos+k <= len by
+    # construction (grams exist only at pos <= len-k).
+    out = df.join(cuts, id_col, "left").withColumn(
+        "__cuts", F.coalesce(F.col("__cuts"), F.array().cast("array<integer>"))
+    )
+    zero = F.struct(
+        F.lit(0).alias("cur"),
+        F.lit("").alias("kept"),
+        F.lit(0).cast("long").alias("nsp"),
+        F.lit(0).cast("long").alias("nch"),
+    )
+
+    def _merge(acc, p):
+        new_span = F.struct(
+            (p + F.lit(k)).alias("cur"),
+            F.concat(
+                acc["kept"], t.substr(acc["cur"] + 1, p - acc["cur"])
+            ).alias("kept"),
+            (acc["nsp"] + 1).alias("nsp"),
+            (acc["nch"] + F.lit(k)).alias("nch"),
+        )
+        extend = F.struct(
+            (p + F.lit(k)).alias("cur"),
+            acc["kept"].alias("kept"),
+            acc["nsp"].alias("nsp"),
+            (acc["nch"] + p + F.lit(k) - acc["cur"]).alias("nch"),
+        )
+        return (
+            F.when(p >= acc["cur"], new_span)
+            .when(p + F.lit(k) > acc["cur"], extend)
+            .otherwise(acc)
+        )
+
+    folded = F.aggregate(
+        F.col("__cuts"),
+        zero,
+        _merge,
+        lambda acc: F.struct(
+            F.concat(
+                acc["kept"], t.substr(acc["cur"] + 1, F.length(t) - acc["cur"])
+            ).alias("kept"),
+            acc["nsp"].alias("nsp"),
+            acc["nch"].alias("nch"),
+        ),
+    )
+    return out.select(
+        F.col(id_col),
+        folded["kept"].alias(text_col),
+        folded["nsp"].alias("n_spans_removed"),
+        folded["nch"].alias("n_chars_removed"),
     )
 
 

@@ -775,6 +775,8 @@ def _cms_word_counts(spark, sf_dir):
     toks = docs.select(F.split(F.trim("text"), r"\s+").alias("a")).filter(
         F.size("a") >= 2
     )
+    # one tokenize+explode pass: the stream feeds the build, the
+    # distinct key set AND cms_lookup's probe/join-back reads
     words = toks.select(
         F.explode(
             F.transform(
@@ -782,7 +784,7 @@ def _cms_word_counts(spark, sf_dir):
                 lambda i: F.concat_ws(" ", F.col("a")[i], F.col("a")[i + 1]),
             )
         ).alias("word")
-    )
+    ).localCheckpoint(eager=False)
     cms = build_cms(words, "word", _CMS_W, _CMS_D)
     return cms_lookup(words.distinct(), cms, "word", _CMS_W, _CMS_D)
 

@@ -12,8 +12,8 @@ This module IS the sf-scaled sweep, too: point it at a bigger SF
 tests/test_oracle_parity.py``) and every comparison — all 50 registry
 rows plus the rotated-query gate — replays at 10x the driver's scale,
 catching scale-dependent drift (window tie-breaks, float accumulation
-order, cap boundaries) before a larger SF ever lands. Round-6 run:
-64 passed at sf0.1 in 3:39.
+order, cap boundaries) before a larger SF ever lands. Round-6 run (after the
+second rotation): 68 passed at sf0.1 in 3:20.
 """
 
 import math

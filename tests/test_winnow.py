@@ -394,3 +394,197 @@ class TestDupPairs:
             .count()
         )
         assert once[(0, 1)] <= fp1
+
+
+def py_excise(
+    rows: list[tuple[int, str]],
+    k: int,
+    min_docs: int = 2,
+    keep_first: bool = True,
+) -> dict[int, tuple[str, int, int]]:
+    """Pure-Python oracle for excise_duplicate_spans: same gram hash,
+    same min-id ownership, same sorted-start interval merge."""
+    grams: dict[int, set[int]] = {}
+    for did, text in rows:
+        for i in range(len(text) - k + 1):
+            grams.setdefault(_h(text[i : i + k]), set()).add(did)
+    freq = {
+        h: min(dids) for h, dids in grams.items() if len(dids) >= min_docs
+    }
+    out = {}
+    for did, text in rows:
+        cuts = sorted(
+            i
+            for i in range(len(text) - k + 1)
+            if (h := _h(text[i : i + k])) in freq
+            and (not keep_first or freq[h] != did)
+        )
+        cur, kept, nsp, nch = 0, [], 0, 0
+        for p in cuts:
+            if p >= cur:
+                kept.append(text[cur:p])
+                nsp += 1
+                nch += k
+                cur = p + k
+            elif p + k > cur:
+                nch += p + k - cur
+                cur = p + k
+        kept.append(text[cur:])
+        out[did] = ("".join(kept), nsp, nch)
+    return out
+
+
+class TestExciseSpans:
+    K = 12
+
+    def test_planted_span_keep_first(self, spark):
+        from polars_matmul_spark.operators.winnow import excise_duplicate_spans
+
+        boiler = "COPY-THIS-LICENSE-HEADER-VERBATIM"  # 33 chars >= k
+        rows = [
+            (0, "zqxwvutsrqponm unique zero text kjihgfedcba"),
+            (1, f"alpha{boiler}omega unique one"),
+            (2, f"start two {boiler} middle {boiler} end"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["text"], r["n_spans_removed"], r["n_chars_removed"])
+            for r in excise_duplicate_spans(df, k=self.K).collect()
+        }
+        # doc 0 shares nothing: untouched
+        assert got[0] == (rows[0][1], 0, 0)
+        # doc 1 is the owner (min id among sharers {1, 2}): untouched
+        assert got[1] == (rows[1][1], 0, 0)
+        # doc 2 loses BOTH copies of the span, keeps its unique text
+        text2, nsp2, nch2 = got[2]
+        assert boiler not in text2
+        assert "start two " in text2 and " middle " in text2 and " end" in text2
+        assert nsp2 == 2 and nch2 == 2 * len(boiler)
+        # and the full outputs match the pure-Python oracle exactly
+        assert got == py_excise(rows, self.K)
+
+    def test_strip_everywhere_mode(self, spark):
+        from polars_matmul_spark.operators.winnow import excise_duplicate_spans
+
+        boiler = "SHARED-BOILERPLATE-SEGMENT-HERE"
+        rows = [
+            (10, f"aaa{boiler}bbb"),
+            (20, f"ccc{boiler}ddd"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["text"]
+            for r in excise_duplicate_spans(
+                df, k=self.K, keep_first=False
+            ).collect()
+        }
+        assert boiler not in got[10] and boiler not in got[20]
+        oracle = py_excise(rows, self.K, keep_first=False)
+        assert got == {d: o[0] for d, o in oracle.items()}
+
+    def test_real_corpus_matches_python_oracle(self, spark):
+        from polars_matmul_spark.operators.winnow import excise_duplicate_spans
+
+        docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+        rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+        oracle = py_excise(rows, self.K)
+        got = {
+            r["doc_id"]: (r["text"], r["n_spans_removed"], r["n_chars_removed"])
+            for r in excise_duplicate_spans(docs, k=self.K).collect()
+        }
+        assert got == oracle
+        # the synthetic corpus genuinely shares word sequences — the
+        # test must not pass vacuously
+        assert any(nsp > 0 for (_, nsp, _) in got.values())
+
+    def test_duckdb_replay(self, spark):
+        from polars_matmul_spark.operators.winnow import excise_duplicate_spans
+
+        k = self.K
+        docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+        got = sorted(
+            map(tuple, excise_duplicate_spans(docs, k=k).collect())
+        )
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+        )
+        oracle = sorted(
+            map(
+                tuple,
+                con.sql(f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE length(text) >= {k}
+), idx AS (
+  SELECT doc_id, text,
+         unnest(range(1, length(text) - {k} + 2)) AS i
+  FROM d
+), g AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substr(md5(substr(text, i, {k})), 1, 12))::BIGINT AS h
+  FROM idx
+), freq AS (
+  SELECT h, MIN(doc_id) AS owner
+  FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT g.doc_id, g.pos FROM g JOIN freq USING (h)
+  WHERE freq.owner != g.doc_id
+), m AS (
+  SELECT doc_id, pos,
+         COALESCE(MAX(pos + {k}) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cur
+  FROM hits
+), seg AS (
+  SELECT m.doc_id, m.pos,
+         substr(d.text, m.cur + 1, GREATEST(m.pos - m.cur, 0)) AS piece,
+         CASE WHEN m.pos >= m.cur THEN 1 ELSE 0 END AS newspan,
+         GREATEST(LEAST(m.pos + {k} - m.cur, {k}), 0) AS chars_cut
+  FROM m JOIN d USING (doc_id)
+), agg AS (
+  SELECT doc_id,
+         string_agg(piece, '' ORDER BY pos) AS head,
+         CAST(SUM(newspan) AS BIGINT) AS nsp,
+         CAST(SUM(chars_cut) AS BIGINT) AS nch,
+         MAX(pos + {k}) AS fin
+  FROM seg GROUP BY doc_id
+)
+SELECT doc.doc_id,
+       COALESCE(head || substr(doc.text, fin + 1, length(doc.text)), doc.text)
+         AS text,
+       COALESCE(nsp, 0) AS n_spans_removed,
+       COALESCE(nch, 0) AS n_chars_removed
+FROM documents doc LEFT JOIN agg USING (doc_id)
+""").fetchall(),
+            )
+        )
+        assert got == oracle
+
+    def test_short_and_untouched_docs_pass_through(self, spark):
+        from polars_matmul_spark.operators.winnow import excise_duplicate_spans
+
+        rows = [(0, "tiny"), (1, "x" * 5), (2, "completely unique long text")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["text"], r["n_spans_removed"], r["n_chars_removed"])
+            for r in excise_duplicate_spans(df, k=self.K).collect()
+        }
+        assert got == {d: (t, 0, 0) for d, t in rows}
+
+    def test_validation_and_plan(self, spark):
+        from polars_matmul_spark.operators.winnow import excise_duplicate_spans
+        from polars_matmul_spark.plans.inspect import (
+            explain_str,
+            uses_python_worker,
+        )
+
+        docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+        with pytest.raises(ValueError):
+            excise_duplicate_spans(docs, k=0)
+        with pytest.raises(ValueError):
+            excise_duplicate_spans(docs, min_docs=1)
+        out = excise_duplicate_spans(docs, k=self.K)
+        assert not uses_python_worker(out)
+        plan = explain_str(out, "simple")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan  # the frequent-gram table
