@@ -52,6 +52,8 @@ __all__ = [
     "build_winnow_index",
     "winnow_new_vs_index",
     "excise_duplicate_spans",
+    "build_gram_cms",
+    "excise_duplicate_spans_cms",
 ]
 
 
@@ -345,22 +347,7 @@ def excise_duplicate_spans(
         raise ValueError(f"k must be >= 1, got {k}")
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
-    t = F.col(text_col)
-    n_grams = F.greatest(F.length(t) - F.lit(k - 1), F.lit(0))
-    # one hash pass (materialized __hs — the interpreted-HOF rule), one
-    # slim (id, pos, hash) stream for BOTH the frequency count and the
-    # excise-position pick
-    grams = (
-        df.filter(F.length(t) >= k)
-        .select(
-            F.col(id_col),
-            F.transform(
-                F.sequence(F.lit(1), n_grams),
-                lambda i: _gram_hash(t.substr(i, F.lit(k))),
-            ).alias("__hs"),
-        )
-        .select(F.col(id_col), F.posexplode(F.col("__hs")).alias("pos", "__h"))
-    )
+    grams = _gram_stream(df, k, text_col, id_col)
     frequent = (
         grams.select(id_col, "__h")
         .distinct()
@@ -380,11 +367,112 @@ def excise_duplicate_spans(
     cuts = hits.groupBy(id_col).agg(
         F.sort_array(F.collect_set("pos")).alias("__cuts")
     )
-    # row-local reassembly: fold the sorted excise starts left to
-    # right, copying the kept gap before each new interval and
-    # extending the cursor through overlaps; spans and chars are
-    # counted in the same fold. All interval ends are pos+k <= len by
-    # construction (grams exist only at pos <= len-k).
+    return _excise_reassemble(df, cuts, k, text_col, id_col)
+
+
+def build_gram_cms(
+    df: DataFrame,
+    k: int = 20,
+    width: int = 65536,
+    depth: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Count-Min sketch over DISTINCT-per-doc character k-gram hashes —
+    the bounded, MERGEABLE state behind
+    :func:`excise_duplicate_spans_cms` (the gram-granularity analogue
+    of ``linededup.build_line_cms``).
+
+    The exact excision's state is every gram hash ever seen
+    (O(corpus bytes) — unbounded on a stream); this sketch caps it at
+    ``depth * width`` counters forever. Per-batch sketches fold into a
+    persisted one with ``cms.merge_cms`` (the distinct-per-doc
+    pre-collapse keeps a doc's internal span repeats from inflating
+    its grams' doc counts), which is what a streaming excise-on-ingest
+    keeps instead of the unbounded gram set."""
+    from polars_matmul_spark.operators.cms import build_cms
+
+    g = _gram_stream(df, k, text_col, id_col).select(id_col, "__h").distinct()
+    return build_cms(g, "__h", width, depth)
+
+
+def excise_duplicate_spans_cms(
+    df: DataFrame,
+    cms: DataFrame,
+    k: int = 20,
+    width: int = 65536,
+    depth: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span excision against a Count-Min sketch instead of the exact
+    gram-frequency table — same output shape as
+    :func:`excise_duplicate_spans` in strip-everywhere mode
+    (``keep_first`` needs per-gram owner ids, which a sketch cannot
+    store — canonical-copy policies stay on the exact/batch path).
+
+    A position is cut when its k-gram's ESTIMATED distinct-doc count
+    reaches ``min_docs``. The CMS error is one-sided (never
+    undercounts), so every truly duplicated span is excised — recall
+    1.0 by construction — and extra chars are cut only on a counter
+    collision, the safe direction for boilerplate removal. Sized
+    generously the output matches the exact operator bit-for-bit
+    (pinned in the tests).
+
+    Scale shape: the sketch BROADCASTS (bounded MBs by construction);
+    the gram stream is row-local until the per-doc cut aggregation,
+    then one id-keyed join for reassembly. History never re-scans —
+    merge new batches into ``cms`` and re-excise."""
+    from polars_matmul_spark.operators.cms import cms_lookup
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    # materialize the gram stream once: cms_lookup reads it twice
+    # (distinct probe keys + join-back)
+    g = _gram_stream(df, k, text_col, id_col).localCheckpoint(eager=False)
+    marked = cms_lookup(g, cms, "__h", width, depth)
+    cuts = (
+        marked.filter(F.col("est_count") >= min_docs)
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("pos")).alias("__cuts"))
+    )
+    return _excise_reassemble(df, cuts, k, text_col, id_col)
+
+
+def _gram_stream(
+    df: DataFrame, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Slim (id, pos, __h) stream of every character k-gram hash —
+    one hash pass (materialized ``__hs``, the interpreted-HOF rule),
+    shared by the frequency count and the excise-position pick."""
+    t = F.col(text_col)
+    n_grams = F.greatest(F.length(t) - F.lit(k - 1), F.lit(0))
+    return (
+        df.filter(F.length(t) >= k)
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: _gram_hash(t.substr(i, F.lit(k))),
+            ).alias("__hs"),
+        )
+        .select(F.col(id_col), F.posexplode(F.col("__hs")).alias("pos", "__h"))
+    )
+
+
+def _excise_reassemble(
+    df: DataFrame, cuts: DataFrame, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Join the per-doc sorted excise starts back and rebuild each
+    text row-locally: fold the starts left to right, copying the kept
+    gap before each new interval and extending the cursor through
+    overlaps; spans and chars are counted in the same fold. All
+    interval ends are pos+k <= len by construction (grams exist only
+    at pos <= len-k)."""
+    t = F.col(text_col)
     out = df.join(cuts, id_col, "left").withColumn(
         "__cuts", F.coalesce(F.col("__cuts"), F.array().cast("array<integer>"))
     )

@@ -1,0 +1,136 @@
+"""Streaming span-excision-on-ingest with a persisted gram Count-Min sketch.
+
+The sixth modality of the ingest family — and the second HYGIENE one
+(``cms_ingest.py`` strips duplicated LINES; this strips duplicated
+SUBSTRINGS): each micro-batch has every cross-document verbatim span
+of length >= ``k`` — duplicated across all history plus this batch —
+cut out before the batch lands. The Lee-et-al exact-substring-dedup
+policy applied at the door, in strip-everywhere mode (span ownership
+needs per-gram owner ids, which bounded sketch state cannot store; a
+canonical-copy pass belongs in the offline batch path,
+``winnow.excise_duplicate_spans``).
+
+Why a CMS and not the exact gram-frequency table: the exact state is
+every k-gram hash ever seen — O(corpus bytes), unbounded on a stream;
+the sketch is ``depth x width`` counters forever, merged by summing.
+The one-sided error excises every truly duplicated span (recall 1.0)
+and over-cuts only on a counter collision (see ``operators/cms.py``).
+
+Epoch idempotence, the family's standard contract: epoch N's gram
+counts live ONLY in ``cms_dir/epoch=N`` (its per-batch sketch), and a
+crash-replayed batch OVERWRITES that directory — counters are never
+double-added, because merge-on-read sums one sketch per epoch. The
+cleaned output overwrites ``out_dir/epoch=N`` the same way.
+
+Known-by-design: a span only becomes excisable once enough history has
+seen it — epochs ingested BEFORE the threshold crossing keep their
+copy (re-excise history offline with ``excise_duplicate_spans_cms``
+against the final sketch if retroactive cleaning matters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polars_matmul_spark.operators.cms import merge_cms
+from polars_matmul_spark.operators.winnow import (
+    build_gram_cms,
+    excise_duplicate_spans_cms,
+)
+from polars_matmul_spark.streaming.cms_ingest import _read_or_empty
+
+__all__ = ["excise_ingest_batch", "run_excise_stream"]
+
+_CMS_SCHEMA = "row long, col long, n long"
+
+
+def excise_ingest_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    epoch_id: int,
+    cms_dir: str,
+    out_dir: str,
+    k: int = 20,
+    width: int = 65536,
+    depth: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Excise one micro-batch against history + itself, then commit
+    the batch's own gram sketch and its cleaned docs to their epoch
+    dirs."""
+    batch = batch_df.localCheckpoint(eager=True)
+
+    # this batch's sketch FIRST (distinct-per-doc gram hashes), so the
+    # excision sees history + current — a span duplicated within one
+    # batch is cut on arrival, not only in hindsight
+    own = build_gram_cms(
+        batch, k, width, depth, text_col=text_col, id_col=id_col
+    ).localCheckpoint(eager=True)
+
+    # merge-on-read: one sketch per PRIOR epoch (this epoch's counts
+    # enter via `own`, never via a previously half-committed write —
+    # the crash-replay guard)
+    prior = _read_or_empty(spark, cms_dir, _CMS_SCHEMA)
+    if "epoch" in prior.columns:
+        prior = prior.filter(F.col("epoch") != epoch_id).select("row", "col", "n")
+    merged = merge_cms(prior, own)
+
+    cleaned = excise_duplicate_spans_cms(
+        batch.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        merged,
+        k=k,
+        width=width,
+        depth=depth,
+        min_docs=min_docs,
+    )
+
+    # idempotent epoch commits
+    own.write.mode("overwrite").parquet(f"{cms_dir}/epoch={epoch_id}")
+    cleaned.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+
+def run_excise_stream(
+    spark: SparkSession,
+    input_dir: str,
+    cms_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id long, text string",
+    k: int = 20,
+    width: int = 65536,
+    depth: int = 5,
+    min_docs: int = 2,
+    max_files_per_trigger: int = 1,
+):
+    """Drive the excise-on-ingest loop over a document file stream
+    (availableNow); returns the finished query."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        excise_ingest_batch(
+            spark,
+            batch_df,
+            epoch_id,
+            cms_dir,
+            out_dir,
+            k=k,
+            width=width,
+            depth=depth,
+            min_docs=min_docs,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
