@@ -188,6 +188,17 @@ def main() -> None:
                 )
             )
         )
+        # round-6: exact substring excision — the gram pass is
+        # O(total chars) row-local, the frequency count one uniform
+        # groupBy; within-copy sharing keeps the frequent-gram table
+        # growing linearly in K (same salting argument as the lines)
+        from polars_matmul_spark.operators.winnow import excise_duplicate_spans
+
+        exc_docs = docs.repartition(spark.sparkContext.defaultParallelism)
+        force(excise_duplicate_spans(exc_docs, k=20))
+        row["excise"] = timed(
+            lambda: force(excise_duplicate_spans(exc_docs, k=20))
+        )
         force(tf_idf(docs))
         row["tfidf"] = timed(lambda: force(tf_idf(docs)))
         # round-4 pipeline families. Token salting preserves WITHIN-copy

@@ -347,7 +347,11 @@ def excise_duplicate_spans(
         raise ValueError(f"k must be >= 1, got {k}")
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
-    grams = _gram_stream(df, k, text_col, id_col)
+    # materialize the gram stream once: it feeds BOTH the frequency
+    # count and the hits join, and the md5-per-char-position pass is
+    # the dominant cost (measured 7.2 -> ~4 s at sf0.1; at 100 TB the
+    # gram table is the dataset you'd persist anyway)
+    grams = _gram_stream(df, k, text_col, id_col).localCheckpoint(eager=False)
     frequent = (
         grams.select(id_col, "__h")
         .distinct()
