@@ -244,6 +244,16 @@ EXTRA_CASES = [
         "shuffled",
     ),
     (
+        "excise_duplicate_spans",
+        "Exact substring dedup by removal (late round 6): one "
+        "materialized gram pass feeds a distinct + map-side-combinable "
+        "frequency groupBy over uniform 48-bit hashes; the bounded "
+        "frequent-gram table broadcasts back into the slim (id, pos) "
+        "stream; reassembly is one per-doc aggregation + one id-keyed "
+        "join with a row-local interval-merge fold — no self-join, no "
+        "Python, a ubiquitous span costs O(occurrences)",
+    ),
+    (
         "key_skew_report",
         "Skew probe: ONE map-side-combinable groupBy on the key, "
         "1-row totals broadcast back, TakeOrderedAndProject for top-N "
@@ -266,6 +276,11 @@ def _extra_df(spark, name):
         q = emb.limit(32).select(F.col("vec_id").alias("query_id"), "embedding")
         c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
         return projected_topk_rerank(q, c, k=5, out_dim=16)
+    if name == "excise_duplicate_spans":
+        from polars_matmul_spark.operators.winnow import excise_duplicate_spans
+
+        docs = load_table(spark, "documents", SF).select("doc_id", "text")
+        return excise_duplicate_spans(docs, k=20)
     if name == "key_skew_report":
         from polars_matmul_spark.operators.diagnose import key_skew_report
 

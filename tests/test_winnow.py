@@ -588,3 +588,65 @@ FROM documents doc LEFT JOIN agg USING (doc_id)
         plan = explain_str(out, "simple")
         assert "CartesianProduct" not in plan
         assert "BroadcastHashJoin" in plan  # the frequent-gram table
+
+
+class TestExciseProperties:
+    """Hypothesis: random small corpora (with deliberate sharing and
+    non-ASCII alphabets) — the Spark operator must equal the pure-
+    Python oracle exactly, and the counters must reconcile with the
+    text lengths."""
+
+    def _check(self, spark, rows, k, keep_first=True):
+        from polars_matmul_spark.operators.winnow import excise_duplicate_spans
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["text"], r["n_spans_removed"], r["n_chars_removed"])
+            for r in excise_duplicate_spans(
+                df, k=k, keep_first=keep_first
+            ).collect()
+        }
+        oracle = py_excise(rows, k, keep_first=keep_first)
+        assert got == oracle
+        for did, orig in rows:
+            out_text, _nsp, nch = got[did]
+            assert len(out_text) == len(orig) - nch
+
+    def test_random_corpora_match_oracle(self, spark):
+        import random
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        # build corpora where docs are concatenations of a small pool
+        # of "paragraphs" — guarantees real cross-doc sharing — over
+        # ASCII, accented and astral (emoji) alphabets
+        alphabets = ["abcd ", "éüñß ", "😀🎉⚡ x"]
+
+        @st.composite
+        def corpora(draw):
+            alpha = draw(st.sampled_from(alphabets))
+            rng = random.Random(draw(st.integers(0, 10**6)))
+            pool = [
+                "".join(rng.choice(alpha) for _ in range(rng.randint(4, 24)))
+                for _ in range(4)
+            ]
+            n_docs = draw(st.integers(2, 5))
+            rows = []
+            for d in range(n_docs):
+                segs = [
+                    pool[rng.randrange(len(pool))]
+                    for _ in range(rng.randint(0, 4))
+                ]
+                rows.append((d, "".join(segs)))
+            k = draw(st.integers(2, 8))
+            keep_first = draw(st.booleans())
+            return rows, k, keep_first
+
+        @given(corpora())
+        @settings(max_examples=25, deadline=None)
+        def run(case):
+            rows, k, keep_first = case
+            self._check(spark, rows, k, keep_first)
+
+        run()
