@@ -775,8 +775,6 @@ def _cms_word_counts(spark, sf_dir):
     toks = docs.select(F.split(F.trim("text"), r"\s+").alias("a")).filter(
         F.size("a") >= 2
     )
-    # one tokenize+explode pass: the stream feeds the build, the
-    # distinct key set AND cms_lookup's probe/join-back reads
     words = toks.select(
         F.explode(
             F.transform(
@@ -784,9 +782,22 @@ def _cms_word_counts(spark, sf_dir):
                 lambda i: F.concat_ws(" ", F.col("a")[i], F.col("a")[i + 1]),
             )
         ).alias("word")
-    ).localCheckpoint(eager=False)
-    cms = build_cms(words, "word", _CMS_W, _CMS_D)
-    return cms_lookup(words.distinct(), cms, "word", _CMS_W, _CMS_D)
+    )
+    # pre-aggregate to (word, n) FIRST — one map-side-combinable
+    # shuffle collapses the multi-million-row bigram stream to the
+    # distinct-key table, and the weighted build produces bit-identical
+    # counters (summing per-occurrence 1s == summing per-key counts).
+    # Everything downstream (probe explode, min-fold, join-back) then
+    # runs on ~1e3 rows instead of ~1e6. The right shape whenever key
+    # cardinality << occurrence count; with billions of distinct keys
+    # the direct per-occurrence build wins instead (no second shuffle).
+    wc = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("__n"))
+        .localCheckpoint(eager=False)
+    )
+    cms = build_cms(wc, "word", _CMS_W, _CMS_D, weight_col="__n")
+    return cms_lookup(wc.select("word"), cms, "word", _CMS_W, _CMS_D)
 
 
 _CMS_WORD_ORACLE = f"""
