@@ -139,13 +139,20 @@ def build_line_cms(
     """
     from polars_matmul_spark.operators.cms import build_cms
 
-    occ = (
+    # pre-aggregate to (line_hash, distinct-doc count) before the
+    # sketch: the probe explode then runs over the distinct-key table
+    # instead of every (doc, line) pair, and the weighted build
+    # produces bit-identical counters (summing per-pair 1s == summing
+    # per-key counts)
+    wc = (
         line_occurrences(df, id_col, text_col)
         .filter(~F.col("is_blank"))
         .select("doc_id", "line_hash")
         .distinct()
+        .groupBy("line_hash")
+        .agg(F.count("*").alias("__n"))
     )
-    return build_cms(occ, "line_hash", width, depth)
+    return build_cms(wc, "line_hash", width, depth, weight_col="__n")
 
 
 def strip_frequent_lines_cms(

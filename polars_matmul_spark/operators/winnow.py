@@ -396,8 +396,18 @@ def build_gram_cms(
     keeps instead of the unbounded gram set."""
     from polars_matmul_spark.operators.cms import build_cms
 
-    g = _gram_stream(df, k, text_col, id_col).select(id_col, "__h").distinct()
-    return build_cms(g, "__h", width, depth)
+    # pre-aggregate to (hash, distinct-doc count) before the sketch —
+    # bit-identical counters, and the probe explode runs over the
+    # distinct-key table instead of every (doc, gram) pair (the
+    # build_line_cms pattern)
+    wc = (
+        _gram_stream(df, k, text_col, id_col)
+        .select(id_col, "__h")
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count("*").alias("__n"))
+    )
+    return build_cms(wc, "__h", width, depth, weight_col="__n")
 
 
 def excise_duplicate_spans_cms(
