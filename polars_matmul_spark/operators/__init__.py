@@ -35,7 +35,8 @@
 - ``funnel``           conversion funnels + retention cohorts
 - ``zorder``           Z-order/Morton multi-column data layout
 - ``winnow``           winnowing (MOSS) substring-overlap dedup +
-  persistable fingerprint index for incremental checks
+  persistable fingerprint index for incremental checks; exact
+  substring dedup by removal (span excision, exact or gram-CMS)
 - ``mining``           contrastive hard/in-batch negative mining
 - ``diagnose``         key-skew + partition-balance reports
 - ``projection``       seeded Gaussian JL projection, SRP bit
