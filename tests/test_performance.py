@@ -150,7 +150,8 @@ def test_f32_path_not_slower_than_f64(spark, qdf_ref):
 _CEILINGS_SF01 = {
     "simhash_fingerprint": 6.0,
     "exact_dedup_docs": 2.5,
-    "mm_byte_histogram": 4.5,
+    # mm_byte_histogram left the registry in the round-6 second
+    # rotation (value parity stays in the rotated-query gate)
     "ann_ivf_topk": 10.0,
     "neardup_minhash_lsh": 16.0,
     "q1_pricing_summary": 12.0,
@@ -185,6 +186,12 @@ _CEILINGS_SF01 = {
     "funnel_user_levels_windowed": 3.5,
     "ivfpq_adc_topk": 15.0,
     "mm_decoded_stats": 2.0,
+    # round-6 second rotation rows (idle warm walls 0.87 / 1.59 /
+    # 0.18 / 1.79 s — ~4x ceilings)
+    "cms_word_counts": 4.0,
+    "cms_line_dedup": 6.5,
+    "priority_sample_docs": 1.5,
+    "hamming_topk_srp": 7.0,
 }
 
 

@@ -10,6 +10,7 @@ import os
 
 import pytest
 
+from polars_matmul_spark import queries_core as qc
 from polars_matmul_spark.queries_core import CORE_QUERIES
 from polars_matmul_spark.streaming.events import (
     hourly_event_counts_stream,
@@ -26,7 +27,7 @@ def test_hourly_counts_stream_equals_batch(spark):
     run_stream_to_memory(stream_df, "hourly_mem", output_mode="complete")
     got = spark.sql("SELECT * FROM hourly_mem").toPandas()
 
-    batch_fn = CORE_QUERIES["event_hourly_windows"][0]
+    batch_fn = qc._event_hourly  # rotated out of the registry in round 6
     want = batch_fn(spark, SF_DIR).toPandas()
 
     key = ["window_start", "event_type"]
@@ -93,7 +94,7 @@ def test_stream_to_parquet_sink_roundtrip(spark):
         landed = spark.read.parquet(f"{tmp}/out").toPandas()
         assert len(landed) > 0
 
-        batch_fn = CORE_QUERIES["event_hourly_windows"][0]
+        batch_fn = qc._event_hourly  # rotated out of the registry in round 6
         want = batch_fn(spark, SF_DIR).toPandas()
         merged = landed.merge(
             want, on=["window_start", "event_type"], suffixes=("", "_b")
