@@ -387,12 +387,13 @@ def srp_neardup(
     work only within buckets, no unblocked O(n^2) pass, no training.
     Returns (id_a, id_b, cosine) with id_a < id_b, distinct.
 
-    ``catalyst_signature=True`` computes the SAME sign bits with the
-    sequential-f64 fold expression (``_fold_dot``) and the projection
-    rows baked as plan literals, instead of the f32 NumPy batch GEMM —
-    bit-identical to DuckDB's ``list_dot_product`` on DOUBLE[], so an
-    external engine can replay the ENTIRE operator (sign-pack, band
-    join, verify) exactly. This is the oracle-parity form; the Arrow
+    ``catalyst_signature=True`` computes the SAME sign bits with a
+    sequential-f64 fold expression against the projection matrix
+    riding as broadcast DATA (see :func:`srp_signature` — plan-literal
+    rows cost ~2 s of Catalyst planning per run), instead of the f32
+    NumPy batch GEMM — bit-identical to DuckDB's ``list_dot_product``
+    on DOUBLE[], so an external engine can replay the ENTIRE operator
+    (sign-pack, band join, verify) exactly. This is the oracle-parity form; the Arrow
     GEMM is the throughput form (f32 reassociation can flip a
     measure-zero sign near 0, which exact-verify mostly — not
     provably — absorbs). Both share the banding/join/verify plan.

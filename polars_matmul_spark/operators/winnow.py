@@ -352,16 +352,16 @@ def excise_duplicate_spans(
     # the dominant cost (measured 7.2 -> ~4 s at sf0.1; at 100 TB the
     # gram table is the dataset you'd persist anyway)
     grams = _gram_stream(df, k, text_col, id_col).localCheckpoint(eager=False)
+    # the min-id owner column is only computed (and carried through
+    # the broadcast) when the keep-first policy actually reads it
+    owner_aggs = [F.min(id_col).alias("__owner")] if keep_first else []
     frequent = (
         grams.select(id_col, "__h")
         .distinct()
         .groupBy("__h")
-        .agg(
-            F.count("*").alias("__df"),
-            F.min(id_col).alias("__owner"),
-        )
+        .agg(F.count("*").alias("__df"), *owner_aggs)
         .filter(F.col("__df") >= min_docs)
-        .select("__h", "__owner")
+        .drop("__df")
     )
     if broadcast_frequent:
         frequent = F.broadcast(frequent)

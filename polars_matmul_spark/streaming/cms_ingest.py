@@ -30,29 +30,17 @@ the final sketch if retroactive cleaning matters).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from polars_matmul_spark.operators.cms import merge_cms
 from polars_matmul_spark.operators.linededup import (
     build_line_cms,
     strip_frequent_lines_cms,
 )
+from polars_matmul_spark.streaming.hygiene import (
+    hygiene_ingest_batch,
+    run_hygiene_stream,
+)
 
 __all__ = ["cms_strip_ingest_batch", "run_cms_strip_stream"]
-
-_CMS_SCHEMA = "row long, col long, n long"
-
-
-def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
-    from pyspark.errors import AnalysisException
-
-    try:
-        return spark.read.parquet(path)
-    except AnalysisException as e:
-        condition = getattr(e, "getCondition", lambda: None)() or ""
-        if "PATH_NOT_FOUND" in condition or "Path does not exist" in str(e):
-            return spark.createDataFrame([], schema)
-        raise
 
 
 def cms_strip_ingest_batch(
@@ -68,38 +56,23 @@ def cms_strip_ingest_batch(
     text_col: str = "text",
 ) -> None:
     """Clean one micro-batch against history + itself, then commit the
-    batch's own sketch and its cleaned docs to their epoch dirs."""
-    batch = batch_df.localCheckpoint(eager=True)
-
-    # this batch's sketch FIRST (distinct-per-doc line hashes), so the
-    # strip sees history + current — a line ubiquitous within one
-    # batch is boilerplate on arrival, not only in hindsight
-    own = build_line_cms(
-        batch, width, depth, id_col=id_col, text_col=text_col
-    ).localCheckpoint(eager=True)
-
-    # merge-on-read: one sketch per PRIOR epoch (this epoch's counts
-    # enter via `own`, never via a previously half-committed write —
-    # the crash-replay guard; `epoch` appears as a partition column
-    # once any epoch dir exists)
-    prior = _read_or_empty(spark, cms_dir, _CMS_SCHEMA)
-    if "epoch" in prior.columns:
-        prior = prior.filter(F.col("epoch") != epoch_id).select("row", "col", "n")
-    # unconditional merge: union+sum over an empty prior IS own's
-    # counters — a non-empty guard would cost an extra job per batch
-    merged = merge_cms(prior, own)
-
-    cleaned = strip_frequent_lines_cms(
-        batch.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
-        merged,
-        width,
-        depth,
-        min_docs=min_docs,
+    batch's own sketch and its cleaned docs to their epoch dirs (the
+    shared hygiene protocol — see ``streaming/hygiene.py``)."""
+    hygiene_ingest_batch(
+        spark,
+        batch_df,
+        epoch_id,
+        cms_dir,
+        out_dir,
+        build_fn=lambda b: build_line_cms(
+            b, width, depth, id_col=id_col, text_col=text_col
+        ),
+        clean_fn=lambda b, cms: strip_frequent_lines_cms(
+            b, cms, width, depth, min_docs=min_docs
+        ),
+        id_col=id_col,
+        text_col=text_col,
     )
-
-    # idempotent epoch commits
-    own.write.mode("overwrite").parquet(f"{cms_dir}/epoch={epoch_id}")
-    cleaned.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
 
 
 def run_cms_strip_stream(
@@ -116,11 +89,6 @@ def run_cms_strip_stream(
 ):
     """Drive the strip-on-ingest loop over a document file stream
     (availableNow); returns the finished query."""
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(input_dir)
-    )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         cms_strip_ingest_batch(
@@ -134,11 +102,11 @@ def run_cms_strip_stream(
             min_docs=min_docs,
         )
 
-    q = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return run_hygiene_stream(
+        spark,
+        input_dir,
+        checkpoint_dir,
+        process,
+        schema=schema,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    q.awaitTermination()
-    return q

@@ -31,18 +31,17 @@ against the final sketch if retroactive cleaning matters).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from polars_matmul_spark.operators.cms import merge_cms
 from polars_matmul_spark.operators.winnow import (
     build_gram_cms,
     excise_duplicate_spans_cms,
 )
-from polars_matmul_spark.streaming.cms_ingest import _read_or_empty
+from polars_matmul_spark.streaming.hygiene import (
+    hygiene_ingest_batch,
+    run_hygiene_stream,
+)
 
 __all__ = ["excise_ingest_batch", "run_excise_stream"]
-
-_CMS_SCHEMA = "row long, col long, n long"
 
 
 def excise_ingest_batch(
@@ -60,36 +59,22 @@ def excise_ingest_batch(
 ) -> None:
     """Excise one micro-batch against history + itself, then commit
     the batch's own gram sketch and its cleaned docs to their epoch
-    dirs."""
-    batch = batch_df.localCheckpoint(eager=True)
-
-    # this batch's sketch FIRST (distinct-per-doc gram hashes), so the
-    # excision sees history + current — a span duplicated within one
-    # batch is cut on arrival, not only in hindsight
-    own = build_gram_cms(
-        batch, k, width, depth, text_col=text_col, id_col=id_col
-    ).localCheckpoint(eager=True)
-
-    # merge-on-read: one sketch per PRIOR epoch (this epoch's counts
-    # enter via `own`, never via a previously half-committed write —
-    # the crash-replay guard)
-    prior = _read_or_empty(spark, cms_dir, _CMS_SCHEMA)
-    if "epoch" in prior.columns:
-        prior = prior.filter(F.col("epoch") != epoch_id).select("row", "col", "n")
-    merged = merge_cms(prior, own)
-
-    cleaned = excise_duplicate_spans_cms(
-        batch.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
-        merged,
-        k=k,
-        width=width,
-        depth=depth,
-        min_docs=min_docs,
+    dirs (the shared hygiene protocol — see ``streaming/hygiene.py``)."""
+    hygiene_ingest_batch(
+        spark,
+        batch_df,
+        epoch_id,
+        cms_dir,
+        out_dir,
+        build_fn=lambda b: build_gram_cms(
+            b, k, width, depth, text_col=text_col, id_col=id_col
+        ),
+        clean_fn=lambda b, cms: excise_duplicate_spans_cms(
+            b, cms, k=k, width=width, depth=depth, min_docs=min_docs
+        ),
+        id_col=id_col,
+        text_col=text_col,
     )
-
-    # idempotent epoch commits
-    own.write.mode("overwrite").parquet(f"{cms_dir}/epoch={epoch_id}")
-    cleaned.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
 
 
 def run_excise_stream(
@@ -107,11 +92,6 @@ def run_excise_stream(
 ):
     """Drive the excise-on-ingest loop over a document file stream
     (availableNow); returns the finished query."""
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(input_dir)
-    )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         excise_ingest_batch(
@@ -126,11 +106,11 @@ def run_excise_stream(
             min_docs=min_docs,
         )
 
-    q = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return run_hygiene_stream(
+        spark,
+        input_dir,
+        checkpoint_dir,
+        process,
+        schema=schema,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    q.awaitTermination()
-    return q

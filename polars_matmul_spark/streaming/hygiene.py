@@ -1,0 +1,103 @@
+"""Shared skeleton for the CMS-backed hygiene-on-ingest loops.
+
+Both hygiene modalities (``cms_ingest.py`` line-strip,
+``excise_ingest.py`` span excision) run the same epoch protocol; this
+module holds it ONCE so the crash-replay guard and commit order cannot
+silently diverge between copies:
+
+1. eager-checkpoint the micro-batch (it is read twice: sketch build
+   and the clean pass);
+2. build the batch's OWN sketch first, so the clean sees history +
+   current — boilerplate ubiquitous within one batch is handled on
+   arrival, not only in hindsight;
+3. merge-on-read: one sketch per PRIOR epoch (``epoch != epoch_id`` —
+   this epoch's counts enter via ``own``, never via a previously
+   half-committed write: the crash-replay guard);
+4. clean the batch against the merged sketch;
+5. idempotent epoch commits — ``own`` then ``cleaned`` each OVERWRITE
+   their ``epoch=N`` directory, so a replayed batch can never
+   double-add counters or duplicate output rows.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polars_matmul_spark.operators.cms import merge_cms
+
+__all__ = ["hygiene_ingest_batch", "run_hygiene_stream"]
+
+_CMS_SCHEMA = "row long, col long, n long"
+
+
+def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        condition = getattr(e, "getCondition", lambda: None)() or ""
+        if "PATH_NOT_FOUND" in condition or "Path does not exist" in str(e):
+            return spark.createDataFrame([], schema)
+        raise
+
+
+def hygiene_ingest_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    epoch_id: int,
+    cms_dir: str,
+    out_dir: str,
+    build_fn: Callable[[DataFrame], DataFrame],
+    clean_fn: Callable[[DataFrame, DataFrame], DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One epoch of the protocol above. ``build_fn(batch) -> sketch``;
+    ``clean_fn(batch, merged_sketch) -> cleaned`` (batch arrives with
+    canonical ``doc_id``/``text`` column names)."""
+    batch = batch_df.localCheckpoint(eager=True)
+    own = build_fn(batch).localCheckpoint(eager=True)
+
+    prior = _read_or_empty(spark, cms_dir, _CMS_SCHEMA)
+    if "epoch" in prior.columns:
+        prior = prior.filter(F.col("epoch") != epoch_id).select("row", "col", "n")
+    # unconditional merge: union+sum over an empty prior IS own's
+    # counters — a non-empty guard would cost an extra job per batch
+    merged = merge_cms(prior, own)
+
+    cleaned = clean_fn(
+        batch.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        merged,
+    )
+
+    own.write.mode("overwrite").parquet(f"{cms_dir}/epoch={epoch_id}")
+    cleaned.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+
+def run_hygiene_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    process: Callable[[DataFrame, int], None],
+    schema: str = "doc_id long, text string",
+    max_files_per_trigger: int = 1,
+):
+    """Drive a hygiene-ingest loop over a document file stream
+    (availableNow); returns the finished query."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
