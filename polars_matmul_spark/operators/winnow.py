@@ -54,6 +54,8 @@ __all__ = [
     "excise_duplicate_spans",
     "build_gram_cms",
     "excise_duplicate_spans_cms",
+    "build_gram_index",
+    "excise_new_vs_index",
 ]
 
 
@@ -454,6 +456,85 @@ def excise_duplicate_spans_cms(
         .agg(F.sort_array(F.collect_set("pos")).alias("__cuts"))
     )
     return _excise_reassemble(df, cuts, k, text_col, id_col)
+
+
+def build_gram_index(
+    df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(``__h``, ``n_docs``) distinct-doc counts per character k-gram
+    hash — the persistable EXACT state behind
+    :func:`excise_new_vs_index` (the unbounded-but-exact analogue of
+    :func:`build_gram_cms`, and the substring-granularity analogue of
+    the line-dedup frequent table). O(corpus bytes) rows — the honest
+    size of exact substring-dedup state; persist it partitioned/
+    bucketed by ``__h`` and every future increment excises against it
+    without touching the corpus text."""
+    return (
+        _gram_stream(df, k, text_col, id_col)
+        .select(id_col, "__h")
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def excise_new_vs_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    k: int = 20,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental EXACT span excision: cut from each NEW document
+    every span of length >= ``k`` whose grams reach ``min_docs``
+    distinct documents across the indexed history PLUS this batch —
+    bit-identical to running
+    ``excise_duplicate_spans(history ∪ batch, keep_first=False)``
+    restricted to the new ids (pinned in the tests; ids must be
+    disjoint from the index's, ``k`` must match the build).
+
+    The 100 TB ingestion story mirrors ``winnow_new_vs_index``: the
+    batch's distinct gram hashes BROADCAST into a left-semi scan of
+    the TB-scale index — the index is read in place, never shuffled,
+    and only the (small) matched subset flows into the total-count
+    join. History docs are by definition older, so strip-everywhere is
+    also the keep-first answer for the batch side; history's own
+    copies keep theirs (re-excise history offline if retroactive
+    cleaning matters)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    grams = _gram_stream(new_df, k, text_col, id_col).localCheckpoint(
+        eager=False
+    )
+    batch_counts = (
+        grams.select(id_col, "__h")
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count("*").alias("__bn"))
+    )
+    # the index subset matching this batch: broadcast the batch's gram
+    # set into a left-semi map-side scan — the only touch of the index
+    matched = index.join(
+        F.broadcast(batch_counts.select("__h")), "__h", "left_semi"
+    )
+    frequent = (
+        batch_counts.join(matched, "__h", "left")
+        .filter(
+            F.col("__bn") + F.coalesce(F.col("n_docs"), F.lit(0)) >= min_docs
+        )
+        .select("__h")
+    )
+    hits = grams.join(F.broadcast(frequent), "__h")
+    cuts = hits.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("pos")).alias("__cuts")
+    )
+    return _excise_reassemble(new_df, cuts, k, text_col, id_col)
 
 
 def _gram_stream(

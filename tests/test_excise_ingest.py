@@ -44,12 +44,28 @@ def test_cms_excise_matches_exact_when_generously_sized(spark):
 
     docs = _docs(spark, range(8)).union(_docs(spark, range(100, 104), False))
     cms = build_gram_cms(docs, K, W, D)
-    got = excise_duplicate_spans_cms(docs, cms, K, W, D, min_docs=MIN_DOCS)
-    exact = excise_duplicate_spans(docs, k=K, min_docs=MIN_DOCS, keep_first=False)
-    sym = got.exceptAll(exact).union(exact.exceptAll(got))
-    assert sym.count() == 0
+    got = sorted(
+        map(
+            tuple,
+            excise_duplicate_spans_cms(
+                docs, cms, K, W, D, min_docs=MIN_DOCS
+            ).collect(),
+        )
+    )
+    exact = sorted(
+        map(
+            tuple,
+            excise_duplicate_spans(
+                docs, k=K, min_docs=MIN_DOCS, keep_first=False
+            ).collect(),
+        )
+    )
+    # collected-row comparison (not exceptAll): the two frames share
+    # docs' lineage, and exceptAll over frames with overlapping
+    # attribute ids proved flaky in the incremental-excise test
+    assert got == exact
     # and the planted span is genuinely gone from every copy
-    assert got.filter(F.col("text").contains(BOILER)).count() == 0
+    assert all(BOILER not in t for _, t, _, _ in got)
 
 
 def test_cms_excise_is_incremental(spark):
@@ -68,10 +84,23 @@ def test_cms_excise_is_incremental(spark):
         build_gram_cms(b1, K, W, D), build_gram_cms(b2, K, W, D)
     )
     full = build_gram_cms(docs, K, W, D)
-    a = excise_duplicate_spans_cms(docs, merged, K, W, D, min_docs=MIN_DOCS)
-    b = excise_duplicate_spans_cms(docs, full, K, W, D, min_docs=MIN_DOCS)
-    sym = a.exceptAll(b).union(b.exceptAll(a))
-    assert sym.count() == 0
+    a = sorted(
+        map(
+            tuple,
+            excise_duplicate_spans_cms(
+                docs, merged, K, W, D, min_docs=MIN_DOCS
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            excise_duplicate_spans_cms(
+                docs, full, K, W, D, min_docs=MIN_DOCS
+            ).collect(),
+        )
+    )
+    assert a == b
 
 
 def test_excise_threshold_crosses_across_batches(spark, tmp_path):

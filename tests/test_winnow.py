@@ -650,3 +650,98 @@ class TestExciseProperties:
             self._check(spark, rows, k, keep_first)
 
         run()
+
+
+class TestExciseIncremental:
+    K = 12
+
+    def _corpus(self, spark):
+        boiler = "INCREMENTAL-EXCISION-SHARED-SPAN"
+        # planted texts chosen so the ONLY >= k-char cross-doc overlap
+        # is the boiler itself (boundaries differ immediately)
+        hist = [
+            (0, f"aq1{boiler}zx1"),
+            (2, "history alpha beta gamma qqq"),
+        ]
+        new = [
+            (10, f"bw2{boiler}cv2"),      # crosses min_docs with history
+            (11, "newdoc delta epsilon www"),
+            (12, f"ek3{boiler}rt3"),      # second in-batch copy
+        ]
+        return hist, new, boiler
+
+    def test_equals_full_run_restricted_to_new_ids(self, spark):
+        from polars_matmul_spark.operators.winnow import (
+            build_gram_index,
+            excise_duplicate_spans,
+            excise_new_vs_index,
+        )
+
+        hist, new, boiler = self._corpus(spark)
+        hist_df = spark.createDataFrame(hist, "doc_id long, text string")
+        new_df = spark.createDataFrame(new, "doc_id long, text string")
+        index = build_gram_index(hist_df, k=self.K)
+        got_rows = sorted(
+            map(tuple, excise_new_vs_index(new_df, index, k=self.K).collect())
+        )
+        full_rows = sorted(
+            map(
+                tuple,
+                excise_duplicate_spans(
+                    hist_df.union(new_df), k=self.K, keep_first=False
+                )
+                .filter(F.col("doc_id") >= 10)
+                .collect(),
+            )
+        )
+        # collected-row comparison: the two frames share new_df's
+        # lineage, and exceptAll over frames with overlapping attribute
+        # ids proved flaky (one side intermittently resolved empty)
+        assert got_rows == full_rows
+        kept = {r[0]: r[1] for r in got_rows}
+        assert all(boiler not in t for t in kept.values())
+        assert "bw2" in kept[10] and "cv2" in kept[10]
+        assert kept[11] == "newdoc delta epsilon www"
+
+    def test_batch_only_duplication_is_cut(self, spark):
+        # a span duplicated ONLY within the batch (absent from history)
+        # must still be excised — the left-join coalesce path
+        from polars_matmul_spark.operators.winnow import (
+            build_gram_index,
+            excise_new_vs_index,
+        )
+
+        hist_df = spark.createDataFrame(
+            [(0, "nothing shared here at all")], "doc_id long, text string"
+        )
+        span = "BATCH-ONLY-DUPLICATED-SEGMENT"
+        new_df = spark.createDataFrame(
+            [(10, f"a{span}b"), (11, f"c{span}d")], "doc_id long, text string"
+        )
+        got = excise_new_vs_index(
+            new_df, build_gram_index(hist_df, k=self.K), k=self.K
+        )
+        assert got.filter(F.col("text").contains(span)).count() == 0
+
+    def test_index_scanned_in_place(self, spark):
+        from polars_matmul_spark.operators.winnow import (
+            build_gram_index,
+            excise_new_vs_index,
+        )
+        from polars_matmul_spark.plans.inspect import (
+            explain_str,
+            uses_python_worker,
+        )
+
+        hist, new, _ = self._corpus(spark)
+        hist_df = spark.createDataFrame(hist, "doc_id long, text string")
+        new_df = spark.createDataFrame(new, "doc_id long, text string")
+        out = excise_new_vs_index(new_df, build_gram_index(hist_df, k=self.K))
+        plan = explain_str(out, "simple")
+        # the index's only touch is the broadcast left-semi probe
+        assert "LeftSemi" in plan and "BroadcastHashJoin" in plan, plan
+        assert not uses_python_worker(out)
+        with pytest.raises(ValueError):
+            excise_new_vs_index(new_df, hist_df, k=0)
+        with pytest.raises(ValueError):
+            excise_new_vs_index(new_df, hist_df, min_docs=1)
