@@ -254,6 +254,14 @@ EXTRA_CASES = [
         "Python, a ubiquitous span costs O(occurrences)",
     ),
     (
+        "excise_new_vs_index",
+        "Incremental exact span excision (late round 6): the persisted "
+        "gram index is touched ONLY by a BroadcastHashJoin LeftSemi "
+        "probe of the new batch's gram set — scanned in place, never "
+        "shuffled; the total-count join, cut aggregation and "
+        "interval-merge reassembly all run on batch-sized frames",
+    ),
+    (
         "key_skew_report",
         "Skew probe: ONE map-side-combinable groupBy on the key, "
         "1-row totals broadcast back, TakeOrderedAndProject for top-N "
@@ -281,6 +289,16 @@ def _extra_df(spark, name):
 
         docs = load_table(spark, "documents", SF).select("doc_id", "text")
         return excise_duplicate_spans(docs, k=20)
+    if name == "excise_new_vs_index":
+        from polars_matmul_spark.operators.winnow import (
+            build_gram_index,
+            excise_new_vs_index,
+        )
+
+        docs = load_table(spark, "documents", SF).select("doc_id", "text")
+        hist = docs.filter(F.col("doc_id") % 2 == 0)
+        new = docs.filter(F.col("doc_id") % 2 == 1)
+        return excise_new_vs_index(new, build_gram_index(hist, k=20), k=20)
     if name == "key_skew_report":
         from polars_matmul_spark.operators.diagnose import key_skew_report
 
