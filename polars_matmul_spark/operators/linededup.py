@@ -42,6 +42,7 @@ __all__ = [
     "strip_frequent_lines",
     "build_line_cms",
     "strip_frequent_lines_cms",
+    "strip_repeated_lines_within_doc",
 ]
 
 
@@ -115,6 +116,41 @@ def _reassemble(marked: DataFrame) -> DataFrame:
         "n_lines",
         "n_stripped",
     )
+
+
+def strip_repeated_lines_within_doc(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep only the FIRST occurrence of each normalized non-blank line
+    WITHIN each document; later repeats drop — the intra-document
+    complement of :func:`strip_frequent_lines` (which deliberately
+    counts distinct docs so within-doc repetition is not its business;
+    this closes that documented boundary as an explicit operator, the
+    removal-side sibling of ``text_filters.repetition_expr`` scoring).
+    Same output shape: (doc_id, text, n_lines, n_stripped), blank
+    lines preserved verbatim.
+
+    Scale shape: one doc-keyed shuffle total — the first-occurrence
+    window and the reassembly group-by share the ``doc_id``
+    partitioning, and nothing global is ever built (no frequent table,
+    no broadcast): each document is cleaned independently, so the
+    operator scales embarrassingly with the corpus.
+    """
+    from pyspark.sql import Window
+
+    # one explicit doc_id exchange serves BOTH wide steps: hash
+    # partitioning on doc_id satisfies the window's (doc_id, line_hash)
+    # clustering (a subset of the keys co-locates every group) and the
+    # reassembly group-by outright — without it Catalyst inserts one
+    # exchange per step (measured: 2 -> 1 shuffles)
+    occ = line_occurrences(df, id_col, text_col).repartition(F.col("doc_id"))
+    w = Window.partitionBy("doc_id", "line_hash").orderBy("pos")
+    marked = occ.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "drop", (F.col("__rn") > 1) & ~F.col("is_blank")
+    )
+    return _reassemble(marked)
 
 
 def build_line_cms(

@@ -466,3 +466,95 @@ class TestHotShingleCap:
         }
         for k, v in j_cap.items():
             assert abs(v - j_unc[k]) == 0.0
+
+
+class TestStripRepeatedWithinDoc:
+    def test_semantics_matrix(self, spark):
+        from polars_matmul_spark.operators.linededup import (
+            strip_repeated_lines_within_doc,
+        )
+
+        rows = [
+            # repeat dropped, first kept, order preserved
+            (0, "alpha\nbeta\nalpha\ngamma\nbeta"),
+            # case/whitespace-normalized repeats drop too
+            (1, "Hello World\nhello   world\nunique"),
+            # blank lines always survive, even repeated
+            (2, "a\n\n\na"),
+            # no repeats: untouched
+            (3, "one\ntwo\nthree"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["text"], r["n_lines"], r["n_stripped"])
+            for r in strip_repeated_lines_within_doc(df).collect()
+        }
+        assert got[0] == ("alpha\nbeta\ngamma", 5, 2)
+        assert got[1] == ("Hello World\nunique", 3, 1)
+        assert got[2] == ("a\n\n", 4, 1)
+        assert got[3] == ("one\ntwo\nthree", 3, 0)
+
+    def test_duckdb_replay(self, spark):
+        import duckdb
+
+        from polars_matmul_spark.operators.linededup import (
+            strip_repeated_lines_within_doc,
+        )
+        from polars_matmul_spark.sources.tables import load_table
+
+        sf = "/root/testdata/sf0.001"
+        docs = load_table(spark, "documents", sf).select(
+            "doc_id", F.regexp_replace("text", " ", "\n").alias("text")
+        )
+        got = sorted(map(tuple, strip_repeated_lines_within_doc(docs).collect()))
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+        oracle = sorted(
+            map(
+                tuple,
+                con.sql(r"""
+WITH d AS (
+  SELECT doc_id, replace(text, ' ', chr(10)) AS text FROM documents
+), occ AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM d
+), hashed AS (
+  SELECT doc_id, pos, line,
+         md5(regexp_replace(lower(trim(line)), '\s+', ' ', 'g')) AS h,
+         trim(line) = '' AS is_blank
+  FROM occ
+), marked AS (
+  SELECT doc_id, pos, line,
+         (row_number() OVER (PARTITION BY doc_id, h ORDER BY pos) > 1)
+           AND NOT is_blank AS dropped
+  FROM hashed
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN NOT dropped THEN line END, chr(10)
+                           ORDER BY pos), '') AS text,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_stripped
+FROM marked GROUP BY doc_id
+""").fetchall(),
+            )
+        )
+        assert got == oracle
+
+    def test_single_doc_keyed_shuffle(self, spark):
+        from polars_matmul_spark.operators.linededup import (
+            strip_repeated_lines_within_doc,
+        )
+        from polars_matmul_spark.plans.inspect import (
+            count_shuffles,
+            uses_python_worker,
+        )
+        from polars_matmul_spark.sources.tables import load_table
+
+        docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+        out = strip_repeated_lines_within_doc(docs)
+        assert not uses_python_worker(out)
+        # the explicit doc_id exchange serves both the window and the
+        # reassembly: exactly one shuffle, nothing global
+        assert count_shuffles(out) == 1
