@@ -220,12 +220,19 @@ def strip_frequent_lines_cms(
     """
     from polars_matmul_spark.operators.cms import cms_lookup
 
-    # materialize the occurrence table once: cms_lookup reads it twice
-    # (distinct probe keys + the join-back) and _reassemble once more —
-    # without the checkpoint the line split/hash pass runs three times
-    # (the srp_neardup signature-frame discipline)
-    occ = line_occurrences(df, id_col, text_col).localCheckpoint(eager=False)
-    marked = cms_lookup(occ, cms, "line_hash", width, depth).withColumn(
+    # estimate over the SLIM distinct hash set, then broadcast the
+    # (hash, est) table back into one occurrence pass. An earlier form
+    # checkpointed the full wide occurrence table (pos + line text per
+    # row) so cms_lookup's two reads wouldn't recompute the split —
+    # but materializing millions of wide rows cost more than the
+    # recompute it saved (its registry row read 9.4 s deep in a test
+    # session vs ~1.5 s isolated); the estimate table is bounded by
+    # line diversity, the same broadcast envelope as the exact path's
+    # frequent-line table.
+    occ = line_occurrences(df, id_col, text_col)
+    keys = occ.select("line_hash").distinct()
+    est = cms_lookup(keys, cms, "line_hash", width, depth)
+    marked = occ.join(F.broadcast(est), "line_hash").withColumn(
         "drop", (F.col("est_count") >= min_docs) & ~F.col("is_blank")
     )
     return _reassemble(marked)

@@ -55,6 +55,7 @@ __all__ = [
     "build_gram_cms",
     "excise_duplicate_spans_cms",
     "build_gram_index",
+    "merge_gram_index",
     "excise_new_vs_index",
 ]
 
@@ -358,22 +359,18 @@ def excise_duplicate_spans(
     # the broadcast) when the keep-first policy actually reads it
     owner_aggs = [F.min(id_col).alias("__owner")] if keep_first else []
     frequent = (
-        grams.select(id_col, "__h")
-        .distinct()
-        .groupBy("__h")
-        .agg(F.count("*").alias("__df"), *owner_aggs)
-        .filter(F.col("__df") >= min_docs)
-        .drop("__df")
+        _gram_doc_counts(grams, id_col, owner_aggs)
+        .filter(F.col("__n") >= min_docs)
+        .drop("__n")
     )
     if broadcast_frequent:
         frequent = F.broadcast(frequent)
     hits = grams.join(frequent, "__h")
     if keep_first:
         hits = hits.filter(F.col("__owner") != F.col(id_col))
-    cuts = hits.groupBy(id_col).agg(
-        F.sort_array(F.collect_set("pos")).alias("__cuts")
+    return _excise_reassemble(
+        df, _cut_positions(hits, id_col), k, text_col, id_col
     )
-    return _excise_reassemble(df, cuts, k, text_col, id_col)
 
 
 def build_gram_cms(
@@ -402,13 +399,7 @@ def build_gram_cms(
     # bit-identical counters, and the probe explode runs over the
     # distinct-key table instead of every (doc, gram) pair (the
     # build_line_cms pattern)
-    wc = (
-        _gram_stream(df, k, text_col, id_col)
-        .select(id_col, "__h")
-        .distinct()
-        .groupBy("__h")
-        .agg(F.count("*").alias("__n"))
-    )
+    wc = _gram_doc_counts(_gram_stream(df, k, text_col, id_col), id_col)
     return build_cms(wc, "__h", width, depth, weight_col="__n")
 
 
@@ -471,14 +462,26 @@ def build_gram_index(
     the line-dedup frequent table). O(corpus bytes) rows — the honest
     size of exact substring-dedup state; persist it partitioned/
     bucketed by ``__h`` and every future increment excises against it
-    without touching the corpus text."""
-    return (
-        _gram_stream(df, k, text_col, id_col)
-        .select(id_col, "__h")
-        .distinct()
-        .groupBy("__h")
-        .agg(F.count("*").alias("n_docs"))
-    )
+    without touching the corpus text. Fold per-batch indexes with
+    :func:`merge_gram_index` — APPENDING raw build outputs leaves
+    duplicate ``__h`` rows whose counts are never summed (silent
+    under-excision downstream)."""
+    return _gram_doc_counts(
+        _gram_stream(df, k, text_col, id_col), id_col
+    ).withColumnRenamed("__n", "n_docs")
+
+
+def merge_gram_index(*indexes: DataFrame) -> DataFrame:
+    """Fold per-batch gram indexes built over DISJOINT doc-id sets into
+    one: distinct-doc counts add across disjoint batches, so
+    ``merge(build(A), build(B)) == build(A union B)`` exactly (pinned
+    in the tests) — the exact-index analogue of ``cms.merge_cms``."""
+    if not indexes:
+        raise ValueError("merge_gram_index needs at least one index")
+    out = indexes[0]
+    for s in indexes[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("__h").agg(F.sum("n_docs").alias("n_docs"))
 
 
 def excise_new_vs_index(
@@ -488,6 +491,7 @@ def excise_new_vs_index(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_probe: bool = True,
 ) -> DataFrame:
     """Incremental EXACT span excision: cut from each NEW document
     every span of length >= ``k`` whose grams reach ``min_docs``
@@ -512,16 +516,18 @@ def excise_new_vs_index(
     grams = _gram_stream(new_df, k, text_col, id_col).localCheckpoint(
         eager=False
     )
-    batch_counts = (
-        grams.select(id_col, "__h")
-        .distinct()
-        .groupBy("__h")
-        .agg(F.count("*").alias("__bn"))
+    batch_counts = _gram_doc_counts(grams, id_col).withColumnRenamed(
+        "__n", "__bn"
     )
     # the index subset matching this batch: broadcast the batch's gram
-    # set into a left-semi map-side scan — the only touch of the index
+    # set into a left-semi map-side scan — the only touch of the index.
+    # ``broadcast_probe=False`` falls back to shuffle joins for batches
+    # whose gram set is too large to broadcast (the batch side is
+    # O(batch bytes) rows — pass False the way excise_duplicate_spans
+    # takes broadcast_frequent=False).
+    _maybe_bcast = F.broadcast if broadcast_probe else (lambda d: d)
     matched = index.join(
-        F.broadcast(batch_counts.select("__h")), "__h", "left_semi"
+        _maybe_bcast(batch_counts.select("__h")), "__h", "left_semi"
     )
     frequent = (
         batch_counts.join(matched, "__h", "left")
@@ -530,11 +536,30 @@ def excise_new_vs_index(
         )
         .select("__h")
     )
-    hits = grams.join(F.broadcast(frequent), "__h")
-    cuts = hits.groupBy(id_col).agg(
+    hits = grams.join(_maybe_bcast(frequent), "__h")
+    return _excise_reassemble(
+        new_df, _cut_positions(hits, id_col), k, text_col, id_col
+    )
+
+
+def _gram_doc_counts(grams: DataFrame, id_col: str, extra_aggs=()) -> DataFrame:
+    """(``__h``, ``__n`` [, extras]) DISTINCT-doc counts per gram hash
+    from a (id, pos, ``__h``) stream — the one counting block shared by
+    the exact excision, the gram index, the gram CMS and the
+    incremental batch side."""
+    return (
+        grams.select(id_col, "__h")
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count("*").alias("__n"), *extra_aggs)
+    )
+
+
+def _cut_positions(hits: DataFrame, id_col: str) -> DataFrame:
+    """Per-doc sorted excise starts from the frequent-gram hits."""
+    return hits.groupBy(id_col).agg(
         F.sort_array(F.collect_set("pos")).alias("__cuts")
     )
-    return _excise_reassemble(new_df, cuts, k, text_col, id_col)
 
 
 def _gram_stream(

@@ -28,21 +28,41 @@ from pyspark.sql import functions as F
 
 from polars_matmul_spark.operators.cms import merge_cms
 
-__all__ = ["hygiene_ingest_batch", "run_hygiene_stream"]
+__all__ = ["hygiene_ingest_batch", "run_hygiene_stream", "read_or_empty"]
 
 _CMS_SCHEMA = "row long, col long, n long"
 
 
-def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+def read_or_empty(
+    spark: SparkSession, path: str, schema: str | None
+) -> DataFrame | None:
+    """Load a persisted index/corpus/sketch, treating ONLY a missing
+    path (or a column-less read) as "no history yet": a typed empty
+    frame when ``schema`` is given, ``None`` otherwise. Any other
+    failure (corrupt footer, permission, truncated file) re-raises —
+    swallowing it would silently treat real history as empty and
+    accept every duplicate in the batch.
+
+    This is THE one copy: every ingest module (minhash, bloom, winnow,
+    CMS hygiene) aliases it, so a fix to the missing-path condition
+    matching cannot silently miss a sibling.
+    """
     from pyspark.errors import AnalysisException
 
+    def _empty():
+        return spark.createDataFrame([], schema) if schema else None
+
     try:
-        return spark.read.parquet(path)
+        df = spark.read.parquet(path)
+        return df if df.columns else _empty()
     except AnalysisException as e:
         condition = getattr(e, "getCondition", lambda: None)() or ""
         if "PATH_NOT_FOUND" in condition or "Path does not exist" in str(e):
-            return spark.createDataFrame([], schema)
+            return _empty()
         raise
+
+
+_read_or_empty = read_or_empty
 
 
 def hygiene_ingest_batch(

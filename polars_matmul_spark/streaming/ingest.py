@@ -40,22 +40,9 @@ __all__ = ["ingest_documents_batch", "run_dedup_ingest_stream"]
 _BANDS_SCHEMA = "doc_id long, band_idx int, band_hash long"
 
 
-def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame | None:
-    """Load the persisted index/corpus, treating ONLY a missing path as
-    "no history yet". Any other failure (corrupt footer, permission,
-    truncated file) re-raises: swallowing it would silently treat real
-    history as empty and accept every duplicate in the batch.
-    """
-    from pyspark.errors import AnalysisException
-
-    try:
-        df = spark.read.parquet(path)
-        return None if not df.columns else df
-    except AnalysisException as e:
-        condition = getattr(e, "getCondition", lambda: None)() or ""
-        if "PATH_NOT_FOUND" in condition or "Path does not exist" in str(e):
-            return spark.createDataFrame([], schema) if schema else None
-        raise
+from polars_matmul_spark.streaming.hygiene import (
+    read_or_empty as _read_or_empty,
+)
 
 
 def ingest_documents_batch(

@@ -43,16 +43,9 @@ from polars_matmul_spark.operators.winnow import (
 __all__ = ["winnow_ingest_batch", "run_winnow_ingest_stream"]
 
 
-def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
-    from pyspark.errors import AnalysisException
-
-    try:
-        return spark.read.parquet(path)
-    except AnalysisException as e:
-        condition = getattr(e, "getCondition", lambda: None)() or ""
-        if "PATH_NOT_FOUND" in condition or "Path does not exist" in str(e):
-            return spark.createDataFrame([], schema)
-        raise
+from polars_matmul_spark.streaming.hygiene import (
+    read_or_empty as _read_or_empty,
+)
 
 
 def winnow_ingest_batch(

@@ -189,10 +189,11 @@ _CEILINGS_SF01 = {
     # round-6 second rotation rows (idle warm walls 0.87 / 1.59 /
     # 0.18 / 1.79 s — ~4x ceilings)
     "cms_word_counts": 4.0,
-    # cms_line_dedup's isolated warm wall is ~1.6s, but deep in a
-    # full-suite session (hundreds of cached/checkpointed frames
-    # before it) it read 9.4s — ceiling sized off the in-suite wall
-    "cms_line_dedup": 14.0,
+    # ~4x the 1.9s isolated warm wall. An earlier form that
+    # checkpointed the full wide occurrence table read 9.4s deep in a
+    # full-suite session; the slim-estimate restructure removed that
+    # materialization, so the tight bound is back
+    "cms_line_dedup": 8.0,
     "priority_sample_docs": 1.5,
     "hamming_topk_srp": 7.0,
 }

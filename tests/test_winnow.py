@@ -736,12 +736,39 @@ class TestExciseIncremental:
         hist, new, _ = self._corpus(spark)
         hist_df = spark.createDataFrame(hist, "doc_id long, text string")
         new_df = spark.createDataFrame(new, "doc_id long, text string")
-        out = excise_new_vs_index(new_df, build_gram_index(hist_df, k=self.K))
+        out = excise_new_vs_index(
+            new_df, build_gram_index(hist_df, k=self.K), k=self.K
+        )
         plan = explain_str(out, "simple")
         # the index's only touch is the broadcast left-semi probe
         assert "LeftSemi" in plan and "BroadcastHashJoin" in plan, plan
         assert not uses_python_worker(out)
+        # and the probe genuinely matched: history's span IS excised
+        assert out.filter(F.col("n_spans_removed") > 0).count() >= 1
         with pytest.raises(ValueError):
             excise_new_vs_index(new_df, hist_df, k=0)
         with pytest.raises(ValueError):
             excise_new_vs_index(new_df, hist_df, min_docs=1)
+
+    def test_merge_gram_index_equals_full_build(self, spark):
+        from polars_matmul_spark.operators.winnow import (
+            build_gram_index,
+            merge_gram_index,
+        )
+
+        hist, new, _ = self._corpus(spark)
+        docs = spark.createDataFrame(hist + new, "doc_id long, text string")
+        b1 = docs.filter(F.col("doc_id") < 10)
+        b2 = docs.filter(F.col("doc_id") >= 10)
+        merged = sorted(
+            map(
+                tuple,
+                merge_gram_index(
+                    build_gram_index(b1, k=self.K), build_gram_index(b2, k=self.K)
+                ).collect(),
+            )
+        )
+        full = sorted(map(tuple, build_gram_index(docs, k=self.K).collect()))
+        assert merged == full
+        with pytest.raises(ValueError):
+            merge_gram_index()
