@@ -116,6 +116,7 @@ def cms_lookup(
     value_col: str,
     width: int,
     depth: int,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Adds ``est_count``: min over the key's depth counters —
     >= the true count always, <= true + eps*N with prob 1 - delta.
@@ -123,14 +124,19 @@ def cms_lookup(
     Plan: explode the probe positions, broadcast-join the counter
     table (bounded MBs by construction), min per key. The sketch
     never shuffles; the probe side shuffles only (key, row, col)
-    triples for its final min.
+    triples for its final min. A sketch sized via ``cms_params`` with
+    a very small eps/delta can outgrow the broadcast budget — pass
+    ``broadcast=False`` to fall back to a shuffle join (the
+    ``broadcast_frequent``/``broadcast_probe`` escape hatch the
+    sibling operators expose; round-6 ADVICE).
     """
+    _maybe_bcast = F.broadcast if broadcast else (lambda d: d)
     probes = keys_df.select(F.col(value_col).alias("__v")).distinct().select(
         "__v", F.explode(_probes(F.col("__v"), width, depth)).alias("p")
     )
     est = (
         probes.join(
-            F.broadcast(cms),
+            _maybe_bcast(cms),
             (F.col("p.row") == F.col("row")) & (F.col("p.col") == F.col("col")),
             "left",
         )

@@ -146,6 +146,13 @@ def priority_sample(
     Rows with ``w <= 0`` (or null) are excluded — zero weight means
     zero probability, and E-S priorities are undefined there.
 
+    PRECONDITION: ``id_col`` values must be UNIQUE. Two rows with the
+    same id get the identical ``(priority, id)`` sort key, so which
+    physical copy survives at the ``k`` boundary is partition/plan
+    dependent — exactly the nondeterminism this operator exists to
+    remove. Dedup first (or derive a composite id) if ids can repeat
+    (round-6 ADVICE).
+
     Scale shape: priorities are row-local; the top-``k`` compiles to
     ``TakeOrderedAndProject`` — per-partition heaps feeding one
     k-row merge on the driver side of the exchange, never a global

@@ -41,6 +41,8 @@ Scale shape (100 TB):
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -95,9 +97,23 @@ def _resolve_hash_cap(df: DataFrame, max_hash_docs) -> int | None:
     size, build repeatedly over the same frame, or must stay lazy
     should resolve :func:`winnow_hash_cap` once themselves and pass
     the int (the streaming ingest does exactly this — one count per
-    micro-batch, threaded into both its stages)."""
+    micro-batch, threaded into both its stages).
+
+    The resolved cap is LOGGED (INFO) so capped runs stay auditable —
+    a pair whose overlap is only hot boilerplate fingerprints is
+    silently dropped by design, and the log line is the record of
+    which threshold did it (round-6 ADVICE)."""
     if max_hash_docs == "auto":
-        return winnow_hash_cap(df.count())
+        n = df.count()
+        cap = winnow_hash_cap(n)
+        logging.getLogger(__name__).info(
+            "winnow: auto max_hash_docs=%d for %d docs "
+            "(fingerprints in more docs than the cap are dropped; "
+            "pass max_hash_docs=None for the exact unbounded form)",
+            cap,
+            n,
+        )
+        return cap
     return max_hash_docs
 
 # 48-bit md5-prefix hash of a k-gram: far below the 2^53 exact-integer

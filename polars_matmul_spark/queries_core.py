@@ -1250,12 +1250,21 @@ def _funnel_levels_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the EXISTS formulation — a user reaches level 3 iff SOME
     view<click<purchase chain fits inside [t_view, t_view + W] — which
     the per-anchor greedy fold provably equals for a fixed deadline
-    (earliest qualifying next step maximizes the remaining window)."""
+    (earliest qualifying next step maximizes the remaining window).
+
+    ``max_t0_candidates=None``: the oracle is the UNCAPPED EXISTS
+    formulation, so the Spark side must evaluate every candidate too —
+    the default 1024 cap would diverge at an SF where some user
+    accumulates >1024 distinct step-0 timestamps (round-6 ADVICE;
+    greedy==EXISTS only holds over the same candidate set)."""
     from polars_matmul_spark.operators.funnel import funnel_user_levels
 
     events = load_table(spark, "events", sf_dir)
     lv = funnel_user_levels(
-        events, ["view", "click", "purchase"], within_seconds=_FUNNEL_W
+        events,
+        ["view", "click", "purchase"],
+        within_seconds=_FUNNEL_W,
+        max_t0_candidates=None,
     )
     return lv.select(
         "user_id", F.col("funnel_level").cast("long").alias("funnel_level")

@@ -99,21 +99,47 @@ def read_csv_quarantine(
     failures all quarantine instead of nulling or aborting). Extra
     ``options`` pass through to ``from_csv`` (sep, quote, ...).
 
-    With ``header=True`` the first line of EACH file is dropped by
-    matching it against the schema's rendered header (the text source
-    has no per-file header notion — the raw-line scan sees every
-    line), so a content line that happens to equal the header is
-    dropped too; pass header=False for headerless feeds.
+    With ``header=True`` header lines are dropped by PARSING each raw
+    line as strings (same ``options``, so quoting/sep are honored) and
+    comparing every field — trimmed, case-insensitively — against the
+    schema's field names (the text source has no per-file header
+    notion — the raw-line scan sees every line). Tolerant on purpose:
+    ``"Doc_ID", text`` still reads as a header for schema
+    ``(doc_id, text)``; the round-6 ADVICE failure mode (a real header
+    with quotes/whitespace/case landing in ``bad`` and polluting the
+    quarantine metric) is gone. The converse holds as before: a
+    content line whose fields spell the column names is dropped too;
+    pass header=False for headerless feeds. Headers whose NAMES differ
+    from the schema's (renamed upstream columns) still quarantine —
+    that is a real format break and belongs in the metric.
     """
     full = _with_corrupt_field(schema)
     opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT}
     opts.update(options)
     raw = _raw_lines(spark, path)
+    names = schema.fieldNames()
     if header:
-        # from_csv honors both 'sep' and its 'delimiter' alias — the
-        # header-drop filter must render the header with whichever one
-        # the caller used, or every file's header would land in `bad`
-        sep = options.get("sep") or options.get("delimiter") or ","
-        raw = raw.filter(F.col("raw") != sep.join(schema.fieldNames()))
+        # parse the candidate line with the caller's own csv options
+        # (quote, sep/delimiter alias, escape ...) into all-strings,
+        # then field-wise tolerant compare — null-safe: a line with
+        # fewer columns yields null fields -> coalesce(False) -> kept
+        hdr_schema = ", ".join(f"`__h{i}` string" for i in range(len(names)))
+        hdr = F.from_csv(F.col("raw"), hdr_schema, dict(options))
+        # a quote that follows leading whitespace is literal to the
+        # csv parser (` "SCORE"` parses as `"SCORE"` with the quotes),
+        # so after trimming also strip one surrounding quote pair
+        def _canon(c):
+            return F.lower(
+                F.trim(F.regexp_replace(F.trim(c), '^"(.*)"$', "$1"))
+            )
+
+        is_hdr = F.lit(True)
+        for i, name in enumerate(names):
+            is_hdr = is_hdr & (_canon(hdr.getField(f"__h{i}")) == name.lower())
+        raw = (
+            raw.withColumn("__is_hdr", F.coalesce(is_hdr, F.lit(False)))
+            .filter(~F.col("__is_hdr"))
+            .drop("__is_hdr")
+        )
     parsed = F.from_csv(F.col("raw"), full.simpleString(), opts)
-    return _split_parsed(raw, parsed, schema.fieldNames())
+    return _split_parsed(raw, parsed, names)

@@ -269,3 +269,55 @@ def test_csv_quarantine_honors_delimiter_alias(spark, tmp_path):
         (2, 0.25),
     ]
     assert bad.count() == 0  # the header must NOT land in quarantine
+
+
+def test_csv_quarantine_tolerant_header_match(spark, tmp_path):
+    # round-6 ADVICE: a real-world header with quoting, whitespace or
+    # different case must still be recognized as a header (dropped, not
+    # quarantined); a header with genuinely DIFFERENT names is a format
+    # break and must land in `bad`
+    from pyspark.sql import types as T
+
+    from polars_matmul_spark.sources.ingest import read_csv_quarantine
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    p = tmp_path / "quoted.csv"
+    p.write_text('"Id" , "SCORE"\n1,0.5\n2,0.25\n')
+    good, bad = read_csv_quarantine(spark, str(p), schema)
+    assert sorted((r["id"], r["score"]) for r in good.collect()) == [
+        (1, 0.5),
+        (2, 0.25),
+    ]
+    assert bad.count() == 0
+
+    # renamed upstream column -> header does NOT match -> quarantined
+    p2 = tmp_path / "renamed.csv"
+    p2.write_text("doc_id,score\n1,0.5\n")
+    good2, bad2 = read_csv_quarantine(spark, str(p2), schema)
+    assert [(r["id"], r["score"]) for r in good2.collect()] == [(1, 0.5)]
+    [b] = bad2.collect()
+    assert b["raw"] == "doc_id,score"
+
+
+def test_cms_lookup_shuffle_join_matches_broadcast(spark):
+    # round-6 ADVICE: broadcast=False is the escape hatch for oversized
+    # sketches — same estimates, plain shuffle join
+    from polars_matmul_spark.operators.cms import build_cms, cms_lookup
+
+    df = spark.createDataFrame(
+        [(f"k{i % 7}",) for i in range(50)], "k string"
+    )
+    cms = build_cms(df, "k", width=64, depth=3)
+    keys = df.distinct()
+    a = {r["k"]: r["est_count"] for r in cms_lookup(keys, cms, "k", 64, 3).collect()}
+    b = {
+        r["k"]: r["est_count"]
+        for r in cms_lookup(keys, cms, "k", 64, 3, broadcast=False).collect()
+    }
+    assert a == b
+    assert set(a) == {f"k{i}" for i in range(7)}
