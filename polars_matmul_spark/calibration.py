@@ -2,11 +2,24 @@
 
 Timing assertions on a shared CI box are only meaningful relative to
 how contended the box is *right now*. The calibration job is a fixed
-JVM-only PARALLEL workload (32-way md5 map landed in a noop write —
-no Python stage, so its wall tracks the JVM/CPU contention that
-inflates Spark walls while leaving single-threaded NumPy baselines
-untouched; see ``calibration_wall`` for why it must be parallel and
-shuffle-free).
+composite of the THREE contention channels a real query feels
+(round-6 verdict #3 — the md5-only v1 job under-read the contention
+that slowed BLAS-heavy queries 27-55% while stamping the box
+"1.08x, idle"):
+
+1. a 32-way JVM md5 map landed in a noop write — JVM/CPU scheduling
+   pressure (the v1 job, kept);
+2. a threaded-BLAS GEMM at the reference shape (1000x256 @
+   256x10000 f32) — the hypervisor/SMT contention that slows
+   multithreaded OpenBLAS, which is exactly what the NumPy
+   denominators and the Arrow kernels run on;
+3. a small 32-partition shuffle with a per-call varying literal (so
+   Spark can never reuse the exchange) — shuffle-service /disk
+   pressure, which map-only jobs never touch.
+
+The three walls are SUMMED per trial (best of 3 trials): per-trial
+summing preserves the correlation a contention burst induces across
+channels, where per-component minima would each dodge it.
 
 The idle baseline is NOT a hard-coded constant (a constant measured on
 one box mis-scales every other box — slower hardware would read as
@@ -40,57 +53,103 @@ __all__ = ["calibration_wall", "load_factor", "BASELINE_PATH"]
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BASELINE_PATH = os.path.join(_REPO_ROOT, ".perf_baseline.json")
 
-# documented idle ballpark of the dev box for the PARALLEL calibration
-# job below; only used to cap the early-run seed so loaded first runs
-# cannot poison the baseline
-_SEED_CAP = 0.5
+# documented idle ballpark of the dev box for the COMPOSITE
+# calibration job below; only used to cap the early-run seed so loaded
+# first runs cannot poison the baseline
+_SEED_CAP = 1.0
 
 _CAL_ROWS = 32_000_000
+_SHUFFLE_ROWS = 500_000
+
+# BLAS component matrices, built once (generation time must not leak
+# into the timed section): the bench's reference shape, f32, so the
+# component slows under exactly the contention that slows the NumPy
+# denominators and the Arrow kernels
+_GEMM_CACHE = None
+# per-call shuffle salt: a fresh literal each run changes the plan, so
+# Spark cannot silently reuse the exchange (which would turn repeat
+# runs into a scheduler-latency measurement — the round-3 bug)
+_SHUFFLE_SALT = 0
+
+
+def _gemm_mats():
+    global _GEMM_CACHE
+    if _GEMM_CACHE is None:
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        _GEMM_CACHE = (
+            rng.standard_normal((1000, 256)).astype(np.float32),
+            rng.standard_normal((10000, 256)).astype(np.float32),
+        )
+    return _GEMM_CACHE
 
 
 def calibration_wall(spark, sf_dir: str = "/root/testdata/sf0.01") -> float:
-    """Wall of the fixed JVM-only calibration job (best of 3): md5
-    over 32M synthetic rows across 32 partitions, landed in a noop
-    write.
+    """Wall of the fixed composite calibration job (best of 3 trials;
+    each trial sums the three channel walls — see module docstring).
 
-    Two properties matter, both learned the hard way in round 4:
+    Channel design notes, learned the hard way across rounds 3-6:
 
-    - PARALLEL and compute-bound: the round-3 job (cached scan +
-      tiny groupBy) saturated nothing, so hypervisor noise that
-      inflated 32-thread query walls ~2.8x moved the calibration only
-      ~1.5x — ceilings scaled too little and a healthy gate flaked.
-      This job keeps every core busy for ~hundreds of ms, so its
-      inflation tracks what real queries experience (the same box
-      showed 20 s stalls of this job mid-noise — exactly the signal).
-    - NO shuffle: Spark silently REUSES a plan's shuffle stage across
-      jobs in a session, so re-collecting the same aggregate measures
-      scheduling latency, not compute (the round-3 job's repeat runs
-      did exactly that — its 'idle floor' was mostly scheduler time).
-      A map-only noop write has nothing to reuse and recomputes fully
-      every run while still hitting the codegen cache.
+    - md5 map: PARALLEL and compute-bound — keeps every core busy for
+      ~hundreds of ms so its inflation tracks 32-thread query walls
+      (the round-3 cached-scan job saturated nothing and under-read a
+      2.8x slowdown as 1.5x). Map-only noop write: nothing to reuse,
+      recomputes fully every run, still hits the codegen cache.
+    - GEMM: multithreaded OpenBLAS at the reference shape. Round 6
+      showed the md5 job alone reading 1.08x while BLAS-heavy
+      queries ran 27-55% over their r5 walls — hypervisor/SMT
+      contention hits BLAS threads harder than a JVM hash loop, and
+      only a BLAS probe feels it.
+    - small shuffle: 32-partition groupBy with a per-call varying
+      literal. Spark silently REUSES an unchanged plan's shuffle
+      stage across jobs in a session (the round-3 'idle floor' was
+      mostly scheduler time because of exactly this); the fresh
+      literal forces a real exchange write+read every run.
     """
+    global _SHUFFLE_SALT
     from pyspark.sql import functions as F
 
     df = spark.range(0, _CAL_ROWS, 1, 32).select(
         F.md5(F.col("id").cast("string")).alias("h")
     )
+    Q, C = _gemm_mats()
 
-    def run():
+    def run_md5():
         df.write.format("noop").mode("overwrite").save()
 
-    run()  # codegen warmup
+    def run_gemm():
+        Q @ C.T
+
+    def run_shuffle():
+        global _SHUFFLE_SALT
+        _SHUFFLE_SALT += 1
+        (
+            spark.range(0, _SHUFFLE_ROWS, 1, 32)
+            .select(((F.col("id") + F.lit(_SHUFFLE_SALT)) % 8192).alias("k"))
+            .groupBy("k")
+            .agg(F.count("*").alias("n"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    run_md5(), run_gemm(), run_shuffle()  # codegen/BLAS warmup
     walls = []
     for _ in range(3):
         t0 = time.perf_counter()
-        run()
+        run_md5()
+        run_gemm()
+        run_shuffle()
         walls.append(time.perf_counter() - t0)
     return min(walls)
 
 
 #: state key version: the calibration WORKLOAD defines the wall's
-#: units, so a workload change must orphan old observations (a 0.06 s
-#: scheduler-latency floor is meaningless for the parallel job)
-_STATE_KEY = "best_walls_parallel_v1"
+#: units, so a workload change must orphan old observations (v1 was
+#: the md5-only parallel job; v2 adds the BLAS GEMM and the
+#: non-reusable shuffle — round-6 verdict #3)
+_STATE_KEY = "best_walls_composite_v2"
 
 
 def _read_state() -> list[float]:
