@@ -100,7 +100,6 @@ def main() -> None:
         "topk_cosine",
         "matmul_flatten",
         "embedding_neardup_cosine",
-        "sessionize_events",
         "token_counts",
         "gopher_quality",
         "neardup_ngram_jaccard",
@@ -116,14 +115,14 @@ def main() -> None:
         "token_shards_assign",
         "pq_adc_topk",
         "bloom_incremental_dedup",
-        # round-5 rotation: funnel + embedding-dedup families
-        "funnel_steps",
+        # round-5 rotation: embedding-dedup families (funnel_steps /
+        # retention_cohorts / sessionize_events left the registry in
+        # the round-7 rotation)
         "srp_neardup_bands",
         "semantic_dedup_pairs",
-        # round-5 second rotation: substring dedup, retention, mining
+        # round-5 second rotation: substring dedup, mining
         # (mm_frame_sample left the registry with that rotation)
         "winnow_dup_pairs",
-        "retention_cohorts",
         "hard_negatives_topk",
         # round-6 rotation rows
         "c4_clean",
@@ -138,6 +137,15 @@ def main() -> None:
         "cms_line_dedup",
         "priority_sample_docs",
         "hamming_topk_srp",
+        # round-7 rotation: span excision (exact + CMS), within-doc
+        # strip, deterministic bin materialization, training mixture,
+        # BPE encode
+        "excise_duplicate_spans",
+        "excise_spans_cms",
+        "strip_within_doc",
+        "materialize_bins",
+        "mixture_sample",
+        "bpe_encode",
     ]
     # best-of-2 per query: the round-2 bench recorded 2-6x phantom
     # regressions that two idle reruns traced to transient machine load

@@ -65,22 +65,10 @@ CASES = [
         "zorder_write range-partitions on exactly these keys",
     ),
     (
-        "retention_cohorts",
-        "Retention cohorts: first-seen per user (one user-keyed "
-        "shuffle), cohort x offset distinct-count (one pair-keyed "
-        "shuffle) — both map-side combinable, no self-join",
-    ),
-    (
         "hard_negatives_topk",
         "Hard-negative mining: exact blocked top-k widened per query by "
         "ITS positive count (broadcast count join), broadcast anti-join "
         "exclusion, re-rank — corpus never shuffled",
-    ),
-    (
-        "asof_purchase_click",
-        "As-of join: union both sides, ONE shuffle on the key, one "
-        "window sort carrying the last right payload forward — no range "
-        "cross-join",
     ),
     (
         "mllib_blockmatrix_matmul",
@@ -134,13 +122,6 @@ CASES = [
         "Bloom two-gate exact dedup: the MB-scale bitmap broadcasts "
         "onto the new batch, Bloom-negative rows bypass the exact gate, "
         "only suspects anti-join the history fingerprints",
-    ),
-    (
-        "funnel_steps",
-        "Ordered conversion funnel (round 5): ONE user-keyed shuffle "
-        "collecting per-step sorted timestamp lists, the chain fold is "
-        "pure projection arithmetic — no O(steps) self-joins, no "
-        "window, no Python",
     ),
     (
         "srp_neardup_bands",
@@ -230,6 +211,53 @@ CASES = [
         "per-query top-k window over slim (q, c, dist) rows — the "
         "float vectors are never touched after the signature pass",
     ),
+    (
+        "excise_duplicate_spans",
+        "Exact substring dedup by removal (driver row since round 7): one "
+        "materialized gram pass feeds a distinct + map-side-combinable "
+        "frequency groupBy over uniform 48-bit hashes; the bounded "
+        "frequent-gram table broadcasts back into the slim (id, pos) "
+        "stream; reassembly is one per-doc aggregation + one id-keyed "
+        "join with a row-local interval-merge fold — no self-join, no "
+        "Python, a ubiquitous span costs O(occurrences)",
+    ),
+    (
+        "excise_spans_cms",
+        "Bounded-state span excision (driver row, round 7): the gram "
+        "Count-Min sketch (<= depth x width counters) broadcasts into "
+        "a second gram pass; cut aggregation + reassembly identical to "
+        "the exact path — history-sized state never exists, let alone "
+        "shuffles",
+    ),
+    (
+        "strip_within_doc",
+        "Within-doc repeated-line strip (driver row, round 7): ONE "
+        "explicit doc_id exchange serves both the first-occurrence "
+        "window (doc, hash clustering) and the reassembly group-by — "
+        "no second shuffle, no Python",
+    ),
+    (
+        "materialize_bins",
+        "Bin materialization (driver row, round 7): the deterministic "
+        "shards assignment moves only (id, n_tokens); document bodies "
+        "move in exactly two shuffles — the id-keyed join against the "
+        "slim assignment and the bin-keyed agg with executor-side "
+        "sort_array (no window, no per-group Python)",
+    ),
+    (
+        "mixture_sample",
+        "Weighted training mixture (driver row, round 7): one "
+        "metadata-only count per source, then pure row-local md5 "
+        "filters unioned — NO shuffle anywhere; epochs are literal "
+        "tags, the fractional epoch is a hash-bucket filter",
+    ),
+    (
+        "bpe_encode",
+        "BPE encode (driver row, round 7): the merge table rides a "
+        "SparkContext broadcast into ONE mapInPandas stage with a "
+        "per-task word memo — no shuffle, no JVM-side state; Zipfian "
+        "text amortizes merge work to ~O(task vocabulary)",
+    ),
 ]
 
 # non-registry operators whose plan shape is part of the scale story
@@ -242,16 +270,6 @@ EXTRA_CASES = [
         "(q_id, c_id, approx) rows, and the exact-rerank corpus join "
         "builds on the k*factor shortlist — full-width corpus never "
         "shuffled",
-    ),
-    (
-        "excise_duplicate_spans",
-        "Exact substring dedup by removal (late round 6): one "
-        "materialized gram pass feeds a distinct + map-side-combinable "
-        "frequency groupBy over uniform 48-bit hashes; the bounded "
-        "frequent-gram table broadcasts back into the slim (id, pos) "
-        "stream; reassembly is one per-doc aggregation + one id-keyed "
-        "join with a row-local interval-merge fold — no self-join, no "
-        "Python, a ubiquitous span costs O(occurrences)",
     ),
     (
         "excise_new_vs_index",
@@ -284,11 +302,6 @@ def _extra_df(spark, name):
         q = emb.limit(32).select(F.col("vec_id").alias("query_id"), "embedding")
         c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
         return projected_topk_rerank(q, c, k=5, out_dim=16)
-    if name == "excise_duplicate_spans":
-        from polars_matmul_spark.operators.winnow import excise_duplicate_spans
-
-        docs = load_table(spark, "documents", SF).select("doc_id", "text")
-        return excise_duplicate_spans(docs, k=20)
     if name == "excise_new_vs_index":
         from polars_matmul_spark.operators.winnow import (
             build_gram_index,

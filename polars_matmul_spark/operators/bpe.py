@@ -40,7 +40,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["train_bpe", "bpe_encode", "apply_merges"]
+__all__ = [
+    "train_bpe",
+    "merges_from_word_counts",
+    "bpe_encode",
+    "apply_merges",
+]
 
 EOW = "</w>"
 
@@ -78,8 +83,19 @@ def train_bpe(
     x their counts), the standard Sennrich formulation. Stops early if
     no pair occurs twice.
     """
+    return merges_from_word_counts(_word_counts(df, text_col, max_words), num_merges)
+
+
+def merges_from_word_counts(
+    word_counts: Iterable[tuple[str, int]], num_merges: int
+) -> list[tuple[str, str]]:
+    """The driver-side merge loop on an explicit word-frequency table —
+    the deterministic core of :func:`train_bpe`, exposed so a FIXED
+    literal table (a pretrained-tokenizer artifact) can produce the
+    same merges with no Spark session (the driver-row oracle needs
+    the merge list at module-import time)."""
     vocab: dict[tuple[str, ...], int] = {
-        tuple(w) + (EOW,): c for w, c in _word_counts(df, text_col, max_words)
+        tuple(w) + (EOW,): c for w, c in word_counts
     }
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):

@@ -1395,7 +1395,6 @@ CORE_QUERIES: dict[str, tuple] = {
     # rotated-query gate) so the CMS/sampling/Hamming families get
     # driver rows in queries_datapipe:
     "matmul_flatten": (_matmul_flatten_scores, _MATMUL_FLATTEN_ORACLE),
-    "matmul_nested": (_matmul_nested_scores, _MATMUL_NESTED_ORACLE),
     "embedding_neardup_cosine": (_embedding_neardup, _EMBEDDING_NEARDUP_ORACLE),
     "ann_ivf_topk": (_ann_ivf, _duck_ivf_oracle()),
     "ann_brp_lsh_join": (_ann_brp_lsh, None),
@@ -1404,7 +1403,6 @@ CORE_QUERIES: dict[str, tuple] = {
     "q3_shipping_priority": (_q3, _Q3_ORACLE),
     "q5_local_supplier": (_q5, _Q5_ORACLE),
     "top_suppliers_per_nation": (_top_suppliers, _TOP_SUPPLIERS_ORACLE),
-    "sessionize_events": (_sessionize, _SESSIONIZE_ORACLE),
     # event_hourly_windows and cube_sales rotated out in round 6
     # (tumbling windows stay driver-gated through hypertable_rollup
     # and the stream==batch pytests; GROUPING SETS stay pinned in
@@ -1417,12 +1415,10 @@ CORE_QUERIES: dict[str, tuple] = {
     # cust_quartiles/top_suppliers/sessionize) so the z-order layout
     # family gets a driver row:
     "zorder_keys": (_zorder_keys, _zorder_oracle()),
-    "funnel_steps": (_funnel_steps, _FUNNEL_ORACLE),
     "funnel_user_levels_windowed": (
         _funnel_levels_windowed,
         _FUNNEL_LEVELS_ORACLE,
     ),
-    "retention_cohorts": (_retention, _RETENTION_ORACLE),
     # Rotated out in round 3 to stay under the driver's 50-query cap
     # while the round-2 pipeline families (queries_pipeline.py) get
     # driver rows: q4_order_priority (EXISTS semi-join — anti/semi
@@ -1463,10 +1459,22 @@ CORE_QUERIES: dict[str, tuple] = {
     # ivfpq_adc_topk (queries_datapipe.py) and mm_decoded_stats
     # (queries_multimodal.py) get driver rows — all four keep exact
     # oracle comparisons in test_oracle_parity's rotated-query gate.
+    # Round 7 rotates out matmul_nested (N1's kernel + Series assembly
+    # stay driver-gated through matmul_flatten and topk rows; the
+    # nested form keeps its exact comparison in the rotated gate),
+    # sessionize_events (gap windows also live in funnel/retention
+    # pytests and the session window stays pinned in test_plans),
+    # funnel_steps (the windowed per-user funnel fold above is the
+    # strictly richer driver row of the same family),
+    # retention_cohorts (cohort windows multiply covered:
+    # funnel_user_levels_windowed + scd2 + hypertable_rollup),
+    # asof_purchase_click and range_join_price_bands (single-mechanism
+    # join rows with dedicated pytest modules test_asof.py /
+    # rangejoin tests) — six slots for the span-excision family
+    # (queries_text.py) and the within-doc strip / bin
+    # materialization / mixture / BPE rows (queries_datapipe.py).
     # The query functions remain above, importable and unit-covered.
     "sketch_distinct_users": (_sketch_distinct_users, None),
     "mllib_blockmatrix_matmul": (_mllib_blockmatmul, _MLLIB_BLOCKMATMUL_ORACLE),
-    "asof_purchase_click": (_asof_purchase_click, _ASOF_ORACLE),
-    "range_join_price_bands": (_range_join_price_bands, _RANGE_JOIN_ORACLE),
     "hypertable_rollup": (_hypertable_rollup, _HYPERTABLE_ROLLUP_ORACLE),
 }

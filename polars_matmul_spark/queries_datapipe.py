@@ -91,6 +91,265 @@ FROM marked GROUP BY doc_id
 """
 
 
+# --- within-doc repeated-line strip (round-7 rotation) ---------------------
+#
+# Closes the line-dedup module's scope boundary with a driver row:
+# intra-document repeated-line removal (first occurrence kept, blanks
+# always kept) in exactly one doc-keyed shuffle. The DuckDB twin has
+# lived in tests/test_datapipe_ops.py since round 6. Same line-
+# structuring transform as line_dedup_strip (space -> newline) so the
+# operator sees genuinely repeated lines inside a document.
+
+def _strip_within_doc(spark, sf_dir):
+    from polars_matmul_spark.operators.linededup import (
+        strip_repeated_lines_within_doc,
+    )
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.regexp_replace("text", " ", "\n")
+    )
+    return strip_repeated_lines_within_doc(docs)
+
+
+_STRIP_WITHIN_DOC_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, replace(text, ' ', chr(10)) AS text FROM documents
+), occ AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM d
+), hashed AS (
+  SELECT doc_id, pos, line,
+         md5(regexp_replace(lower(trim(line)), '\s+', ' ', 'g')) AS h,
+         trim(line) = '' AS is_blank
+  FROM occ
+), marked AS (
+  SELECT doc_id, pos, line,
+         (row_number() OVER (PARTITION BY doc_id, h ORDER BY pos) > 1)
+           AND NOT is_blank AS dropped
+  FROM hashed
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN NOT dropped THEN line END, chr(10)
+                           ORDER BY pos), '') AS text,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_stripped
+FROM marked GROUP BY doc_id
+"""
+
+
+# --- bin materialization (round-7 rotation) --------------------------------
+#
+# materialize_bins turns a (bin_id, doc_id, ...) pack assignment into
+# physical training sequences: bodies joined in, concatenated in
+# ascending doc-id order. pack_sequences itself is partition-local
+# greedy (deliberately partitioning-DEPENDENT — pytest-gated on its
+# invariants instead), so the driver row feeds materialize_bins the
+# DETERMINISTIC assignment the shards operator produces (md5 global
+# order -> token cumsum -> budget cut), which DuckDB replays exactly.
+
+_BIN_BUDGET = 512
+
+
+def _materialize_bins_q(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from polars_matmul_spark.operators.packing import materialize_bins
+    from polars_matmul_spark.operators.shards import assign_token_shards
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    counted = docs.withColumn("n_tokens", token_count(F.col("text")))
+    sh = assign_token_shards(counted, tokens_per_shard=_BIN_BUDGET)
+    asg = (
+        sh.select(F.col("shard_id").alias("bin_id"), "doc_id", "n_tokens")
+        .withColumn(
+            "bin_fill",
+            F.sum("n_tokens").over(Window.partitionBy("bin_id")).cast("long"),
+        )
+        .withColumn("oversize", F.col("n_tokens") > _BIN_BUDGET)
+    )
+    return materialize_bins(asg, docs)
+
+
+_MATERIALIZE_BINS_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), s AS (
+  SELECT doc_id, text, n_tokens,
+         CAST(floor(
+           CAST(coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) / {_BIN_BUDGET}) AS BIGINT) AS bin_id
+  FROM t
+)
+SELECT bin_id,
+       CAST(count(*) AS BIGINT) AS n_seqs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_fill,
+       CAST(max(CASE WHEN n_tokens > {_BIN_BUDGET} THEN 1 ELSE 0 END) AS BOOLEAN)
+         AS oversize,
+       string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS text
+FROM s GROUP BY bin_id
+"""
+
+
+# --- deterministic training mixture (round-7 rotation) ---------------------
+#
+# mixture_sample composes a weighted training mix from several corpora
+# with md5-per-epoch subsampling — every decision is a pure function of
+# (doc_id, source, epoch), so DuckDB replays the EXACT row set: counts
+# per source, frac = (target * w / tot_w) / n computed in the same
+# IEEE-double order, floor(frac) full epochs, and the fractional epoch
+# as a hash-bucket filter with the same per-source per-epoch salt. The
+# weights make 'a' oversample at sf0.01 (frac > 1: full epochs + a
+# partial) while all three sources subsample at sf0.1 (frac < 1) — the
+# two regimes exercised across the driver SF and the sf0.1 sweep.
+
+_MIX_TARGET = 1000
+_MIX_W = {"a": 2.0, "b": 1.0, "c": 1.0}
+
+
+def _mixture_sample_q(spark, sf_dir):
+    from polars_matmul_spark.operators.sampling import mixture_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    sources = {
+        name: docs.filter(F.col("doc_id") % 3 == i)
+        for i, name in enumerate(["a", "b", "c"])
+    }
+    out = mixture_sample(sources, _MIX_W, _MIX_TARGET)
+    return out.select("doc_id", "lang", "source", "epoch")
+
+
+def _mixture_oracle() -> str:
+    tot_w = float(sum(_MIX_W.values()))
+    parts = []
+    for i, (name, w) in enumerate([("a", 2.0), ("b", 1.0), ("c", 1.0)]):
+        parts.append(
+            f"""
+SELECT doc_id, lang, '{name}' AS source,
+       unnest(list_transform(range(0, CAST(floor(f.frac) AS BIGINT)),
+                             x -> CAST(x AS INT))) AS epoch
+FROM documents, (
+  SELECT ({_MIX_TARGET} * {w} / {tot_w}) /
+         (SELECT count(*) FROM documents WHERE doc_id % 3 = {i}) AS frac
+) f
+WHERE doc_id % 3 = {i}
+UNION ALL
+SELECT doc_id, lang, '{name}' AS source,
+       CAST(floor(f.frac) AS INT) AS epoch
+FROM documents, (
+  SELECT ({_MIX_TARGET} * {w} / {tot_w}) /
+         (SELECT count(*) FROM documents WHERE doc_id % 3 = {i}) AS frac
+) f
+WHERE doc_id % 3 = {i}
+  AND f.frac - floor(f.frac) > 0
+  AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{name}:' ||
+         CAST(CAST(floor(f.frac) AS BIGINT) AS VARCHAR)), 1, 12))::BIGINT
+        % 1000000
+      < CAST(floor((f.frac - floor(f.frac)) * 1000000) AS BIGINT)"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+# --- BPE subword encoding (round-7 rotation) -------------------------------
+#
+# The last big text operator without a driver row. The tokenizer is a
+# FIXED artifact — the way real pipelines ship a pretrained tokenizer:
+# the seed word-frequency table below is the top-40 word counts of the
+# sf0.01 documents table (captured once; 31 distinct words exist), and
+# merges_from_word_counts replays train_bpe's deterministic driver
+# loop over it at import time, no Spark needed. Spark encodes via the
+# broadcast merge table in mapInPandas; DuckDB replays encode with a
+# recursive CTE — per word, repeatedly apply the LOWEST-rank
+# applicable merge, each application collapsing every non-overlapping
+# occurrence left-to-right. The string encoding makes that exact
+# semantics a plain replace(): each piece is wrapped chr(31)+p+chr(31),
+# so pattern = SEP a SEP SEP b SEP respects piece boundaries and
+# replace()'s left-to-right non-overlapping scan IS _merge_word.
+
+_BPE_SEED_COUNTS = [
+    ("join", 964), ("hash", 947), ("row", 943), ("batch", 937),
+    ("scan", 936), ("column", 934), ("customer", 934), ("filter", 933),
+    ("small", 928), ("merge", 918), ("slow", 918), ("order", 912),
+    ("vector", 912), ("line", 910), ("data", 908), ("table", 908),
+    ("agg", 901), ("value", 897), ("key", 896), ("stream", 888),
+    ("window", 886), ("a", 880), ("spark", 880), ("group", 878),
+    ("part", 878), ("big", 876), ("sort", 872), ("query", 871),
+    ("fast", 854), ("the", 840), ("dup", 26),
+]
+_BPE_NUM_MERGES = 60
+
+
+def _bpe_merges():
+    from polars_matmul_spark.operators.bpe import merges_from_word_counts
+
+    return merges_from_word_counts(_BPE_SEED_COUNTS, _BPE_NUM_MERGES)
+
+
+def _bpe_encode_q(spark, sf_dir):
+    from polars_matmul_spark.operators.bpe import bpe_encode
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return bpe_encode(docs, _bpe_merges())
+
+
+def _bpe_oracle() -> str:
+    vals = ",".join(
+        f"({i},'{a}','{b}')" for i, (a, b) in enumerate(_bpe_merges())
+    )
+    pat = "chr(31)||m2.a||chr(31)||chr(31)||m2.b||chr(31)"
+    return rf"""
+WITH RECURSIVE merges(rank, a, b) AS (VALUES {vals}),
+dw AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w,
+         generate_subscripts(regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS pos
+  FROM documents
+),
+words AS (SELECT DISTINCT w FROM dw WHERE w != ''),
+init AS (
+  SELECT w, regexp_replace(w, '(.)', chr(31) || '\1' || chr(31), 'g')
+           || chr(31) || '</w>' || chr(31) AS s
+  FROM words
+),
+enc AS (
+  SELECT w, s, 0 AS it FROM init
+  UNION ALL
+  SELECT e.w,
+         replace(e.s, chr(31)||m.a||chr(31)||chr(31)||m.b||chr(31),
+                 chr(31)||m.a||m.b||chr(31)) AS s,
+         e.it + 1
+  FROM enc e JOIN merges m
+    ON m.rank = (SELECT min(m2.rank) FROM merges m2
+                 WHERE strpos(e.s, {pat}) > 0)
+),
+fin AS (
+  SELECT w, s FROM (
+    SELECT w, s, row_number() OVER (PARTITION BY w ORDER BY it DESC) AS rn
+    FROM enc
+  ) WHERE rn = 1
+),
+tok AS (
+  SELECT w, list_filter(string_split(s, chr(31)), x -> x != '') AS pieces
+  FROM fin
+),
+per_doc AS (
+  SELECT dw.doc_id, flatten(list(tok.pieces ORDER BY dw.pos)) AS bpe_tokens
+  FROM dw JOIN tok ON dw.w = tok.w
+  WHERE dw.w != ''
+  GROUP BY dw.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.bpe_tokens, CAST([] AS VARCHAR[])) AS bpe_tokens,
+       CAST(COALESCE(len(p.bpe_tokens), 0) AS BIGINT) AS n_bpe
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 # --- model-based quality score ---------------------------------------------
 
 _QD = 64  # feature buckets
@@ -1066,4 +1325,15 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "cms_line_dedup": (_cms_line_dedup, _CMS_LINE_DEDUP_ORACLE),
     "priority_sample_docs": (_priority_sample_docs, _PRIORITY_SAMPLE_ORACLE),
     "hamming_topk_srp": (_hamming_topk_srp, _hamming_oracle()),
+    # round-7 rotation: within-doc line strip, deterministic bin
+    # materialization, the weighted training mixture, and BPE encode
+    # get driver rows (matmul_nested / asof_purchase_click /
+    # range_join_price_bands / funnel_steps / retention_cohorts /
+    # sessionize_events rotate out of queries_core — each a
+    # single-mechanism row multiply covered in pytest, exact value
+    # comparisons kept in test_oracle_parity's rotated-query gate):
+    "strip_within_doc": (_strip_within_doc, _STRIP_WITHIN_DOC_ORACLE),
+    "materialize_bins": (_materialize_bins_q, _MATERIALIZE_BINS_ORACLE),
+    "mixture_sample": (_mixture_sample_q, _mixture_oracle()),
+    "bpe_encode": (_bpe_encode_q, _bpe_oracle()),
 }

@@ -412,6 +412,143 @@ FROM reach GROUP BY a
 """
 
 
+# --- exact span excision (round-7 rotation) --------------------------------
+#
+# Lee-et-al substring dedup by REMOVAL: cut every cross-document
+# verbatim span of length >= k out of the non-canonical copies
+# (operators/winnow.py::excise_duplicate_spans). The DuckDB twin has
+# lived in tests/test_winnow.py since round 6 (full gaps-and-islands
+# reassembly + a pure-Python oracle + hypothesis property tests); this
+# promotes it to a driver row. k matches the pytest gates.
+
+_EXCISE_K = 12
+
+
+def _excise_reassembly_sql(hits_cte: str, k: int) -> str:
+    """The shared gaps-and-islands reassembly over a ``hits(doc_id,
+    pos)`` CTE: merge overlapping [pos, pos+k) intervals per doc with a
+    running-max window, stitch the kept gaps back in document order —
+    the SQL mirror of winnow._excise_reassemble's row-local fold."""
+    return f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE length(text) >= {k}
+), idx AS (
+  SELECT doc_id, text,
+         unnest(range(1, length(text) - {k} + 2)) AS i
+  FROM d
+), g AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substr(md5(substr(text, i, {k})), 1, 12))::BIGINT AS h
+  FROM idx
+), {hits_cte}, m AS (
+  SELECT doc_id, pos,
+         COALESCE(MAX(pos + {k}) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cur
+  FROM hits
+), seg AS (
+  SELECT m.doc_id, m.pos,
+         substr(d.text, m.cur + 1, GREATEST(m.pos - m.cur, 0)) AS piece,
+         CASE WHEN m.pos >= m.cur THEN 1 ELSE 0 END AS newspan,
+         GREATEST(LEAST(m.pos + {k} - m.cur, {k}), 0) AS chars_cut
+  FROM m JOIN d USING (doc_id)
+), agg AS (
+  SELECT doc_id,
+         string_agg(piece, '' ORDER BY pos) AS head,
+         CAST(SUM(newspan) AS BIGINT) AS n_spans_removed,
+         CAST(SUM(chars_cut) AS BIGINT) AS n_chars_removed,
+         MAX(pos + {k}) AS fin
+  FROM seg GROUP BY doc_id
+)
+SELECT doc.doc_id,
+       COALESCE(head || substr(doc.text, fin + 1, length(doc.text)), doc.text)
+         AS text,
+       COALESCE(n_spans_removed, 0) AS n_spans_removed,
+       COALESCE(n_chars_removed, 0) AS n_chars_removed
+FROM documents doc LEFT JOIN agg USING (doc_id)
+"""
+
+
+def _excise_spans(spark, sf_dir):
+    from polars_matmul_spark.operators.winnow import excise_duplicate_spans
+
+    # repartition: the documents table is one parquet file at test SFs —
+    # without spreading, the md5-per-position gram pass serializes onto
+    # one core (values identical either way; the winnow_dup_pairs rule)
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return excise_duplicate_spans(docs, k=_EXCISE_K)
+
+
+_EXCISE_ORACLE = _excise_reassembly_sql(
+    f"""freq AS (
+  SELECT h, MIN(doc_id) AS owner
+  FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT g.doc_id, g.pos FROM g JOIN freq USING (h)
+  WHERE freq.owner != g.doc_id
+)""",
+    _EXCISE_K,
+)
+
+
+# The bounded-state sibling: excision against a Count-Min sketch of
+# distinct-per-doc gram counts (strip-everywhere mode — a sketch
+# cannot store per-gram owner ids). The oracle replays the WHOLE
+# sketch — probe positions from the md5 double-hash, counter sums,
+# min-fold — so the comparison is bit-for-bit at ANY scale: a counter
+# collision produces the same extra cut on both engines (the
+# cms_line_dedup methodology at gram granularity).
+
+_EXCISE_CMS_W = 65536
+_EXCISE_CMS_D = 5
+
+
+def _excise_spans_cms(spark, sf_dir):
+    from polars_matmul_spark.operators.winnow import (
+        build_gram_cms,
+        excise_duplicate_spans_cms,
+    )
+
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    cms = build_gram_cms(docs, _EXCISE_K, _EXCISE_CMS_W, _EXCISE_CMS_D)
+    return excise_duplicate_spans_cms(
+        docs, cms, _EXCISE_K, _EXCISE_CMS_W, _EXCISE_CMS_D
+    )
+
+
+_EXCISE_CMS_ORACLE = _excise_reassembly_sql(
+    f"""wc AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS n FROM g GROUP BY h
+), hh AS (
+  SELECT h, n,
+         ('0x' || substr(md5(CAST(h AS VARCHAR)), 1, 12))::BIGINT AS h1,
+         ('0x' || substr(md5(CAST(h AS VARCHAR)), 13, 12))::BIGINT * 2 + 1 AS h2
+  FROM wc
+), cnt AS (
+  SELECT r.range AS row, (h1 + r.range * h2) % {_EXCISE_CMS_W} AS col,
+         SUM(n) AS n
+  FROM hh CROSS JOIN range(0, {_EXCISE_CMS_D}) r GROUP BY 1, 2
+), est AS (
+  SELECT hh.h, MIN(coalesce(cnt.n, 0)) AS est
+  FROM hh CROSS JOIN range(0, {_EXCISE_CMS_D}) r
+  LEFT JOIN cnt ON cnt.row = r.range
+              AND cnt.col = (hh.h1 + r.range * hh.h2) % {_EXCISE_CMS_W}
+  GROUP BY hh.h
+), hits AS (
+  SELECT g.doc_id, g.pos FROM g JOIN est USING (h) WHERE est.est >= 2
+)""",
+    _EXCISE_K,
+)
+
+
 # NOTE: round 1 also registered `binary_payload_meta` (doc_id, n_bytes,
 # payload_sha256) here. It was a strict subset of `mm_asset_meta` in
 # queries_multimodal (same payload cast, same sha256, plus kind/dims),
@@ -441,4 +578,10 @@ TEXT_QUERIES: dict[str, tuple] = {
     # exact oracles kept in tests/test_oracle_parity.py):
     "c4_clean": (_c4_clean, _C4_ORACLE),
     "dedup_groups": (_dedup_groups_q, _DEDUP_GROUPS_ORACLE),
+    # round-7 rotation: the span-excision family gets driver rows
+    # (exact keep-first + the bounded-state CMS sibling with a full
+    # sketch replay); the slots come from single-mechanism rows
+    # multiply covered in pytest — see queries_core/queries_pipeline
+    "excise_duplicate_spans": (_excise_spans, _EXCISE_ORACLE),
+    "excise_spans_cms": (_excise_spans_cms, _EXCISE_CMS_ORACLE),
 }

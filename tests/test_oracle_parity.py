@@ -140,6 +140,17 @@ def _rotated_queries():
         "cube_sales": (qc._cube_sales, qc._CUBE_SALES_ORACLE),
         "event_hourly_windows": (qc._event_hourly, qc._EVENT_HOURLY_ORACLE),
         "mm_byte_histogram": (qm._byte_histogram, qm._duck_histogram_oracle()),
+        # round-7 rotation: six slots freed for the span-excision
+        # family + within-doc strip / materialize_bins / mixture / BPE
+        "matmul_nested": (qc._matmul_nested_scores, qc._MATMUL_NESTED_ORACLE),
+        "sessionize_events": (qc._sessionize, qc._SESSIONIZE_ORACLE),
+        "funnel_steps": (qc._funnel_steps, qc._FUNNEL_ORACLE),
+        "retention_cohorts": (qc._retention, qc._RETENTION_ORACLE),
+        "asof_purchase_click": (qc._asof_purchase_click, qc._ASOF_ORACLE),
+        "range_join_price_bands": (
+            qc._range_join_price_bands,
+            qc._RANGE_JOIN_ORACLE,
+        ),
     }
 
 

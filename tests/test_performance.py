@@ -190,13 +190,12 @@ _CEILINGS_SF01 = {
     "pq_adc_topk": 4.5,
     "bloom_incremental_dedup": 5.0,
     # round-5 rotation rows (idle walls from the self-gated bench at
-    # calibration 1.02x: 0.43 / 3.53 / 2.46 / 1.33 / 0.44 / 0.76 /
-    # 0.63 s — ~4x ceilings)
-    "funnel_steps": 2.5,
+    # calibration 1.02x: 3.53 / 2.46 / 1.33 / 0.76 / 0.63 s — ~4x
+    # ceilings; funnel_steps and retention_cohorts left the registry
+    # in the round-7 rotation, value parity stays in the rotated gate)
     "srp_neardup_bands": 14.0,
     "semantic_dedup_pairs": 10.0,
     "winnow_dup_pairs": 6.0,
-    "retention_cohorts": 2.0,
     "hard_negatives_topk": 3.5,
     "zorder_keys": 3.0,
     "gopher_quality": 2.0,  # r6 staged-token rewrite: idle wall ~0.6-1.0s
@@ -217,6 +216,16 @@ _CEILINGS_SF01 = {
     "cms_line_dedup": 8.0,
     "priority_sample_docs": 1.5,
     "hamming_topk_srp": 7.0,
+    # round-7 rotation rows (warm walls at calibration ~1.4x:
+    # 5.7 / 9.0 / 0.70 / 0.77 / 0.58 / 0.41 s — ceilings ~4x the
+    # load-discounted idle estimate; the excision pair is honestly
+    # heavy: two md5-per-position gram passes over every corpus byte)
+    "excise_duplicate_spans": 17.0,
+    "excise_spans_cms": 27.0,
+    "strip_within_doc": 2.5,
+    "materialize_bins": 2.5,
+    "mixture_sample": 2.0,
+    "bpe_encode": 1.5,
 }
 
 

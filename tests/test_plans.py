@@ -80,12 +80,19 @@ def test_dedup_and_text_plans_stay_jvm_side(spark, sf_dir):
     # the composed operators stay JVM-side too (salted_event_counts
     # rotated out of the registry in round 5 — still pinned here via
     # its query function)
-    from polars_matmul_spark.queries_core import _salted_event_counts
+    from polars_matmul_spark.queries_core import (
+        _asof_purchase_click,
+        _range_join_price_bands,
+        _salted_event_counts,
+    )
 
     assert not uses_python_worker(_salted_event_counts(spark, sf_dir))
-    for name in ("asof_purchase_click", "range_join_price_bands", "hypertable_rollup"):
-        fn, _ = CORE_QUERIES[name]
-        assert not uses_python_worker(fn(spark, sf_dir)), name
+    # asof/range_join rotated out of the registry in round 7 — still
+    # pinned here via their query functions
+    for fn in (_asof_purchase_click, _range_join_price_bands):
+        assert not uses_python_worker(fn(spark, sf_dir)), fn.__name__
+    hyper_fn, _ = CORE_QUERIES["hypertable_rollup"]
+    assert not uses_python_worker(hyper_fn(spark, sf_dir))
 
 
 def test_ivf_plan_shape(spark, sf_dir):
@@ -109,8 +116,9 @@ def test_ivf_plan_shape(spark, sf_dir):
 def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
     # the bucketed rewrite must turn the BETWEEN predicate into a hash
     # equi-join; a BroadcastNestedLoopJoin would be the O(n*m) trap
-    fn, _ = CORE_QUERIES["range_join_price_bands"]
-    plan = explain_str(fn(spark, sf_dir), "simple")
+    from polars_matmul_spark.queries_core import _range_join_price_bands
+
+    plan = explain_str(_range_join_price_bands(spark, sf_dir), "simple")
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
     assert "Join" in plan  # it IS a join, just an equi one
 

@@ -44,8 +44,11 @@ def test_session_windows_stream_matches_batch_sessionization(spark):
     run_stream_to_memory(stream_df, "sessions_mem", output_mode="complete")
     got = spark.sql("SELECT * FROM sessions_mem").toPandas()
 
-    batch_fn = CORE_QUERIES["sessionize_events"][0]
-    want = batch_fn(spark, SF_DIR).toPandas()
+    # sessionize_events rotated out of the registry in round 7; the
+    # batch twin stays the stream==batch oracle via its query function
+    from polars_matmul_spark.queries_core import _sessionize
+
+    want = _sessionize(spark, SF_DIR).toPandas()
 
     # same session structure: per user, the multiset of session sizes
     assert len(got) == len(want)
