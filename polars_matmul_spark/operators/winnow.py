@@ -43,7 +43,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -54,6 +54,7 @@ __all__ = [
     "build_winnow_index",
     "winnow_new_vs_index",
     "excise_duplicate_spans",
+    "shared_span_stats",
     "build_gram_cms",
     "excise_duplicate_spans_cms",
     "build_gram_index",
@@ -386,6 +387,81 @@ def excise_duplicate_spans(
         hits = hits.filter(F.col("__owner") != F.col(id_col))
     return _excise_reassemble(
         df, _cut_positions(hits, id_col), k, text_col, id_col
+    )
+
+
+def shared_span_stats(
+    df: DataFrame,
+    k: int = 20,
+    max_hash_docs: int | None | str = "auto",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-granularity dedup observability (the ``dedup_report``
+    counterpart at substring level, round 7): for every document pair
+    sharing at least one verbatim span of length >= ``k``, the MAXIMAL
+    shared-span statistics — (d1, d2, n_spans, max_span_len,
+    sum_span_chars, span_lengths sorted array) — without suffix
+    automata: maximal shared spans are exactly the maximal DIAGONAL
+    runs of the gram match matrix. A shared span of length L >= k
+    aligns L-k+1 consecutive gram positions in both docs at a constant
+    offset p1 - p2, so grouping matches by (pair, diagonal) and
+    counting consecutive-p1 islands (gaps-and-islands) recovers every
+    maximal span as run_len + k - 1 chars.
+
+    Two docs that repeat the same span internally produce one run per
+    alignment (the match-matrix semantics); ``sum_span_chars`` sums
+    maximal runs over all alignments and so can exceed the distinct
+    char union that :func:`excise_duplicate_spans` would cut —
+    alignment mass vs excision mass, both useful, documented apart.
+    48-bit gram-hash collisions can fabricate ~F^2/2^49 spurious
+    length-``k`` spans corpus-wide — negligible, and only at the
+    minimum length bucket.
+
+    Scale shape: the postings equi-join on uniform 48-bit hashes is
+    bounded by ``max_hash_docs`` exactly like :func:`winnow_dup_pairs`
+    (default "auto" = :func:`winnow_hash_cap`, one eager count);
+    the island window partitions by (d1, d2, diagonal) — never a
+    global sort — and its exchange is REUSED by the island group-by
+    (grouping keys a superset of the partitioning); the final per-pair
+    fold moves only one slim row per maximal span.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cap = _resolve_hash_cap(df, max_hash_docs)
+    grams = _gram_stream(df, k, text_col, id_col).localCheckpoint(eager=False)
+    if cap is not None:
+        hot = (
+            _gram_doc_counts(grams, id_col)
+            .filter(F.col("__n") > cap)
+            .select("__h")
+        )
+        grams = grams.join(F.broadcast(hot), "__h", "left_anti")
+    a = grams.alias("a")
+    b = grams.hint("shuffle_hash").alias("b")
+    matches = a.join(
+        b,
+        (F.col("a.__h") == F.col("b.__h"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("d1"),
+        F.col(f"b.{id_col}").alias("d2"),
+        F.col("a.pos").alias("p1"),
+        F.col("b.pos").alias("p2"),
+        (F.col("a.pos") - F.col("b.pos")).alias("__diag"),
+    )
+    w = Window.partitionBy("d1", "d2", "__diag").orderBy("p1")
+    runs = matches.withColumn(
+        "__grp", F.col("p1") - F.row_number().over(w)
+    )
+    spans = runs.groupBy("d1", "d2", "__diag", "__grp").agg(
+        (F.count("*") + F.lit(k - 1)).cast("int").alias("span_len")
+    )
+    return spans.groupBy("d1", "d2").agg(
+        F.count("*").alias("n_spans"),
+        F.max("span_len").alias("max_span_len"),
+        F.sum("span_len").alias("sum_span_chars"),
+        F.sort_array(F.collect_list("span_len")).alias("span_lengths"),
     )
 
 

@@ -772,3 +772,200 @@ class TestExciseIncremental:
         assert merged == full
         with pytest.raises(ValueError):
             merge_gram_index()
+
+
+# --- span-granularity dedup observability (round 7) ------------------------
+
+
+def py_span_stats(
+    rows: list[tuple[int, str]], k: int, cap: int | None = None
+) -> dict[tuple[int, int], tuple[int, int, int, list[int]]]:
+    """Pure-Python oracle for shared_span_stats: same gram hash, same
+    hot-hash cap, maximal diagonal runs of the gram match matrix."""
+    from collections import defaultdict
+
+    grams = {
+        did: [(i, _h(text[i : i + k])) for i in range(len(text) - k + 1)]
+        for did, text in rows
+    }
+    docs_per_h: dict[int, set[int]] = defaultdict(set)
+    for did, lst in grams.items():
+        for _, h in lst:
+            docs_per_h[h].add(did)
+    hot = (
+        {h for h, s in docs_per_h.items() if len(s) > cap}
+        if cap is not None
+        else set()
+    )
+    kept = {
+        did: [(p, h) for p, h in lst if h not in hot]
+        for did, lst in grams.items()
+    }
+    out = {}
+    ids = sorted(kept)
+    for i, d1 in enumerate(ids):
+        h1: dict[int, list[int]] = defaultdict(list)
+        for p, h in kept[d1]:
+            h1[h].append(p)
+        for d2 in ids[i + 1 :]:
+            by_diag: dict[int, set[int]] = defaultdict(set)
+            for p2, h in kept[d2]:
+                for p1 in h1.get(h, ()):
+                    by_diag[p1 - p2].add(p1)
+            if not by_diag:
+                continue
+            spans = []
+            for ps in by_diag.values():
+                sp = sorted(ps)
+                run = 1
+                for prev, cur in zip(sp, sp[1:]):
+                    if cur == prev + 1:
+                        run += 1
+                    else:
+                        spans.append(run + k - 1)
+                        run = 1
+                spans.append(run + k - 1)
+            spans.sort()
+            out[(d1, d2)] = (len(spans), max(spans), sum(spans), spans)
+    return out
+
+
+class TestSharedSpanStats:
+    K = 12
+
+    def test_planted_span_lengths(self, spark):
+        from polars_matmul_spark.operators.winnow import shared_span_stats
+
+        shared = "x" * 0 + "the quick brown fox jumps over it"  # 33 chars
+        rows = [
+            (1, "AAAA " + shared + " BBBB"),
+            (2, "CCCCCC " + shared + " DDDD"),
+            (3, "totally unrelated content here zz"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["d1"], r["d2"]): (
+                r["n_spans"],
+                r["max_span_len"],
+                r["sum_span_chars"],
+                list(r["span_lengths"]),
+            )
+            for r in shared_span_stats(df, k=self.K).collect()
+        }
+        # docs 1 and 2 share exactly the planted span (plus the flanking
+        # spaces, which belong to the maximal run on both sides)
+        assert set(got) == {(1, 2)}
+        n, mx, tot, lens = got[(1, 2)]
+        assert n == 1 and mx == tot == lens[0]
+        # maximal shared substring is " <shared> " = 33 + 2 spaces
+        assert mx == len(shared) + 2
+
+    def test_internal_repeat_counts_alignments(self, spark):
+        from polars_matmul_spark.operators.winnow import shared_span_stats
+
+        span = "abcdefghijklmnop"  # 16 chars > K
+        rows = [
+            (1, span + "----------" + span),  # twice in doc 1
+            (2, "====" + span + "===="),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        [r] = shared_span_stats(df, k=self.K).collect()
+        # two alignments (one per copy in doc 1), each the full span
+        assert r["n_spans"] == 2
+        assert r["max_span_len"] == len(span)
+        assert r["sum_span_chars"] == 2 * len(span)
+
+    def test_real_corpus_matches_python_oracle(self, spark):
+        from polars_matmul_spark.operators.winnow import (
+            shared_span_stats,
+            winnow_hash_cap,
+        )
+
+        docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+        rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+        cap = winnow_hash_cap(len(rows))  # what "auto" resolves to
+        oracle = py_span_stats(rows, self.K, cap)
+        got = {
+            (r["d1"], r["d2"]): (
+                r["n_spans"],
+                r["max_span_len"],
+                r["sum_span_chars"],
+                list(r["span_lengths"]),
+            )
+            for r in shared_span_stats(docs, k=self.K).collect()
+        }
+        assert got == oracle
+        assert got, "corpus shares no spans — vacuous test"
+
+    def test_duckdb_replay(self, spark):
+        from polars_matmul_spark.operators.winnow import shared_span_stats
+
+        k = self.K
+        docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+        got = sorted(
+            (r["d1"], r["d2"], r["n_spans"], r["max_span_len"],
+             r["sum_span_chars"], tuple(r["span_lengths"]))
+            for r in shared_span_stats(docs, k=k, max_hash_docs=None).collect()
+        )
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+        )
+        oracle = sorted(
+            (d1, d2, n, mx, tot, tuple(lens))
+            for d1, d2, n, mx, tot, lens in con.sql(f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE length(text) >= {k}
+), idx AS (
+  SELECT doc_id, text, unnest(range(1, length(text) - {k} + 2)) AS i
+  FROM d
+), g AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substr(md5(substr(text, i, {k})), 1, 12))::BIGINT AS h
+  FROM idx
+), m AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS p1,
+         a.pos - b.pos AS diag
+  FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+), r AS (
+  SELECT d1, d2, diag, p1,
+         p1 - row_number() OVER (PARTITION BY d1, d2, diag ORDER BY p1) AS grp
+  FROM m
+), s AS (
+  SELECT d1, d2, diag, grp, CAST(count(*) + {k} - 1 AS INT) AS span_len
+  FROM r GROUP BY 1, 2, 3, 4
+)
+SELECT d1, d2, count(*) AS n_spans, max(span_len) AS max_span_len,
+       CAST(sum(span_len) AS BIGINT) AS sum_span_chars,
+       list_sort(list(span_len)) AS span_lengths
+FROM s GROUP BY d1, d2
+""").fetchall()
+        )
+        assert got == oracle
+
+    def test_plan_no_cartesian_no_global_window(self, spark):
+        from polars_matmul_spark.operators.winnow import shared_span_stats
+
+        docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+        plan = (
+            shared_span_stats(docs, k=self.K)
+            ._jdf.queryExecution()
+            .explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "simple"
+                )
+            )
+        )
+        assert "CartesianProduct" not in plan
+        assert "NestedLoop" not in plan
+        # the island window is partitioned by (d1, d2, diag) — its
+        # exchange hashes those keys, never a single-partition sort
+        assert "Window" in plan
+        assert "hashpartitioning(d1" in plan, plan
+
+    def test_validation(self, spark):
+        from polars_matmul_spark.operators.winnow import shared_span_stats
+
+        docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+        with pytest.raises(ValueError, match="k must be"):
+            shared_span_stats(docs, k=0)
