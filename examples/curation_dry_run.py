@@ -1,0 +1,229 @@
+"""End-to-end curation dry run with per-stage walls (round 7).
+
+Stitches the full training-data curation path the way a production
+run would — every stage MATERIALIZED to parquet before the next one
+reads it (production checkpointing; also what makes the per-stage
+walls honest: stage N+1 never silently recomputes stage N's lineage):
+
+    0. raw JSONL feed with injected corruption (setup, untimed)
+    1. quarantine ingest      sources/ingest.read_jsonl_quarantine
+    2. Gopher hygiene gate    text_filters.gopher_quality (verdict)
+    3. span excision          winnow.excise_duplicate_spans
+    4. MinHash near-dup       dedup.neardup_pairs_minhash
+         -> components       dedup.dedup_groups
+         -> canonical keep   dedup.keep_canonical
+    5. DSIR selection         dsir.dsir_select (target = 'en' slice)
+    6. sequence packing       packing.pack_sequences + materialize_bins
+    7. token shards written   shards.write_token_shards
+
+Run from the repo root (writes CURATION_DRYRUN.md):
+
+    python examples/curation_dry_run.py            # sf0.1
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python examples/curation_dry_run.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = "/tmp/curation_dry_run"
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from polars_matmul_spark.calibration import calibration_wall, load_factor
+    from polars_matmul_spark.operators.dedup import (
+        dedup_groups,
+        keep_canonical,
+        neardup_pairs_minhash,
+    )
+    from polars_matmul_spark.operators.dsir import dsir_select
+    from polars_matmul_spark.operators.packing import (
+        materialize_bins,
+        pack_sequences,
+    )
+    from polars_matmul_spark.operators.shards import write_token_shards
+    from polars_matmul_spark.operators.text import token_count
+    from polars_matmul_spark.operators.text_filters import gopher_quality
+    from polars_matmul_spark.operators.winnow import excise_duplicate_spans
+    from polars_matmul_spark.plans.session import get_spark
+    from polars_matmul_spark.sources.ingest import read_jsonl_quarantine
+    from polars_matmul_spark.sources.tables import load_table
+
+    spark = get_spark("curation-dry-run", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    shutil.rmtree(WORK, ignore_errors=True)
+    os.makedirs(WORK)
+
+    cal = calibration_wall(spark)
+    factor, baseline = load_factor(cal)
+
+    stages: list[tuple[str, float, int, str]] = []
+
+    def checkpoint(name: str, df, note: str, ts_col_order=None) -> str:
+        """Write a stage to parquet, record (wall, rows); return path."""
+        path = os.path.join(WORK, name)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").parquet(path)
+        wall = time.perf_counter() - t0
+        n = spark.read.parquet(path).count()
+        stages.append((name, wall, n, note))
+        return path
+
+    # --- stage 0 (setup, untimed): render documents as a JSONL feed
+    # with ~2% injected corruption — truncated lines and type breaks,
+    # the two real failure classes the quarantine exists for
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text", "lang")
+    raw_path = os.path.join(WORK, "feed_jsonl")
+    line = F.to_json(F.struct("doc_id", "text", "lang"))
+    corrupted = docs.select(
+        F.when(F.col("doc_id") % 53 == 0, F.substring(line, 1, 40))  # truncated
+        .when(
+            F.col("doc_id") % 53 == 1,
+            F.regexp_replace(line, '"doc_id":', '"doc_id":"x"; '),  # type break
+        )
+        .otherwise(line)
+        .alias("value")
+    )
+    corrupted.coalesce(4).write.mode("overwrite").text(raw_path)
+
+    # --- stage 1: quarantine ingest
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    good, bad = read_jsonl_quarantine(spark, raw_path, schema)
+    n_bad = bad.count()
+    p1 = checkpoint(
+        "01_ingested", good,
+        f"PERMISSIVE parse, one text scan; {n_bad} corrupt lines quarantined",
+    )
+
+    # --- stage 2: Gopher hygiene gate (row-local verdict, scan speed)
+    ingested = spark.read.parquet(p1)
+    ok_ids = (
+        gopher_quality(ingested, min_words=30)
+        .filter(F.col("gopher_ok"))
+        .select("doc_id")
+    )
+    gated = ingested.join(ok_ids, "doc_id")
+    p2 = checkpoint(
+        "02_gopher_gate", gated,
+        "row-local rule verdict; id-keyed join back (AQE broadcast)",
+    )
+
+    # --- stage 3: exact span excision (strip cross-doc spans >= k)
+    g = spark.read.parquet(p2).repartition(spark.sparkContext.defaultParallelism)
+    excised = (
+        excise_duplicate_spans(g.select("doc_id", "text"), k=20)
+        .select("doc_id", "text")
+        .join(g.select("doc_id", "lang"), "doc_id")
+    )
+    p3 = checkpoint(
+        "03_excised", excised,
+        "k-gram doc counts -> broadcast frequent set -> row-local interval merge",
+    )
+
+    # --- stage 4: MinHash near-dup -> components -> canonical keep
+    ex = spark.read.parquet(p3)
+    pairs = neardup_pairs_minhash(ex, threshold=0.8)
+    groups = dedup_groups(pairs)
+    kept = keep_canonical(ex, pairs)
+    p4 = checkpoint(
+        "04_deduped", kept,
+        f"LSH bands -> exact verify -> components ({groups.count()} grouped docs)",
+    )
+
+    # --- stage 5: DSIR selection toward the 'en' slice
+    dd = spark.read.parquet(p4)
+    target = dd.filter(F.col("lang") == "en").select("doc_id", "text")
+    n_dd = dd.count()
+    selected = dsir_select(dd, target, k=max(100, n_dd // 2))
+    p5 = checkpoint(
+        "05_dsir_selected", selected.select("doc_id", "text", "lang"),
+        "hashed unigram LMs (two 1024-double collects), Gumbel top-k",
+    )
+
+    # --- stage 6: packing (token counts -> bins -> physical sequences)
+    sel = spark.read.parquet(p5)
+    counted = sel.withColumn("n_tokens", token_count(F.col("text")))
+    packed = pack_sequences(counted, budget=512)
+    bins = materialize_bins(packed, sel)
+    p6 = checkpoint(
+        "06_packed_bins", bins,
+        "FFD per partition (ids only move), bodies join in for reassembly",
+    )
+
+    # --- stage 7: token shards written (deterministic global shuffle)
+    shard_path = os.path.join(WORK, "07_shards")
+    t0 = time.perf_counter()
+    write_token_shards(counted, shard_path, tokens_per_shard=20_000)
+    wall = time.perf_counter() - t0
+    n_shards = len(
+        [d for d in os.listdir(shard_path) if d.startswith("shard_id=")]
+    )
+    stages.append(
+        ("07_shards", wall, n_shards, "md5 global order -> 2-phase prefix sum -> partitioned write (rows = shard dirs)")
+    )
+
+    total = sum(w for _, w, _, _ in stages)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = [
+        "# CURATION_DRYRUN — end-to-end stage walls",
+        "",
+        f"Generated by `python examples/curation_dry_run.py` at sf{sf} "
+        f"on local[{spark.sparkContext.defaultParallelism}]; calibration "
+        f"wall {cal:.2f}s / idle baseline {baseline:.2f}s = load "
+        f"{factor:.2f}x. Every stage materializes to parquet before the "
+        "next reads it, so each wall is that stage's full cost "
+        "(compute + write), never a recomputation of upstream lineage.",
+        "",
+        "| # | stage | wall (s) | rows out | mechanism |",
+        "|---|---|---|---|---|",
+    ]
+    for name, wall, n, note in stages:
+        out.append(f"| {name[:2]} | {name[3:]} | {wall:.2f} | {n} | {note} |")
+    out += [
+        f"| | **total** | **{total:.2f}** | | |",
+        "",
+        "The composition is the SURVEY §7 story run as one artifact: "
+        "quarantine -> hygiene -> excision -> near-dup -> selection -> "
+        "packing -> shards. Each stage is the scale-shaped operator "
+        "documented in its module; nothing here is imperative glue "
+        "beyond the checkpoint writes a production pipeline would do "
+        "anyway.",
+        "",
+        "Ordering note the dry run makes measurable: running span "
+        "EXCISION before MinHash collapses the near-dup stage to "
+        "(almost) nothing — the verbatim shared spans that made pairs "
+        "exceed the Jaccard threshold were already cut out, so the "
+        "grouped-docs count at stage 04 reads ~0 where the same "
+        "corpus WITHOUT excision yields the registry row's ~47 "
+        "groups. Excise-then-dedup keeps unique prose from both "
+        "near-dup copies; dedup-then-excise drops one copy whole. "
+        "Both orderings are one pipeline permutation away here.",
+        "",
+    ]
+    md = "\n".join(out)
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "CURATION_DRYRUN.md"), "w") as fh:
+        fh.write(md)
+    print(md)
+    print(json.dumps({"total_sec": round(total, 2), "stages": len(stages)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
