@@ -53,6 +53,7 @@ __all__ = [
     "winnow_hash_cap",
     "build_winnow_index",
     "winnow_new_vs_index",
+    "gram_arrays",
     "excise_duplicate_spans",
     "shared_span_stats",
     "build_gram_cms",
@@ -367,22 +368,24 @@ def excise_duplicate_spans(
         raise ValueError(f"k must be >= 1, got {k}")
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
-    # materialize the gram stream once: it feeds BOTH the frequency
+    # materialize the gram ARRAYS once: they feed BOTH the frequency
     # count and the hits join, and the md5-per-char-position pass is
     # the dominant cost (measured 7.2 -> ~4 s at sf0.1; at 100 TB the
-    # gram table is the dataset you'd persist anyway)
-    grams = _gram_stream(df, k, text_col, id_col).localCheckpoint(eager=False)
+    # gram table is the dataset you'd persist anyway). The array form
+    # checkpoints a third of the exploded stream's bytes (positions
+    # are the array index), and both derivations from it are row-local
+    owner_aggs = [F.min(id_col).alias("__owner")] if keep_first else []
+    arrays = gram_arrays(df, k, text_col, id_col).localCheckpoint(eager=False)
     # the min-id owner column is only computed (and carried through
     # the broadcast) when the keep-first policy actually reads it
-    owner_aggs = [F.min(id_col).alias("__owner")] if keep_first else []
     frequent = (
-        _gram_doc_counts(grams, id_col, owner_aggs)
+        _gram_doc_counts(arrays, id_col, owner_aggs)
         .filter(F.col("__n") >= min_docs)
         .drop("__n")
     )
     if broadcast_frequent:
         frequent = F.broadcast(frequent)
-    hits = grams.join(frequent, "__h")
+    hits = _gram_stream_from(arrays, id_col).join(frequent, "__h")
     if keep_first:
         hits = hits.filter(F.col("__owner") != F.col(id_col))
     return _excise_reassemble(
@@ -429,10 +432,11 @@ def shared_span_stats(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     cap = _resolve_hash_cap(df, max_hash_docs)
-    grams = _gram_stream(df, k, text_col, id_col).localCheckpoint(eager=False)
+    arrays = gram_arrays(df, k, text_col, id_col).localCheckpoint(eager=False)
+    grams = _gram_stream_from(arrays, id_col)
     if cap is not None:
         hot = (
-            _gram_doc_counts(grams, id_col)
+            _gram_doc_counts(arrays, id_col)
             .filter(F.col("__n") > cap)
             .select("__h")
         )
@@ -472,6 +476,7 @@ def build_gram_cms(
     depth: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Count-Min sketch over DISTINCT-per-doc character k-gram hashes —
     the bounded, MERGEABLE state behind
@@ -484,14 +489,21 @@ def build_gram_cms(
     persisted one with ``cms.merge_cms`` (the distinct-per-doc
     pre-collapse keeps a doc's internal span repeats from inflating
     its grams' doc counts), which is what a streaming excise-on-ingest
-    keeps instead of the unbounded gram set."""
+    keeps instead of the unbounded gram set.
+
+    ``grams``: a precomputed (ideally checkpointed)
+    :func:`gram_arrays` frame over the SAME ``df``/``k`` — pass it
+    when another consumer shares the md5 pass (the one-hash-pass
+    build-plus-excise driver shape)."""
     from polars_matmul_spark.operators.cms import build_cms
 
     # pre-aggregate to (hash, distinct-doc count) before the sketch —
     # bit-identical counters, and the probe explode runs over the
     # distinct-key table instead of every (doc, gram) pair (the
     # build_line_cms pattern)
-    wc = _gram_doc_counts(_gram_stream(df, k, text_col, id_col), id_col)
+    if grams is None:
+        grams = gram_arrays(df, k, text_col, id_col)
+    wc = _gram_doc_counts(grams, id_col)
     return build_cms(wc, "__h", width, depth, weight_col="__n")
 
 
@@ -504,6 +516,8 @@ def excise_duplicate_spans_cms(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    grams: DataFrame | None = None,
+    broadcast_frequent: bool = True,
 ) -> DataFrame:
     """Span excision against a Count-Min sketch instead of the exact
     gram-frequency table — same output shape as
@@ -519,26 +533,61 @@ def excise_duplicate_spans_cms(
     generously the output matches the exact operator bit-for-bit
     (pinned in the tests).
 
-    Scale shape: the sketch BROADCASTS (bounded MBs by construction);
-    the gram stream is row-local until the per-doc cut aggregation,
-    then one id-keyed join for reassembly. History never re-scans —
-    merge new batches into ``cms`` and re-excise."""
-    from polars_matmul_spark.operators.cms import cms_lookup
+    Scale shape: the sketch BROADCASTS (bounded MBs by construction)
+    into the probe join; estimates are folded at DISTINCT-gram-hash
+    granularity (per-doc dedup is row-local ``array_distinct``, so the
+    probe side is the distinct-hash set, not every position), and only
+    the FILTERED frequent set (est >= ``min_docs``) joins back into
+    the position stream — never the full estimate frame (round 7: the
+    former full-width ``cms_lookup`` join-back was the operator's
+    biggest exchange). The reassembly join moves one row per doc.
+    History never re-scans — merge new batches into ``cms`` and
+    re-excise. ``broadcast_frequent=False`` falls back to a shuffle
+    join for a saturated/undersized sketch whose frequent set is too
+    large to broadcast (the sibling operators' escape hatch).
+
+    ``grams``: a precomputed (ideally checkpointed)
+    :func:`gram_arrays` frame over the SAME ``df``/``k`` — pass it to
+    share one md5 pass between :func:`build_gram_cms` and this
+    excision (the driver-row and ingest shape)."""
+    # probe-position derivation shared with the cms module (in-package
+    # reuse of its private _probes keeps the double-hash scheme in ONE
+    # place; the public cms_lookup would re-distinct and join back the
+    # full estimate frame — exactly the exchanges this plan avoids)
+    from polars_matmul_spark.operators.cms import _probes
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
-    # materialize the gram stream once: cms_lookup reads it twice
-    # (distinct probe keys + join-back)
-    g = _gram_stream(df, k, text_col, id_col).localCheckpoint(eager=False)
-    marked = cms_lookup(g, cms, "__h", width, depth)
-    cuts = (
-        marked.filter(F.col("est_count") >= min_docs)
-        .groupBy(id_col)
-        .agg(F.sort_array(F.collect_set("pos")).alias("__cuts"))
+    if grams is None:
+        grams = gram_arrays(df, k, text_col, id_col).localCheckpoint(
+            eager=False
+        )
+    keys = (
+        grams.select(F.explode(F.array_distinct("__hs")).alias("__h"))
+        .distinct()
     )
-    return _excise_reassemble(df, cuts, k, text_col, id_col)
+    probes = keys.select(
+        "__h", F.explode(_probes(F.col("__h"), width, depth)).alias("p")
+    )
+    est = (
+        probes.join(
+            F.broadcast(cms),
+            (F.col("p.row") == F.col("row")) & (F.col("p.col") == F.col("col")),
+            "left",
+        )
+        .select("__h", F.coalesce(F.col("n"), F.lit(0)).alias("__c"))
+        .groupBy("__h")
+        .agg(F.min("__c").alias("__est"))
+    )
+    frequent = est.filter(F.col("__est") >= min_docs).select("__h")
+    if broadcast_frequent:
+        frequent = F.broadcast(frequent)
+    hits = _gram_stream_from(grams, id_col).join(frequent, "__h")
+    return _excise_reassemble(
+        df, _cut_positions(hits, id_col), k, text_col, id_col
+    )
 
 
 def build_gram_index(
@@ -559,7 +608,7 @@ def build_gram_index(
     duplicate ``__h`` rows whose counts are never summed (silent
     under-excision downstream)."""
     return _gram_doc_counts(
-        _gram_stream(df, k, text_col, id_col), id_col
+        gram_arrays(df, k, text_col, id_col), id_col
     ).withColumnRenamed("__n", "n_docs")
 
 
@@ -605,10 +654,10 @@ def excise_new_vs_index(
         raise ValueError(f"k must be >= 1, got {k}")
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
-    grams = _gram_stream(new_df, k, text_col, id_col).localCheckpoint(
+    arrays = gram_arrays(new_df, k, text_col, id_col).localCheckpoint(
         eager=False
     )
-    batch_counts = _gram_doc_counts(grams, id_col).withColumnRenamed(
+    batch_counts = _gram_doc_counts(arrays, id_col).withColumnRenamed(
         "__n", "__bn"
     )
     # the index subset matching this batch: broadcast the batch's gram
@@ -628,20 +677,63 @@ def excise_new_vs_index(
         )
         .select("__h")
     )
-    hits = grams.join(_maybe_bcast(frequent), "__h")
+    hits = _gram_stream_from(arrays, id_col).join(_maybe_bcast(frequent), "__h")
     return _excise_reassemble(
         new_df, _cut_positions(hits, id_col), k, text_col, id_col
     )
 
 
-def _gram_doc_counts(grams: DataFrame, id_col: str, extra_aggs=()) -> DataFrame:
+def gram_arrays(
+    df: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc character k-gram hash ARRAY: (id, ``__hs``) where
+    ``__hs[i]`` is the 48-bit hash of the k-gram at 0-based char
+    offset i; docs shorter than ``k`` are dropped (no k-gram exists).
+    One md5 per char position (materialized ``__hs``, the
+    interpreted-HOF rule) — the dominant cost of every gram consumer,
+    so this frame is PUBLIC: hash once, ``localCheckpoint``, and feed
+    several consumers (e.g. :func:`build_gram_cms` +
+    :func:`excise_duplicate_spans_cms` via their ``grams=`` parameter
+    — the one-pass driver-row shape). The array form is also what to
+    checkpoint: positions are implicit in the index, so it stores a
+    third of the exploded stream's bytes.
+    """
+    t = F.col(text_col)
+    n_grams = F.greatest(F.length(t) - F.lit(k - 1), F.lit(0))
+    return df.filter(F.length(t) >= k).select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: _gram_hash(t.substr(i, F.lit(k))),
+        ).alias("__hs"),
+    )
+
+
+def _gram_stream_from(arrays: DataFrame, id_col: str) -> DataFrame:
+    """(id, pos, ``__h``) exploded stream from a :func:`gram_arrays`
+    frame — row-local, so deriving it (even twice) from a checkpointed
+    arrays frame never repeats the md5 pass."""
+    return arrays.select(
+        F.col(id_col), F.posexplode(F.col("__hs")).alias("pos", "__h")
+    )
+
+
+def _gram_doc_counts(arrays: DataFrame, id_col: str, extra_aggs=()) -> DataFrame:
     """(``__h``, ``__n`` [, extras]) DISTINCT-doc counts per gram hash
-    from a (id, pos, ``__h``) stream — the one counting block shared by
-    the exact excision, the gram index, the gram CMS and the
-    incremental batch side."""
+    from a :func:`gram_arrays` frame — the one counting block shared
+    by the exact excision, the gram index, the gram CMS and the
+    incremental batch side. Per-doc dedup happens ROW-LOCALLY
+    (``array_distinct`` before the explode), so the only exchange is
+    the final map-side-combinable groupBy over uniform 48-bit keys —
+    one shuffle, not the distinct-then-count two (the row-7 cut of
+    the operator family's biggest exchange)."""
     return (
-        grams.select(id_col, "__h")
-        .distinct()
+        arrays.select(
+            F.col(id_col), F.explode(F.array_distinct("__hs")).alias("__h")
+        )
         .groupBy("__h")
         .agg(F.count("*").alias("__n"), *extra_aggs)
     )
@@ -657,37 +749,16 @@ def _cut_positions(hits: DataFrame, id_col: str) -> DataFrame:
 def _gram_stream(
     df: DataFrame, k: int, text_col: str, id_col: str
 ) -> DataFrame:
-    """Slim (id, pos, __h) stream of every character k-gram hash —
-    one hash pass (materialized ``__hs``, the interpreted-HOF rule),
-    shared by the frequency count and the excise-position pick."""
-    t = F.col(text_col)
-    n_grams = F.greatest(F.length(t) - F.lit(k - 1), F.lit(0))
-    return (
-        df.filter(F.length(t) >= k)
-        .select(
-            F.col(id_col),
-            F.transform(
-                F.sequence(F.lit(1), n_grams),
-                lambda i: _gram_hash(t.substr(i, F.lit(k))),
-            ).alias("__hs"),
-        )
-        .select(F.col(id_col), F.posexplode(F.col("__hs")).alias("pos", "__h"))
-    )
+    """Slim (id, pos, __h) stream of every character k-gram hash."""
+    return _gram_stream_from(gram_arrays(df, k, text_col, id_col), id_col)
 
 
-def _excise_reassemble(
-    df: DataFrame, cuts: DataFrame, k: int, text_col: str, id_col: str
-) -> DataFrame:
-    """Join the per-doc sorted excise starts back and rebuild each
-    text row-locally: fold the starts left to right, copying the kept
-    gap before each new interval and extending the cursor through
-    overlaps; spans and chars are counted in the same fold. All
-    interval ends are pos+k <= len by construction (grams exist only
-    at pos <= len-k)."""
-    t = F.col(text_col)
-    out = df.join(cuts, id_col, "left").withColumn(
-        "__cuts", F.coalesce(F.col("__cuts"), F.array().cast("array<integer>"))
-    )
+def _excise_fold(t: Column, cuts: Column, k: int) -> Column:
+    """struct(kept, nsp, nch) rebuilt row-locally from SORTED excise
+    starts: fold the starts left to right, copying the kept gap before
+    each new interval and extending the cursor through overlaps; spans
+    and chars are counted in the same fold. All interval ends are
+    pos+k <= len by construction (grams exist only at pos <= len-k)."""
     zero = F.struct(
         F.lit(0).alias("cur"),
         F.lit("").alias("kept"),
@@ -716,8 +787,8 @@ def _excise_reassemble(
             .otherwise(acc)
         )
 
-    folded = F.aggregate(
-        F.col("__cuts"),
+    return F.aggregate(
+        cuts,
         zero,
         _merge,
         lambda acc: F.struct(
@@ -728,6 +799,18 @@ def _excise_reassemble(
             acc["nch"].alias("nch"),
         ),
     )
+
+
+def _excise_reassemble(
+    df: DataFrame, cuts: DataFrame, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Join the per-doc sorted excise starts back and rebuild each
+    text row-locally via :func:`_excise_fold`."""
+    t = F.col(text_col)
+    out = df.join(cuts, id_col, "left").withColumn(
+        "__cuts", F.coalesce(F.col("__cuts"), F.array().cast("array<integer>"))
+    )
+    folded = _excise_fold(t, F.col("__cuts"), k)
     return out.select(
         F.col(id_col),
         folded["kept"].alias(text_col),

@@ -511,6 +511,7 @@ def _excise_spans_cms(spark, sf_dir):
     from polars_matmul_spark.operators.winnow import (
         build_gram_cms,
         excise_duplicate_spans_cms,
+        gram_arrays,
     )
 
     docs = (
@@ -518,9 +519,14 @@ def _excise_spans_cms(spark, sf_dir):
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    cms = build_gram_cms(docs, _EXCISE_K, _EXCISE_CMS_W, _EXCISE_CMS_D)
+    # ONE md5-per-position pass feeds both the sketch build and the
+    # excision; the checkpoint materializes at the sketch job
+    grams = gram_arrays(docs, _EXCISE_K).localCheckpoint(eager=False)
+    cms = build_gram_cms(
+        docs, _EXCISE_K, _EXCISE_CMS_W, _EXCISE_CMS_D, grams=grams
+    )
     return excise_duplicate_spans_cms(
-        docs, cms, _EXCISE_K, _EXCISE_CMS_W, _EXCISE_CMS_D
+        docs, cms, _EXCISE_K, _EXCISE_CMS_W, _EXCISE_CMS_D, grams=grams
     )
 
 

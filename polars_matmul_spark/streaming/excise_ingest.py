@@ -31,6 +31,7 @@ against the final sketch if retroactive cleaning matters).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from polars_matmul_spark.operators.winnow import (
     build_gram_cms,
@@ -59,7 +60,25 @@ def excise_ingest_batch(
 ) -> None:
     """Excise one micro-batch against history + itself, then commit
     the batch's own gram sketch and its cleaned docs to their epoch
-    dirs (the shared hygiene protocol — see ``streaming/hygiene.py``)."""
+    dirs (the shared hygiene protocol — see ``streaming/hygiene.py``).
+
+    The batch's k-gram hash arrays are computed ONCE (checkpointed,
+    canonical column names) and shared between the sketch build and
+    the clean pass via the operators' ``grams=`` parameter — the md5
+    per char position is the dominant per-batch cost, and each epoch
+    used to pay it twice."""
+    from polars_matmul_spark.operators.winnow import gram_arrays
+
+    cell: dict = {}
+
+    def _grams(b: DataFrame) -> DataFrame:
+        if "g" not in cell:
+            canon = b.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            )
+            cell["g"] = gram_arrays(canon, k).localCheckpoint(eager=False)
+        return cell["g"]
+
     hygiene_ingest_batch(
         spark,
         batch_df,
@@ -67,10 +86,24 @@ def excise_ingest_batch(
         cms_dir,
         out_dir,
         build_fn=lambda b: build_gram_cms(
-            b, k, width, depth, text_col=text_col, id_col=id_col
+            b.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            ),
+            k,
+            width,
+            depth,
+            grams=_grams(b),
         ),
+        # the protocol builds ``own`` before it cleans, so the cache is
+        # always populated here (KeyError = protocol order changed)
         clean_fn=lambda b, cms: excise_duplicate_spans_cms(
-            b, cms, k=k, width=width, depth=depth, min_docs=min_docs
+            b,
+            cms,
+            k=k,
+            width=width,
+            depth=depth,
+            min_docs=min_docs,
+            grams=cell["g"],
         ),
         id_col=id_col,
         text_col=text_col,

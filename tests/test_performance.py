@@ -72,15 +72,22 @@ def _assert_load_scaled(t, base_ceiling, factor, spark, label):
 
 def test_topk_small_shape_wall_gate(spark):
     # reference gate: topk(50x500, d=64, k=10) < 1 s native; Spark pays
-    # ~0.3 s of job overhead at any size — gate at 5 s
+    # ~0.3 s of job overhead at any size — gate at 5 s. Time a REUSED
+    # plan object (the ref-shape test's shape): this module now runs
+    # FIRST in the suite (round-7 isolation), and re-planning the
+    # 500x64 corpus literals on a cold, un-JITted JVM costs multiple
+    # seconds of Catalyst analysis that the reference's native gate
+    # (execution wall) never measures — the warm call is what compiles
+    # the plan, the codegen, and the Python workers it shares
     rng = np.random.default_rng(0)
     C = rng.standard_normal((500, 64)).astype(np.float32)
     df = spark.createDataFrame(
         [(i, v.tolist()) for i, v in enumerate(rng.standard_normal((50, 64)).astype(np.float32))],
         "query_id long, embedding array<float>",
     )
-    _force(df.withColumn("m", topk(F.col("embedding"), C, k=10)))  # warm
-    assert _timed(lambda: _force(df.withColumn("m", topk(F.col("embedding"), C, k=10)))) < 5.0
+    plan = df.withColumn("m", topk(F.col("embedding"), C, k=10))
+    _force(plan)  # warm
+    assert min(_timed(lambda: _force(plan)) for _ in range(2)) < 5.0
 
 
 def test_ref_shape_topk_vs_numpy_ratio(spark, qdf_ref):
@@ -124,13 +131,23 @@ def test_ref_shape_topk_vs_numpy_ratio(spark, qdf_ref):
 
     ident = df.mapInArrow(_ident, df.schema)
     _force(ident)  # warm python workers
-    t_floor = min(_timed(lambda: _force(ident)) for _ in range(3))
-
     plan = topk_arrow(df, "embedding", C, k=10)
     _force(plan)
-    t_spark = min(_timed(lambda: _force(plan)) for _ in range(3))
-
-    marginal = max(t_spark - t_floor, 0.0)
+    # floor and kernel are timed BACK-TO-BACK inside each round, so a
+    # contention spike inflates both sides of the same subtraction;
+    # min over rounds then needs only one clean round (a spike landing
+    # exactly inside one kernel window and not its adjacent floor
+    # window in all three rounds is the only remaining flake path)
+    rounds = [
+        (
+            _timed(lambda: _force(ident)),
+            _timed(lambda: _force(plan)),
+        )
+        for _ in range(3)
+    ]
+    t_floor = min(tf for tf, _ts in rounds)
+    t_spark = min(ts for _tf, ts in rounds)
+    marginal = min(max(ts - tf, 0.0) for tf, ts in rounds)
     assert marginal < 2.0 * t_np, (
         f"ref_topk marginal {marginal:.3f}s (wall {t_spark:.3f}s - floor "
         f"{t_floor:.3f}s) >= 2.0x numpy {t_np:.3f}s"
