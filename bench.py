@@ -107,7 +107,6 @@ def main() -> None:
         "simhash_fingerprint",
         "exact_dedup_docs",
         "ann_ivf_topk",
-        "zorder_keys",
         # round-4 corpus-pipeline families
         "line_dedup_strip",
         "quality_model_score",
@@ -146,6 +145,12 @@ def main() -> None:
         "materialize_bins",
         "mixture_sample",
         "bpe_encode",
+        # round-7 second rotation: span-granularity dedup stats, the
+        # profile drift gate, MERGE emulation (zorder_keys left the
+        # registry with this rotation)
+        "shared_span_stats",
+        "profile_diff",
+        "merge_upsert",
     ]
     # best-of-2 per query: the round-2 bench recorded 2-6x phantom
     # regressions that two idle reruns traced to transient machine load

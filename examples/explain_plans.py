@@ -59,12 +59,6 @@ CASES = [
         "shape applied to verbatim spans",
     ),
     (
-        "zorder_keys",
-        "Z-order keys: literal-cuts bucketing + Morton interleave is a "
-        "pure projection over the scan — no window, no shuffle; "
-        "zorder_write range-partitions on exactly these keys",
-    ),
-    (
         "hard_negatives_topk",
         "Hard-negative mining: exact blocked top-k widened per query by "
         "ITS positive count (broadcast count join), broadcast anti-join "
@@ -257,6 +251,29 @@ CASES = [
         "SparkContext broadcast into ONE mapInPandas stage with a "
         "per-task word memo — no shuffle, no JVM-side state; Zipfian "
         "text amortizes merge work to ~O(task vocabulary)",
+    ),
+    (
+        "shared_span_stats",
+        "Span-granularity dedup stats (round-7 second rotation): the "
+        "shared-gram subset (distinct-doc count >= 2, <= hot cap) "
+        "broadcast-filters the postings BEFORE the self-join shuffle; "
+        "the (pair, diagonal) island window's exchange is reused by "
+        "the island group-by; one slim row per maximal span reaches "
+        "the per-pair fold",
+    ),
+    (
+        "profile_diff",
+        "Profile drift gate (round-7 second rotation): two one-scan "
+        "fused profile aggregations (every stat one agg expression), "
+        "then an n_cols-row broadcast full-outer join — drift checks "
+        "are row-local expressions over the joined profile rows",
+    ),
+    (
+        "merge_upsert",
+        "MERGE INTO emulation (round-7 second rotation): last-wins "
+        "collapses the changes side with one map-side-combinable "
+        "max(struct), then target LEFT ANTI changes + union — one "
+        "key exchange, AQE broadcasts the small delta side",
     ),
 ]
 

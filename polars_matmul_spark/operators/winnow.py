@@ -433,14 +433,17 @@ def shared_span_stats(
         raise ValueError(f"k must be >= 1, got {k}")
     cap = _resolve_hash_cap(df, max_hash_docs)
     arrays = gram_arrays(df, k, text_col, id_col).localCheckpoint(eager=False)
-    grams = _gram_stream_from(arrays, id_col)
+    # only hashes seen in >= 2 DISTINCT docs can form a cross-doc
+    # match, so the self-join's shuffle ships just the shared-gram
+    # subset (bounded by duplicated content, not corpus size) instead
+    # of every position — value-neutral, and the same counting pass
+    # applies the hot-hash cap
+    shared = _gram_doc_counts(arrays, id_col).filter(F.col("__n") >= 2)
     if cap is not None:
-        hot = (
-            _gram_doc_counts(arrays, id_col)
-            .filter(F.col("__n") > cap)
-            .select("__h")
-        )
-        grams = grams.join(F.broadcast(hot), "__h", "left_anti")
+        shared = shared.filter(F.col("__n") <= cap)
+    grams = _gram_stream_from(arrays, id_col).join(
+        F.broadcast(shared.select("__h")), "__h"
+    )
     a = grams.alias("a")
     b = grams.hint("shuffle_hash").alias("b")
     matches = a.join(

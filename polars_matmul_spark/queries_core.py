@@ -1402,7 +1402,10 @@ CORE_QUERIES: dict[str, tuple] = {
     "q1_pricing_summary": (_q1, _Q1_SQL),
     "q3_shipping_priority": (_q3, _Q3_ORACLE),
     "q5_local_supplier": (_q5, _Q5_ORACLE),
-    "top_suppliers_per_nation": (_top_suppliers, _TOP_SUPPLIERS_ORACLE),
+    # top_suppliers_per_nation rotated out in the round-7 second
+    # rotation (dense_rank window class stays pinned via the rotated
+    # gate + cust_quartiles there; q3/q5 keep the join surface
+    # driver-gated) — slot freed for shared_span_stats:
     # event_hourly_windows and cube_sales rotated out in round 6
     # (tumbling windows stay driver-gated through hypertable_rollup
     # and the stream==batch pytests; GROUPING SETS stay pinned in
@@ -1414,7 +1417,10 @@ CORE_QUERIES: dict[str, tuple] = {
     # rotated-query gate; window functions stay driver-gated via
     # cust_quartiles/top_suppliers/sessionize) so the z-order layout
     # family gets a driver row:
-    "zorder_keys": (_zorder_keys, _zorder_oracle()),
+    # zorder_keys rotated out in the round-7 second rotation (the
+    # bit-interleave mechanism is single-purpose and fully pinned in
+    # tests/test_zorder.py + the rotated gate) — slot freed for
+    # profile_diff (queries_pipeline.py):
     "funnel_user_levels_windowed": (
         _funnel_levels_windowed,
         _FUNNEL_LEVELS_ORACLE,
@@ -1476,5 +1482,9 @@ CORE_QUERIES: dict[str, tuple] = {
     # The query functions remain above, importable and unit-covered.
     "sketch_distinct_users": (_sketch_distinct_users, None),
     "mllib_blockmatrix_matmul": (_mllib_blockmatmul, _MLLIB_BLOCKMATMUL_ORACLE),
-    "hypertable_rollup": (_hypertable_rollup, _HYPERTABLE_ROLLUP_ORACLE),
+    # hypertable_rollup rotated out in the round-7 second rotation
+    # (time-bucket rollup class stays driver-gated through
+    # funnel_user_levels_windowed and pinned in the rotated gate +
+    # stream==batch pytests) — slot freed for merge_upsert
+    # (queries_pipeline.py):
 }

@@ -345,6 +345,131 @@ WHERE rn <= 5
 """
 
 
+# --- profile drift gate (round-7 second rotation) --------------------------
+#
+# profile_diff compares two profile_table outputs and emits drift
+# findings. The driver row diffs the orders table against a mutant of
+# itself with four planted, deterministic drifts: a dropped column, an
+# added column, a dtype change (cast), and a 1-in-4 null injection.
+# The float-fragile checks CANNOT fire here by construction — numeric
+# columns are either untouched (mean delta exactly 0 on exact integer
+# averages) or cast without value change, and distinct counts are
+# identical on both sides (HLL is deterministic for identical input,
+# ratio 1) — so every value that reaches the output is exact:
+# dtype-name literals and 6-decimal-rounded null rates from integer
+# count arithmetic. The full check surface including mean_shift /
+# distinct_ratio firing keeps its oracle in
+# tests/test_profile_and_materialize.py.
+
+_PD_BASE = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def _profile_diff_orders(spark, sf_dir):
+    from polars_matmul_spark.operators.profile import profile_diff
+
+    orders = load_table(spark, "orders", sf_dir)
+    a = orders.select(*_PD_BASE)
+    b = orders.select(
+        "o_orderkey",
+        F.col("o_custkey").cast("int").alias("o_custkey"),  # dtype_changed
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit(None))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),  # null_rate
+        F.lit("batch7").alias("o_batch_tag"),  # column_added
+        # o_orderpriority dropped -> column_removed
+    )
+    return profile_diff(profile_table(a), profile_table(b))
+
+
+_PROFILE_DIFF_ORACLE = """
+WITH nullr AS (
+  SELECT round(0.0, 6) AS a_rate,
+         round(CAST(sum(CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*), 6) AS b_rate
+  FROM orders
+)
+SELECT * FROM (
+  SELECT 'o_orderpriority' AS "column", 'column_removed' AS "check",
+         'string' AS a_value, CAST(NULL AS VARCHAR) AS b_value
+  UNION ALL
+  SELECT 'o_batch_tag', 'column_added', CAST(NULL AS VARCHAR), 'string'
+  UNION ALL
+  SELECT 'o_custkey', 'dtype_changed', 'bigint', 'int'
+  UNION ALL
+  SELECT 'o_orderstatus', 'null_rate',
+         CAST(a_rate AS VARCHAR), CAST(b_rate AS VARCHAR)
+  FROM nullr WHERE abs(b_rate - a_rate) > 0.05
+)
+"""
+
+
+# --- MERGE INTO emulation (round-7 second rotation) -------------------------
+#
+# merge_upsert with seq_col last-wins: updates arrive as TWO versions
+# per changed key (the stale one must lose), inserts as brand-new keys
+# offset beyond the existing range. DuckDB replays last-wins with a
+# row_number window ordered by seq DESC (seqs are distinct per key by
+# construction, so the operator's full-struct tiebreak never engages).
+
+
+def _merge_upsert_customers(spark, sf_dir):
+    from polars_matmul_spark.operators.merge import merge_upsert
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    base = cust.filter(F.col("c_custkey") % 10 == 0)
+    v1 = base.select(
+        "c_custkey",
+        F.lit("STALE").alias("c_name"),
+        "c_nationkey",
+        F.lit("SEG_V1").alias("c_mktsegment"),
+        F.lit(1).alias("seq"),
+    )
+    v2 = base.select(
+        "c_custkey",
+        F.concat(F.lit("UPD_"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        F.lit("SEG_V2").alias("c_mktsegment"),
+        F.lit(2).alias("seq"),
+    )
+    ins = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + F.lit(10_000_000)).alias("c_custkey"),
+        F.concat(F.lit("NEW_"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        F.lit("SEG_NEW").alias("c_mktsegment"),
+        F.lit(1).alias("seq"),
+    )
+    changes = v1.unionByName(v2).unionByName(ins)
+    return merge_upsert(cust, changes, ["c_custkey"], seq_col="seq")
+
+
+_MERGE_UPSERT_ORACLE = """
+WITH cust AS (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer
+), base AS (
+  SELECT * FROM cust WHERE c_custkey % 10 = 0
+), changes AS (
+  SELECT c_custkey, 'STALE' AS c_name, c_nationkey,
+         'SEG_V1' AS c_mktsegment, 1 AS seq FROM base
+  UNION ALL
+  SELECT c_custkey, 'UPD_' || c_name, c_nationkey, 'SEG_V2', 2 FROM base
+  UNION ALL
+  SELECT c_custkey + 10000000, 'NEW_' || c_name, c_nationkey,
+         'SEG_NEW', 1 FROM cust WHERE c_custkey % 97 = 0
+), last AS (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+  FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                     ORDER BY seq DESC) AS rn
+        FROM changes)
+  WHERE rn = 1
+)
+SELECT * FROM cust WHERE c_custkey NOT IN (SELECT c_custkey FROM last)
+UNION ALL
+SELECT * FROM last
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     # tfidf_weights rotated out in round 6: bm25_search drives the same
     # tokenize/df/idf machinery end-to-end and stays green; the exact
@@ -365,4 +490,10 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     # sample and q1 respectively): CDC/SCD2 and int8-rerank families in
     "scd2_customers": (_scd2_customers, _SCD2_ORACLE),
     "quantized_topk_rerank": (_quantized_rerank, _QUANTIZED_RERANK_ORACLE),
+    # round-7 second rotation: drift gate + MERGE emulation get driver
+    # rows (slots from top_suppliers_per_nation / zorder_keys /
+    # hypertable_rollup, whose exact comparisons move to the rotated
+    # pytest gate):
+    "profile_diff": (_profile_diff_orders, _PROFILE_DIFF_ORACLE),
+    "merge_upsert": (_merge_upsert_customers, _MERGE_UPSERT_ORACLE),
 }

@@ -530,6 +530,76 @@ def _excise_spans_cms(spark, sf_dir):
     )
 
 
+# Span-granularity dedup observability (round-7 second rotation): the
+# per-pair maximal shared-span statistics row. The DuckDB oracle
+# replays the whole mechanism — gram hashes, the hot-hash cap
+# (winnow_hash_cap over the corpus row count, the winnow_dup_pairs
+# SQL idiom), the (pair, diagonal) gaps-and-islands run recovery —
+# so the comparison holds at any SF. The registry row projects the
+# scalar stats only; the span_lengths ARRAY column keeps its exact
+# check in tests/test_winnow.py (arrays stay out of driver rows —
+# engine list-vs-ndarray canonicalization is not part of the
+# comparison contract).
+
+# k=30: the observability row targets LONG verbatim shared spans (the
+# planted duplicate paragraphs), not incidental common phrases — at
+# k=12 the sf0.1 corpus yields ~9M pairs of phrase-level noise, at
+# k=30 the ~1k pairs that substring dedup actually cares about; the
+# mechanism itself is pinned at k=12 in tests/test_winnow.py
+_SPAN_STATS_K = 30
+
+
+def _shared_span_stats_q(spark, sf_dir):
+    from polars_matmul_spark.operators.winnow import shared_span_stats
+
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return shared_span_stats(docs, k=_SPAN_STATS_K).select(
+        "d1", "d2", "n_spans", "max_span_len", "sum_span_chars"
+    )
+
+
+_SPAN_STATS_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE length(text) >= {_SPAN_STATS_K}
+), idx AS (
+  SELECT doc_id, text,
+         unnest(range(1, length(text) - {_SPAN_STATS_K} + 2)) AS i
+  FROM d
+), g AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substr(md5(substr(text, i, {_SPAN_STATS_K})), 1, 12))::BIGINT AS h
+  FROM idx
+), hot AS (
+  -- winnow_hash_cap(n_rows): max(64, floor(sqrt(32 * n)) + 1) over
+  -- DISTINCT-doc gram frequency (IEEE double sqrt on both engines)
+  SELECT h FROM (SELECT DISTINCT doc_id, h FROM g) GROUP BY h
+  HAVING count(*) > greatest(64, CAST(floor(sqrt(
+           32.0 * (SELECT count(*) FROM documents))) AS BIGINT) + 1)
+), kept AS (
+  SELECT * FROM g WHERE h NOT IN (SELECT h FROM hot)
+), m AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS p1,
+         a.pos - b.pos AS diag
+  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+), r AS (
+  SELECT d1, d2, diag, p1,
+         p1 - row_number() OVER (PARTITION BY d1, d2, diag ORDER BY p1) AS grp
+  FROM m
+), s AS (
+  SELECT d1, d2, diag, grp,
+         CAST(count(*) + {_SPAN_STATS_K} - 1 AS INT) AS span_len
+  FROM r GROUP BY 1, 2, 3, 4
+)
+SELECT d1, d2, count(*) AS n_spans, max(span_len) AS max_span_len,
+       CAST(sum(span_len) AS BIGINT) AS sum_span_chars
+FROM s GROUP BY d1, d2
+"""
+
+
 _EXCISE_CMS_ORACLE = _excise_reassembly_sql(
     f"""wc AS (
   SELECT h, COUNT(DISTINCT doc_id) AS n FROM g GROUP BY h
@@ -590,4 +660,9 @@ TEXT_QUERIES: dict[str, tuple] = {
     # multiply covered in pytest — see queries_core/queries_pipeline
     "excise_duplicate_spans": (_excise_spans, _EXCISE_ORACLE),
     "excise_spans_cms": (_excise_spans_cms, _EXCISE_CMS_ORACLE),
+    # round-7 second rotation: span-granularity dedup observability
+    # (top_suppliers_per_nation / zorder_keys / hypertable_rollup
+    # rotate to the pytest gate — window-rank, bit-interleave and
+    # time-bucket classes multiply covered there):
+    "shared_span_stats": (_shared_span_stats_q, _SPAN_STATS_ORACLE),
 }

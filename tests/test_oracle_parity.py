@@ -151,6 +151,17 @@ def _rotated_queries():
             qc._range_join_price_bands,
             qc._RANGE_JOIN_ORACLE,
         ),
+        # round-7 second rotation: three slots freed for
+        # shared_span_stats / profile_diff / merge_upsert
+        "top_suppliers_per_nation": (
+            qc._top_suppliers,
+            qc._TOP_SUPPLIERS_ORACLE,
+        ),
+        "zorder_keys": (qc._zorder_keys, qc._zorder_oracle()),
+        "hypertable_rollup": (
+            qc._hypertable_rollup,
+            qc._HYPERTABLE_ROLLUP_ORACLE,
+        ),
     }
 
 

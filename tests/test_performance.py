@@ -214,7 +214,8 @@ _CEILINGS_SF01 = {
     "semantic_dedup_pairs": 10.0,
     "winnow_dup_pairs": 6.0,
     "hard_negatives_topk": 3.5,
-    "zorder_keys": 3.0,
+    # zorder_keys left the registry in the round-7 second rotation
+    # (value parity stays in the rotated-query gate)
     "gopher_quality": 2.0,  # r6 staged-token rewrite: idle wall ~0.6-1.0s
     # round-6 rotation rows (idle warm walls 0.79 / 3.03 / 0.79 /
     # 3.67 / 0.45 s — ~4x ceilings)
@@ -233,16 +234,19 @@ _CEILINGS_SF01 = {
     "cms_line_dedup": 8.0,
     "priority_sample_docs": 1.5,
     "hamming_topk_srp": 7.0,
-    # round-7 rotation rows (warm walls at calibration ~1.4x:
-    # 5.7 / 9.0 / 0.70 / 0.77 / 0.58 / 0.41 s — ceilings ~4x the
-    # load-discounted idle estimate; the excision pair is honestly
-    # heavy: two md5-per-position gram passes over every corpus byte)
-    "excise_duplicate_spans": 17.0,
-    "excise_spans_cms": 27.0,
+    # round-7 rotation rows; the excision pair retimed after the
+    # shared-gram-pass/one-shuffle-counts rework (min walls 2.7 / 5.0 s
+    # at calibration ~1.4x -> idle ~2 / 3.8 s, ceilings ~4x)
+    "excise_duplicate_spans": 11.0,
+    "excise_spans_cms": 18.0,
     "strip_within_doc": 2.5,
     "materialize_bins": 2.5,
     "mixture_sample": 2.0,
     "bpe_encode": 1.5,
+    # round-7 second rotation rows (warm walls ~3.0 / ~0.5 / ~0.5 s)
+    "shared_span_stats": 12.0,
+    "profile_diff": 2.5,
+    "merge_upsert": 2.5,
 }
 
 

@@ -91,8 +91,11 @@ def test_dedup_and_text_plans_stay_jvm_side(spark, sf_dir):
     # pinned here via their query functions
     for fn in (_asof_purchase_click, _range_join_price_bands):
         assert not uses_python_worker(fn(spark, sf_dir)), fn.__name__
-    hyper_fn, _ = CORE_QUERIES["hypertable_rollup"]
-    assert not uses_python_worker(hyper_fn(spark, sf_dir))
+    # hypertable_rollup rotated out of the registry in round 7 —
+    # still pinned here via its query function
+    from polars_matmul_spark.queries_core import _hypertable_rollup
+
+    assert not uses_python_worker(_hypertable_rollup(spark, sf_dir))
 
 
 def test_ivf_plan_shape(spark, sf_dir):
