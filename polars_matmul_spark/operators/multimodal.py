@@ -7,13 +7,17 @@ payloads with typed metadata, and run decode / feature-extract /
 resize / frame-sample as Arrow-batched Python stages.
 
 Containers decodable without a codec library decode for REAL in pure
-NumPy: RIFF/WAVE PCM (``decode_wav`` — stdlib-``wave``-validated) and
-uncompressed 24-bit BMP (``decode_bmp``), surfaced through
-``decoded_asset_stats``, ``audio_rms_windows(real_decode=True)`` and
-``resize_bmp_real``. Compressed formats (JPEG/PNG/MP3/MP4) need
-PIL / librosa / ffmpeg, which are NOT installed in this container, so
-for those ``decode_asset`` remains a clearly-marked stub raising
-``NotImplementedError``. Everything Spark-side is real and tested
+NumPy: RIFF/WAVE PCM (``decode_wav`` — stdlib-``wave``-validated),
+uncompressed 24-bit BMP (``decode_bmp``), and — since PNG's only
+compression is DEFLATE, which the stdlib ships — full PNG
+(``decode_png``: zlib inflate + the five scanline filters + palette /
+bit-depth handling, with ``encode_png`` as the writing sink). All
+three are surfaced through ``decoded_asset_stats``,
+``audio_rms_windows(real_decode=True)`` and ``resize_bmp_real``.
+Formats whose compression is NOT in the stdlib (JPEG's DCT/huffman,
+MP3, MP4) need PIL / librosa / ffmpeg, which are NOT installed in
+this container, so for those ``decode_asset`` remains a
+clearly-marked stub raising ``NotImplementedError``. Everything Spark-side is real and tested
 either way: the binary schema, the mapInPandas batch shapes,
 deterministic fake decoders (payload bytes ARE the samples —
 documents are pure ASCII so byte == codepoint, which makes the fakes
@@ -44,6 +48,8 @@ __all__ = [
     "decode_asset",
     "decode_wav",
     "decode_bmp",
+    "decode_png",
+    "encode_png",
     "decoded_asset_stats",
     "resize_bmp_real",
 ]
@@ -307,17 +313,237 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return rows[..., ::-1].copy()  # BGR -> RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: channels per PNG color type (0 gray, 2 RGB, 3 palette, 4 gray+A, 6 RGBA)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+#: legal bit depths per color type (PNG spec §11.2.2, table 11.1)
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filtering (spec §9): ``raw`` is h scanlines of
+    (1 filter byte + stride data bytes); returns (h, stride) uint8.
+
+    None/Up are whole-row vectorized; Sub is a cumulative sum over
+    bpp-strided byte chains (mod-256 survives int64 cumsum); Average
+    and Paeth carry a left-pixel dependency so they fall back to a
+    per-byte loop — encoders pick those rows adaptively, so the loop
+    touches only the rows that used them.
+    """
+    if len(raw) != h * (1 + stride):
+        raise ValueError(
+            f"PNG data length {len(raw)} != {h} rows of {1 + stride} bytes"
+        )
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    filters, data = lines[:, 0], lines[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f, row = int(filters[y]), data[y]
+        if f == 0:  # None
+            rec = row.copy()
+        elif f == 1:  # Sub: rec[i] = row[i] + rec[i-bpp]
+            rec = (
+                np.cumsum(row.reshape(-1, bpp).astype(np.int64), axis=0) & 0xFF
+            ).astype(np.uint8).reshape(stride) if stride % bpp == 0 else None
+            if rec is None:  # sub-byte depths: bpp=1, always divisible
+                raise ValueError("PNG stride not a multiple of bpp")
+        elif f == 2:  # Up
+            rec = row + prev
+        elif f == 3:  # Average
+            rec = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                left = int(rec[i - bpp]) if i >= bpp else 0
+                rec[i] = (int(row[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                a = int(rec[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (int(row[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = prev = rec
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL image decode for PNG — pure stdlib ``zlib`` + NumPy, no
+    codec library: PNG's only compression method is DEFLATE, so the
+    whole format is decodable from first principles. Walks the chunk
+    list (CRC-verified), inflates the concatenated IDAT stream, undoes
+    the five scanline filters (:func:`_png_unfilter`), unpacks
+    sub-byte depths, applies the PLTE palette, and returns the natural
+    array for the color type: gray ``(h, w)``, RGB / palette
+    ``(h, w, 3)``, gray+alpha ``(h, w, 2)``, RGBA ``(h, w, 4)`` —
+    uint8, or uint16 for 16-bit channels.
+
+    Raises ValueError on malformed input, CRC mismatch, or Adam7
+    interlacing (legal but rare; not supported). Reference parity:
+    the reference repo has no image surface at all (its SURVEY §2.3
+    scope is the two similarity pyfunctions) — this is the
+    training-pipeline extension layer's real-codec path.
+    """
+    import struct
+    import zlib
+
+    if len(payload) < len(_PNG_SIG) + 25 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(payload):
+        (sz,), ctype = struct.unpack_from(">I", payload, pos), payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + sz]
+        if len(body) != sz or pos + 12 + sz > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + sz)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + sz
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, bits, ct, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError(f"unknown PNG compression/filter method {comp}/{filt}")
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG not supported")
+    if ct not in _PNG_CHANNELS or bits not in _PNG_DEPTHS[ct]:
+        raise ValueError(f"illegal PNG color-type/bit-depth {ct}/{bits}")
+    if w < 1 or h < 1:
+        raise ValueError(f"bad PNG dimensions {w}x{h}")
+    ch = _PNG_CHANNELS[ct]
+    stride = (w * ch * bits + 7) // 8
+    bpp = max(1, (bits + 7) // 8 * ch)
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError("corrupt PNG IDAT stream") from exc
+    rows = _png_unfilter(raw, h, stride, bpp)
+    if bits < 8:  # sub-byte gray/palette: unpack MSB-first, drop row pad
+        unpacked = np.unpackbits(rows, axis=1)[:, : w * bits].reshape(h, w, bits)
+        weights = 1 << np.arange(bits - 1, -1, -1, dtype=np.uint8)
+        vals = (unpacked * weights).sum(axis=2).astype(np.uint8)
+    elif bits == 8:
+        vals = rows.reshape(h, w, ch) if ch > 1 else rows.reshape(h, w)
+    else:  # 16-bit channels, network byte order
+        vals = rows.view(">u2").astype(np.uint16).reshape(h, w, ch)
+        if ch == 1:
+            vals = vals.reshape(h, w)
+    if ct == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        if int(vals.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        return plte[vals]  # (h, w, 3) uint8
+    if bits < 8:  # grayscale at sub-byte depth: scale to full 0..255
+        return (vals * (255 // ((1 << bits) - 1))).astype(np.uint8)
+    return vals
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """PNG writing sink for uint8/uint16 arrays — the inverse of
+    :func:`decode_png` for the byte-aligned depths: gray ``(h, w)``,
+    gray+alpha ``(h, w, 2)``, RGB ``(h, w, 3)``, RGBA ``(h, w, 4)``.
+    ``filter_type`` (0-4) applies ONE spec filter to every scanline —
+    fixed rather than adaptive so tests can exercise each decode path
+    explicitly; compression ratio is not the point here.
+    """
+    import struct
+    import zlib
+
+    img = np.asarray(img)
+    if img.dtype not in (np.uint8, np.uint16) or img.ndim not in (2, 3):
+        raise ValueError("encode_png wants a uint8/uint16 (h,w[,c]) array")
+    ch = 1 if img.ndim == 2 else img.shape[2]
+    ct = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+    if ct is None:
+        raise ValueError(f"unsupported channel count {ch}")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"unknown PNG filter type {filter_type}")
+    h, w = img.shape[:2]
+    bits = 8 if img.dtype == np.uint8 else 16
+    bpp = (bits // 8) * ch
+    flat = (
+        img.astype(">u2").view(np.uint8) if bits == 16 else img
+    ).reshape(h, w * bpp)
+
+    def _filt(row: np.ndarray, prev: np.ndarray) -> np.ndarray:
+        left = np.zeros_like(row)
+        left[bpp:] = row[:-bpp]
+        if filter_type == 0:
+            return row
+        if filter_type == 1:
+            return row - left
+        if filter_type == 2:
+            return row - prev
+        if filter_type == 3:
+            return row - (
+                (left.astype(np.int64) + prev.astype(np.int64)) >> 1
+            ).astype(np.uint8)
+        upleft = np.zeros_like(prev)
+        upleft[bpp:] = prev[:-bpp]
+        a, b, c = (x.astype(np.int64) for x in (left, prev, upleft))
+        p = a + b - c
+        pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+        pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+        return row - pred.astype(np.uint8)
+
+    prev = np.zeros(w * bpp, dtype=np.uint8)
+    scan = bytearray()
+    for y in range(h):
+        scan.append(filter_type)
+        scan.extend(_filt(flat[y], prev).tobytes())
+        prev = flat[y]
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, bits, ct, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scan), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_asset(payload: bytes, kind: str):
-    """REAL codec decode. Containers decodable with pure NumPy are
-    decoded for real — RIFF/WAVE PCM (:func:`decode_wav`) and
-    uncompressed 24-bit BMP (:func:`decode_bmp`), both sniffed by
-    magic bytes. Compressed formats (JPEG/PNG/MP3/MP4) still need a
-    codec library this container doesn't ship; for those the
-    deterministic fake decoders remain the documented stand-ins."""
+    """REAL codec decode. Containers decodable with the stdlib + NumPy
+    are decoded for real — RIFF/WAVE PCM (:func:`decode_wav`),
+    uncompressed 24-bit BMP (:func:`decode_bmp`), and PNG
+    (:func:`decode_png` — DEFLATE is in stdlib ``zlib``), all sniffed
+    by magic bytes. Formats needing codecs the stdlib lacks (JPEG/
+    MP3/MP4) still need a library this container doesn't ship; for
+    those the deterministic fake decoders remain the documented
+    stand-ins."""
     if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     if len(payload) >= 2 and payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     try:
         if kind == "image":
             import PIL.Image  # noqa: F401
@@ -327,11 +553,12 @@ def decode_asset(payload: bytes, kind: str):
             import av  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            f"real {kind} decode of compressed containers requires a codec "
-            "library not present in this environment; WAV-PCM and 24-bit "
-            "BMP decode for real (decode_wav/decode_bmp), other formats "
-            "use the deterministic fake decoders (pixel_stats / "
-            "byte_histogram_features / resize_fake)"
+            f"real {kind} decode of this container requires a codec "
+            "library not present in this environment; WAV-PCM, 24-bit "
+            "BMP and PNG decode for real (decode_wav/decode_bmp/"
+            "decode_png), other formats use the deterministic fake "
+            "decoders (pixel_stats / byte_histogram_features / "
+            "resize_fake)"
         ) from exc
     raise NotImplementedError("codec present but real decode not wired yet")
 
@@ -339,8 +566,9 @@ def decode_asset(payload: bytes, kind: str):
 def decoded_asset_stats(df: DataFrame, id_col: str = "asset_id") -> DataFrame:
     """REAL per-asset decode stats over a binary column: sniff each
     payload's container; WAV-PCM rows emit (sample_rate, n_samples,
-    duration_s, audio_rms), 24-bit-BMP rows emit (width, height,
-    mean_r, mean_g, mean_b); anything else passes through as
+    duration_s, audio_rms), 24-bit-BMP and PNG rows emit (width,
+    height, mean_r, mean_g, mean_b — grayscale PNGs repeat the gray
+    mean, alpha is excluded); anything else passes through as
     container='opaque' with null stats — decodable and opaque assets
     can share one table, exactly how a mixed crawl lands.
 
@@ -382,6 +610,20 @@ def decoded_asset_stats(df: DataFrame, id_col: str = "asset_id") -> DataFrame:
                             mean_r=float(img[..., 0].mean()),
                             mean_g=float(img[..., 1].mean()),
                             mean_b=float(img[..., 2].mean()),
+                        )
+                    elif p[:8] == _PNG_SIG:
+                        img = decode_png(p)
+                        if img.ndim == 2:  # gray: repeat the mean
+                            r = g = b = float(img.mean())
+                        elif img.shape[2] == 2:  # gray+alpha: drop alpha
+                            r = g = b = float(img[..., 0].mean())
+                        else:  # RGB / RGBA: alpha excluded
+                            r, g, b = (
+                                float(img[..., i].mean()) for i in range(3)
+                            )
+                        base.update(
+                            container="png", width=img.shape[1],
+                            height=img.shape[0], mean_r=r, mean_g=g, mean_b=b,
                         )
                 except ValueError:
                     pass  # malformed header: stays opaque
@@ -463,18 +705,42 @@ def audio_rms_windows(
     return df.select(id_col, "payload").mapInPandas(frames, schema)
 
 
+def _decode_image_rgb(p: bytes) -> np.ndarray | None:
+    """Sniff + decode any really-decodable image container to a
+    canonical (h, w, 3) uint8 RGB array: 24-bit BMP as-is; PNG with
+    gray replicated across channels, alpha dropped, and 16-bit
+    channels truncated to their high byte. None for non-image or
+    malformed payloads."""
+    try:
+        if p[:2] == b"BM":
+            return decode_bmp(p)
+        if p[:8] == _PNG_SIG:
+            img = decode_png(p)
+            if img.dtype == np.uint16:
+                img = (img >> 8).astype(np.uint8)
+            if img.ndim == 2:
+                return np.repeat(img[:, :, None], 3, axis=2)
+            if img.shape[2] == 2:  # gray+alpha
+                return np.repeat(img[:, :, :1], 3, axis=2)
+            return img[:, :, :3].copy()  # RGB / RGBA minus alpha
+    except ValueError:
+        return None
+    return None
+
+
 def resize_bmp_real(
     df: DataFrame, out_w: int = 4, out_h: int = 4, id_col: str = "asset_id"
 ) -> DataFrame:
-    """REAL image resize for 24-bit-BMP payloads: decode with
-    :func:`decode_bmp`, nearest-neighbor sample a (out_h, out_w) RGB
-    grid (the same np.linspace grid arithmetic as ``resize_fake``, so
-    fake and real paths stay comparable), and return the pixels as a
-    flat RGB byte payload plus the source geometry. Non-BMP payloads
-    are skipped (emit nothing) — run them through ``resize_fake``.
+    """REAL image resize for really-decodable image payloads (24-bit
+    BMP and PNG — :func:`_decode_image_rgb`): decode, nearest-neighbor
+    sample a (out_h, out_w) RGB grid (the same np.linspace grid
+    arithmetic as ``resize_fake``, so fake and real paths stay
+    comparable), and return the pixels as a flat RGB byte payload plus
+    the source geometry. Undecodable payloads are skipped (emit
+    nothing) — run them through ``resize_fake``.
 
     -> (asset_id, src_w, src_h, resized binary[out_h*out_w*3 RGB]).
-    mapInPandas, no shuffle; the only per-row Python is the BMP header
+    mapInPandas, no shuffle; the only per-row Python is the container
     parse — the pixel gather is one vectorized fancy-index per asset.
     """
     schema = f"{id_col} long, src_w long, src_h long, resized binary"
@@ -483,12 +749,8 @@ def resize_bmp_real(
         for pdf in batches:
             rows = []
             for aid, payload in zip(pdf[id_col], pdf["payload"]):
-                p = bytes(payload)
-                if p[:2] != b"BM":
-                    continue
-                try:
-                    img = decode_bmp(p)
-                except ValueError:
+                img = _decode_image_rgb(bytes(payload))
+                if img is None:
                     continue
                 h, w, _ = img.shape
                 ys = np.linspace(0, h - 1, out_h).astype(np.int64)

@@ -263,8 +263,13 @@ class TestRealDecoders:
         assert rate == 8000 and len(mono) == 64
         img = np.zeros((2, 2, 3), dtype=np.uint8)
         assert decode_asset(self._bmp_bytes(img), "image").shape == (2, 2, 3)
+        # PNG now decodes for real (stdlib zlib) — full coverage in
+        # tests/test_png.py; JPEG remains the env-blocked stub path
+        from polars_matmul_spark.operators.multimodal import encode_png
+
+        assert decode_asset(encode_png(img), "image").shape == (2, 2, 3)
         with _pytest.raises(NotImplementedError, match="codec"):
-            decode_asset(b"\x89PNG\r\n\x1a\n....", "image")
+            decode_asset(b"\xff\xd8\xff\xe0....JFIF", "image")
 
     def test_spark_decoded_stats(self, spark):
         import numpy as np
@@ -352,15 +357,19 @@ class TestRealDecoders:
 
         from polars_matmul_spark.operators.multimodal import resize_bmp_real
 
+        from polars_matmul_spark.operators.multimodal import encode_png
+
         rng = np.random.default_rng(11)
         img = rng.integers(0, 256, size=(8, 6, 3), dtype=np.uint8)
         rows = [
             (1, bytearray(self._bmp_bytes(img))),
             (2, bytearray(b"not an image at all")),
+            (3, bytearray(encode_png(img))),  # same pixels, PNG container
         ]
         df = spark.createDataFrame(rows, "asset_id long, payload binary")
         out = {r.asset_id: r for r in resize_bmp_real(df, out_w=3, out_h=4).collect()}
-        assert set(out) == {1}  # non-BMP emits nothing
+        assert set(out) == {1, 3}  # undecodable emits nothing
+        assert bytes(out[3].resized) == bytes(out[1].resized)
         r = out[1]
         assert (r.src_w, r.src_h) == (6, 8)
         got = np.frombuffer(bytes(r.resized), dtype=np.uint8).reshape(4, 3, 3)
