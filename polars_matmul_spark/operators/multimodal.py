@@ -8,16 +8,17 @@ resize / frame-sample as Arrow-batched Python stages.
 
 Containers decodable without a codec library decode for REAL in pure
 NumPy: RIFF/WAVE PCM (``decode_wav`` — stdlib-``wave``-validated),
-uncompressed 24-bit BMP (``decode_bmp``), and — since PNG's only
-compression is DEFLATE, which the stdlib ships — full PNG
-(``decode_png``: zlib inflate + the five scanline filters + palette /
-bit-depth handling, with ``encode_png`` as the writing sink). All
-three are surfaced through ``decoded_asset_stats``,
+uncompressed 24-bit BMP (``decode_bmp``), full PNG (``decode_png`` —
+DEFLATE is in stdlib ``zlib``; zlib inflate + the five scanline
+filters + palette / bit-depth handling, ``encode_png`` as the writing
+sink), and baseline JPEG (``operators.jpeg`` — Huffman entropy
+decode + dequant + IDCT + chroma upsample, all first-principles
+NumPy). All four are surfaced through ``decoded_asset_stats``,
 ``audio_rms_windows(real_decode=True)`` and ``resize_bmp_real``.
-Formats whose compression is NOT in the stdlib (JPEG's DCT/huffman,
-MP3, MP4) need PIL / librosa / ffmpeg, which are NOT installed in
-this container, so for those ``decode_asset`` remains a
-clearly-marked stub raising ``NotImplementedError``. Everything Spark-side is real and tested
+Formats beyond first-principles reach (MP3, MP4, progressive JPEG)
+need librosa / ffmpeg, which are NOT installed in this container, so
+for those ``decode_asset`` remains a clearly-marked stub raising
+``NotImplementedError``. Everything Spark-side is real and tested
 either way: the binary schema, the mapInPandas batch shapes,
 deterministic fake decoders (payload bytes ARE the samples —
 documents are pure ASCII so byte == codepoint, which makes the fakes
@@ -532,18 +533,23 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
 def decode_asset(payload: bytes, kind: str):
     """REAL codec decode. Containers decodable with the stdlib + NumPy
     are decoded for real — RIFF/WAVE PCM (:func:`decode_wav`),
-    uncompressed 24-bit BMP (:func:`decode_bmp`), and PNG
-    (:func:`decode_png` — DEFLATE is in stdlib ``zlib``), all sniffed
-    by magic bytes. Formats needing codecs the stdlib lacks (JPEG/
-    MP3/MP4) still need a library this container doesn't ship; for
-    those the deterministic fake decoders remain the documented
-    stand-ins."""
+    uncompressed 24-bit BMP (:func:`decode_bmp`), PNG
+    (:func:`decode_png` — DEFLATE is in stdlib ``zlib``), and
+    baseline JPEG (:func:`jpeg.decode_jpeg` — Huffman + IDCT in pure
+    NumPy), all sniffed by magic bytes. Formats needing codecs
+    outside first-principles reach (MP3/MP4, progressive JPEG) still
+    need a library this container doesn't ship; for those the
+    deterministic fake decoders remain the documented stand-ins."""
     if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     if len(payload) >= 2 and payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        from polars_matmul_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     try:
         if kind == "image":
             import PIL.Image  # noqa: F401
@@ -555,10 +561,10 @@ def decode_asset(payload: bytes, kind: str):
         raise NotImplementedError(
             f"real {kind} decode of this container requires a codec "
             "library not present in this environment; WAV-PCM, 24-bit "
-            "BMP and PNG decode for real (decode_wav/decode_bmp/"
-            "decode_png), other formats use the deterministic fake "
-            "decoders (pixel_stats / byte_histogram_features / "
-            "resize_fake)"
+            "BMP, PNG and baseline JPEG decode for real (decode_wav/"
+            "decode_bmp/decode_png/jpeg.decode_jpeg), other formats "
+            "use the deterministic fake decoders (pixel_stats / "
+            "byte_histogram_features / resize_fake)"
         ) from exc
     raise NotImplementedError("codec present but real decode not wired yet")
 
@@ -611,8 +617,16 @@ def decoded_asset_stats(df: DataFrame, id_col: str = "asset_id") -> DataFrame:
                             mean_g=float(img[..., 1].mean()),
                             mean_b=float(img[..., 2].mean()),
                         )
-                    elif p[:8] == _PNG_SIG:
-                        img = decode_png(p)
+                    elif p[:8] == _PNG_SIG or p[:3] == b"\xff\xd8\xff":
+                        is_png = p[:8] == _PNG_SIG
+                        if is_png:
+                            img = decode_png(p)
+                        else:
+                            from polars_matmul_spark.operators.jpeg import (
+                                decode_jpeg,
+                            )
+
+                            img = decode_jpeg(p)
                         if img.ndim == 2:  # gray: repeat the mean
                             r = g = b = float(img.mean())
                         elif img.shape[2] == 2:  # gray+alpha: drop alpha
@@ -622,7 +636,8 @@ def decoded_asset_stats(df: DataFrame, id_col: str = "asset_id") -> DataFrame:
                                 float(img[..., i].mean()) for i in range(3)
                             )
                         base.update(
-                            container="png", width=img.shape[1],
+                            container="png" if is_png else "jpeg",
+                            width=img.shape[1],
                             height=img.shape[0], mean_r=r, mean_g=g, mean_b=b,
                         )
                 except ValueError:
@@ -723,6 +738,13 @@ def _decode_image_rgb(p: bytes) -> np.ndarray | None:
             if img.shape[2] == 2:  # gray+alpha
                 return np.repeat(img[:, :, :1], 3, axis=2)
             return img[:, :, :3].copy()  # RGB / RGBA minus alpha
+        if p[:3] == b"\xff\xd8\xff":
+            from polars_matmul_spark.operators.jpeg import decode_jpeg
+
+            img = decode_jpeg(p)
+            if img.ndim == 2:
+                return np.repeat(img[:, :, None], 3, axis=2)
+            return img
     except ValueError:
         return None
     return None
