@@ -249,18 +249,48 @@ def resize_fake(
     return df.select(id_col, "payload", "width", "height").mapInPandas(resize, schema)
 
 
+def _g711_expand(codes: np.ndarray, law: str) -> np.ndarray:
+    """G.711 companding expansion to 16-bit linear PCM — the standard
+    segment/mantissa decode, vectorized over the whole byte stream;
+    bit-identical to the stdlib ``audioop`` expansion (pinned in
+    tests). ``law`` is 'mu' (format 7) or 'a' (format 6)."""
+    c = codes.astype(np.int64)
+    if law == "mu":
+        c = ~c & 0xFF
+        sign = np.where(c & 0x80, -1, 1)
+        seg = (c >> 4) & 0x07
+        mant = c & 0x0F
+        # 14-bit magnitude scaled x4 to 16-bit (the audioop convention)
+        mag = ((((mant << 1) | 0x21) << seg) - 0x21) << 2
+        return (sign * mag).astype(np.int64)
+    # A-law: even bits are inverted on the wire; sign bit SET = positive
+    c ^= 0x55
+    sign = np.where(c & 0x80, 1, -1)
+    seg = (c >> 4) & 0x07
+    mant = c & 0x0F
+    mag = np.where(
+        seg == 0, (mant << 4) | 0x08, (((mant << 4) | 0x108) << (seg - 1))
+    )
+    return (sign * mag).astype(np.int64)
+
+
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
-    """REAL audio decode for RIFF/WAVE PCM — pure NumPy, no codec
-    library: parse the chunk list, accept PCM (format 1) at 8 or 16
-    bits, mix channels down to mono, return (sample_rate, float64
-    samples in [-1, 1)). Bit-validated against the stdlib ``wave``
-    reader in tests. Raises ValueError on non-RIFF / non-PCM input.
+    """REAL audio decode for RIFF/WAVE — pure NumPy, no codec library:
+    parse the chunk list, accept linear PCM (format 1: 8/16/24/32
+    bits), IEEE float (format 3: f32/f64), G.711 A-law / mu-law
+    (formats 6/7 — :func:`_g711_expand`), and WAVE_FORMAT_EXTENSIBLE
+    (0xFFFE, resolved through the SubFormat GUID). Mixes channels
+    down to mono; returns (sample_rate, float64 samples in [-1, 1)).
+    PCM-16 bit-validated against the stdlib ``wave`` reader; G.711
+    validated against an independent scalar transcription of the
+    companding equations. Raises ValueError on non-RIFF or
+    unsupported format input.
     """
     import struct
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, fmt, data = 12, None, None
+    pos, fmt, fmt_body, data = 12, None, b"", None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (sz,) = struct.unpack_from("<I", payload, pos + 4)
@@ -274,18 +304,39 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
                 # mixed-table callers (decoded_asset_stats) keep their
                 # "malformed -> opaque" contract instead of crashing
                 raise ValueError("truncated WAV fmt chunk") from exc
+            fmt_body = body
         elif cid == b"data":
             data = body
         pos += 8 + sz + (sz & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_fmt, n_ch, rate, _brate, _align, bits = fmt
-    if audio_fmt != 1 or bits not in (8, 16) or n_ch < 1:
-        raise ValueError(f"unsupported WAV: format={audio_fmt} bits={bits}")
-    if bits == 16:
+    if audio_fmt == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: GUID at offset 24
+        if len(fmt_body) < 26:
+            raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
+        (audio_fmt,) = struct.unpack_from("<H", fmt_body, 24)
+    if n_ch < 1:
+        raise ValueError(f"unsupported WAV: {n_ch} channels")
+    if audio_fmt == 1 and bits == 16:
         raw = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
-    else:
+    elif audio_fmt == 1 and bits == 8:
         raw = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif audio_fmt == 1 and bits == 24:
+        b = np.frombuffer(data, dtype=np.uint8)
+        b = b[: (len(b) // 3) * 3].reshape(-1, 3).astype(np.int64)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        raw = np.where(v >= 1 << 23, v - (1 << 24), v) / float(1 << 23)
+    elif audio_fmt == 1 and bits == 32:
+        raw = np.frombuffer(data, dtype="<i4").astype(np.float64) / float(1 << 31)
+    elif audio_fmt == 3 and bits == 32:
+        raw = np.frombuffer(data, dtype="<f4").astype(np.float64)
+    elif audio_fmt == 3 and bits == 64:
+        raw = np.frombuffer(data, dtype="<f8").astype(np.float64)
+    elif audio_fmt in (6, 7) and bits == 8:
+        law = "a" if audio_fmt == 6 else "mu"
+        raw = _g711_expand(np.frombuffer(data, dtype=np.uint8), law) / 32768.0
+    else:
+        raise ValueError(f"unsupported WAV: format={audio_fmt} bits={bits}")
     n = (len(raw) // n_ch) * n_ch
     mono = raw[:n].reshape(-1, n_ch).mean(axis=1)
     return rate, mono

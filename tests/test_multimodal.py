@@ -224,6 +224,82 @@ class TestRealDecoders:
         assert np.array_equal(mono, lr.mean(axis=1))
 
     @staticmethod
+    def _raw_wav(fmt, bits, data, rate=8000, n_ch=1, extensible=False):
+        """Hand-assemble a RIFF/WAVE container around raw sample
+        bytes, optionally as WAVE_FORMAT_EXTENSIBLE wrapping `fmt`."""
+        import struct
+
+        if extensible:
+            body = struct.pack(
+                "<HHIIHHHHI", 0xFFFE, n_ch, rate, 0, 0, bits, 22, bits, 0
+            ) + struct.pack("<H", fmt) + b"\x00" * 14
+        else:
+            body = struct.pack("<HHIIHH", fmt, n_ch, rate, 0, 0, bits)
+        fmt_chunk = b"fmt " + struct.pack("<I", len(body)) + body
+        data_chunk = b"data" + struct.pack("<I", len(data)) + data
+        if len(data) & 1:
+            data_chunk += b"\x00"
+        riff = b"WAVE" + fmt_chunk + data_chunk
+        return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+    def test_wav_float_and_wide_pcm(self):
+        import numpy as np
+
+        from polars_matmul_spark.operators.multimodal import decode_wav
+
+        x = np.sin(np.linspace(0, 7, 200))
+        # IEEE float32 / float64 pass through exactly
+        for dt in ("<f4", "<f8"):
+            bits = 32 if dt == "<f4" else 64
+            rate, mono = decode_wav(self._raw_wav(3, bits, x.astype(dt).tobytes()))
+            np.testing.assert_allclose(mono, x.astype(dt).astype(np.float64))
+        # 32-bit PCM
+        i32 = (x * (2**31 - 1)).astype("<i4")
+        _, mono = decode_wav(self._raw_wav(1, 32, i32.tobytes()))
+        np.testing.assert_array_equal(mono, i32.astype(np.float64) / 2**31)
+        # 24-bit PCM: pack 3-byte little-endian by hand
+        i24 = (x * (2**23 - 1)).astype(np.int64)
+        raw = bytearray()
+        for v in i24:
+            raw += int(v & 0xFFFFFF).to_bytes(3, "little")
+        _, mono = decode_wav(self._raw_wav(1, 24, bytes(raw)))
+        np.testing.assert_array_equal(mono, i24.astype(np.float64) / 2**23)
+        # EXTENSIBLE wrapper resolves through the SubFormat GUID
+        _, mono = decode_wav(
+            self._raw_wav(1, 32, i32.tobytes(), extensible=True)
+        )
+        np.testing.assert_array_equal(mono, i32.astype(np.float64) / 2**31)
+
+    def test_wav_g711_matches_audioop(self):
+        """stdlib audioop is an independent implementation of the
+        G.711 expansion — require bit-identical output for all 256
+        codes in both laws (audioop is deprecated-but-present on this
+        Python; skip cleanly if it ever disappears)."""
+        import numpy as np
+        import pytest as _pytest
+
+        audioop = _pytest.importorskip("audioop")
+        from polars_matmul_spark.operators.multimodal import (
+            _g711_expand,
+            decode_wav,
+        )
+
+        codes = np.arange(256, dtype=np.uint8)
+        ref_mu = np.frombuffer(
+            audioop.ulaw2lin(bytes(codes), 2), dtype="<i2"
+        ).astype(np.int64)
+        ref_a = np.frombuffer(
+            audioop.alaw2lin(bytes(codes), 2), dtype="<i2"
+        ).astype(np.int64)
+        np.testing.assert_array_equal(_g711_expand(codes, "mu"), ref_mu)
+        np.testing.assert_array_equal(_g711_expand(codes, "a"), ref_a)
+        # and end-to-end through the container (mu=7, a=6)
+        _, mono = decode_wav(self._raw_wav(7, 8, bytes(codes)))
+        np.testing.assert_array_equal(mono, ref_mu / 32768.0)
+        _, mono = decode_wav(self._raw_wav(6, 8, bytes(codes)))
+        np.testing.assert_array_equal(mono, ref_a / 32768.0)
+
+    @staticmethod
     def _bmp_bytes(img):
         """Serialize an (h, w, 3) uint8 RGB array as a bottom-up
         24-bit BMP with 4-byte row padding."""
@@ -263,12 +339,18 @@ class TestRealDecoders:
         assert rate == 8000 and len(mono) == 64
         img = np.zeros((2, 2, 3), dtype=np.uint8)
         assert decode_asset(self._bmp_bytes(img), "image").shape == (2, 2, 3)
-        # PNG now decodes for real (stdlib zlib) — full coverage in
-        # tests/test_png.py; JPEG remains the env-blocked stub path
+        # PNG and baseline JPEG now decode for real — full coverage in
+        # tests/test_png.py / test_jpeg.py; MP3/MP4 remain the
+        # env-blocked stub path
+        from polars_matmul_spark.operators.jpeg import encode_jpeg
         from polars_matmul_spark.operators.multimodal import encode_png
 
         assert decode_asset(encode_png(img), "image").shape == (2, 2, 3)
+        assert decode_asset(encode_jpeg(img), "image").shape == (2, 2, 3)
         with _pytest.raises(NotImplementedError, match="codec"):
+            decode_asset(b"ID3\x04\x00....mp3ish", "audio")
+        # a corrupt stream in a KNOWN container is ValueError, not stub
+        with _pytest.raises(ValueError, match="truncated"):
             decode_asset(b"\xff\xd8\xff\xe0....JFIF", "image")
 
     def test_spark_decoded_stats(self, spark):
