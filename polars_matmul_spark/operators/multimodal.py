@@ -215,6 +215,67 @@ def frame_sample(
     )
 
 
+def frame_sample_gif(
+    df: DataFrame,
+    every: int = 2,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL frame sampling over animated-GIF payloads: decode the
+    animation (:func:`gif.decode_gif` — composited frames, so each
+    sampled frame is what a viewer shows at that point), keep every
+    ``every``-th frame, and emit its timing + per-channel means —
+    the video-pipeline shape (decode container → sample frames →
+    per-frame features) with a real decoder. Non-GIF or malformed
+    payloads emit nothing (route them through :func:`frame_sample`,
+    the container-agnostic byte-block sampler).
+
+    -> (asset_id, frame_no, delay_cs, height, width, mean_r, mean_g,
+    mean_b). mapInPandas, no shuffle; per-asset work is O(pixels).
+    """
+    if every < 1:
+        raise ValueError(f"every must be >= 1, got {every}")
+    schema = (
+        f"{id_col} long, frame_no long, delay_cs long, height long, "
+        "width long, mean_r double, mean_g double, mean_b double"
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from polars_matmul_spark.operators.gif import decode_gif
+
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                p = bytes(payload)
+                if p[:6] not in (b"GIF87a", b"GIF89a"):
+                    continue
+                try:
+                    frames, delays = decode_gif(p)
+                except ValueError:
+                    continue
+                for fno in range(0, len(frames), every):
+                    f = frames[fno]
+                    rows.append(
+                        {
+                            id_col: aid, "frame_no": fno,
+                            "delay_cs": delays[fno],
+                            "height": f.shape[0], "width": f.shape[1],
+                            "mean_r": float(f[..., 0].mean()),
+                            "mean_g": float(f[..., 1].mean()),
+                            "mean_b": float(f[..., 2].mean()),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "frame_no", "delay_cs", "height", "width",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(sample, schema)
+
+
 def resize_fake(
     df: DataFrame, out_w: int = 4, out_h: int = 4, id_col: str = "asset_id"
 ) -> DataFrame:
@@ -585,12 +646,14 @@ def decode_asset(payload: bytes, kind: str):
     """REAL codec decode. Containers decodable with the stdlib + NumPy
     are decoded for real — RIFF/WAVE PCM (:func:`decode_wav`),
     uncompressed 24-bit BMP (:func:`decode_bmp`), PNG
-    (:func:`decode_png` — DEFLATE is in stdlib ``zlib``), and
-    baseline JPEG (:func:`jpeg.decode_jpeg` — Huffman + IDCT in pure
-    NumPy), all sniffed by magic bytes. Formats needing codecs
-    outside first-principles reach (MP3/MP4, progressive JPEG) still
-    need a library this container doesn't ship; for those the
-    deterministic fake decoders remain the documented stand-ins."""
+    (:func:`decode_png` — DEFLATE is in stdlib ``zlib``), baseline
+    JPEG (:func:`jpeg.decode_jpeg` — Huffman + IDCT in pure NumPy),
+    and GIF incl. animation (:func:`gif.decode_gif` — LZW in pure
+    Python; returns ``(frames, delays_cs)``), all sniffed by magic
+    bytes. Formats needing codecs outside first-principles reach
+    (MP3/MP4) still need a library this container doesn't ship; for
+    those the deterministic fake decoders remain the documented
+    stand-ins."""
     if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     if len(payload) >= 2 and payload[:2] == b"BM":
@@ -601,6 +664,10 @@ def decode_asset(payload: bytes, kind: str):
         from polars_matmul_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from polars_matmul_spark.operators.gif import decode_gif
+
+        return decode_gif(payload)
     try:
         if kind == "image":
             import PIL.Image  # noqa: F401
@@ -625,7 +692,10 @@ def decoded_asset_stats(df: DataFrame, id_col: str = "asset_id") -> DataFrame:
     payload's container; WAV-PCM rows emit (sample_rate, n_samples,
     duration_s, audio_rms), 24-bit-BMP and PNG rows emit (width,
     height, mean_r, mean_g, mean_b — grayscale PNGs repeat the gray
-    mean, alpha is excluded); anything else passes through as
+    mean, alpha is excluded); GIF rows emit the image stats over the
+    FIRST composited frame plus the animation timing in the audio
+    slots (n_samples = frame count, duration_s = sum of frame delays
+    — a GIF IS a timed sequence); anything else passes through as
     container='opaque' with null stats — decodable and opaque assets
     can share one table, exactly how a mixed crawl lands.
 
@@ -690,6 +760,22 @@ def decoded_asset_stats(df: DataFrame, id_col: str = "asset_id") -> DataFrame:
                             container="png" if is_png else "jpeg",
                             width=img.shape[1],
                             height=img.shape[0], mean_r=r, mean_g=g, mean_b=b,
+                        )
+                    elif p[:6] in (b"GIF87a", b"GIF89a"):
+                        from polars_matmul_spark.operators.gif import (
+                            decode_gif,
+                        )
+
+                        frames, delays = decode_gif(p)
+                        first = frames[0]
+                        base.update(
+                            container="gif",
+                            width=first.shape[1], height=first.shape[0],
+                            mean_r=float(first[..., 0].mean()),
+                            mean_g=float(first[..., 1].mean()),
+                            mean_b=float(first[..., 2].mean()),
+                            n_samples=len(frames),
+                            duration_s=sum(delays) / 100.0,
                         )
                 except ValueError:
                     pass  # malformed header: stays opaque
@@ -775,8 +861,8 @@ def _decode_image_rgb(p: bytes) -> np.ndarray | None:
     """Sniff + decode any really-decodable image container to a
     canonical (h, w, 3) uint8 RGB array: 24-bit BMP as-is; PNG with
     gray replicated across channels, alpha dropped, and 16-bit
-    channels truncated to their high byte. None for non-image or
-    malformed payloads."""
+    channels truncated to their high byte; GIF as its first
+    composited frame. None for non-image or malformed payloads."""
     try:
         if p[:2] == b"BM":
             return decode_bmp(p)
@@ -796,6 +882,10 @@ def _decode_image_rgb(p: bytes) -> np.ndarray | None:
             if img.ndim == 2:
                 return np.repeat(img[:, :, None], 3, axis=2)
             return img
+        if p[:6] in (b"GIF87a", b"GIF89a"):
+            from polars_matmul_spark.operators.gif import decode_gif_image
+
+            return decode_gif_image(p)
     except ValueError:
         return None
     return None
