@@ -11,11 +11,14 @@ NumPy: RIFF/WAVE PCM (``decode_wav`` — stdlib-``wave``-validated),
 uncompressed 24-bit BMP (``decode_bmp``), full PNG (``decode_png`` —
 DEFLATE is in stdlib ``zlib``; zlib inflate + the five scanline
 filters + palette / bit-depth handling, ``encode_png`` as the writing
-sink), and baseline JPEG (``operators.jpeg`` — Huffman entropy
-decode + dequant + IDCT + chroma upsample, all first-principles
-NumPy). All four are surfaced through ``decoded_asset_stats``,
-``audio_rms_windows(real_decode=True)`` and ``resize_bmp_real``.
-Formats beyond first-principles reach (MP3, MP4, progressive JPEG)
+sink), JPEG — baseline AND progressive frames (``operators.jpeg`` —
+Huffman entropy decode + dequant + IDCT + chroma upsample, T.81
+annex-G progressive scan accumulation, all first-principles NumPy),
+and GIF incl. animation (``operators.gif`` — variable-width LZW,
+interlace, disposal compositing; ``frame_sample_gif`` is the REAL
+video-shaped frame sampler). All five are surfaced through
+``decoded_asset_stats``, ``audio_rms_windows(real_decode=True)`` and
+``resize_bmp_real``. Formats beyond first-principles reach (MP3, MP4)
 need librosa / ffmpeg, which are NOT installed in this container, so
 for those ``decode_asset`` remains a clearly-marked stub raising
 ``NotImplementedError``. Everything Spark-side is real and tested
@@ -53,6 +56,7 @@ __all__ = [
     "encode_png",
     "decoded_asset_stats",
     "resize_bmp_real",
+    "frame_sample_gif",
 ]
 
 #: fixed fake-image width; height is derived from the payload length
@@ -648,12 +652,12 @@ def decode_asset(payload: bytes, kind: str):
     uncompressed 24-bit BMP (:func:`decode_bmp`), PNG
     (:func:`decode_png` — DEFLATE is in stdlib ``zlib``), baseline
     JPEG (:func:`jpeg.decode_jpeg` — Huffman + IDCT in pure NumPy),
-    and GIF incl. animation (:func:`gif.decode_gif` — LZW in pure
-    Python; returns ``(frames, delays_cs)``), all sniffed by magic
-    bytes. Formats needing codecs outside first-principles reach
-    (MP3/MP4) still need a library this container doesn't ship; for
-    those the deterministic fake decoders remain the documented
-    stand-ins."""
+    JPEG — both baseline and progressive (SOF2) frames — and GIF
+    incl. animation (:func:`gif.decode_gif` — LZW in pure Python;
+    returns ``(frames, delays_cs)``), all sniffed by magic bytes.
+    Formats needing codecs outside first-principles reach (MP3/MP4)
+    still need a library this container doesn't ship; for those the
+    deterministic fake decoders remain the documented stand-ins."""
     if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     if len(payload) >= 2 and payload[:2] == b"BM":
@@ -679,9 +683,10 @@ def decode_asset(payload: bytes, kind: str):
         raise NotImplementedError(
             f"real {kind} decode of this container requires a codec "
             "library not present in this environment; WAV-PCM, 24-bit "
-            "BMP, PNG and baseline JPEG decode for real (decode_wav/"
-            "decode_bmp/decode_png/jpeg.decode_jpeg), other formats "
-            "use the deterministic fake decoders (pixel_stats / "
+            "BMP, PNG, JPEG (baseline + progressive) and GIF decode "
+            "for real (decode_wav/decode_bmp/decode_png/"
+            "jpeg.decode_jpeg/gif.decode_gif), other formats use the "
+            "deterministic fake decoders (pixel_stats / "
             "byte_histogram_features / resize_fake)"
         ) from exc
     raise NotImplementedError("codec present but real decode not wired yet")

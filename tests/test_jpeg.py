@@ -136,10 +136,14 @@ def test_errors():
     good = encode_jpeg(np.zeros((8, 8), np.uint8))
     with pytest.raises(ValueError, match="truncated|no SOS"):
         decode_jpeg(good[:20])
-    # progressive: patch SOF0 marker (FFC0) to SOF2 (FFC2)
+    # a baseline stream relabeled SOF2 is MALFORMED progressive: its
+    # baseline SOS tail (Ss=0, Se=63) breaks the DC-scan rule
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="SOF2"):
+    with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg(prog)
+    # lossless (SOF3) stays unsupported
+    with pytest.raises(ValueError, match="SOF3"):
+        decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc3", 1))
     with pytest.raises(ValueError, match="precision"):
         decode_jpeg(_hand_built_dc_only(prec=12))
     with pytest.raises(ValueError, match="quality"):
@@ -171,3 +175,193 @@ def test_multimodal_integration(spark):
     assert (out[1].mean_r, out[1].mean_g, out[1].mean_b) == (11.0, 22.0, 33.0)
     assert out[2].container == "jpeg" and out[2].mean_r == 50.0
     assert out[3].container == "opaque"
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2)
+
+
+def _hand_built_progressive():
+    """Single 8x8 gray block, quant all-ones, four hand-assembled
+    scans straight from T.81 annex G — DC first (Al=1), DC refine,
+    AC first (Al=1, EOB-run code), AC refine (correction bits behind
+    the EOB symbol). Target coefficients (zigzag): [6, 3, -2, 0...].
+
+    Scan bit math: DC first sends diff=6>>1=3 (cat 2, bits '11');
+    DC refine sends bit 6&1=0; AC first sends +1 at k=1 and -1 at
+    k=2 (each (0,1) + sign-magnitude bit) then EOB; AC refine sends
+    one EOB symbol whose appended correction bits 1,0 lift |2|->3 and
+    keep |-2|."""
+    qt = _seg(0xDB, bytes([0]) + bytes([1] * 64))
+    sof = _seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    out = b"\xff\xd8" + qt + sof
+    # scan 1: DC first, Al=1 — DC table: one symbol (cat 2), code '0'
+    out += _seg(0xC4, bytes([0x00, 1] + [0] * 15 + [2]))
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+    out += bytes([0b01111111])  # '0' + '11' + pad
+    # scan 2: DC refine (Ah=1, Al=0) — raw bit, no Huffman table
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
+    out += bytes([0b01111111])  # bit 0 + pad
+    # scan 3: AC first, Ss=1 Se=63 Al=1 — AC table: 0x01->'0', 0x00->'10'
+    out += _seg(0xC4, bytes([0x10, 1, 1] + [0] * 14 + [0x01, 0x00]))
+    out += _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01]))
+    out += bytes([0b01001011])  # (0,1)+ , (0,1)- , EOB, pad
+    # scan 4: AC refine, Ah=1 Al=0 — AC table: 0x00->'0'
+    out += _seg(0xC4, bytes([0x10, 1] + [0] * 15 + [0x00]))
+    out += _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10]))
+    out += bytes([0b01011111])  # EOB + correction bits 1,0 + pad
+    return out + b"\xff\xd9"
+
+
+def test_hand_built_progressive_stream_decodes_exactly():
+    from polars_matmul_spark.operators.jpeg import _ZIGZAG
+
+    img = decode_jpeg(_hand_built_progressive())
+    assert img.shape == (8, 8) and img.dtype == np.uint8
+    zz = np.zeros(64, np.int64)
+    zz[0], zz[1], zz[2] = 6, 3, -2
+    nat = np.zeros(64, np.int64)
+    nat[_ZIGZAG] = zz
+    want = np.clip(
+        np.round(_idct2(nat.reshape(8, 8).astype(float)) + 128.0), 0, 255
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(img, want)
+
+
+class TestProgressive:
+    """decode(progressive) == decode(baseline) BIT-identically: both
+    encoders quantize with the same per-block routine and the default
+    scan script refines to Al=0, so the decoded pixels must match
+    exactly — the strongest cross-check a lossy format allows."""
+
+    @pytest.mark.parametrize(
+        "shape,q,sub,dri",
+        [
+            ((40, 48, 3), 90, False, 0),
+            ((40, 48, 3), 50, True, 0),
+            ((33, 41, 3), 75, True, 0),   # odd dims: partial MCUs and
+            ((33, 41, 3), 75, False, 0),  # nominal-vs-MCU block grids
+            ((17, 23), 85, False, 0),
+            ((8, 8), 90, False, 0),
+            ((33, 41, 3), 75, True, 3),   # restarts inside every scan
+            ((17, 23), 85, False, 2),
+        ],
+    )
+    def test_equals_baseline_bitwise(self, shape, q, sub, dri):
+        from polars_matmul_spark.operators.jpeg import (
+            encode_jpeg_progressive,
+        )
+
+        rng = np.random.default_rng(hash(shape) % 2**32)
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, q, subsample=sub))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(
+                img, q, subsample=sub, restart_interval=dri
+            )
+        )
+        np.testing.assert_array_equal(base, prog)
+
+    def test_smooth_image_long_eob_runs(self):
+        # smooth content -> sparse AC spectra -> multi-block EOB runs
+        # with appended-bit counts (EOBn, n > 0) in both AC scan kinds
+        from polars_matmul_spark.operators.jpeg import (
+            encode_jpeg_progressive,
+        )
+
+        yy, xx = np.mgrid[0:64, 0:80]
+        img = (128 + 100 * np.sin(xx / 9.0) * np.cos(yy / 13.0)).astype(
+            np.uint8
+        )
+        for q in (90, 96):
+            base = decode_jpeg(encode_jpeg(img, q))
+            prog = decode_jpeg(encode_jpeg_progressive(img, q))
+            np.testing.assert_array_equal(base, prog)
+
+    def test_stream_is_really_progressive(self):
+        from polars_matmul_spark.operators.jpeg import (
+            encode_jpeg_progressive,
+        )
+
+        payload = encode_jpeg_progressive(
+            np.zeros((16, 16, 3), np.uint8), 90
+        )
+        assert b"\xff\xc2" in payload and b"\xff\xc0" not in payload
+        assert payload.count(b"\xff\xda") == 10  # default 3-comp script
+        # and it beats the fixed-table baseline on a typical image
+        # (per-scan optimal Huffman tables) — sanity, not a perf gate
+        rng = np.random.default_rng(3)
+        img = (rng.integers(0, 4, (64, 64, 3)) * 80).astype(np.uint8)
+        assert len(encode_jpeg_progressive(img, 90)) < len(
+            encode_jpeg(img, 90)
+        ) * 1.2
+
+    def test_scan_script_validation(self):
+        from polars_matmul_spark.operators.jpeg import (
+            encode_jpeg_progressive,
+        )
+
+        img = np.zeros((8, 8, 3), np.uint8)
+        with pytest.raises(ValueError, match="Se=0"):
+            encode_jpeg_progressive(img, scans=[([0, 1, 2], 0, 5, 0, 0)])
+        with pytest.raises(ValueError, match="one component"):
+            encode_jpeg_progressive(img, scans=[([0, 1], 1, 63, 0, 0)])
+
+    def test_spectral_selection_only_script(self):
+        # a script with NO successive approximation (Al=0 everywhere)
+        # exercises the pure spectral-selection decode path
+        from polars_matmul_spark.operators.jpeg import (
+            encode_jpeg_progressive,
+        )
+
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+        scans = [([0], 0, 0, 0, 0), ([0], 1, 5, 0, 0), ([0], 6, 63, 0, 0)]
+        base = decode_jpeg(encode_jpeg(img, 80))
+        prog = decode_jpeg(encode_jpeg_progressive(img, 80, scans=scans))
+        np.testing.assert_array_equal(base, prog)
+
+    def test_multimodal_dispatch(self):
+        from polars_matmul_spark.operators.jpeg import (
+            encode_jpeg_progressive,
+        )
+        from polars_matmul_spark.operators.multimodal import (
+            _decode_image_rgb,
+            decode_asset,
+        )
+
+        rgb = np.zeros((8, 8, 3), np.uint8)
+        rgb[..., 0], rgb[..., 1], rgb[..., 2] = 11, 22, 33
+        payload = encode_jpeg_progressive(rgb, 95)
+        assert decode_asset(payload, "image").shape == (8, 8, 3)
+        np.testing.assert_array_equal(_decode_image_rgb(payload), rgb)
+
+
+def test_gen_huffman_table_is_valid_and_optimalish():
+    from polars_matmul_spark.operators.jpeg import (
+        _build_decode_table,
+        _build_encode_table,
+        _gen_huffman_table,
+    )
+
+    rng = np.random.default_rng(7)
+    freq = [0] * 256
+    for sym in rng.integers(0, 40, 500):
+        freq[sym] += int(rng.integers(1, 50))
+    bits, huffval = _gen_huffman_table(freq)
+    assert len(bits) == 16 and sum(bits) == len(huffval)
+    # Kraft inequality strictly < 1: the all-ones code stays unused
+    assert sum(n * 2.0 ** -(i + 1) for i, n in enumerate(bits)) < 1.0
+    # every symbol with nonzero frequency got a code
+    assert set(huffval) == {i for i, f in enumerate(freq) if f}
+    # encode table and decode table invert each other
+    enc = _build_encode_table(bits, huffval)
+    dec = _build_decode_table(bits, huffval)
+    for sym, (code, length) in enc.items():
+        assert dec[(length, code)] == sym
+    # more-frequent symbols never get longer codes
+    lengths = {s: enc[s][1] for s in enc}
+    syms = sorted(enc, key=lambda s: -freq[s])
+    for a, b in zip(syms, syms[1:]):
+        if freq[a] > freq[b]:
+            assert lengths[a] <= lengths[b]
