@@ -14,9 +14,12 @@ filters + palette / bit-depth handling, ``encode_png`` as the writing
 sink), JPEG — baseline AND progressive frames (``operators.jpeg`` —
 Huffman entropy decode + dequant + IDCT + chroma upsample, T.81
 annex-G progressive scan accumulation, all first-principles NumPy),
-and GIF incl. animation (``operators.gif`` — variable-width LZW,
+GIF incl. animation (``operators.gif`` — variable-width LZW,
 interlace, disposal compositing; ``frame_sample_gif`` is the REAL
-video-shaped frame sampler). All five are surfaced through
+video-shaped frame sampler), and FLAC (``operators.flac`` — Rice
+coding + fixed/LPC prediction + stereo decorrelation, CRC-8/16 and
+STREAMINFO-MD5 self-verified: losslessness makes the decode its own
+cryptographic oracle). All six are surfaced through
 ``decoded_asset_stats``, ``audio_rms_windows(real_decode=True)`` and
 ``resize_bmp_real``. Formats beyond first-principles reach (MP3, MP4)
 need librosa / ffmpeg, which are NOT installed in this container, so
@@ -652,9 +655,11 @@ def decode_asset(payload: bytes, kind: str):
     uncompressed 24-bit BMP (:func:`decode_bmp`), PNG
     (:func:`decode_png` — DEFLATE is in stdlib ``zlib``), baseline
     JPEG (:func:`jpeg.decode_jpeg` — Huffman + IDCT in pure NumPy),
-    JPEG — both baseline and progressive (SOF2) frames — and GIF
-    incl. animation (:func:`gif.decode_gif` — LZW in pure Python;
-    returns ``(frames, delays_cs)``), all sniffed by magic bytes.
+    JPEG — both baseline and progressive (SOF2) frames — GIF incl.
+    animation (:func:`gif.decode_gif` — LZW in pure Python; returns
+    ``(frames, delays_cs)``), and FLAC (:func:`flac.decode_flac_mono`
+    — Rice + fixed/LPC prediction, CRC + MD5 self-verified; returns
+    the WAV-shaped ``(rate, mono)``), all sniffed by magic bytes.
     Formats needing codecs outside first-principles reach (MP3/MP4)
     still need a library this container doesn't ship; for those the
     deterministic fake decoders remain the documented stand-ins."""
@@ -672,6 +677,10 @@ def decode_asset(payload: bytes, kind: str):
         from polars_matmul_spark.operators.gif import decode_gif
 
         return decode_gif(payload)
+    if payload[:4] == b"fLaC":
+        from polars_matmul_spark.operators.flac import decode_flac_mono
+
+        return decode_flac_mono(payload)
     try:
         if kind == "image":
             import PIL.Image  # noqa: F401
@@ -683,9 +692,10 @@ def decode_asset(payload: bytes, kind: str):
         raise NotImplementedError(
             f"real {kind} decode of this container requires a codec "
             "library not present in this environment; WAV-PCM, 24-bit "
-            "BMP, PNG, JPEG (baseline + progressive) and GIF decode "
-            "for real (decode_wav/decode_bmp/decode_png/"
-            "jpeg.decode_jpeg/gif.decode_gif), other formats use the "
+            "BMP, PNG, JPEG (baseline + progressive), GIF and FLAC "
+            "decode for real (decode_wav/decode_bmp/decode_png/"
+            "jpeg.decode_jpeg/gif.decode_gif/flac.decode_flac), other "
+            "formats use the "
             "deterministic fake decoders (pixel_stats / "
             "byte_histogram_features / resize_fake)"
         ) from exc
@@ -694,8 +704,9 @@ def decode_asset(payload: bytes, kind: str):
 
 def decoded_asset_stats(df: DataFrame, id_col: str = "asset_id") -> DataFrame:
     """REAL per-asset decode stats over a binary column: sniff each
-    payload's container; WAV-PCM rows emit (sample_rate, n_samples,
-    duration_s, audio_rms), 24-bit-BMP and PNG rows emit (width,
+    payload's container; WAV-PCM and FLAC rows emit (sample_rate,
+    n_samples, duration_s, audio_rms — FLAC decoded losslessly and
+    MD5-self-verified), 24-bit-BMP and PNG rows emit (width,
     height, mean_r, mean_g, mean_b — grayscale PNGs repeat the gray
     mean, alpha is excluded); GIF rows emit the image stats over the
     FIRST composited frame plus the animation timing in the audio
@@ -729,6 +740,19 @@ def decoded_asset_stats(df: DataFrame, id_col: str = "asset_id") -> DataFrame:
                         rate, mono = decode_wav(p)
                         base.update(
                             container="wav", sample_rate=rate,
+                            n_samples=len(mono),
+                            duration_s=len(mono) / rate if rate else 0.0,
+                            audio_rms=float(np.sqrt(np.mean(mono * mono)))
+                            if len(mono) else 0.0,
+                        )
+                    elif p[:4] == b"fLaC":
+                        from polars_matmul_spark.operators.flac import (
+                            decode_flac_mono,
+                        )
+
+                        rate, mono = decode_flac_mono(p)
+                        base.update(
+                            container="flac", sample_rate=rate,
                             n_samples=len(mono),
                             duration_s=len(mono) / rate if rate else 0.0,
                             audio_rms=float(np.sqrt(np.mean(mono * mono)))
@@ -813,7 +837,8 @@ def audio_rms_windows(
     per-row Python over the samples.
 
     ``real_decode=True`` sniffs each payload and runs RIFF/WAVE-PCM
-    assets through :func:`decode_wav` first, so the windows frame the
+    assets through :func:`decode_wav` (FLAC through
+    :func:`flac.decode_flac_mono`) first, so the windows frame the
     DECODED mono float samples (a 440 Hz half-amplitude sine reads
     RMS ~0.5/sqrt(2), pinned in tests); non-WAV payloads keep the
     byte-fake view, so mixed tables work in one call. The framing
@@ -830,6 +855,13 @@ def audio_rms_windows(
                 return decode_wav(p)[1]
             except ValueError:
                 pass  # malformed WAV header: fall through to byte-fake
+        if real_decode and p[:4] == b"fLaC":
+            from polars_matmul_spark.operators.flac import decode_flac_mono
+
+            try:
+                return decode_flac_mono(p)[1]
+            except ValueError:
+                pass  # malformed FLAC: fall through to byte-fake
         return np.frombuffer(p, dtype=np.uint8).astype(np.float64) - 128.0
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
