@@ -126,22 +126,31 @@ FROM f WHERE frame_no % 2 = 0
 """
 
 
-# --- REAL-decoder stats over deterministically encoded WAV/BMP -------------
+# --- REAL-decoder stats over deterministically encoded WAV/BMP/FLAC --------
 #
-# Round-6 rotation: the real pure-NumPy decoders (decode_wav /
-# decode_bmp, operators/multimodal.py) get a driver row with a FULL
-# value oracle — not the rows-only check the capability previously
-# allowed. Each document's text is deterministically ENCODED into a
-# genuine container (doc_id%3==0 -> RIFF/WAVE 16-bit PCM whose samples
-# are (byte-128)*256; doc_id%3==1 and len>=48 -> bottom-up 24-bit BMP
-# of the first h*48 bytes at width 16; everything else raw/opaque),
-# then decoded_asset_stats sniffs magic bytes, REALLY parses the
-# containers and emits per-asset stats. DuckDB never parses binary:
-# it replays the expected stats from the same text arithmetic. Float
-# parity is exact by construction — WAV samples are multiples of
-# 2^-7, their squares multiples of 2^-14, so every partial sum is
-# exactly representable and summation order cannot matter; BMP means
-# are integer sums over uint8.
+# Round-6 rotation (FLAC added in round 7): the real pure-NumPy
+# decoders (decode_wav / decode_bmp / flac.decode_flac,
+# operators/multimodal.py + operators/flac.py) get a driver row with
+# a FULL value oracle — not the rows-only check the capability
+# previously allowed. Each document's text is deterministically
+# ENCODED into a genuine container (doc_id%3==0 -> RIFF/WAVE 16-bit
+# PCM whose samples are (byte-128)*256; doc_id%3==1 and len>=48 ->
+# bottom-up 24-bit BMP of the first h*48 bytes at width 16;
+# doc_id%3==2 and len>=2 -> a REAL compressed FLAC stream of the same
+# (byte-128)*256 16-bit signal — Rice-coded, CRC'd, MD5-stamped;
+# anything left raw/opaque), then decoded_asset_stats sniffs magic
+# bytes, REALLY parses the containers and emits per-asset stats. The
+# FLAC branch is the strongest row in the family: the driver gate now
+# witnesses a full lossless encode->decode round trip (the decoder
+# verifies both frame CRCs and the STREAMINFO MD5 before any stat is
+# computed) against an oracle that recomputes the stats from the
+# SOURCE signal — equality proves decode(encode(x)) == x on real
+# distributed data. DuckDB never parses binary: it replays the
+# expected stats from the same text arithmetic. Float parity is exact
+# by construction — WAV/FLAC samples are multiples of 2^-7, their
+# squares multiples of 2^-14, so every partial sum is exactly
+# representable and summation order cannot matter; BMP means are
+# integer sums over uint8.
 
 def _decoded_stats(spark, sf_dir):
     import struct
@@ -187,6 +196,15 @@ def _decoded_stats(spark, sf_dir):
                         )
                         + data
                     )
+                elif did % 3 == 2 and len(b) >= 2:
+                    from polars_matmul_spark.operators.flac import (
+                        encode_flac,
+                    )
+
+                    samples = (
+                        np.frombuffer(b, np.uint8).astype(np.int64) - 128
+                    ) * 256
+                    pl = encode_flac(samples, 8000, bps=16)
                 else:
                     pl = bytes(b)
                 payloads.append(pl)
@@ -207,8 +225,10 @@ WITH norm AS (
   SELECT doc_id AS asset_id, text, length(text) AS n, doc_id % 3 AS r
   FROM norm
 ), wavpos AS (
+  -- WAV (r=0) and FLAC (r=2) carry the SAME 16-bit signal, so one
+  -- RMS replay serves both branches
   SELECT asset_id, unnest(range(1, n + 1)) AS i, text
-  FROM base WHERE r = 0 AND n >= 2
+  FROM base WHERE (r = 0 OR r = 2) AND n >= 2
 ), wavrms AS (
   SELECT asset_id,
          sqrt(avg(((unicode(substring(text, CAST(i AS INT), 1)) - 128) / 128.0)
@@ -231,12 +251,13 @@ WITH norm AS (
 SELECT b.asset_id,
        CASE WHEN b.r = 0 AND b.n >= 2 THEN 'wav'
             WHEN b.r = 1 AND b.n >= 48 THEN 'bmp'
+            WHEN b.r = 2 AND b.n >= 2 THEN 'flac'
             ELSE 'opaque' END AS container,
-       CASE WHEN b.r = 0 AND b.n >= 2
+       CASE WHEN (b.r = 0 OR b.r = 2) AND b.n >= 2
             THEN CAST(8000 AS BIGINT) END AS sample_rate,
-       CASE WHEN b.r = 0 AND b.n >= 2
+       CASE WHEN (b.r = 0 OR b.r = 2) AND b.n >= 2
             THEN CAST(b.n AS BIGINT) END AS n_samples,
-       CASE WHEN b.r = 0 AND b.n >= 2
+       CASE WHEN (b.r = 0 OR b.r = 2) AND b.n >= 2
             THEN round(b.n / 8000.0, 9) END AS duration_s,
        w.rms AS audio_rms,
        CASE WHEN b.r = 1 AND b.n >= 48
