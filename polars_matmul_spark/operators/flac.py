@@ -432,8 +432,8 @@ def _write_utf8_number(w: _BitW, val: int):
             break
         if n == 6:
             raise ValueError("FLAC frame number too large")
-    head = (0xFF00 >> n) & 0xFF | v
-    w.write(head & 0xFF, 8)
+    # lead byte: (n+1) one-bits then a zero, then the top payload bits
+    w.write(((0xFF << (7 - n)) & 0xFF) | v, 8)
     for c in reversed(chunks):
         w.write(0x80 | c, 8)
 

@@ -88,6 +88,28 @@ class TestRoundTrip:
         x = RNG.integers(-100, 100, 300)
         assert decode_flac(encode_flac(x, 12345))[0] == 12345
 
+    def test_many_frames_coded_number(self):
+        # >128 frames force multi-byte UTF-8-style frame numbers
+        x = np.arange(200 * 192) % 251 - 125
+        r, s, b = decode_flac(encode_flac(x, 8000, block_size=192))
+        np.testing.assert_array_equal(s[:, 0], x)
+
+    def test_coded_number_forms_are_utf8(self):
+        from polars_matmul_spark.operators.flac import (
+            _BitW,
+            _Bits,
+            _read_utf8_number,
+            _write_utf8_number,
+        )
+
+        for val in [0, 127, 128, 2047, 2048, 65535, (1 << 36) - 1]:
+            w = _BitW()
+            _write_utf8_number(w, val)
+            assert _read_utf8_number(_Bits(bytes(w.out))) == val
+            if val <= 0x10FFFF and not 0xD800 <= val <= 0xDFFF:
+                # below the Unicode ceiling the coding IS utf-8
+                assert bytes(w.out) == chr(val).encode("utf-8")
+
     def test_mono_contract_matches_wav_normalization(self):
         t = np.arange(8000)
         sine = (16384 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int64)
