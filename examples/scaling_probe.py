@@ -285,6 +285,44 @@ def main() -> None:
         row["priority_sample"] = timed(
             lambda: force(priority_sample(wdocs, "doc_id", 100, "w"))
         )
+        # round-7: the REAL codec layer — every doc's bytes encoded to
+        # a genuine compressed FLAC stream once (cached), then the
+        # decode+stats wall timed. Per-asset work is O(samples) with
+        # no exchange at all, so the wall must track the asset count
+        # linearly; superlinearity would expose accidental shuffles or
+        # per-batch quadratic buffering in the mapInPandas stage.
+        from polars_matmul_spark.operators.multimodal import (
+            decoded_asset_stats,
+        )
+
+        def _flac_encode(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            from polars_matmul_spark.operators.flac import encode_flac
+
+            for pdf in batches:
+                payloads = []
+                for text in pdf["text"]:
+                    b = (text or "??").encode("ascii", "replace")
+                    sm = (_np.frombuffer(b, _np.uint8).astype(_np.int64)
+                          - 128) * 256
+                    payloads.append(encode_flac(sm, 8000, bps=16))
+                yield _pd.DataFrame(
+                    {"asset_id": pdf["doc_id"], "payload": payloads}
+                )
+
+        assets = (
+            docs.repartition(spark.sparkContext.defaultParallelism)
+            .mapInPandas(_flac_encode, "asset_id long, payload binary")
+            .cache()
+        )
+        assets.count()
+        force(decoded_asset_stats(assets))
+        row["flac_decode_stats"] = timed(
+            lambda: force(decoded_asset_stats(assets))
+        )
+        assets.unpersist()
         print(json.dumps(row))
         docs.unpersist()
 
