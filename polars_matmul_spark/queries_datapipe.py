@@ -291,10 +291,21 @@ def _bpe_merges():
 
 
 def _bpe_encode_q(spark, sf_dir):
+    # driver rows hold SCALAR columns only (the round-1 lesson: the
+    # driver's canonicalizer cannot sort/hash ndarray cells), so the
+    # piece sequence ships as an order-sensitive md5 digest of the
+    # chr(31)-joined tokens — full value strength, scalar shape; the
+    # raw array form keeps its exact comparison in tests/test_bpe.py
+    from pyspark.sql import functions as F
+
     from polars_matmul_spark.operators.bpe import bpe_encode
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    return bpe_encode(docs, _bpe_merges())
+    return bpe_encode(docs, _bpe_merges()).select(
+        "doc_id",
+        F.md5(F.concat_ws("\x1f", F.col("bpe_tokens"))).alias("bpe_digest"),
+        "n_bpe",
+    )
 
 
 def _bpe_oracle() -> str:
@@ -344,7 +355,8 @@ per_doc AS (
   GROUP BY dw.doc_id
 )
 SELECT d.doc_id,
-       COALESCE(p.bpe_tokens, CAST([] AS VARCHAR[])) AS bpe_tokens,
+       md5(array_to_string(COALESCE(p.bpe_tokens, CAST([] AS VARCHAR[])),
+                           chr(31))) AS bpe_digest,
        CAST(COALESCE(len(p.bpe_tokens), 0) AS BIGINT) AS n_bpe
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
