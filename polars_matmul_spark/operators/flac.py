@@ -62,24 +62,38 @@ _SAMPLE_RATE_CODES = {
 _SAMPLE_SIZE_CODES = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}
 
 
+def _crc_table(poly: int, width: int) -> list[int]:
+    mask, top = (1 << width) - 1, 1 << (width - 1)
+    table = []
+    for byte in range(256):
+        crc = byte << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly if crc & top else crc << 1) & mask
+        table.append(crc)
+    return table
+
+
+_CRC8_TABLE = _crc_table(0x07, 8)
+_CRC16_TABLE = _crc_table(0x8005, 16)
+
+
 def _crc8(data: bytes) -> int:
     """CRC-8 over ``data``, poly x^8+x^2+x+1 (0x07), init 0 — the FLAC
-    frame-header CRC."""
+    frame-header CRC (table-driven; the bit-serial transcription lives
+    in the tests as the independent cross-check)."""
     crc = 0
+    t = _CRC8_TABLE
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07 if crc & 0x80 else crc << 1) & 0xFF
+        crc = t[crc ^ b]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     """CRC-16 over ``data``, poly 0x8005, init 0 — the FLAC frame CRC."""
     crc = 0
+    t = _CRC16_TABLE
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005 if crc & 0x8000 else crc << 1) & 0xFFFF
+        crc = ((crc << 8) & 0xFFFF) ^ t[(crc >> 8) ^ b]
     return crc
 
 
@@ -167,14 +181,24 @@ def _read_residual(bits: _Bits, block_size: int, order: int) -> list[int]:
 
 
 def _predict_fixed(warmup: list[int], residual: list[int], order: int):
-    coefs = _FIXED_COEFS[order]
-    x = list(warmup)
-    for r in residual:
-        acc = r
-        for j, c in enumerate(coefs):
-            acc += c * x[-1 - j]
-        x.append(acc)
-    return x
+    """Invert order-``order`` fixed prediction: the residual is the
+    ``order``-th finite difference, so reconstruction is ``order``
+    exact integer integrations (np.cumsum), each seeded by the last
+    value of the corresponding warmup difference level — vectorized
+    and bit-identical to the per-sample recurrence (int64 is exact:
+    |d^4| < 2^(bps+4+1) stays far inside 63 bits for every legal
+    bps)."""
+    if not residual:
+        return list(warmup)
+    if order == 0:
+        return list(warmup) + list(residual)
+    diffs = [np.asarray(warmup, np.int64)]
+    for _ in range(order):
+        diffs.append(np.diff(diffs[-1]))
+    cur = np.asarray(residual, np.int64)
+    for j in range(order, 0, -1):
+        cur = int(diffs[j - 1][-1]) + np.cumsum(cur)
+    return list(warmup) + cur.tolist()
 
 
 def _decode_subframe(bits: _Bits, block_size: int, bps: int) -> list[int]:
@@ -412,6 +436,22 @@ class _BitW:
             q -= 32
         self.write(1, q + 1)
 
+    def write_bitarray(self, bits: np.ndarray):
+        """Append an MSB-first uint8 0/1 bit array — the vectorized
+        bulk path (np.packbits) the per-sample loops route through."""
+        if self.n:  # fold the pending partial byte into the array
+            head = (
+                (self.acc >> np.arange(self.n - 1, -1, -1)) & 1
+            ).astype(np.uint8)
+            bits = np.concatenate([head, bits])
+            self.acc = self.n = 0
+        whole = (len(bits) // 8) * 8
+        if whole:
+            self.out += np.packbits(bits[:whole]).tobytes()
+        for b in bits[whole:]:
+            self.acc = (self.acc << 1) | int(b)
+            self.n += 1
+
     def align(self):
         if self.n:
             self.write(0, 8 - self.n)
@@ -443,9 +483,21 @@ def _rice_cost(vals: np.ndarray, param: int) -> int:
     return int(np.sum(z >> param)) + len(vals) * (param + 1)
 
 
+def _fixed_width_bits(vals: np.ndarray, nbits: int) -> np.ndarray:
+    """MSB-first bit matrix of ``nbits``-wide two's-complement values,
+    flattened — the vectorized form of repeated ``w.write(v, nbits)``."""
+    u = np.asarray(vals, np.int64) & ((1 << nbits) - 1)
+    return (
+        (u[:, None] >> np.arange(nbits - 1, -1, -1)) & 1
+    ).astype(np.uint8).ravel()
+
+
 def _write_residual(w: _BitW, res: np.ndarray, bps: int):
     """Single-partition Rice residual with the optimal parameter, or
-    the 5-bit raw escape when Rice loses to plain binary."""
+    the 5-bit raw escape when Rice loses to plain binary. The
+    bitstream is BUILT as one numpy bit array and packed in bulk —
+    byte-identical to the per-sample writes it replaced (pinned by
+    every round-trip and the hand-built fixture)."""
     res = np.asarray(res, dtype=np.int64)
     costs = [(_rice_cost(res, p), p) for p in range(15)]
     best_cost, best_p = min(costs)
@@ -462,14 +514,25 @@ def _write_residual(w: _BitW, res: np.ndarray, bps: int):
     if raw_bits * len(res) < best_cost and raw_bits <= 31:
         w.write(0x0F, 4)  # escape
         w.write(raw_bits, 5)
-        for v in res.tolist():
-            w.write(v, raw_bits)
+        w.write_bitarray(_fixed_width_bits(res, raw_bits))
         return
     w.write(best_p, 4)
-    for v in res.tolist():
-        z = (abs(v) << 1) - (v < 0)
-        w.unary(z >> best_p)
-        w.write(z & ((1 << best_p) - 1), best_p)
+    if not len(res):
+        return
+    z = (np.abs(res) << 1) - (res < 0)  # zigzag
+    q = z >> best_p
+    lengths = q + 1 + best_p
+    ends = np.cumsum(lengths)
+    bits = np.zeros(int(ends[-1]), np.uint8)
+    starts = ends - lengths
+    bits[starts + q] = 1  # unary terminators
+    if best_p:
+        rem = (
+            (z[:, None] >> np.arange(best_p - 1, -1, -1)) & 1
+        ).astype(np.uint8)
+        idx = (starts + q + 1)[:, None] + np.arange(best_p)
+        bits[idx.ravel()] = rem.ravel()
+    w.write_bitarray(bits)
 
 
 def _encode_subframe(
@@ -517,13 +580,12 @@ def _encode_subframe(
     if best is not None and best[0] < n * eff:
         _cost, order, res = best
         header(8 + order)
-        for v in eff_chan[:order].tolist():
-            w.write(int(v), eff)
+        if order:
+            w.write_bitarray(_fixed_width_bits(eff_chan[:order], eff))
         _write_residual(w, res, eff)
         return
     header(1)  # verbatim
-    for v in eff_chan.tolist():
-        w.write(int(v), eff)
+    w.write_bitarray(_fixed_width_bits(eff_chan, eff))
 
 
 def encode_flac(

@@ -167,9 +167,17 @@ def _decoded_stats(spark, sf_dir):
     # defined on the same codepoints — the Python-side
     # encode('ascii','replace') below then never changes anything, and
     # the bit-exact comparison survives a future SF with non-ASCII text
-    docs = load_table(spark, "documents", sf_dir).select(
-        "doc_id",
-        F.regexp_replace("text", "[^\\x00-\\x7F]", "?").alias("text"),
+    # repartition: the documents table is one parquet file at test SFs
+    # — without spreading, the per-doc encode+decode (now including a
+    # REAL FLAC round trip) serializes onto one core (values identical
+    # either way; the winnow_dup_pairs rule)
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select(
+            "doc_id",
+            F.regexp_replace("text", "[^\\x00-\\x7F]", "?").alias("text"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def encode(batches):
