@@ -368,6 +368,8 @@ def probe_media_table(
                         row["container"] = "jpeg"
                     elif p[:6] in (b"GIF87a", b"GIF89a"):
                         row["container"] = "gif"
+                    elif p[:4] in (b"II*\x00", b"MM\x00*"):
+                        row["container"] = "tiff"
                 except ValueError:
                     row["container"] = "opaque"
                 rows.append(row)

@@ -16,10 +16,12 @@ Huffman entropy decode + dequant + IDCT + chroma upsample, T.81
 annex-G progressive scan accumulation, all first-principles NumPy),
 GIF incl. animation (``operators.gif`` — variable-width LZW,
 interlace, disposal compositing; ``frame_sample_gif`` is the REAL
-video-shaped frame sampler), and FLAC (``operators.flac`` — Rice
+video-shaped frame sampler), baseline TIFF (``operators.tiff`` — IFD
+walk, strips, PackBits + TIFF-LZW with predictor 2, palette/bilevel/
+16-bit), and FLAC (``operators.flac`` — Rice
 coding + fixed/LPC prediction + stereo decorrelation, CRC-8/16 and
 STREAMINFO-MD5 self-verified: losslessness makes the decode its own
-cryptographic oracle). All six are surfaced through
+cryptographic oracle). All seven are surfaced through
 ``decoded_asset_stats``, ``audio_rms_windows(real_decode=True)`` and
 ``resize_bmp_real``. Formats beyond first-principles reach (MP3, MP4)
 need librosa / ffmpeg, which are NOT installed in this container, so
@@ -681,6 +683,10 @@ def decode_asset(payload: bytes, kind: str):
         from polars_matmul_spark.operators.flac import decode_flac_mono
 
         return decode_flac_mono(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from polars_matmul_spark.operators.tiff import decode_tiff
+
+        return decode_tiff(payload)
     try:
         if kind == "image":
             import PIL.Image  # noqa: F401
@@ -789,6 +795,25 @@ def decoded_asset_stats(df: DataFrame, id_col: str = "asset_id") -> DataFrame:
                             container="png" if is_png else "jpeg",
                             width=img.shape[1],
                             height=img.shape[0], mean_r=r, mean_g=g, mean_b=b,
+                        )
+                    elif p[:4] in (b"II*\x00", b"MM\x00*"):
+                        from polars_matmul_spark.operators.tiff import (
+                            decode_tiff,
+                        )
+
+                        img = decode_tiff(p)
+                        if img.dtype == np.uint16:
+                            img = (img >> 8).astype(np.uint8)
+                        if img.ndim == 2:
+                            r = g = b = float(img.mean())
+                        else:  # RGB / RGBA: alpha excluded
+                            r, g, b = (
+                                float(img[..., i].mean()) for i in range(3)
+                            )
+                        base.update(
+                            container="tiff",
+                            width=img.shape[1], height=img.shape[0],
+                            mean_r=r, mean_g=g, mean_b=b,
                         )
                     elif p[:6] in (b"GIF87a", b"GIF89a"):
                         from polars_matmul_spark.operators.gif import (
@@ -923,6 +948,15 @@ def _decode_image_rgb(p: bytes) -> np.ndarray | None:
             from polars_matmul_spark.operators.gif import decode_gif_image
 
             return decode_gif_image(p)
+        if p[:4] in (b"II*\x00", b"MM\x00*"):
+            from polars_matmul_spark.operators.tiff import decode_tiff
+
+            img = decode_tiff(p)
+            if img.dtype == np.uint16:
+                img = (img >> 8).astype(np.uint8)
+            if img.ndim == 2:
+                return np.repeat(img[:, :, None], 3, axis=2)
+            return img[:, :, :3].copy()  # RGB / RGBA minus alpha
     except ValueError:
         return None
     return None

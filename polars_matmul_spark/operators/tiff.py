@@ -1,0 +1,448 @@
+"""TIFF decode/encode in pure stdlib + NumPy — no codec library.
+
+TIFF (TIFF 6.0) is the scanned-document and scientific-imaging
+container, and its baseline profile is decodable from first
+principles: an IFD tag walk plus three codecs that are all
+first-principles reach — uncompressed strips, PackBits (run-length),
+and TIFF-LZW (the MSB-first, EARLY-CHANGE variant of the GIF LZW in
+``operators/gif.py`` — same dictionary discipline, different bit
+packing and a code-width bump one entry earlier). This closes the
+TIFF branch of the multimodal layer (``decode_asset`` /
+``decoded_asset_stats`` / ``_decode_image_rgb``).
+
+Decoder scope: II and MM byte orders, strip-based baseline images,
+compressions 1 (none), 5 (LZW, with horizontal-differencing
+predictor 2), 32773 (PackBits); photometric 0/1 (bilevel+gray,
+WhiteIsZero inverted), 2 (RGB, incl. extra alpha sample), 3
+(palette); bits-per-sample 1 (scanned bilevel), 8, and 16 (gray);
+planar configuration 1 (chunky). Tiled TIFFs, planar=2, JPEG-in-TIFF
+and other exotic compressions raise ValueError.
+
+The encoder (:func:`encode_tiff`) exists as the writing sink and the
+test harness: gray/RGB uint8 (+16-bit gray), all three compressions,
+optional predictor-2 under LZW, configurable rows-per-strip. TIFF is
+lossless here, so round-trip tests assert bit-exact pixels; MM-order
+and palette fixtures are hand-assembled in the tests so the decoder
+is not graded by its own encoder alone.
+
+Scale note: decoding happens inside mapInPandas batches per asset —
+embarrassingly parallel, no shuffle; per-asset work is O(pixels) with
+the only Python-level loop being the LZW/PackBits symbol walks
+(bounded by the compressed byte count).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["decode_tiff", "encode_tiff"]
+
+_MAX_CODE = 4093  # TIFF LZW: codes 0-4093 usable; 4094 forces a clear
+
+
+# ---------------------------------------------------------------------------
+# TIFF-LZW (MSB-first bit packing, EARLY code-width change)
+
+
+def _lzw_decode_tiff(data: bytes, n: int) -> bytes:
+    clear, end = 256, 257
+    base: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    width = 9
+    acc = nbits = pos = 0
+    prev: bytes | None = None
+    out = bytearray()
+    while len(out) < n:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated TIFF LZW stream")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        acc &= (1 << nbits) - 1
+        if code == clear:
+            table = list(base)
+            width = 9
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError(f"TIFF LZW stream starts with code {code}")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"TIFF LZW code {code} out of range")
+        out += entry
+        if prev is not None and len(table) <= _MAX_CODE:
+            table.append(prev + entry[:1])
+            # EARLY change: the decoder bumps one entry sooner than
+            # GIF because the TIFF encoder widens when it ASSIGNS
+            # (1<<width)-1, not when it emits it
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < n:
+        raise ValueError("TIFF LZW data ended before the strip was full")
+    return bytes(out[:n])
+
+
+def _lzw_encode_tiff(data: bytes) -> bytes:
+    clear, end = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+            acc &= (1 << nbits) - 1
+
+    fresh = {bytes([i]): i for i in range(256)}
+    table = dict(fresh)
+    next_code = end + 1
+    emit(clear)
+    w = b""
+    for c in data:
+        wc = w + bytes([c])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if next_code <= _MAX_CODE:
+            table[wc] = next_code
+            # early change: widen as soon as the just-assigned code is
+            # (1<<width)-1 — the next emission already uses the new
+            # width (the off-by-one that separates TIFF from GIF LZW)
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            emit(clear)
+            table = dict(fresh)
+            width = 9
+            next_code = end + 1
+        w = bytes([c])
+    if w:
+        emit(table[w])
+    emit(end)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# PackBits (TIFF 6.0 section 9)
+
+
+def _packbits_decode(data: bytes, n: int) -> bytes:
+    out = bytearray()
+    pos = 0
+    while len(out) < n:
+        if pos >= len(data):
+            raise ValueError("truncated PackBits stream")
+        h = data[pos]
+        pos += 1
+        if h < 128:  # literal run of h+1 bytes
+            if pos + h + 1 > len(data):
+                raise ValueError("truncated PackBits literal")
+            out += data[pos : pos + h + 1]
+            pos += h + 1
+        elif h > 128:  # repeat next byte 257-h times
+            if pos >= len(data):
+                raise ValueError("truncated PackBits run")
+            out += bytes([data[pos]]) * (257 - h)
+            pos += 1
+        # h == 128: no-op per the spec
+    return bytes(out[:n])
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit = i
+        while (
+            i < n
+            and i - lit < 128
+            and not (i + 2 < n and data[i] == data[i + 1] == data[i + 2])
+        ):
+            i += 1
+        out += bytes([i - lit - 1]) + data[lit:i]
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+
+
+def _read_ifd_values(payload, bo, vtype, count, raw):
+    sizes = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+    fmt = {1: "B", 3: "H", 4: "I"}
+    if vtype not in sizes:
+        return None
+    total = sizes[vtype] * count
+    data = raw[:4] if total <= 4 else None
+    if data is None:
+        (off,) = struct.unpack(bo + "I", raw)
+        data = payload[off : off + total]
+        if len(data) != total:
+            raise ValueError("TIFF tag data out of bounds")
+    if vtype == 5:  # rational: numerator/denominator pairs
+        vals = struct.unpack(bo + "II" * count, data)
+        return [
+            (vals[2 * i] / vals[2 * i + 1]) if vals[2 * i + 1] else 0.0
+            for i in range(count)
+        ]
+    if vtype == 2:  # ascii
+        return [data[:count]]
+    return list(struct.unpack(bo + fmt[vtype] * count, data[:total]))
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """REAL baseline-TIFF decode — pure NumPy. Returns uint8
+    ``(h, w)`` gray, ``(h, w, 3)`` RGB or ``(h, w, 4)`` RGBA (uint16
+    for 16-bit gray). First IFD only (the still-image view of a
+    multi-page file). Raises ValueError on non-TIFF, tiled/planar/
+    exotic-compression input, or malformed structures."""
+    if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF payload (missing II/MM order mark)")
+    bo = "<" if payload[:2] == b"II" else ">"
+    (magic,) = struct.unpack_from(bo + "H", payload, 2)
+    if magic != 42:
+        raise ValueError("not a TIFF payload (magic != 42)")
+    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        raise ValueError("TIFF IFD out of bounds")
+    (n_entries,) = struct.unpack_from(bo + "H", payload, ifd_off)
+    tags: dict[int, list] = {}
+    for i in range(n_entries):
+        base = ifd_off + 2 + 12 * i
+        if base + 12 > len(payload):
+            raise ValueError("truncated TIFF IFD")
+        tag, vtype, count = struct.unpack_from(bo + "HHI", payload, base)
+        vals = _read_ifd_values(
+            payload, bo, vtype, count, payload[base + 8 : base + 12]
+        )
+        if vals is not None:
+            tags[tag] = vals
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        return v[0] if v else default
+
+    if 322 in tags or 323 in tags:
+        raise ValueError("tiled TIFF is not supported (strips only)")
+    if one(284, 1) != 1:
+        raise ValueError("planar TIFF (PlanarConfiguration=2) unsupported")
+    w, h = one(256), one(257)
+    if not w or not h:
+        raise ValueError("TIFF missing image dimensions")
+    spp = one(277, 1)
+    bits = tags.get(258, [1])
+    if len(set(bits)) != 1:
+        raise ValueError("mixed TIFF bit depths unsupported")
+    bps = bits[0]
+    compression = one(259, 1)
+    photometric = one(262, 1)
+    predictor = one(317, 1)
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing strip layout")
+    rows_per_strip = one(278, h)
+    if bps == 1:
+        row_bytes = (w * spp + 7) // 8
+    else:
+        row_bytes = w * spp * (bps // 8)
+    raw = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        strip = payload[off : off + cnt]
+        if len(strip) != cnt:
+            raise ValueError("TIFF strip out of bounds")
+        rows = min(rows_per_strip, h - si * rows_per_strip)
+        need = rows * row_bytes
+        if compression == 1:
+            if len(strip) < need:
+                raise ValueError("TIFF strip shorter than its rows")
+            raw += strip[:need]
+        elif compression == 5:
+            raw += _lzw_decode_tiff(strip, need)
+        elif compression == 32773:
+            raw += _packbits_decode(strip, need)
+        else:
+            raise ValueError(
+                f"unsupported TIFF compression {compression} (1, 5 and "
+                "32773 are implemented)"
+            )
+    if bps == 1:
+        rows = np.frombuffer(bytes(raw), np.uint8).reshape(h, row_bytes)
+        img = np.unpackbits(rows, axis=1)[:, : w * spp].reshape(h, w, spp)
+        img = (img * 255).astype(np.uint8)
+        if photometric == 0:
+            img = 255 - img
+    else:
+        dt = np.uint8 if bps == 8 else np.dtype(bo + "u2")
+        if bps not in (8, 16):
+            raise ValueError(f"unsupported TIFF bit depth {bps}")
+        img = np.frombuffer(bytes(raw), dt).reshape(h, w, spp)
+        if predictor == 2:  # horizontal differencing: undo via cumsum
+            wrap = np.uint8 if bps == 8 else np.uint16
+            img = np.cumsum(img, axis=1, dtype=np.int64).astype(wrap)
+            if bps == 16:
+                img = img.astype(np.uint16)
+        elif predictor != 1:
+            raise ValueError(f"unsupported TIFF predictor {predictor}")
+        if photometric == 0:
+            img = (
+                (255 if bps == 8 else 65535) - img.astype(np.int64)
+            ).astype(np.uint8 if bps == 8 else np.uint16)
+    if photometric == 3:  # palette: ColorMap is 3 planes of 16-bit
+        cmap = tags.get(320)
+        if not cmap or len(cmap) % 3:
+            raise ValueError("palette TIFF missing ColorMap")
+        n = len(cmap) // 3
+        pal = (
+            np.array(cmap, np.int64).reshape(3, n).T // 257
+        ).astype(np.uint8)
+        idx = img[..., 0].astype(np.int64)
+        if int(idx.max(initial=0)) >= n:
+            raise ValueError("TIFF palette index out of range")
+        return pal[idx]
+    if spp == 1:
+        return img[..., 0]
+    if spp in (3, 4) and photometric == 2:
+        return img
+    raise ValueError(
+        f"unsupported TIFF shape: {spp} samples, photometric {photometric}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# encoder
+
+
+def encode_tiff(
+    img: np.ndarray,
+    compression: str = "none",
+    predictor: bool = False,
+    rows_per_strip: int = 64,
+) -> bytes:
+    """TIFF writing sink for uint8 gray ``(h, w)`` / RGB ``(h, w, 3)``
+    / RGBA ``(h, w, 4)`` and uint16 gray arrays (little-endian II):
+    ``compression`` in none / packbits / lzw, ``predictor=True``
+    applies horizontal differencing under LZW (the scanned-text
+    combination), strip-based layout. Lossless — the round-trip
+    harness for :func:`decode_tiff`."""
+    img = np.asarray(img)
+    if img.dtype == np.uint16:
+        if img.ndim != 2:
+            raise ValueError("16-bit TIFF encode supports grayscale only")
+        bps, spp = 16, 1
+    elif img.dtype == np.uint8:
+        if img.ndim == 2:
+            spp = 1
+        elif img.ndim == 3 and img.shape[2] in (3, 4):
+            spp = img.shape[2]
+        else:
+            raise ValueError("encode_tiff wants (h,w), (h,w,3) or (h,w,4)")
+        bps = 8
+    else:
+        raise ValueError("encode_tiff wants uint8 or uint16 arrays")
+    comp_id = {"none": 1, "packbits": 32773, "lzw": 5}.get(compression)
+    if comp_id is None:
+        raise ValueError(f"unknown compression {compression!r}")
+    if predictor and compression != "lzw":
+        raise ValueError("predictor=True is defined here for lzw only")
+    if rows_per_strip < 1:
+        raise ValueError("rows_per_strip must be >= 1")
+    h, w = img.shape[:2]
+    pix = img.reshape(h, w, spp)
+    if predictor:
+        diff = pix.astype(np.int64)
+        diff[:, 1:] = diff[:, 1:] - diff[:, :-1]
+        pix = diff.astype(img.dtype)
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        block = pix[y0 : y0 + rows_per_strip]
+        raw = (
+            block.astype("<u2").tobytes() if bps == 16 else block.tobytes()
+        )
+        if comp_id == 5:
+            strips.append(_lzw_encode_tiff(raw))
+        elif comp_id == 32773:
+            strips.append(_packbits_encode(raw))
+        else:
+            strips.append(raw)
+    n_strips = len(strips)
+
+    entries = []  # (tag, type, count, value_or_bytes)
+
+    def entry(tag, vtype, values):
+        entries.append((tag, vtype, values))
+
+    entry(256, 4, [w])
+    entry(257, 4, [h])
+    entry(258, 3, [bps] * spp)
+    entry(259, 3, [comp_id])
+    entry(262, 3, [2 if spp >= 3 else 1])
+    # 273 strip offsets patched below
+    entry(277, 3, [spp])
+    entry(278, 4, [rows_per_strip])
+    entry(279, 4, [len(s) for s in strips])
+    if predictor:
+        entry(317, 3, [2])
+    if spp == 4:
+        entry(338, 3, [2])  # unassociated alpha
+    entry(273, 4, [0] * n_strips)
+    entries.sort(key=lambda e: e[0])
+
+    fmt = {3: "H", 4: "I"}
+    size = {3: 2, 4: 4}
+    ifd_off = 8
+    n = len(entries)
+    data_off = ifd_off + 2 + 12 * n + 4  # first byte past the IFD
+    overflow = bytearray()
+    body = struct.pack("<H", n)
+    patch_at = None  # absolute file offset of the strip-offset values
+    for j, (tag, vtype, values) in enumerate(entries):
+        total = size[vtype] * len(values)
+        packed = struct.pack("<" + fmt[vtype] * len(values), *values)
+        if total <= 4:
+            if tag == 273:
+                patch_at = ifd_off + 2 + 12 * j + 8  # inline value slot
+            val = packed + b"\x00" * (4 - total)
+        else:
+            if tag == 273:
+                patch_at = data_off + len(overflow)
+            val = struct.pack("<I", data_off + len(overflow))
+            overflow += packed
+        body += struct.pack("<HHI", tag, vtype, len(values)) + val
+    body += struct.pack("<I", 0)  # next IFD
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off) + body + overflow)
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(len(out))
+        out += s
+    packed = struct.pack("<" + "I" * n_strips, *strip_offsets)
+    out[patch_at : patch_at + len(packed)] = packed
+    return bytes(out)
