@@ -22,7 +22,18 @@
 - ``mllib_matmul``     BlockMatrix distributed matmul
 - ``asof`` / ``rangejoin``  temporal joins
 - ``sketches`` / ``skew``   approximate aggs, salted patterns
-- ``multimodal``       binary-column plumbing with stubbed decoders
+- ``multimodal``       binary-column plumbing; REAL WAV/BMP/PNG
+  decoders surfaced via decoded_asset_stats; fake-decode family
+- ``jpeg``             REAL JPEG codec: baseline + progressive SOF2
+- ``gif``              REAL GIF codec: LZW, interlace, animation
+- ``tiff``             REAL baseline-TIFF codec: PackBits +
+  early-change LZW + predictor, palette/bilevel
+- ``flac``             REAL FLAC codec: Rice + fixed/LPC prediction,
+  CRC + MD5 self-verified lossless audio
+- ``mediaprobe``       MP3/MP4 container-metadata probing (ffprobe
+  pass; header-bounded)
+- ``rawbytes``         archive expansion (zip/tar/gz/bz2/xz, bomb
+  guards) + encoding detection / UTF-8 transcoding
 - ``linededup``        CCNet-style line-level boilerplate removal
 - ``quality_model``    learned hashed-token quality scorer + trainer
 - ``dsir``             DSIR importance resampling (hash-Gumbel top-k)
