@@ -42,7 +42,7 @@ def qdf_ref(spark):
     return df, Q
 
 
-def _assert_load_scaled(t, base_ceiling, factor, spark, label):
+def _assert_load_scaled(t, base_ceiling, factor, spark, label, rerun=None):
     """Assert wall ``t`` under ``base_ceiling`` scaled by measured load.
 
     The module-scoped load factor is measured ONCE at fixture time, so
@@ -50,10 +50,16 @@ def _assert_load_scaled(t, base_ceiling, factor, spark, label):
     concurrent bench or a hypervisor spike easily lands inside it) can
     inflate a query wall while the gate still scales by the stale idle
     factor. On first-pass failure, re-measure the load NOW and take the
-    max of both readings: contention present at fixture time or at
-    failure time both count; only a spike strictly inside the query
-    window and gone by re-measure still flakes (and then only once —
-    rerunning passes). A genuine plan regression fails both checks.
+    max of both readings; when ``rerun`` is given (the registry gates
+    pass their run lambda) ALSO re-execute the measurement once after
+    the load re-check — a hypervisor stall that froze the original
+    window and was gone by re-measure (observed: a 17x one-off on an
+    otherwise idle box) passes the clean third run, while a genuine
+    plan regression — the class these gates exist for — is exactly as
+    slow the third time. This is the round-6 verdict's
+    isolation-not-widening rule applied per measurement: no ceiling
+    changes, the retry runs on a box the calibration just called
+    clean.
     """
     scaled = base_ceiling * max(1.0, factor)
     if t < scaled:
@@ -63,10 +69,12 @@ def _assert_load_scaled(t, base_ceiling, factor, spark, label):
     f2, _ = load_factor(calibration_wall(spark))
     worst = max(factor, f2)
     rescaled = base_ceiling * max(1.0, worst)
+    if t >= rescaled and rerun is not None:
+        t = min(t, _timed(rerun))
     assert t < rescaled, (
         f"{label}: {t:.2f}s >= {rescaled:.2f}s "
         f"(base {base_ceiling:.2f}s, load {factor:.1f}x at fixture, "
-        f"{f2:.1f}x re-measured)"
+        f"{f2:.1f}x re-measured, best of retried walls)"
     )
 
 
@@ -259,8 +267,11 @@ def test_registry_query_wall_ceiling(spark, name, machine_load_factor):
     run()  # warm: scan caches, codegen, python workers
     t = min(_timed(run) for _ in range(2))
     # load-scaled ceiling: a contended box loosens the bound in
-    # proportion to measured contention instead of silencing the gate
-    _assert_load_scaled(t, _CEILINGS_SF01[name], machine_load_factor, spark, name)
+    # proportion to measured contention instead of silencing the gate;
+    # rerun= gives one post-calibration retry against host stalls
+    _assert_load_scaled(
+        t, _CEILINGS_SF01[name], machine_load_factor, spark, name, rerun=run
+    )
     # ungated coarse ceiling (10x): a genuine plan regression — the
     # all-pairs / lost-pushdown / Python-row-loop class — blows past
     # this no matter how loaded the box is
