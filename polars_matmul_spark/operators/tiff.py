@@ -270,6 +270,8 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("TIFF missing strip layout")
     rows_per_strip = one(278, h)
+    if rows_per_strip < 1:
+        raise ValueError("bad TIFF RowsPerStrip")
     if bps == 1:
         row_bytes = (w * spp + 7) // 8
     else:

@@ -322,3 +322,10 @@ class TestIntegration:
             "asset_id long, payload binary",
         )
         assert probe_media_table(df).collect()[0].container == "tiff"
+
+    def test_zero_rows_per_strip_raises(self):
+        payload = bytearray(encode_tiff(np.zeros((4, 4), np.uint8)))
+        at = payload.find(struct.pack("<HHI", 278, 4, 1))
+        payload[at + 8 : at + 12] = struct.pack("<I", 0)
+        with pytest.raises(ValueError, match="RowsPerStrip"):
+            decode_tiff(bytes(payload))
