@@ -120,6 +120,7 @@ def probe_mp3(payload: bytes) -> dict:
     # Xing/Info header (VBR): frame count lives in the first frame's
     # side-info region; accept it wherever it appears inside frame 1
     xing_frames = None
+    xing_vbr = False
     window = payload[pos : pos + size]
     for tag in (b"Xing", b"Info"):
         at = window.find(tag)
@@ -127,6 +128,9 @@ def probe_mp3(payload: bytes) -> dict:
             (flags,) = struct.unpack_from(">I", window, at + 4)
             if flags & 0x1:
                 (xing_frames,) = struct.unpack_from(">I", window, at + 8)
+            # LAME semantics: 'Xing' marks VBR, 'Info' marks CBR —
+            # both carry the frame count, only Xing carries the flag.
+            xing_vbr = tag == b"Xing"
             break
     n_frames = 0
     bitrates = set()
@@ -142,7 +146,7 @@ def probe_mp3(payload: bytes) -> dict:
         n_frames = xing_frames
     return {
         **info,
-        "vbr": len(bitrates) > 1 or xing_frames is not None,
+        "vbr": len(bitrates) > 1 or xing_vbr,
         "n_frames": n_frames,
         "duration_s": n_frames * samples / info["sample_rate"],
     }

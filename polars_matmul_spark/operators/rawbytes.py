@@ -130,12 +130,14 @@ def expand_archives(
 
     def _zip_rows(aid, p):
         with zipfile.ZipFile(io.BytesIO(p)) as zf:
-            for i, zi in enumerate(zf.infolist()):
+            count = 0  # emitted FILE rows, like _tar_rows — the raw
+            for zi in zf.infolist():  # infolist index counts dirs too
                 if zi.is_dir():
                     continue
-                if i >= max_members:
+                if count >= max_members:
                     yield (aid, "zip", None, None, None, "member cap")
                     return
+                count += 1
                 if zi.file_size > max_member_bytes:
                     yield (
                         aid, "zip", zi.filename, zi.file_size, None,
@@ -191,7 +193,14 @@ def expand_archives(
                         data, truncated = _bounded_decompress(
                             p, kind, max_member_bytes
                         )
-                        if not truncated and _looks_like_tar(data):
+                        # Tar-ness is decided by the FIRST 512 decoded
+                        # bytes, so a compressed tar whose total
+                        # decompressed size exceeds max_member_bytes
+                        # still expands member-by-member (tarfile
+                        # streams; per-member reads stay bounded) —
+                        # 'too large' is only for non-tar single
+                        # streams.
+                        if _looks_like_tar(data[:512]):
                             rows.extend(_tar_rows(aid, p, f"tar.{kind}"))
                         elif truncated:
                             rows.append(
@@ -276,8 +285,13 @@ def decode_text_payloads(
                 p = bytes(payload)
                 enc = detect_encoding(p)
                 body = p
-                for bom, name in _BOMS:  # BOM is a marker, not content
-                    if name == enc:
+                # BOM is a marker, not content — but detect_encoding
+                # also returns utf-16-le/be for BOM-LESS payloads (the
+                # NUL-density heuristic), so only strip bytes that are
+                # actually the BOM; a blind strip would eat the first
+                # character of BOM-less UTF-16 text.
+                for bom, name in _BOMS:
+                    if name == enc and p.startswith(bom):
                         body = p[len(bom) :]
                         break
                 codec = "utf-8" if enc == "utf-8-sig" else enc

@@ -14,7 +14,8 @@ Decoder scope: II and MM byte orders, strip-based baseline images,
 compressions 1 (none), 5 (LZW, with horizontal-differencing
 predictor 2), 32773 (PackBits); photometric 0/1 (bilevel+gray,
 WhiteIsZero inverted), 2 (RGB, incl. extra alpha sample), 3
-(palette); bits-per-sample 1 (scanned bilevel), 8, and 16 (gray);
+(palette, 1- and 8-bit indices — 2/4-bit raise); bits-per-sample 1
+(scanned bilevel), 8, and 16 (gray);
 planar configuration 1 (chunky). Tiled TIFFs, planar=2, JPEG-in-TIFF
 and other exotic compressions raise ValueError.
 
@@ -299,9 +300,12 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     if bps == 1:
         rows = np.frombuffer(bytes(raw), np.uint8).reshape(h, row_bytes)
         img = np.unpackbits(rows, axis=1)[:, : w * spp].reshape(h, w, spp)
-        img = (img * 255).astype(np.uint8)
-        if photometric == 0:
-            img = 255 - img
+        if photometric == 3:
+            pass  # palette lookup below wants raw 0/1 indices
+        else:
+            img = (img * 255).astype(np.uint8)
+            if photometric == 0:
+                img = 255 - img
     else:
         dt = np.uint8 if bps == 8 else np.dtype(bo + "u2")
         if bps not in (8, 16):

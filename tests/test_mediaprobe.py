@@ -65,6 +65,17 @@ class TestMp3:
         assert info["n_frames"] == 999 and info["vbr"]
         assert info["duration_s"] == pytest.approx(999 * 1152 / 44100)
 
+    def test_lame_info_header_is_cbr(self):
+        # LAME writes 'Info' (not 'Xing') into CBR streams: the frame
+        # count must still be taken from it, but vbr must stay False
+        frame1 = bytearray(_mp3_frames(1))
+        at = 36
+        frame1[at : at + 4] = b"Info"
+        frame1[at + 4 : at + 8] = struct.pack(">I", 0x1)
+        frame1[at + 8 : at + 12] = struct.pack(">I", 500)
+        info = probe_mp3(bytes(frame1) + _mp3_frames(2))
+        assert info["n_frames"] == 500 and not info["vbr"]
+
     def test_vbr_detected_from_bitrate_changes(self):
         h128 = bytes([0xFF, 0xFB, 0x90, 0x00])
         h160 = bytes([0xFF, 0xFB, 0xA0, 0x00])  # idx 10 -> 160 kbps

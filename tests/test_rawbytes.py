@@ -145,6 +145,42 @@ class TestExpand:
         ).collect()
         assert rows[0].error == "too large"
 
+    def test_big_compressed_tar_still_expands_members(self, spark):
+        # a .tar.gz whose TOTAL decompressed size exceeds
+        # max_member_bytes but whose members are individually small
+        # (the arXiv-bundle shape) must expand member-by-member, not
+        # collapse into one 'too large' row
+        members = {f"d/f{i}.txt": bytes([65 + i]) * 700 for i in range(20)}
+        payload = _tar(members, "w:gz")
+        rows = expand_archives(
+            spark.createDataFrame(
+                [(1, payload)], "asset_id long, payload binary"
+            ),
+            max_member_bytes=4096,  # << 20*700 total
+        ).collect()
+        got = {r.member_path: bytes(r.member_bytes) for r in rows}
+        assert got == members
+        assert all(r.error is None for r in rows)
+
+    def test_zip_directory_entries_dont_eat_member_cap(self, spark):
+        # directory entries must not count toward max_members: a zip
+        # with 6 dirs then 4 files under max_members=4 yields all 4
+        # files and NO cap row
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            for i in range(6):
+                zf.writestr(f"dir{i}/", b"")
+            for i in range(4):
+                zf.writestr(f"dir0/f{i}", b"x")
+        rows = expand_archives(
+            spark.createDataFrame(
+                [(1, buf.getvalue())], "asset_id long, payload binary"
+            ),
+            max_members=4,
+        ).collect()
+        assert len(rows) == 4
+        assert all(r.error is None for r in rows)
+
     def test_corrupt_archive_is_a_row(self, spark):
         corrupt = _zip(MEMBERS)[:40]  # zip magic, truncated directory
         rows = expand_archives(
@@ -203,6 +239,25 @@ class TestEncoding:
         assert got[2].text == "wörld"
         assert got[3].encoding == "latin-1" and got[3].text == "café"
         assert got[4].text == "" and got[4].replacement_ratio == 0.0
+        assert all(r.replacement_ratio == 0.0 for r in rows)
+
+    def test_bomless_utf16_keeps_first_character(self, spark):
+        # detect_encoding returns utf-16-le for BOM-LESS streams too;
+        # the decoder must only strip a BOM that is actually present —
+        # a blind 2-byte strip would turn 'hello...' into 'ello...'
+        text = "hello ascii heavy content no bom" * 3
+        rows = decode_text_payloads(
+            spark.createDataFrame(
+                [
+                    (1, text.encode("utf-16-le")),
+                    (2, text.encode("utf-16-be")),
+                ],
+                "asset_id long, payload binary",
+            )
+        ).collect()
+        got = {r.asset_id: r for r in rows}
+        assert got[1].encoding == "utf-16-le" and got[1].text == text
+        assert got[2].encoding == "utf-16-be" and got[2].text == text
         assert all(r.replacement_ratio == 0.0 for r in rows)
 
     def test_replacement_ratio_measures_mojibake(self, spark):

@@ -238,6 +238,27 @@ class TestHandBuilt:
         )
         np.testing.assert_array_equal(decode_tiff(payload), pal8[idx])
 
+    def test_one_bit_palette(self):
+        # legal 1-bit palette TIFF: indices are the RAW 0/1 bits (no
+        # 0/255 scaling before the ColorMap lookup)
+        pal8 = np.array([(10, 20, 30), (200, 100, 50)], np.uint8)
+        cmap = (pal8.T.astype(np.int64) * 257).ravel()
+        blob = struct.pack("<" + "H" * 6, *cmap)
+        bits = np.array([[1, 0, 1, 0, 0, 1, 1, 0, 0, 1]], np.uint8)
+        rows = np.packbits(bits, axis=1).tobytes()
+        payload = _hand_tiff(
+            "<",
+            [
+                (256, 4, [10]), (257, 4, [1]), (258, 3, [1]), (259, 3, [1]),
+                (262, 3, [3]), (273, 4, "IMG"), (277, 3, [1]),
+                (278, 4, [1]), (279, 4, [len(rows)]),
+                (320, 3, [("blob", 0, 6)]),
+            ],
+            rows,
+            data_blobs=[blob],
+        )
+        np.testing.assert_array_equal(decode_tiff(payload), pal8[bits])
+
     def test_palette_index_out_of_range_raises(self):
         cmap = struct.pack("<" + "H" * 6, *([0] * 6))  # 2 entries
         idx = np.array([[5]], dtype=np.uint8)
