@@ -37,6 +37,53 @@ def _timed(fn) -> float:
     return time.perf_counter() - t0
 
 
+# --- per-row best-ever walls (round-8: self-consistent artifact) ---
+# The r7 sidecar sealed ref_topk at 0.459 s while its own decomposition
+# rows (kernel-only, floor) said the kernel had not moved and isolated
+# reruns read ~0.21 s — a contention burst the composite calibration
+# missed because it ran BEFORE the row. The fix the r7 verdict asked
+# for: persist the best walls ever observed per row on this machine
+# (median-of-best-5, the .perf_baseline.json trick — one lucky fluke
+# cannot poison the reference), RE-RUN any row that lands >1.5x its
+# reference, and if it still exceeds it, seal the row as suspect=true
+# in the artifact itself — so the narrated number and the sealed
+# number can never silently diverge again.
+_BENCH_BEST_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench_best.json"
+)
+_KEEP_BEST = 5
+_SUSPECT_FACTOR = 1.5
+
+
+def _load_best_pool(sf_key: str) -> dict[str, list[float]]:
+    try:
+        with open(_BENCH_BEST_PATH) as fh:
+            data = json.load(fh)
+        pool = data.get(sf_key, {})
+        return {
+            k: sorted(float(x) for x in v)[:_KEEP_BEST]
+            for k, v in pool.items()
+        }
+    except (OSError, ValueError, TypeError, AttributeError):
+        return {}
+
+
+def _save_best_pool(sf_key: str, pool: dict[str, list[float]]) -> None:
+    try:
+        with open(_BENCH_BEST_PATH) as fh:
+            data = json.load(fh)
+        if not isinstance(data, dict):
+            data = {}
+    except (OSError, ValueError):
+        data = {}
+    data[sf_key] = {k: [round(x, 4) for x in v] for k, v in pool.items()}
+    try:
+        with open(_BENCH_BEST_PATH, "w") as fh:
+            json.dump(data, fh)
+    except OSError:
+        pass  # read-only checkout: this run's pool stays in memory
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -52,6 +99,36 @@ def main() -> None:
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
 
     times: dict[str, float] = {}
+    row_detail: dict[str, dict] = {}
+    sf_key = os.path.basename(SF_DIR.rstrip("/"))
+    best_pool = _load_best_pool(sf_key)
+
+    def _measure(name: str, thunk, runs: int = 2, retries: int = 2) -> float:
+        """best-of-``runs`` wall for ``thunk``, checked against this
+        machine's persisted best-ever pool: a wall >1.5x the pool
+        median gets up to ``retries`` extra runs (a contention burst
+        usually clears within seconds); if it STILL exceeds the
+        reference, the row is sealed suspect=true — never a clean
+        number in prose and a noisy one in the artifact."""
+        wall = min(_timed(thunk) for _ in range(runs))
+        best = best_pool.get(name, [])
+        ref = best[len(best) // 2] if len(best) >= 3 else None
+        suspect = False
+        if ref is not None and wall > _SUSPECT_FACTOR * ref:
+            for _ in range(retries):
+                time.sleep(2)
+                wall = min(wall, _timed(thunk))
+                if wall <= _SUSPECT_FACTOR * ref:
+                    break
+            suspect = wall > _SUSPECT_FACTOR * ref
+        best_pool[name] = sorted(best + [wall])[:_KEEP_BEST]
+        times[name] = wall
+        row_detail[name] = {
+            "wall": round(wall, 3),
+            "best_ever": round(best_pool[name][0], 4),
+            "suspect": suspect,
+        }
+        return wall
 
     # --- machine-load calibration (round-5: the bench refuses to take
     # numbers of record on a contended box — it retries with backoff
@@ -130,9 +207,8 @@ def main() -> None:
         "ivfpq_adc_topk",
         "mm_decoded_stats",
         # round-6 second rotation: CMS, weighted sampling, Hamming
-        # search (cube_sales / event_hourly_windows / mm_byte_histogram
-        # left the registry with that rotation)
-        "cms_word_counts",
+        # search (cms_word_counts left the registry in the round-8
+        # rotation)
         "cms_line_dedup",
         "priority_sample_docs",
         "hamming_topk_srp",
@@ -151,29 +227,30 @@ def main() -> None:
         "shared_span_stats",
         "profile_diff",
         "merge_upsert",
+        # round-8 rotation: mediaprobe + rawbytes ingest driver rows
+        "probe_media",
+        "rawbytes_ingest",
     ]
-    # best-of-2 per query: the round-2 bench recorded 2-6x phantom
-    # regressions that two idle reruns traced to transient machine load
-    # during the single timed run; a second sample mostly dodges that
-    # while keeping the bench under ~2 min
+    # best-of-2 per query (the round-2 bench recorded 2-6x phantom
+    # regressions that two idle reruns traced to transient machine
+    # load during the single timed run), plus the round-8 suspect
+    # protocol in _measure: rows landing >1.5x their persisted
+    # best-ever median get re-run, and sealed suspect=true if the
+    # wall never recovers
     for name in headline:
         fn, _oracle = ALL_QUERIES[name]
-        times[name] = min(
-            _timed(lambda: _force(fn(spark, SF_DIR))) for _ in range(2)
-        )
+        _measure(name, lambda fn=fn: _force(fn(spark, SF_DIR)))
 
     # --- kernel path on the sf embeddings table ---
     emb = load_table(spark, "embeddings", SF_DIR)
     corpus_pdf = emb.filter(F.col("vec_id") >= 50).select("embedding").toPandas()
     corpus = np.stack(corpus_pdf["embedding"].to_numpy()).astype(np.float32)
     qdf = emb.filter(F.col("vec_id") < 50).select("vec_id", "embedding")
-    times["kernel_topk_sf"] = min(
-        _timed(
-            lambda: _force(
-                topk_exploded(qdf, F.col("embedding"), corpus, k=10, keep=["vec_id"])
-            )
-        )
-        for _ in range(2)
+    _measure(
+        "kernel_topk_sf",
+        lambda: _force(
+            topk_exploded(qdf, F.col("embedding"), corpus, k=10, keep=["vec_id"])
+        ),
     )
 
     # --- blocked distributed top-k (corpus-unbounded exact path) ---
@@ -183,9 +260,9 @@ def main() -> None:
     cd = emb.filter(F.col("vec_id") >= 50).select(
         F.col("vec_id").alias("corpus_id"), "embedding"
     )
-    times["blocked_topk_sf"] = min(
-        _timed(lambda: _force(topk_join_blocked(qd, cd, k=10, metric="cosine")))
-        for _ in range(2)
+    _measure(
+        "blocked_topk_sf",
+        lambda: _force(topk_join_blocked(qd, cd, k=10, metric="cosine")),
     )
 
     # --- streaming: hourly windowed agg, full availableNow replay ---
@@ -205,8 +282,10 @@ def main() -> None:
         )
 
     _replay("bench_hourly_warm")
-    times["streaming_hourly_replay"] = min(
-        _timed(lambda i=i: _replay(f"bench_hourly_mem_{i}")) for i in range(2)
+    _replay_seq = iter(range(100))  # fresh query name per timed replay
+    _measure(
+        "streaming_hourly_replay",
+        lambda: _replay(f"bench_hourly_mem_{next(_replay_seq)}"),
     )
 
     # --- end-to-end corpus prep (filter -> redact -> dedup groups ->
@@ -223,7 +302,7 @@ def main() -> None:
     # row was the one single-shot left — first-run JIT/page-cache
     # noise inflated the composed number by ~30%)
     _run_pipeline()
-    times["corpus_prep_pipeline"] = min(_timed(_run_pipeline) for _ in range(2))
+    _measure("corpus_prep_pipeline", _run_pipeline)
     # the pipeline caches its filtered/kept stages per call; drop all
     # storage so the judged ref-shape section below starts clean
     spark.catalog.clearCache()
@@ -259,17 +338,21 @@ def main() -> None:
         Q @ C.T
 
     _np_topk()
-    times["numpy_topk_ref_shape"] = min(_timed(_np_topk) for _ in range(3))
-    times["numpy_matmul_f32_ref_shape"] = min(_timed(_np_matmul) for _ in range(3))
+    _measure("numpy_topk_ref_shape", _np_topk, runs=3)
+    _measure("numpy_matmul_f32_ref_shape", _np_matmul, runs=3)
     # steady-state kernel-only time (our kernel, no Spark): what the
     # executor-side compute costs once data is in NumPy form
     K.topk(Q, C, 10, "cosine")
-    times["kernel_only_topk_ref_shape"] = min(
-        _timed(lambda: K.topk(Q, C, 10, "cosine")) for _ in range(3)
+    _measure(
+        "kernel_only_topk_ref_shape",
+        lambda: K.topk(Q, C, 10, "cosine"),
+        runs=3,
     )
     K.similarity_matrix(Q, C, "dot")
-    times["kernel_only_matmul_ref_shape"] = min(
-        _timed(lambda: K.similarity_matrix(Q, C, "dot")) for _ in range(3)
+    _measure(
+        "kernel_only_matmul_ref_shape",
+        lambda: K.similarity_matrix(Q, C, "dot"),
+        runs=3,
     )
 
     # co-tuned for the ref shape: round-3 sweep over partitions
@@ -294,9 +377,7 @@ def main() -> None:
     # committer. Everything above that in the identity number is the
     # JVM<->Python Arrow round trip itself.
     _force(qpd)
-    times["jvm_only_job_ref_shape"] = min(
-        _timed(lambda: _force(qpd)) for _ in range(3)
-    )
+    _measure("jvm_only_job_ref_shape", lambda: _force(qpd), runs=3)
 
     # the irreducible cost of ANY Python-exchange stage at this shape on
     # this machine: an identity mapInArrow (no compute at all)
@@ -305,8 +386,8 @@ def main() -> None:
 
     ident_plan = qpd.mapInArrow(_ident, qpd.schema)
     _force(ident_plan)
-    times["python_stage_floor_ref_shape"] = min(
-        _timed(lambda: _force(ident_plan)) for _ in range(3)
+    _measure(
+        "python_stage_floor_ref_shape", lambda: _force(ident_plan), runs=3
     )
 
     # round-6 irreducibility experiment: the same identity Python stage
@@ -328,9 +409,7 @@ def main() -> None:
     one_row.count()
     one_plan = one_row.mapInArrow(_ident, one_row.schema)
     _force(one_plan)
-    times["python_stage_floor_1row"] = min(
-        _timed(lambda: _force(one_plan)) for _ in range(3)
-    )
+    _measure("python_stage_floor_1row", lambda: _force(one_plan), runs=3)
 
     # matmul's dominant cost is its OUTPUT (1000 x 10000 scores = 40 MB
     # of Arrow), which the input-shaped identity floor above does not
@@ -361,8 +440,10 @@ def main() -> None:
         _ident_wide, "query_id long, scores array<float>"
     )
     _force(wide_plan)
-    times["python_stage_floor_matmul_out_shape"] = min(
-        _timed(lambda: _force(wide_plan)) for _ in range(3)
+    _measure(
+        "python_stage_floor_matmul_out_shape",
+        lambda: _force(wide_plan),
+        runs=3,
     )
 
     plans = {
@@ -377,7 +458,7 @@ def main() -> None:
     }
     for name, plan in plans.items():
         _force(plan)  # warm: worker spinup, codegen, broadcast fetch
-        times[name] = min(_timed(lambda: _force(plan)) for _ in range(3))
+        _measure(name, lambda plan=plan: _force(plan), runs=3)
 
     # explicit same-machine normalization (BASELINE.md compares ratios:
     # the reference's topk is 0.64x NumPy, matmul f32 is 2.1x NumPy)
@@ -441,6 +522,10 @@ def main() -> None:
         except (OSError, ValueError, AttributeError):
             prev_name = None
 
+    _save_best_pool(sf_key, best_pool)
+    suspect_rows = sorted(
+        k for k, d in row_detail.items() if d["suspect"]
+    )
     total = sum(times.values())
     line = json.dumps(
         {
@@ -448,6 +533,8 @@ def main() -> None:
             "value": round(total, 3),
             "unit": "sec",
             "queries": {k: round(v, 3) for k, v in times.items()},
+            "row_detail": row_detail,
+            "suspect_rows": suspect_rows,
             "calibration": calib,
             "ratios_vs_same_machine_numpy": ratios,
             "delta_vs_prev": delta_vs_prev,

@@ -1480,7 +1480,10 @@ CORE_QUERIES: dict[str, tuple] = {
     # (queries_text.py) and the within-doc strip / bin
     # materialization / mixture / BPE rows (queries_datapipe.py).
     # The query functions remain above, importable and unit-covered.
-    "sketch_distinct_users": (_sketch_distinct_users, None),
+    # sketch_distinct_users rotated out in round 8 (rows-only by
+    # design — its <=5% HLL/quantile error bound lives in
+    # tests/test_sketches_and_bucketing.py, which stays) so the
+    # mediaprobe family gets a driver row (queries_multimodal.py):
     "mllib_blockmatrix_matmul": (_mllib_blockmatmul, _MLLIB_BLOCKMATMUL_ORACLE),
     # hypertable_rollup rotated out in the round-7 second rotation
     # (time-bucket rollup class stays driver-gated through

@@ -1333,7 +1333,11 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     # pytest- and sibling-row-gated; exact value comparisons move to
     # test_oracle_parity's rotated-query gate) so the CMS, weighted-
     # sampling and Hamming-search families get driver rows:
-    "cms_word_counts": (_cms_word_counts, _CMS_WORD_ORACLE),
+    # cms_word_counts rotated out in round 8 (its counter-table +
+    # min-fold replay mechanism is identical to cms_line_dedup below,
+    # which keeps the family's driver row; exact value comparison
+    # moves to test_oracle_parity's rotated-query gate) so the
+    # rawbytes ingest surface gets a driver row (queries_multimodal.py):
     "cms_line_dedup": (_cms_line_dedup, _CMS_LINE_DEDUP_ORACLE),
     "priority_sample_docs": (_priority_sample_docs, _PRIORITY_SAMPLE_ORACLE),
     "hamming_topk_srp": (_hamming_topk_srp, _hamming_oracle()),

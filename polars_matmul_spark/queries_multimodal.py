@@ -279,12 +279,290 @@ LEFT JOIN bstats s USING (asset_id)
 """
 
 
+# --- container PROBING over deterministically built MP3/MP4 ---------------
+#
+# Round-8 rotation (the r7 verdict's ask #2): the mediaprobe family —
+# MP3 frame-header walking with ID3v2 skip, and the full ISO-BMFF box
+# walk (ftyp/moov/mvhd/trak/tkhd/mdhd/hdlr/stsd/stsz) — gets a driver
+# row with a FULL value oracle via the mm_decoded_stats recipe: each
+# document deterministically becomes a genuine container (doc_id%3==0
+# -> an MPEG1 Layer III 128 kbps 44.1 kHz stereo CBR stream of
+# (len%7)+2 frames behind an ID3v2 tag with len%16 padding bytes;
+# doc_id%3==1 -> an MP4 with a 100-byte mvhd, one avc1 video track
+# (86-byte VisualSampleEntry, stsz count = len) and one mp4a audio
+# track, every box spec-sized; doc_id%3==2 -> an opaque payload), then
+# probe_media_table parses the REAL headers while DuckDB replays every
+# expected field from text-length arithmetic. Equality proves the
+# header walk — tag skip, frame-size math, box-tree descent,
+# fixed-point 16.16 decodes — byte-for-byte on distributed data.
+
+
+def _mp3_payload(struct, n: int) -> bytes:
+    # MPEG1 Layer III 128 kbps 44.1 kHz stereo, no padding -> 417-byte
+    # frames (144 * 128000 // 44100); body filler is 'a' so the
+    # Xing/Info window scan can never false-positive on text content
+    nf = n % 7 + 2
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"a" * 413
+    pad = n % 16
+    id3 = b"ID3\x03\x00\x00" + bytes([0, 0, 0, pad]) + b"\x00" * pad
+    return id3 + frame * nf
+
+
+def _mp4_payload(struct, n: int) -> bytes:
+    def box(t, body):
+        return struct.pack(">I", 8 + len(body)) + t + body
+
+    w, h, ch = 16 + n % 32, 16 + n % 24, n % 2 + 1
+    dur = n * 13  # at timescale 1000
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">4xIIII", 0, 0, 1000, dur)  # v0, times, ts, dur
+        + struct.pack(">IH10x", 0x00010000, 0x0100)  # rate, volume
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24  # predefined
+        + struct.pack(">I", 3),  # next track id
+    )
+
+    def tkhd(track_id, tw, th):
+        return box(
+            b"tkhd",
+            struct.pack(">4xIII4xI8x", 0, 0, track_id, dur)
+            + struct.pack(">HHHH", 0, 0, 0, 0)  # layer/alt/volume/rsv
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", tw << 16, th << 16),
+        )
+
+    def mdia(handler, stsd_entry, stsz_count):
+        mdhd = box(b"mdhd", struct.pack(">4xIIIIHH", 0, 0, 1000, dur, 0, 0))
+        hdlr = box(b"hdlr", b"\x00" * 4 + b"\x00" * 4 + handler + b"\x00" * 13)
+        stsd = box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + stsd_entry)
+        stbl_body = stsd
+        if stsz_count is not None:
+            stbl_body += box(
+                b"stsz", b"\x00" * 4 + struct.pack(">II", 0, stsz_count)
+            )
+        return box(
+            b"mdia", mdhd + hdlr + box(b"minf", box(b"stbl", stbl_body))
+        )
+
+    # 86-byte VisualSampleEntry: w/h at entry+32, 16.16 dpi, depth 24
+    ve = (
+        struct.pack(">I4s6xH", 86, b"avc1", 1)
+        + struct.pack(">HH12xHH", 0, 0, w, h)
+        + struct.pack(">IIIH", 0x00480000, 0x00480000, 0, 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1)
+    )
+    # 36-byte AudioSampleEntry: channels at entry+24, rate 16.16 at +32
+    ae = struct.pack(">I4s6xH8xHHHHI", 36, b"mp4a", 1, ch, 16, 0, 0, 44100 << 16)
+    video = box(b"trak", tkhd(1, w, h) + mdia(b"vide", ve, n))
+    audio = box(b"trak", tkhd(2, 0, 0) + mdia(b"soun", ae, None))
+    return ftyp + box(b"moov", mvhd + video + audio)
+
+
+def _probe_media(spark, sf_dir):
+    import struct
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from polars_matmul_spark.operators.mediaprobe import probe_media_table
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select(
+            "doc_id",
+            F.regexp_replace("text", "[^\\x00-\\x7F]", "?").alias("text"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len((text or "").encode("ascii", "replace"))
+                if did % 3 == 0:
+                    pl = _mp3_payload(struct, n)
+                elif did % 3 == 1:
+                    pl = _mp4_payload(struct, n)
+                else:
+                    # \x00 prefix: matches no container magic, so the
+                    # branch is deterministically opaque even if the
+                    # text happens to start with 'BM' or 'GIF87a'
+                    pl = b"\x00" + (text or "").encode("ascii", "replace")
+                payloads.append(pl)
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
+
+    encoded = docs.mapInPandas(encode, "asset_id long, payload binary")
+    out = probe_media_table(encoded)
+    return out.withColumn("duration_s", F.round("duration_s", 9))
+
+
+_PROBE_MEDIA_ORACLE = """
+WITH norm AS (
+  SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g') AS text
+  FROM documents
+), base AS (
+  SELECT doc_id AS asset_id, length(text) AS n, doc_id % 3 AS r FROM norm
+)
+SELECT asset_id,
+  CASE r WHEN 0 THEN 'mp3' WHEN 1 THEN 'mp4' ELSE 'opaque' END AS container,
+  CASE r WHEN 0 THEN 'mpeg1-layer3' WHEN 1 THEN 'avc1' END AS codec,
+  CASE r WHEN 0 THEN round((n % 7 + 2) * 1152 / 44100.0, 9)
+         WHEN 1 THEN round(n * 13 / 1000.0, 9) END AS duration_s,
+  CASE r WHEN 0 THEN CAST(128 AS BIGINT) END AS bitrate_kbps,
+  CASE WHEN r IN (0, 1) THEN CAST(44100 AS BIGINT) END AS sample_rate,
+  CASE r WHEN 0 THEN CAST(2 AS BIGINT)
+         WHEN 1 THEN CAST(n % 2 + 1 AS BIGINT) END AS channels,
+  CASE r WHEN 1 THEN CAST(16 + n % 32 AS BIGINT) END AS width,
+  CASE r WHEN 1 THEN CAST(16 + n % 24 AS BIGINT) END AS height,
+  CASE r WHEN 0 THEN CAST(n % 7 + 2 AS BIGINT)
+         WHEN 1 THEN CAST(n AS BIGINT) END AS n_frames,
+  CASE r WHEN 1 THEN CAST(2 AS BIGINT) END AS n_tracks
+FROM base
+"""
+
+
+# --- raw-crawl ingestion: archive expand + transcode ------------------------
+#
+# Round-8 rotation, second row: the rawbytes surface (zip and
+# compressed-tar expansion with the zip-bomb quarantine, then charset
+# sniff + measured transcode) becomes one end-to-end driver row. Each
+# document becomes an archive of three members — its text as UTF-8, as
+# BOM-LESS UTF-16-LE (gating the round-8 first-character fix through
+# the driver), and a 4097-byte filler that the 4096-byte cap must
+# quarantine as a metadata-only row ('too large', NULL bytes). Even
+# docs pack a zip, odd docs a .tar.gz whose TOTAL decompressed size
+# exceeds the cap — so the row also gates the round-8 fix that big
+# compressed tars with small members still expand member-by-member.
+# DuckDB replays every field from text arithmetic: sizes n / 2n / 4097,
+# encodings, zero replacement ratio, and the decoded text itself
+# (equality proves the full bytes->archive->member->transcode round
+# trip preserved every document).
+
+
+def _rawbytes_ingest(spark, sf_dir):
+    import io
+    import tarfile
+    import zipfile
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from polars_matmul_spark.operators.rawbytes import (
+        decode_text_payloads,
+        expand_archives,
+    )
+
+    cap = 4096
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select(
+            "doc_id",
+            F.regexp_replace("text", "[^\\x00-\\x7F]", "?").alias("text"),
+        )
+        .filter(F.length("text") >= 2)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                members = {
+                    "t.txt": text.encode("ascii", "replace"),
+                    "u.txt": text.encode("utf-16-le"),  # BOM-less
+                    "big.bin": b"x" * (cap + 1),
+                }
+                buf = io.BytesIO()
+                if did % 2 == 0:
+                    with zipfile.ZipFile(
+                        buf, "w", zipfile.ZIP_DEFLATED
+                    ) as zf:
+                        for name, data in members.items():
+                            zf.writestr(name, data)
+                else:
+                    with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+                        for name, data in members.items():
+                            ti = tarfile.TarInfo(name)
+                            ti.size = len(data)
+                            tf.addfile(ti, io.BytesIO(data))
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
+
+    arch = docs.mapInPandas(build, "asset_id long, payload binary")
+    members = expand_archives(arch, max_member_bytes=cap)
+    # (asset_id, member_path) is the natural key; encode it into one
+    # long for the transcoder, then join the text columns back —
+    # monotonically_increasing_id would NOT be stable across the two
+    # DAG recomputations this plan makes
+    ok = members.filter(F.col("member_bytes").isNotNull()).withColumn(
+        "mid",
+        F.col("asset_id") * 2
+        + F.when(F.col("member_path") == "t.txt", F.lit(0)).otherwise(1),
+    )
+    dec = decode_text_payloads(
+        ok.select(
+            F.col("mid").alias("asset_id"),
+            F.col("member_bytes").alias("payload"),
+        )
+    ).select(
+        F.col("asset_id").alias("mid"), "encoding", "text",
+        "replacement_ratio",
+    )
+    good = ok.join(dec, "mid").select(
+        "asset_id", "archive", "member_path", "member_size", "error",
+        "encoding", "text", "replacement_ratio",
+    )
+    bad = members.filter(F.col("member_bytes").isNull()).select(
+        "asset_id", "archive", "member_path", "member_size", "error",
+        F.lit(None).cast("string").alias("encoding"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("double").alias("replacement_ratio"),
+    )
+    return good.unionByName(bad)
+
+
+_RAWBYTES_INGEST_ORACLE = """
+WITH norm AS (
+  SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g') AS text
+  FROM documents
+), base AS (
+  SELECT doc_id AS asset_id, text, length(text) AS n,
+         CASE WHEN doc_id % 2 = 0 THEN 'zip' ELSE 'tar.gzip' END AS archive
+  FROM norm WHERE length(text) >= 2
+)
+SELECT asset_id, archive, 't.txt' AS member_path,
+       CAST(n AS BIGINT) AS member_size,
+       CAST(NULL AS VARCHAR) AS error, 'utf-8' AS encoding, text,
+       0.0 AS replacement_ratio
+FROM base
+UNION ALL
+SELECT asset_id, archive, 'u.txt', CAST(2 * n AS BIGINT),
+       NULL, 'utf-16-le', text, 0.0
+FROM base
+UNION ALL
+SELECT asset_id, archive, 'big.bin', CAST(4097 AS BIGINT),
+       'too large', NULL, NULL, NULL
+FROM base
+"""
+
+
 MULTIMODAL_QUERIES: dict[str, tuple] = {
     # mm_asset_meta rotated out in round 6 (pure metadata select whose
     # payload-sha256/kind/dims shapes stay pinned in the rotated-query
     # pytest gate and tests/test_multimodal.py) so the REAL-decoder
     # path gets the driver row below:
     "mm_decoded_stats": (_decoded_stats, _DECODED_STATS_ORACLE),
+    # round-8 rotation: the mediaprobe + rawbytes families get their
+    # driver rows (sketch_distinct_users — rows-only by design, its
+    # <=5% error bound lives in tests/test_sketches.py — and
+    # cms_word_counts — identical sketch-replay mechanism to the
+    # cms_line_dedup row that stays — rotated out to free the slots)
+    "probe_media": (_probe_media, _PROBE_MEDIA_ORACLE),
+    "rawbytes_ingest": (_rawbytes_ingest, _RAWBYTES_INGEST_ORACLE),
     # mm_byte_histogram rotated out in round 6 (the vectorized-decode
     # family keeps its driver row via mm_decoded_stats — the REAL
     # decoder path — and the histogram keeps its exact value

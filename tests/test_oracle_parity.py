@@ -65,7 +65,7 @@ def test_registry_discipline():
     non-replayable operators may lack oracles."""
     assert len(ALL_QUERIES) == 50
     no_oracle = {n for n, (_f, o) in ALL_QUERIES.items() if o is None}
-    assert no_oracle == {"ann_brp_lsh_join", "sketch_distinct_users"}
+    assert no_oracle == {"ann_brp_lsh_join"}
 
 
 def _assert_matches(name, fn, oracle, spark, duck):
@@ -104,6 +104,7 @@ def _rotated_queries():
     still exists keeps the EXACT same value comparison here — rotation
     moves the gate from the driver to pytest, it never removes it."""
     from polars_matmul_spark import queries_core as qc
+    from polars_matmul_spark import queries_datapipe as qd
     from polars_matmul_spark import queries_multimodal as qm
     from polars_matmul_spark import queries_pipeline as qp
     from polars_matmul_spark import queries_text as qt
@@ -162,6 +163,12 @@ def _rotated_queries():
             qc._hypertable_rollup,
             qc._HYPERTABLE_ROLLUP_ORACLE,
         ),
+        # round-8 rotation: two slots freed for probe_media /
+        # rawbytes_ingest. cms_word_counts keeps its full sketch
+        # replay here; sketch_distinct_users is rows-only by design
+        # (no oracle exists to keep) — its error bound stays in
+        # tests/test_sketches_and_bucketing.py
+        "cms_word_counts": (qd._cms_word_counts, qd._CMS_WORD_ORACLE),
     }
 
 
