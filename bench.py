@@ -227,9 +227,12 @@ def main() -> None:
         "shared_span_stats",
         "profile_diff",
         "merge_upsert",
-        # round-8 rotation: mediaprobe + rawbytes ingest driver rows
+        # round-8 rotation: mediaprobe + rawbytes ingest + Layer I
+        # payload decode driver rows (cms_word_counts and
+        # profile_lineitem left the registry with this rotation)
         "probe_media",
         "rawbytes_ingest",
+        "mpeg_layer1_decode",
     ]
     # best-of-2 per query (the round-2 bench recorded 2-6x phantom
     # regressions that two idle reruns traced to transient machine

@@ -16,6 +16,15 @@ walls honest: stage N+1 never silently recomputes stage N's lineage):
     6. sequence packing       packing.pack_sequences + materialize_bins
     7. token shards written   shards.write_token_shards
 
+plus the asset leg (round 8 — the multimodal layer end-to-end over a
+synthesized raw-crawl archive feed):
+
+    8. archive expansion      rawbytes.expand_archives
+    9. container probe        mediaprobe.probe_media_table
+   10. real decode stats      multimodal.decoded_asset_stats
+                              + mpegaudio.decode_layer1_table
+   11. asset quality gate     row-local numeric verdicts
+
 Run from the repo root (writes CURATION_DRYRUN.md):
 
     python examples/curation_dry_run.py            # sf0.1
@@ -176,6 +185,126 @@ def main() -> None:
     )
     stages.append(
         ("07_shards", wall, n_shards, "md5 global order -> 2-phase prefix sum -> partitioned write (rows = shard dirs)")
+    )
+
+    # --- asset leg (round 8): the multimodal layer end-to-end — raw
+    # archive feed -> expand -> probe -> real decode stats -> quality
+    # gate. Feed setup is untimed (it plays the crawler); every
+    # pipeline stage is timed + materialized like the text leg.
+    import io as _io
+    import struct as _struct
+    import zipfile as _zipfile
+
+    import numpy as _np
+    import pandas as _pd
+
+    from polars_matmul_spark.operators.mediaprobe import probe_media_table
+    from polars_matmul_spark.operators.mpegaudio import (
+        decode_layer1_table,
+        encode_layer1,
+    )
+    from polars_matmul_spark.operators.multimodal import decoded_asset_stats
+    from polars_matmul_spark.operators.rawbytes import expand_archives
+
+    feed_docs = (
+        docs.select(
+            "doc_id",
+            F.regexp_replace("text", "[^\\x00-\\x7F]", "?").alias("text"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def _build_asset_zip(batches):
+        from polars_matmul_spark.operators.flac import encode_flac
+
+        alloc = [6] * 12 + [0] * 20
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                b = (text or "?").encode("ascii", "replace")
+                sig = (_np.frombuffer(b, _np.uint8).astype(_np.int64) - 128) * 256
+                if did % 3 == 0:  # RIFF/WAVE 16-bit PCM
+                    data = sig.astype("<i2").tobytes()
+                    media = (
+                        b"RIFF" + _struct.pack("<I", 36 + len(data)) + b"WAVE"
+                        + b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                        + b"data" + _struct.pack("<I", len(data)) + data
+                    )
+                    name = "signal.wav"
+                elif did % 3 == 1:  # real compressed FLAC, same signal
+                    media = encode_flac(sig, 8000, bps=16)
+                    name = "signal.flac"
+                else:  # MPEG-1 Layer I frames of the document bytes
+                    n = len(b)
+                    codes = _np.frombuffer(b, _np.uint8).astype(_np.int64)[
+                        _np.arange(288) % n
+                    ].reshape(2, 12, 12)
+                    media = encode_layer1(codes, alloc, [3] * 12, 448, 32000)
+                    name = "signal.mp1"
+                buf = _io.BytesIO()
+                with _zipfile.ZipFile(buf, "w", _zipfile.ZIP_DEFLATED) as zf:
+                    zf.writestr(name, media)
+                    zf.writestr("sidecar.bin", b"\x00" + b)  # opaque
+                payloads.append(buf.getvalue())
+            yield _pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
+
+    feed = feed_docs.mapInPandas(
+        _build_asset_zip, "asset_id long, payload binary"
+    )
+    feed_path = os.path.join(WORK, "asset_feed")
+    feed.write.mode("overwrite").parquet(feed_path)  # untimed setup
+
+    # --- stage 8: archive expansion (zip-bomb-guarded, quarantining)
+    raw_assets = spark.read.parquet(feed_path)
+    members = expand_archives(raw_assets).select(
+        "asset_id",
+        F.col("member_path").alias("member"),
+        F.col("member_bytes").alias("payload"),
+    )
+    p8 = checkpoint(
+        "08_asset_expand", members,
+        "zip/tar expansion in mapInPandas; bounded per-member reads",
+    )
+
+    # --- stage 9: container probe (header-bounded triage pass; one
+    # media member per asset, so asset_id stays a key)
+    mem = spark.read.parquet(p8)
+    media = mem.filter(F.col("member") != "sidecar.bin")
+    probed = probe_media_table(media.select("asset_id", "payload"))
+    p9 = checkpoint(
+        "09_asset_probe", probed,
+        "MP3 frame walk + BMFF box walk + magic tags; KBs read per asset",
+    )
+
+    # --- stage 10: REAL decode stats (WAV/FLAC full parse + Layer I
+    # payload decode), opaque members pass through
+    stats = decoded_asset_stats(media.select("asset_id", "payload"))
+    l1 = decode_layer1_table(
+        media.filter(F.col("member") == "signal.mp1").select(
+            "asset_id", "payload"
+        )
+    ).select("asset_id", "n_frames", "n_codes", "code_digest")
+    decoded = stats.join(l1, "asset_id", "left")
+    p10 = checkpoint(
+        "10_asset_decode", decoded,
+        "lossless WAV/FLAC decode (CRC+MD5-verified) + Layer I bit walk",
+    )
+
+    # --- stage 11: asset quality gate (the multimodal analogue of the
+    # Gopher stage: numeric verdicts, row-local)
+    dstats = spark.read.parquet(p10)
+    gated_assets = dstats.filter(
+        (F.col("container") == "opaque")
+        | (
+            F.col("audio_rms").isNotNull()
+            & (F.col("audio_rms") > 0.05)
+            & (F.col("duration_s") < 10.0)
+        )
+        | F.col("n_codes").isNotNull()
+    )
+    checkpoint(
+        "11_asset_gate", gated_assets,
+        "row-local numeric verdicts over decoded stats (Catalyst only)",
     )
 
     total = sum(w for _, w, _, _ in stages)

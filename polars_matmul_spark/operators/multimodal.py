@@ -23,10 +23,16 @@ coding + fixed/LPC prediction + stereo decorrelation, CRC-8/16 and
 STREAMINFO-MD5 self-verified: losslessness makes the decode its own
 cryptographic oracle). All seven are surfaced through
 ``decoded_asset_stats``, ``audio_rms_windows(real_decode=True)`` and
-``resize_bmp_real``. Formats beyond first-principles reach (MP3, MP4)
-need librosa / ffmpeg, which are NOT installed in this container, so
-for those ``decode_asset`` remains a clearly-marked stub raising
-``NotImplementedError``. Everything Spark-side is real and tested
+``resize_bmp_real``. MPEG-1 Layer I frame payloads also decode for
+real (``operators.mpegaudio`` — allocation/scalefactor/sample bit
+walk + the formula-exact mid-rise requantizer, driver-gated through
+``mpeg_layer1_decode``). What remains out of reach offline: Layer
+II/III payloads and PCM synthesis (both need ISO data tables —
+3-B.2a-d allocation, Huffman, the 3-B.3 window — that cannot be
+re-derived from formulas) and MP4 sample decode (needs ffmpeg-class
+codecs). For those ``decode_asset`` remains a clearly-marked stub
+raising ``NotImplementedError``, with ``mediaprobe`` providing the
+header-probe pass a real triage runs first. Everything Spark-side is real and tested
 either way: the binary schema, the mapInPandas batch shapes,
 deterministic fake decoders (payload bytes ARE the samples —
 documents are pure ASCII so byte == codepoint, which makes the fakes

@@ -13,6 +13,9 @@ import os
 from pyspark.sql import SparkSession
 
 
+_WORKER_BLAS = os.environ.get("SPARK_GRAFT_WORKER_BLAS_THREADS", "1")
+
+
 def get_spark(app_name: str = "polars_matmul_spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
@@ -39,6 +42,18 @@ def get_spark(app_name: str = "polars_matmul_spark", shuffle_partitions: int | N
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
+        # each Spark task owns ~1 core, so worker-side BLAS must be
+        # single-threaded: with N parallel python workers each spawning
+        # a cores-wide OpenBLAS pool, the ref-shape GEMM ran under up
+        # to 8x32 threads on 32 cores — scheduler roulette that made
+        # kernel rows read 0.19s or 0.45s run to run (the round-7
+        # "contaminated sidecar"). Pinning removes the oversubscription
+        # at the source; driver-side NumPy (the bench denominators)
+        # keeps the machine-wide default pool. Override via
+        # SPARK_GRAFT_WORKER_BLAS_THREADS for few-task/big-GEMM jobs.
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", _WORKER_BLAS)
+        .config("spark.executorEnv.OMP_NUM_THREADS", _WORKER_BLAS)
+        .config("spark.executorEnv.MKL_NUM_THREADS", _WORKER_BLAS)
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

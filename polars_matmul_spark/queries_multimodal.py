@@ -425,6 +425,88 @@ FROM base
 """
 
 
+# --- MPEG-1 Layer I payload decode ------------------------------------------
+#
+# Round-8 rotation, third row (the r7 verdict's ask #4): real MPEG
+# audio SAMPLE decode, not just the header probe. Each document
+# becomes a conformant mono Layer I stream — 448 kbps @ 32 kHz,
+# subbands 0..11 allocated at nb=7 so the 7-bit codes ARE the
+# document's ASCII bytes, (len%3)+2 frames, code (f,s,i) = byte at
+# (f*144 + s*12 + i) mod len — and decode_layer1_table walks every
+# frame's bit layout (allocation, scalefactors, 1008 sample bits per
+# frame) and digests the decoded integer code stream. DuckDB replays
+# the digest from text arithmetic: equality proves the bit-level
+# payload decode end-to-end on distributed data, with no float
+# accumulation order in play (the requantization FORMULA is gated by
+# exact-rational pytest fixtures in tests/test_mpegaudio.py, where the
+# frames are hand-assembled so the decoder is not graded by its own
+# encoder).
+
+
+def _mpeg_layer1(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from polars_matmul_spark.operators.mpegaudio import (
+        decode_layer1_table,
+        encode_layer1,
+    )
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select(
+            "doc_id",
+            F.regexp_replace("text", "[^\\x00-\\x7F]", "?").alias("text"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    alloc = [6] * 12 + [0] * 20  # nb = 7 on subbands 0..11
+    sfs = [3] * 12  # sf = 1.0 exactly; irrelevant to the integer gate
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                b = (text or "?").encode("ascii", "replace")
+                n = len(b)
+                nf = n % 3 + 2
+                arr = np.frombuffer(b, np.uint8).astype(np.int64)
+                codes = arr[np.arange(nf * 144) % n].reshape(nf, 12, 12)
+                payloads.append(encode_layer1(codes, alloc, sfs, 448, 32000))
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
+
+    encoded = docs.mapInPandas(build, "asset_id long, payload binary")
+    return decode_layer1_table(encoded)
+
+
+_MPEG_LAYER1_ORACLE = """
+WITH norm AS (
+  SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g') AS text
+  FROM documents
+), base AS (
+  SELECT doc_id AS asset_id, text, length(text) AS n FROM norm
+), pos AS (
+  SELECT asset_id, n, text, unnest(range(0, (n % 3 + 2) * 144)) AS g
+  FROM base
+), dig AS (
+  SELECT asset_id,
+         SUM(unicode(substring(text, CAST(g % n + 1 AS INT), 1)) * (g + 1))
+           AS code_digest
+  FROM pos GROUP BY asset_id
+)
+SELECT b.asset_id,
+       CAST(32000 AS BIGINT) AS sample_rate,
+       CAST(448 AS BIGINT) AS bitrate_kbps,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(b.n % 3 + 2 AS BIGINT) AS n_frames,
+       CAST((b.n % 3 + 2) * 144 AS BIGINT) AS n_codes,
+       CAST(d.code_digest AS BIGINT) AS code_digest,
+       CAST(NULL AS VARCHAR) AS error
+FROM base b JOIN dig d USING (asset_id)
+"""
+
+
 # --- raw-crawl ingestion: archive expand + transcode ------------------------
 #
 # Round-8 rotation, second row: the rawbytes surface (zip and
@@ -563,6 +645,10 @@ MULTIMODAL_QUERIES: dict[str, tuple] = {
     # cms_line_dedup row that stays — rotated out to free the slots)
     "probe_media": (_probe_media, _PROBE_MEDIA_ORACLE),
     "rawbytes_ingest": (_rawbytes_ingest, _RAWBYTES_INGEST_ORACLE),
+    # round-8 rotation, second wave: real Layer I sample decode
+    # (profile_lineitem rotated out — profile_diff keeps the family's
+    # driver row with strictly more of the same mechanism)
+    "mpeg_layer1_decode": (_mpeg_layer1, _MPEG_LAYER1_ORACLE),
     # mm_byte_histogram rotated out in round 6 (the vectorized-decode
     # family keeps its driver row via mm_decoded_stats — the REAL
     # decoder path — and the histogram keeps its exact value

@@ -478,7 +478,11 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     # (queries_datapipe.py).
     "bm25_search": (_bm25_search, _BM25_ORACLE),
     "chunk_documents": (_chunk_docs, _CHUNK_ORACLE),
-    "profile_lineitem": (_profile_lineitem, _profile_oracle()),
+    # profile_lineitem rotated out in round 8 (profile_diff below runs
+    # profile_table twice and diffs it — the same mechanism, strictly
+    # more of it; exact value comparison moves to the rotated-query
+    # gate) so the MPEG-1 Layer I payload decoder gets a driver row
+    # (queries_multimodal.py):
     # hash_split_docs rotated out in round 5 (the md5-bucket split
     # contract is pinned by tests/test_sampling_and_packing.py and the
     # same hash_bucket mechanism stays driver-gated through

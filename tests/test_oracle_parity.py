@@ -169,6 +169,8 @@ def _rotated_queries():
         # (no oracle exists to keep) — its error bound stays in
         # tests/test_sketches_and_bucketing.py
         "cms_word_counts": (qd._cms_word_counts, qd._CMS_WORD_ORACLE),
+        # round-8 second wave: slot freed for mpeg_layer1_decode
+        "profile_lineitem": (qp._profile_lineitem, qp._profile_oracle()),
     }
 
 

@@ -233,8 +233,8 @@ _CEILINGS_SF01 = {
     "ivfpq_adc_topk": 15.0,
     "mm_decoded_stats": 2.0,
     # round-6 second rotation rows (idle warm walls 0.87 / 1.59 /
-    # 0.18 / 1.79 s — ~4x ceilings)
-    "cms_word_counts": 4.0,
+    # 0.18 / 1.79 s — ~4x ceilings; cms_word_counts left the registry
+    # in the round-8 rotation, value parity stays in the rotated gate)
     # ~4x the 1.9s isolated warm wall. An earlier form that
     # checkpointed the full wide occurrence table read 9.4s deep in a
     # full-suite session; the slim-estimate restructure removed that
@@ -255,6 +255,12 @@ _CEILINGS_SF01 = {
     "shared_span_stats": 12.0,
     "profile_diff": 2.5,
     "merge_upsert": 2.5,
+    # round-8 rotation rows (idle warm walls ~0.7 / ~3.4 / ~1.2 s;
+    # rawbytes_ingest builds one zip or tar.gz per document before
+    # expanding it back — the synthesis is most of the wall)
+    "probe_media": 3.0,
+    "rawbytes_ingest": 14.0,
+    "mpeg_layer1_decode": 5.0,
 }
 
 
