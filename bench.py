@@ -268,6 +268,27 @@ def main() -> None:
         lambda: _force(topk_join_blocked(qd, cd, k=10, metric="cosine")),
     )
 
+    # the same exact path at a corpus 50x the table (97.5k rows) — the
+    # regime the operator exists for, where the corpus could NOT be
+    # broadcast and the kernel-broadcast form (topk_arrow) would not
+    # apply; wall should scale ~linearly in corpus rows since shuffle
+    # volume stays O(n_q * k * n_partitions) (round-7 verdict stretch)
+    cd_big = (
+        cd.crossJoin(spark.range(50).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("corpus_id") * 50 + F.col("rep")).alias("corpus_id"),
+            "embedding",
+        )
+        .repartition(32)
+        .cache()
+    )
+    cd_big.count()
+    _measure(
+        "blocked_topk_sf_x50",
+        lambda: _force(topk_join_blocked(qd, cd_big, k=10, metric="cosine")),
+    )
+    cd_big.unpersist()
+
     # --- streaming: hourly windowed agg, full availableNow replay ---
     from polars_matmul_spark.streaming.events import (
         hourly_event_counts_stream,

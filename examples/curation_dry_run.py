@@ -294,13 +294,13 @@ def main() -> None:
     # Gopher stage: numeric verdicts, row-local)
     dstats = spark.read.parquet(p10)
     gated_assets = dstats.filter(
-        (F.col("container") == "opaque")
-        | (
+        (
             F.col("audio_rms").isNotNull()
             & (F.col("audio_rms") > 0.05)
+            & (F.col("duration_s") >= 0.01)  # drops sub-80-sample clips
             & (F.col("duration_s") < 10.0)
         )
-        | F.col("n_codes").isNotNull()
+        | (F.col("n_codes").isNotNull() & (F.col("n_codes") >= 288))
     )
     checkpoint(
         "11_asset_gate", gated_assets,

@@ -326,6 +326,46 @@ def main() -> None:
         print(json.dumps(row))
         docs.unpersist()
 
+    # round-8: incremental excision vs a GROWING history (the one
+    # broadcast envelope the probe had not stressed — round-7 verdict
+    # stretch). The BATCH stays fixed (one corpus of base docs, ids
+    # offset to stay disjoint from every history copy) while the
+    # indexed history grows 1x -> 10x. The batch's distinct gram
+    # hashes broadcast into a semi-join scan of the index, so the wall
+    # should grow only with the index SCAN (linear, shallow slope) —
+    # superlinearity would mean the index is being shuffled, and a
+    # blow-up at 10x would mean the broadcast envelope leaks history
+    # size. Batch-side work is K-independent by construction.
+    from polars_matmul_spark.operators.winnow import (
+        build_gram_index,
+        excise_new_vs_index,
+    )
+
+    batch = base.select(
+        (F.col("doc_id") + F.lit(900_000_000)).alias("doc_id"), "text"
+    ).cache()
+    batch.count()
+    for k in (1, 5, 10):
+        hist = corpus_x(k)
+        hist.count()
+        index = build_gram_index(hist, k=20).cache()
+        n_index = index.count()  # materialize: probe times the excise
+        force(excise_new_vs_index(batch, index, k=20))
+        wall = timed(lambda: force(excise_new_vs_index(batch, index, k=20)))
+        print(
+            json.dumps(
+                {
+                    "k": k,
+                    "n_history_docs": n_base * k,
+                    "n_index_grams": n_index,
+                    "excise_incremental": wall,
+                }
+            )
+        )
+        index.unpersist()
+        hist.unpersist()
+    batch.unpersist()
+
     # embeddings-side probe: replicate K x under per-copy Rademacher
     # sign flips — dot(u*s, v*s) == dot(u, v), so WITHIN-copy geometry
     # (and therefore near-dup density) is exactly preserved, while
