@@ -278,6 +278,17 @@ CASES = [
 ]
 
 # non-registry operators whose plan shape is part of the scale story
+CASES_R8 = [
+    (
+        "rawbytes_ingest",
+        "Raw-crawl ingest (round 8): archive synth + expansion and the "
+        "transcode are chained mapInPandas stages (no shuffle); the "
+        "only join glues decoded text back onto member metadata by the "
+        "composite long key — equi-join on batch-sized frames, "
+        "quarantined members union in with no extra exchange",
+    ),
+]
+
 EXTRA_CASES = [
     (
         "projected_topk_rerank",
@@ -360,7 +371,7 @@ def main() -> None:
         print(plan.strip())
         print("```\n")
 
-    for name, note in CASES:
+    for name, note in CASES + CASES_R8:
         fn, _ = ALL_QUERIES[name]
         emit(name, note, fn(spark, SF))
     for name, note in EXTRA_CASES:
