@@ -176,9 +176,10 @@ CASES = [
         "stage, nothing wide anywhere",
     ),
     (
-        "cms_word_counts",
-        "Count-Min build+lookup (round 6): explode to depth probe "
-        "rows -> ONE map-side-combinable groupBy over at most "
+        "cms_line_dedup",
+        "Count-Min build+lookup (round 6; the cms_word_counts twin "
+        "rotated out of the registry in round 8): explode to depth "
+        "probe rows -> ONE map-side-combinable groupBy over at most "
         "depth*width uniform keys; the lookup side broadcast-joins the "
         "bounded counter table and min-folds per key — the sketch "
         "never shuffles, history never re-scans",

@@ -134,21 +134,31 @@ def _frame_bytes(bitrate_kbps: int, sample_rate: int, padding: int = 0) -> int:
 def encode_layer1(
     codes: np.ndarray,
     alloc: list[int],
-    sf_idx: list[int],
+    sf_idx: list,
     bitrate_kbps: int = 448,
     sample_rate: int = 32000,
     channels: int = 1,
+    joint_bound: int | None = None,
 ) -> bytes:
     """Assemble conformant MPEG-1 Layer I frames from integer
     subband codes. ``codes`` has shape (n_frames, 12, n_active[, ch])
     where n_active = number of nonzero entries in ``alloc`` (32 per
     channel); ``sf_idx`` gives one scalefactor index per active
-    subband. Mono and dual-independent stereo only (no joint/
-    intensity — the encoder exists as the test harness and gate
-    material, not a production audio encoder). Protection bit is set
-    (no CRC)."""
+    subband — an int (both channels) or a (left, right) pair. Mono,
+    dual-independent stereo, and joint (intensity) stereo with
+    ``joint_bound`` in {4, 8, 12, 16}: active subbands at/above the
+    bound must carry identical codes in both channel slots (they are
+    written ONCE; scalefactors stay per-channel). The encoder exists
+    as the test harness and gate material, not a production audio
+    encoder. Protection bit is set (no CRC)."""
     if channels not in (1, 2):
         raise ValueError("channels must be 1 or 2")
+    if joint_bound is not None:
+        if channels != 2:
+            raise ValueError("joint_bound requires channels=2")
+        if joint_bound not in (4, 8, 12, 16):
+            raise ValueError("joint_bound must be one of 4, 8, 12, 16")
+    bound = joint_bound if joint_bound is not None else 32
     if len(alloc) != 32:
         raise ValueError("alloc must list all 32 subbands")
     if bitrate_kbps not in _BITRATES_L1:
@@ -161,19 +171,38 @@ def encode_layer1(
     active = [sb for sb in range(32) if alloc[sb]]
     if len(sf_idx) != len(active):
         raise ValueError("one scalefactor index per active subband")
+    sf_pairs = [
+        (s, s) if isinstance(s, int) else (int(s[0]), int(s[1]))
+        for s in sf_idx
+    ]
     codes = np.asarray(codes)
     want = (codes.shape[0], 12, len(active)) + ((channels,) if channels == 2 else ())
     if codes.shape != want:
         raise ValueError(f"codes shape {codes.shape}, want {want}")
+    if joint_bound is not None:
+        for i, sb in enumerate(active):
+            if sb >= bound and not np.array_equal(
+                codes[:, :, i, 0], codes[:, :, i, 1]
+            ):
+                raise ValueError(
+                    f"joint subband {sb} must carry identical codes in "
+                    "both channels (one code is written per sample)"
+                )
 
     br_idx = _BITRATES_L1.index(bitrate_kbps) + 1
     sr_idx = _SAMPLE_RATES_V1.index(sample_rate)
+    if channels == 1:
+        mode_byte = 0xC0  # single_channel
+    elif joint_bound is not None:
+        mode_byte = 0x40 | ((joint_bound // 4 - 1) << 4)  # joint_stereo
+    else:
+        mode_byte = 0x00  # stereo
     header = bytes(
         [
             0xFF,
             0xFF,  # MPEG-1, layer I, no CRC
             (br_idx << 4) | (sr_idx << 2),
-            0xC0 if channels == 1 else 0x00,  # single_channel / stereo
+            mode_byte,
         ]
     )
     size = _frame_bytes(bitrate_kbps, sample_rate)
@@ -181,15 +210,17 @@ def encode_layer1(
     for f in range(codes.shape[0]):
         w = _BitWriter()
         for sb in range(32):
-            for _ch in range(channels):
+            n_slots = 1 if (channels == 2 and sb >= bound) else channels
+            for _ch in range(n_slots):
                 w.write(alloc[sb], 4)
         for i, _sb in enumerate(active):
-            for _ch in range(channels):
-                w.write(sf_idx[i], 6)
+            for ch in range(channels):
+                w.write(sf_pairs[i][ch], 6)
         for s in range(12):
             for i, sb in enumerate(active):
                 nb = alloc[sb] + 1
-                for ch in range(channels):
+                n_slots = 1 if (channels == 2 and sb >= bound) else channels
+                for ch in range(n_slots):
                     c = codes[f, s, i, ch] if channels == 2 else codes[f, s, i]
                     c = int(c)
                     if not 0 <= c < (1 << nb):
@@ -204,16 +235,24 @@ def decode_layer1(payload: bytes) -> dict:
     requantized subband samples. Returns a dict:
 
     - ``sample_rate``, ``bitrate_kbps``, ``channels``, ``n_frames``
+    - ``bound``: the intensity-stereo bound (4/8/12/16) for joint
+      frames, else None
     - ``alloc``: (n_frames, 32[, ch]) allocation codes
     - ``sf_idx``: scalefactor indices, -1 where unallocated
     - ``codes``: (n_frames, 12, 32[, ch]) raw integer codes (0 where
       unallocated) — the exact payload bit content
     - ``subbands``: same shape, requantized float64 samples
 
-    Joint-stereo (intensity) frames raise — their bound-dependent
-    layout is the one Layer-I feature not implemented. Raises
-    ValueError on bad sync, reserved allocation 15, scalefactor 63,
-    or truncated payloads.
+    Joint (intensity) stereo is the bound-dependent layout of ISO
+    11172-3 2.4.1.6/2.4.2.3: subbands below ``bound = 4 *
+    (mode_extension + 1)`` carry independent per-channel allocation
+    and codes; at/above the bound one allocation and ONE sample code
+    per (s, sb) are shared by both channels, which keep their own
+    6-bit scalefactors (intensity = shared shape, per-channel level).
+    Decoded arrays mirror the shared values into both channel slots,
+    so downstream shapes never depend on the mode. Raises ValueError
+    on bad sync, reserved allocation 15, scalefactor 63, or truncated
+    payloads.
     """
     if len(payload) < 4:
         raise ValueError("payload shorter than one frame header")
@@ -233,30 +272,32 @@ def decode_layer1(payload: bytes) -> dict:
             raise ValueError("free-format/invalid layer I header")
         padding = (b2 >> 1) & 1
         mode = (b3 >> 6) & 0x03
-        if mode == 1:
-            raise ValueError(
-                "joint (intensity) stereo layer I not supported — "
-                "bound-dependent layout"
-            )
         channels = 1 if mode == 3 else 2
+        # intensity bound: below it channels are independent, at/above
+        # it allocation + sample codes are shared (scalefactors stay
+        # per-channel). Non-joint modes behave as bound = 32.
+        bound = 4 * (((b3 >> 4) & 0x03) + 1) if mode == 1 else 32
         bitrate = _BITRATES_L1[br_idx - 1]
         rate = _SAMPLE_RATES_V1[sr_idx]
         size = _frame_bytes(bitrate, rate, padding)
         if pos + size > len(payload):
             raise ValueError("truncated final frame")
         if meta is None:
-            meta = (bitrate, rate, channels)
-        elif meta != (bitrate, rate, channels):
+            meta = (bitrate, rate, channels, bound)
+        elif meta != (bitrate, rate, channels, bound):
             raise ValueError("heterogeneous frame parameters in stream")
         body = payload[pos + 4 + (2 if protection == 0 else 0) : pos + size]
         r = _BitReader(body)
         alloc = np.zeros((32, channels), np.int64)
         for sb in range(32):
-            for ch in range(channels):
+            shared = channels == 2 and sb >= bound
+            for ch in range(1 if shared else channels):
                 a = r.read(4)
                 if a == 15:
                     raise ValueError("reserved layer-I allocation 15")
                 alloc[sb, ch] = a
+            if shared:
+                alloc[sb, 1] = alloc[sb, 0]
         sf = np.full((32, channels), -1, np.int64)
         for sb in range(32):
             for ch in range(channels):
@@ -268,16 +309,19 @@ def decode_layer1(payload: bytes) -> dict:
         codes = np.zeros((12, 32, channels), np.int64)
         for s in range(12):
             for sb in range(32):
-                for ch in range(channels):
+                shared = channels == 2 and sb >= bound
+                for ch in range(1 if shared else channels):
                     if alloc[sb, ch]:
                         codes[s, sb, ch] = r.read(int(alloc[sb, ch]) + 1)
+                if shared:
+                    codes[s, sb, 1] = codes[s, sb, 0]
         frames.append((alloc, sf, codes))
         pos += size
     if pos != len(payload):
         raise ValueError("trailing bytes after final frame")
     if not frames:
         raise ValueError("no layer I frames")
-    bitrate, rate, channels = meta
+    bitrate, rate, channels, bound = meta
     alloc = np.stack([f[0] for f in frames])
     sf = np.stack([f[1] for f in frames])
     codes = np.stack([f[2] for f in frames])
@@ -299,6 +343,7 @@ def decode_layer1(payload: bytes) -> dict:
         "sample_rate": rate,
         "bitrate_kbps": bitrate,
         "channels": channels,
+        "bound": bound if channels == 2 and bound < 32 else None,
         "n_frames": len(frames),
         "alloc": alloc,
         "sf_idx": sf,

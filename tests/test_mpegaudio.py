@@ -129,6 +129,40 @@ class TestHandAssembled:
         assert d["subbands"][0, 1, 0, 0] == requantize(1, 2, scalefactor(3))
         assert d["subbands"][0, 1, 0, 1] == requantize(1, 4, scalefactor(9))
 
+    def test_joint_stereo_hand_assembled(self):
+        # mode 01, mode_extension 0 -> bound 4: subband 0 is
+        # independent (left-only allocation here), subband 5 is in the
+        # intensity region — ONE allocation field, ONE code per sample
+        # time, but per-channel scalefactors
+        header = bytes([0xFF, 0xFF, 0x18, 0x40])
+        bits = ""
+        for sb in range(4):  # below bound: two alloc fields each
+            bits += ("0001" "0000") if sb == 0 else "00000000"
+        for sb in range(4, 32):  # at/above bound: one alloc field
+            bits += "0010" if sb == 5 else "0000"
+        bits += "000000"  # sf for sb0 left (idx 0)
+        bits += "000011" + "000110"  # sb5: left sf 3, right sf 6
+        left_codes = [s % 4 for s in range(12)]
+        shared_codes = [(s * 3) % 8 for s in range(12)]
+        for s in range(12):
+            bits += f"{left_codes[s]:02b}"  # sb0 left, nb=2
+            bits += f"{shared_codes[s]:03b}"  # sb5 shared, nb=3
+        payload = header + _bits_to_bytes(bits, 44)
+        d = decode_layer1(payload)
+        assert d["channels"] == 2 and d["bound"] == 4
+        assert d["alloc"][0, 0, 0] == 1 and d["alloc"][0, 0, 1] == 0
+        assert d["alloc"][0, 5, 0] == 2 and d["alloc"][0, 5, 1] == 2
+        assert d["sf_idx"][0, 5, 0] == 3 and d["sf_idx"][0, 5, 1] == 6
+        np.testing.assert_array_equal(d["codes"][0, :, 0, 0], left_codes)
+        np.testing.assert_array_equal(d["codes"][0, :, 5, 0], shared_codes)
+        np.testing.assert_array_equal(  # shared code mirrored
+            d["codes"][0, :, 5, 0], d["codes"][0, :, 5, 1]
+        )
+        # intensity: same shape, per-channel level
+        for s, c in enumerate(shared_codes):
+            assert d["subbands"][0, s, 5, 0] == requantize(c, 3, scalefactor(3))
+            assert d["subbands"][0, s, 5, 1] == requantize(c, 3, scalefactor(6))
+
     def test_two_frames(self):
         alloc = [0] * 32
         alloc[0] = 1
@@ -149,8 +183,10 @@ class TestHandAssembled:
             decode_layer1(good[:20])
         with pytest.raises(ValueError, match="trailing"):
             decode_layer1(good + b"\x01")
-        with pytest.raises(ValueError, match="joint"):
-            decode_layer1(bytes([0xFF, 0xFF, 0x18, 0x40]) + b"\x00" * 44)
+        # an all-silent joint frame is legal (bound 4, no allocations):
+        # alloc bits = 4*8 + 28*4 = 144 bits, rest padding
+        silent = decode_layer1(bytes([0xFF, 0xFF, 0x18, 0x40]) + b"\x00" * 44)
+        assert silent["bound"] == 4 and silent["channels"] == 2
         bad_alloc = bytearray(good)
         bad_alloc[4] = 0xF0  # subband 0 allocation = 15
         with pytest.raises(ValueError, match="allocation 15"):
@@ -188,6 +224,47 @@ class TestEncoder:
         d = decode_layer1(payload)
         assert d["channels"] == 2
         np.testing.assert_array_equal(d["codes"][:, :, 2, :], codes[:, :, 0, :])
+
+    def test_round_trip_joint(self):
+        rng = np.random.default_rng(13)
+        alloc = [0] * 32
+        alloc[1] = 3  # below bound 8: independent channels
+        alloc[20] = 5  # above: shared codes
+        codes = np.zeros((3, 12, 2, 2), np.int64)
+        codes[:, :, 0, :] = rng.integers(0, 16, size=(3, 12, 2))
+        shared = rng.integers(0, 64, size=(3, 12))
+        codes[:, :, 1, 0] = shared
+        codes[:, :, 1, 1] = shared
+        payload = encode_layer1(
+            codes, alloc, [(3, 3), (9, 21)], 448, 32000,
+            channels=2, joint_bound=8,
+        )
+        d = decode_layer1(payload)
+        assert d["bound"] == 8
+        np.testing.assert_array_equal(d["codes"][:, :, 1, :], codes[:, :, 0, :])
+        np.testing.assert_array_equal(d["codes"][:, :, 20, 0], shared)
+        np.testing.assert_array_equal(d["codes"][:, :, 20, 1], shared)
+        assert np.all(d["sf_idx"][:, 20, 0] == 9)
+        assert np.all(d["sf_idx"][:, 20, 1] == 21)
+
+    def test_joint_requires_identical_shared_codes(self):
+        codes = np.zeros((1, 12, 1, 2), np.int64)
+        codes[0, 0, 0, 0] = 1  # differs across channels at sb >= bound
+        alloc = [0] * 32
+        alloc[10] = 1
+        with pytest.raises(ValueError, match="identical codes"):
+            encode_layer1(
+                codes, alloc, [0], 448, 32000, channels=2, joint_bound=4
+            )
+        with pytest.raises(ValueError, match="joint_bound"):
+            encode_layer1(
+                np.zeros((1, 12, 1), np.int64), alloc, [0], 448, 32000,
+                channels=1, joint_bound=4,
+            )
+        with pytest.raises(ValueError, match="joint_bound"):
+            encode_layer1(
+                codes, alloc, [0], 448, 32000, channels=2, joint_bound=5
+            )
 
     def test_encoder_validation(self):
         codes = np.zeros((1, 12, 1), np.int64)

@@ -362,3 +362,31 @@ def test_windowed_funnel_is_single_user_shuffle(spark, sf_dir):
     df = fn(spark, sf_dir)
     assert count_shuffles(df) == 1, explain_str(df, "simple")
     assert not uses_python_worker(df)
+
+
+def test_probe_media_and_mpeg_decode_are_map_only(spark, sf_dir):
+    # the round-8 ingestion probes: synth -> mapInPandas probe/decode.
+    # One deliberate repartition spreads the single-file doc scan; the
+    # probe/decode stages themselves add NO further exchange — at
+    # 100 TB both are embarrassingly parallel header/bit walks
+    from polars_matmul_spark.queries_multimodal import MULTIMODAL_QUERIES
+
+    for name in ("probe_media", "mpeg_layer1_decode"):
+        fn, _ = MULTIMODAL_QUERIES[name]
+        df = fn(spark, sf_dir)
+        assert count_shuffles(df) == 1, (name, explain_str(df, "simple"))
+        plan = explain_str(df, "simple")
+        assert "CartesianProduct" not in plan, name
+
+
+def test_rawbytes_ingest_join_is_equi_not_nested_loop(spark, sf_dir):
+    # expand -> transcode are chained mapInPandas stages; the only
+    # join glues decoded text back by the composite long key — must be
+    # an equi hash/sortmerge join, never a nested loop over members
+    from polars_matmul_spark.queries_multimodal import MULTIMODAL_QUERIES
+
+    fn, _ = MULTIMODAL_QUERIES["rawbytes_ingest"]
+    df = fn(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
