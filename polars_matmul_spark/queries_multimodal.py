@@ -559,14 +559,19 @@ def _rawbytes_ingest(spark, sf_dir):
                     "big.bin": b"x" * (cap + 1),
                 }
                 buf = io.BytesIO()
+                # compresslevel 1: the synthesis plays the crawler and
+                # is not what the row measures; member_size oracles are
+                # DECOMPRESSED sizes, so codec settings are semantics-free
                 if did % 2 == 0:
                     with zipfile.ZipFile(
-                        buf, "w", zipfile.ZIP_DEFLATED
+                        buf, "w", zipfile.ZIP_DEFLATED, compresslevel=1
                     ) as zf:
                         for name, data in members.items():
                             zf.writestr(name, data)
                 else:
-                    with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+                    with tarfile.open(
+                        fileobj=buf, mode="w:gz", compresslevel=1
+                    ) as tf:
                         for name, data in members.items():
                             ti = tarfile.TarInfo(name)
                             ti.size = len(data)
@@ -575,7 +580,12 @@ def _rawbytes_ingest(spark, sf_dir):
             yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
 
     arch = docs.mapInPandas(build, "asset_id long, payload binary")
-    members = expand_archives(arch, max_member_bytes=cap)
+    # the good/quarantine branches below both read `members`; without
+    # a checkpoint the union recomputes the synth+expand python stages
+    # once per branch (the winnow gram_arrays pattern)
+    members = expand_archives(arch, max_member_bytes=cap).localCheckpoint(
+        eager=False
+    )
     # (asset_id, member_path) is the natural key; encode it into one
     # long for the transcoder, then join the text columns back —
     # monotonically_increasing_id would NOT be stable across the two
