@@ -299,6 +299,48 @@ class TestEncoder:
         assert decode_layer1(payload)["n_frames"] == 3
 
 
+class TestProperties:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @staticmethod
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(1, 4),  # n_frames
+        st.lists(  # (subband, alloc) for up to 4 active subbands
+            st.tuples(st.integers(0, 31), st.integers(1, 8)),
+            min_size=1, max_size=4, unique_by=lambda t: t[0],
+        ),
+        st.lists(st.integers(0, 62), min_size=4, max_size=4),
+        st.randoms(use_true_random=False),
+    )
+    def test_round_trip_any_allocation(nf, subs, sfs, rnd):
+        # every (allocation, scalefactor, code) combination the format
+        # allows must survive encode -> decode bit-exactly
+        alloc = [0] * 32
+        for sb, a in subs:
+            alloc[sb] = a
+        active = [sb for sb in range(32) if alloc[sb]]
+        codes = np.array(
+            [
+                [
+                    [rnd.randrange(1 << (alloc[sb] + 1)) for sb in active]
+                    for _ in range(12)
+                ]
+                for _ in range(nf)
+            ],
+            np.int64,
+        )
+        sf_idx = sfs[: len(active)] + [0] * max(0, len(active) - 4)
+        payload = encode_layer1(codes, alloc, sf_idx, 448, 32000)
+        d = decode_layer1(payload)
+        assert d["n_frames"] == nf
+        np.testing.assert_array_equal(d["codes"][:, :, active], codes)
+        for i, sb in enumerate(active):
+            assert np.all(d["sf_idx"][:, sb] == sf_idx[i])
+            assert np.all(d["alloc"][:, sb] == alloc[sb])
+
+
 def test_decode_table_quarantines_bad_payloads(spark):
     alloc = [0] * 32
     alloc[7] = 6
