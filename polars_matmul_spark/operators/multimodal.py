@@ -68,6 +68,7 @@ __all__ = [
     "decoded_asset_stats",
     "resize_bmp_real",
     "frame_sample_gif",
+    "triage_assets",
 ]
 
 #: fixed fake-image width; height is derived from the payload length
@@ -1005,3 +1006,64 @@ def resize_bmp_real(
             )
 
     return df.select(id_col, "payload").mapInPandas(resize, schema)
+
+
+def triage_assets(
+    df: DataFrame, id_col: str = "asset_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Probe -> route -> decode, one call (round 8): the composition a
+    raw-crawl ASSET pipeline runs after archive expansion, packaged as
+    an operator instead of example glue. Every payload is container-
+    probed (``mediaprobe.probe_media_table`` — header-bounded), the
+    really-decodable containers flow through ``decoded_asset_stats``
+    (WAV/FLAC/PNG/BMP/GIF, lossless + self-verified), MPEG-1 Layer I
+    streams additionally through ``mpegaudio.decode_layer1_table``
+    (payload-bit decode: code counts + digest), and everything else
+    keeps its probe row with null decode stats — one unified table, no
+    asset dropped.
+
+    -> probe columns (container/codec/duration/bitrate/dims/frames/
+    tracks) + decode-stat columns (``decoded_*`` prefix collisions
+    resolved in favor of the probe) + Layer I columns
+    (l1_n_frames/l1_n_codes/l1_code_digest/l1_error).
+
+    Scale: three mapInPandas stages over the same scan plus two
+    id-keyed equi-joins of slim stat rows — payloads are never
+    shuffled (joins carry only scalars), and each stage is
+    embarrassingly parallel. At 100 TB route the decode stages at
+    write time and persist this table as the asset catalog.
+    """
+    from polars_matmul_spark.operators.mediaprobe import probe_media_table
+    from polars_matmul_spark.operators.mpegaudio import decode_layer1_table
+
+    src = df.select(
+        id_col, F.col(payload_col).alias("payload")
+    ).localCheckpoint(eager=False)
+    probe = probe_media_table(src, id_col, "payload")
+    stats = decoded_asset_stats(src, id_col).select(
+        id_col,
+        F.col("container").alias("dec_container"),
+        F.col("sample_rate").alias("dec_sample_rate"),
+        "n_samples",
+        F.col("duration_s").alias("dec_duration_s"),
+        "audio_rms",
+        F.col("width").alias("dec_width"),
+        F.col("height").alias("dec_height"),
+        "mean_r", "mean_g", "mean_b",
+    )
+    l1 = (
+        probe.filter(
+            (F.col("container") == "mp3")
+            & (F.col("codec") == "mpeg1-layer1")
+        )
+        .select(id_col)
+        .join(src, id_col)
+    )
+    l1_stats = decode_layer1_table(l1, id_col, "payload").select(
+        id_col,
+        F.col("n_frames").alias("l1_n_frames"),
+        F.col("n_codes").alias("l1_n_codes"),
+        F.col("code_digest").alias("l1_code_digest"),
+        F.col("error").alias("l1_error"),
+    )
+    return probe.join(stats, id_col, "left").join(l1_stats, id_col, "left")

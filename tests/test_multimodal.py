@@ -494,3 +494,53 @@ def test_decoded_stats_row_survives_non_ascii_text(spark, tmp_path):
         sorted(d.columns)
     ).reset_index(drop=True)
     assert s.equals(d.astype(s.dtypes.to_dict()))
+
+
+def test_triage_assets_unified_table(spark):
+    """probe -> route -> decode composition: a mixed crawl batch (WAV,
+    FLAC, MPEG-1 Layer I, MP4 fragment, opaque) triages into ONE table
+    — probe metadata for everything, real decode stats where a decoder
+    exists, Layer I payload-digest columns for MPEG audio."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from polars_matmul_spark.operators.flac import encode_flac
+    from polars_matmul_spark.operators.mpegaudio import encode_layer1
+
+    sig = ((np.arange(400) % 200) - 100) * 128
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(sig.astype("<i2").tobytes())
+    wav = buf.getvalue()
+    flac = encode_flac(sig, 8000, bps=16)
+    alloc = [6] * 12 + [0] * 20
+    codes = (np.arange(2 * 12 * 12) % 128).reshape(2, 12, 12)
+    mp1 = encode_layer1(codes, alloc, [3] * 12, 448, 32000)
+    mp4 = struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 0)
+    rows = [(1, wav), (2, flac), (3, mp1), (4, mp4), (5, b"\x00junk")]
+    out = {
+        r.asset_id: r
+        for r in M.triage_assets(
+            spark.createDataFrame(rows, "asset_id long, payload binary")
+        ).collect()
+    }
+    assert len(out) == 5
+    assert out[1].container == "wav" and out[1].dec_container == "wav"
+    assert out[1].n_samples == 400 and out[1].audio_rms > 0
+    assert out[2].container == "flac" and out[2].dec_container == "flac"
+    assert out[2].audio_rms == out[1].audio_rms  # lossless: same signal
+    assert out[3].container == "mp3" and out[3].codec == "mpeg1-layer1"
+    assert out[3].l1_n_frames == 2 and out[3].l1_n_codes == 288
+    flat = codes.ravel()
+    assert out[3].l1_code_digest == int(
+        (flat * (np.arange(flat.size) + 1)).sum()
+    )
+    assert out[3].dec_container == "opaque"  # stats op has no L1 branch
+    assert out[4].container == "mp4" and out[4].l1_n_frames is None
+    assert out[5].container == "opaque" and out[5].audio_rms is None
