@@ -360,3 +360,23 @@ def test_decode_table_quarantines_bad_payloads(spark):
         (flat * (np.arange(flat.size) + 1)).sum()
     )
     assert got[2].error is not None and got[2].n_frames is None
+
+
+def test_empty_input_tables_yield_empty_not_error(spark):
+    # the verify-probe doctrine: an empty query side must produce a
+    # typed empty result, never an exception
+    from polars_matmul_spark.operators.mediaprobe import probe_media_table
+    from polars_matmul_spark.operators.multimodal import triage_assets
+    from polars_matmul_spark.operators.rawbytes import (
+        decode_text_payloads,
+        expand_archives,
+    )
+
+    empty = spark.createDataFrame([], "asset_id long, payload binary")
+    assert decode_layer1_table(empty).count() == 0
+    assert probe_media_table(empty).count() == 0
+    assert expand_archives(empty).count() == 0
+    assert decode_text_payloads(empty).count() == 0
+    out = triage_assets(empty)
+    assert out.count() == 0
+    assert "l1_code_digest" in out.columns  # schema stable when empty
