@@ -179,18 +179,34 @@ def _skip_subblocks(payload: bytes, pos: int) -> int:
         pos += size
 
 
-def decode_gif(payload: bytes) -> tuple[list[np.ndarray], list[int]]:
+def decode_gif(
+    payload: bytes, max_pixels: int = 1 << 26
+) -> tuple[list[np.ndarray], list[int]]:
     """REAL GIF decode — pure NumPy. Returns ``(frames, delays)``:
     COMPOSITED uint8 ``(h, w, 3)`` RGB frames at the logical-screen
     size (transparency shows the prior canvas through; disposal 2
     restores the background color, disposal 3 the previous canvas)
     plus per-frame delays in centiseconds (0 for still images).
-    Raises ValueError on non-GIF or malformed streams."""
+    Raises ValueError on non-GIF or malformed streams.
+
+    ``max_pixels`` (default 64M — a 8192x8192 canvas) is the
+    decompression-bomb guard: the logical-screen dims come from two
+    untrusted header shorts, and a 34-byte corrupt stream can claim a
+    17217x50390 canvas that costs seconds of allocation+compositing
+    before the truncation is even discovered (fuzz-found, round 8) —
+    the same guard Pillow ships as ``MAX_IMAGE_PIXELS``. Raise it
+    explicitly for genuinely huge assets."""
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload (missing GIF87a/89a header)")
     w, h = struct.unpack_from("<HH", payload, 6)
     if w < 1 or h < 1:
         raise ValueError(f"bad GIF dimensions {w}x{h}")
+    if w * h > max_pixels:
+        raise ValueError(
+            f"GIF logical screen {w}x{h} exceeds max_pixels={max_pixels} "
+            "(decompression-bomb guard; pass a larger max_pixels to "
+            "decode it anyway)"
+        )
     packed, bg = payload[10], payload[11]
     pos = 13
     gct = None

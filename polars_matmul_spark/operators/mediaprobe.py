@@ -93,7 +93,16 @@ def probe_mp3(payload: bytes) -> dict:
     channels of the first frame, first-frame bitrate_kbps, ``vbr``
     (any bitrate change across frames), exact ``n_frames`` and
     ``duration_s`` (frames x samples-per-frame / rate). Raises
-    ValueError when no MPEG frame sync is found."""
+    ValueError when no MPEG frame sync is found (and for any malformed
+    stream — the same parse-failure contract guard as
+    :func:`probe_mp4`)."""
+    try:
+        return _probe_mp3(payload)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"malformed MPEG audio stream: {exc}") from exc
+
+
+def _probe_mp3(payload: bytes) -> dict:
     start, end = 0, len(payload)
     if payload[:3] == b"ID3" and len(payload) >= 10:
         sz = 0
@@ -257,7 +266,18 @@ def probe_mp4(payload: bytes) -> dict:
     video dimensions (stsd sample entry, tkhd fallback), audio
     channels/sample-rate, and stsz sample counts. Pure box-walk — no
     codec work, no sample data touched. Raises ValueError on non-BMFF
-    or malformed box trees."""
+    or malformed box trees — ALL parse failures, including truncated
+    box bodies that would otherwise surface as struct.error or
+    IndexError (fuzz-found, round 8: a correctly-sized mvhd/mdhd/stsd
+    box with a short BODY escaped the ValueError contract and would
+    kill a Spark task instead of quarantining the asset)."""
+    try:
+        return _probe_mp4(payload)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"malformed MP4 box body: {exc}") from exc
+
+
+def _probe_mp4(payload: bytes) -> dict:
     if len(payload) < 12 or payload[4:8] != b"ftyp":
         raise ValueError("not an ISO-BMFF payload (missing ftyp)")
     brand = payload[8:12].decode("latin-1").strip()

@@ -314,3 +314,20 @@ class TestIntegration:
         assert {(r.height, r.width) for r in got} == {(3, 3)}
         with pytest.raises(ValueError, match="every"):
             M.frame_sample_gif(df, every=0)
+
+
+def test_decompression_bomb_guard():
+    # fuzz-found (round 8): a 34-byte stream claiming a 17217x50390
+    # logical screen cost ~19s of allocation+compositing before the
+    # truncation surfaced; the guard must reject it instantly
+    import struct
+    import time
+
+    bomb = b"GIF89a" + struct.pack("<HH", 50000, 50000) + b"\x00" * 24
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError, match="max_pixels"):
+        decode_gif(bomb)
+    assert time.perf_counter() - t0 < 0.1
+    # and the cap is a parameter, not a hard wall
+    with pytest.raises(ValueError, match="truncated|missing|bad GIF|block"):
+        decode_gif(bomb, max_pixels=1 << 40)

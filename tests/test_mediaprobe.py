@@ -233,3 +233,42 @@ def test_probe_media_table(spark):
     assert got[3].container == "flac"
     assert got[4].container == "opaque"
     assert got[5].container == "mp3" and got[5].n_frames == 2
+
+
+class TestParseFailureContract:
+    def test_short_box_bodies_raise_valueerror_not_struct_error(self):
+        # fuzz-found (round 8): a correctly-SIZED box with a short BODY
+        # walked into unpack_from/indexing and escaped as struct.error/
+        # IndexError — in probe_media_table that kills the Spark task
+        # instead of quarantining the asset
+        def box(t, body):
+            return struct.pack(">I", 8 + len(body)) + t + body
+
+        ftyp = box(b"ftyp", b"isom" + b"\x00" * 4)
+        cases = [
+            ftyp + box(b"moov", box(b"mvhd", b"")),
+            ftyp + box(b"moov", box(b"mvhd", b"\x00" * 8)),
+            ftyp + box(b"moov", box(b"trak", box(b"mdia", box(b"mdhd", b"")))),
+            ftyp + box(b"moov", box(b"trak", box(b"mdia",
+                box(b"mdhd", b"\x01" + b"\x00" * 10)))),
+            ftyp + box(b"moov", box(b"trak", box(b"mdia", box(b"minf",
+                box(b"stbl", box(b"stsd", b"\x00" * 5)))))),
+            ftyp + box(b"moov", box(b"trak", box(b"mdia", box(b"minf",
+                box(b"stbl", box(b"stsz", b"\x00" * 5)))))),
+        ]
+        for p in cases:
+            with pytest.raises(ValueError):
+                probe_mp4(p)
+
+    def test_probe_table_quarantines_short_bodies(self, spark):
+        def box(t, body):
+            return struct.pack(">I", 8 + len(body)) + t + body
+
+        bad = (box(b"ftyp", b"isom" + b"\x00" * 4)
+               + box(b"moov", box(b"mvhd", b"\x00" * 8)))
+        rows = probe_media_table(
+            spark.createDataFrame(
+                [(1, bad)], "asset_id long, payload binary"
+            )
+        ).collect()
+        assert rows[0].container == "opaque"  # quarantined, not crashed
