@@ -180,7 +180,7 @@ def main() -> None:
         "topk_cosine",
         "matmul_flatten",
         "embedding_neardup_cosine",
-        "token_counts",
+        # token_counts left the registry in the round-8 third rotation
         "gopher_quality",
         "neardup_ngram_jaccard",
         "neardup_minhash_lsh",
@@ -236,6 +236,7 @@ def main() -> None:
         "probe_media",
         "rawbytes_ingest",
         "mpeg_layer1_decode",
+        "warc_extract",
     ]
     # best-of-2 per query (the round-2 bench recorded 2-6x phantom
     # regressions that two idle reruns traced to transient machine

@@ -507,6 +507,92 @@ FROM base b JOIN dig d USING (asset_id)
 """
 
 
+# --- WARC record extraction --------------------------------------------------
+#
+# Round-8 third wave: the Common Crawl container itself. Each document
+# becomes one WARC/1.0 response record (even doc_ids wrapped as a gzip
+# member — the per-record-gzip layout crawlers actually ship — odd
+# ones left uncompressed) whose HTTP payload body IS the document
+# text; warc_table walks the version line, the CRLF named fields, the
+# Content-Length framing and the HTTP response split, and DuckDB
+# replays every extracted field from text arithmetic (body digested as
+# sha256 — binary columns stay out of the driver's canonicalizer, the
+# round-1 lesson). Equality proves the full record walk end-to-end.
+
+
+def _warc_extract(spark, sf_dir):
+    import gzip
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from polars_matmul_spark.operators.warc import warc_table
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select(
+            "doc_id",
+            F.regexp_replace("text", "[^\\x00-\\x7F]", "?").alias("text"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                body = (text or "").encode("ascii", "replace")
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+                    + b"Content-Length: " + str(len(body)).encode()
+                    + b"\r\n\r\n" + body
+                )
+                rec = (
+                    b"WARC/1.0\r\n"
+                    b"WARC-Type: response\r\n"
+                    + f"WARC-Record-ID: <urn:doc:{did}>\r\n".encode()
+                    + f"WARC-Target-URI: http://corpus/{did}\r\n".encode()
+                    + b"Content-Type: application/http;msgtype=response\r\n"
+                    + b"Content-Length: " + str(len(http)).encode()
+                    + b"\r\n\r\n" + http + b"\r\n\r\n"
+                )
+                payloads.append(
+                    gzip.compress(rec) if did % 2 == 0 else rec
+                )
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
+
+    raw = docs.mapInPandas(build, "asset_id long, payload binary")
+    out = warc_table(raw)
+    return out.select(
+        "asset_id", "record_offset", "warc_type", "record_id",
+        "target_uri", "warc_content_type", "http_status",
+        "http_content_type",
+        F.sha2("body", 256).alias("body_sha256"),
+        F.octet_length("body").cast("long").alias("body_len"),
+        "error",
+    )
+
+
+_WARC_EXTRACT_ORACLE = """
+WITH norm AS (
+  SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g') AS text
+  FROM documents
+)
+SELECT doc_id AS asset_id,
+       CAST(0 AS BIGINT) AS record_offset,
+       'response' AS warc_type,
+       '<urn:doc:' || doc_id || '>' AS record_id,
+       'http://corpus/' || doc_id AS target_uri,
+       'application/http;msgtype=response' AS warc_content_type,
+       CAST(200 AS BIGINT) AS http_status,
+       'text/plain' AS http_content_type,
+       sha256(text) AS body_sha256,
+       CAST(length(text) AS BIGINT) AS body_len,
+       CAST(NULL AS VARCHAR) AS error
+FROM norm
+"""
+
+
 # --- raw-crawl ingestion: archive expand + transcode ------------------------
 #
 # Round-8 rotation, second row: the rawbytes surface (zip and
@@ -659,6 +745,10 @@ MULTIMODAL_QUERIES: dict[str, tuple] = {
     # (profile_lineitem rotated out — profile_diff keeps the family's
     # driver row with strictly more of the same mechanism)
     "mpeg_layer1_decode": (_mpeg_layer1, _MPEG_LAYER1_ORACLE),
+    # round-8 rotation, third wave: WARC — the container web crawls
+    # actually arrive in (token_counts rotated to the pytest gate;
+    # tokenize-and-count stays driver-exercised in three other rows)
+    "warc_extract": (_warc_extract, _WARC_EXTRACT_ORACLE),
     # mm_byte_histogram rotated out in round 6 (the vectorized-decode
     # family keeps its driver row via mm_decoded_stats — the REAL
     # decoder path — and the histogram keeps its exact value

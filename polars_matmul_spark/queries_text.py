@@ -633,7 +633,11 @@ _EXCISE_CMS_ORACLE = _excise_reassembly_sql(
 # query away brings the registry to exactly 50 with zero coverage loss.
 
 TEXT_QUERIES: dict[str, tuple] = {
-    "token_counts": (_token_counts, _TOKEN_COUNTS_ORACLE),
+    # token_counts rotated out in round 8 (row-local tokenize-and-count
+    # stays driver-exercised inside token_shards_assign / bpe_encode /
+    # gopher_quality; exact value comparison moves to the rotated-query
+    # gate) so the WARC extraction surface gets a driver row
+    # (queries_multimodal.py):
     # lang_id rotated out in round 5 (pure-Catalyst CASE chain of the
     # same family as token_counts/quality_score which both stay green;
     # the function remains above and its JVM-only plan is pinned in

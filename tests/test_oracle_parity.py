@@ -171,6 +171,8 @@ def _rotated_queries():
         "cms_word_counts": (qd._cms_word_counts, qd._CMS_WORD_ORACLE),
         # round-8 second wave: slot freed for mpeg_layer1_decode
         "profile_lineitem": (qp._profile_lineitem, qp._profile_oracle()),
+        # round-8 third wave: slot freed for warc_extract
+        "token_counts": (qt._token_counts, qt._TOKEN_COUNTS_ORACLE),
     }
 
 

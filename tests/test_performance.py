@@ -201,7 +201,7 @@ _CEILINGS_SF01 = {
     "ann_ivf_topk": 10.0,
     "neardup_minhash_lsh": 16.0,
     "q1_pricing_summary": 12.0,
-    "token_counts": 2.5,
+    # token_counts left the registry in the round-8 third rotation
     # round-4 registry additions (idle walls ~2.0s / ~2.1s)
     "scd2_customers": 8.0,
     "quantized_topk_rerank": 9.0,
@@ -261,6 +261,9 @@ _CEILINGS_SF01 = {
     "probe_media": 3.0,
     "rawbytes_ingest": 14.0,
     "mpeg_layer1_decode": 5.0,
+    # round-8 third rotation (idle warm wall ~1.1 s; token_counts
+    # ceiling retired with its rotation)
+    "warc_extract": 4.5,
 }
 
 
