@@ -49,7 +49,8 @@ def sniff_archive(payload: bytes) -> str | None:
     tars, resolved AFTER the outer codec) | 'gzip' | 'bz2' | 'xz' |
     None. A gzip/bz2/xz stream is reported as itself — whether it
     wraps a tar is decided by :func:`expand_archives` after one
-    bounded decompression step."""
+    bounded decompression step. (Multi-member gzip — the WARC
+    per-record layout — is the scope of ``operators.warc``.)"""
     if payload[:4] in (b"PK\x03\x04", b"PK\x05\x06", b"PK\x07\x08"):
         return "zip"
     if payload[:2] == b"\x1f\x8b":
