@@ -1,0 +1,168 @@
+"""URL curation operators — the crawl-side vocabulary between WARC
+extraction and text dedup: canonicalize URLs so that trivially-equal
+addresses collide, key documents by host, and cap per-domain document
+counts (the standard anti-SEO-spam / diversity gate every large crawl
+pipeline runs before content-level dedup).
+
+Everything here is PURE Catalyst column expressions — regexp/string
+builtins that whole-stage-codegen, no Python worker, no UDF — so the
+operators run at scan speed on 100 TB and replay exactly in any SQL
+engine (the oracle-parity property the repo's gates rely on).
+
+Canonicalization scope (deliberately syntactic — no network, no IDNA
+table, no public-suffix list offline; each step is a documented
+spec-level normalization from RFC 3986 §6):
+
+- scheme + host lower-cased; scheme defaulted to ``http`` when absent
+- explicit default ports stripped (``:80`` http, ``:443`` https)
+- fragment dropped; trailing ``?`` / lone ``#`` dropped
+- tracking query parameters removed (``utm_*``, ``gclid``, ``fbclid``,
+  ``msclkid``, ``ref`` — the conventional analytics set), remaining
+  parameters SORTED so order never splits a URL into two keys
+- duplicate ``/`` runs in the path collapsed, trailing ``/`` removed
+  (except the bare root)
+
+``registrable_host_key`` approximates the registrable domain with the
+last-two-labels heuristic plus the common two-level public suffixes
+(``co.uk``-style) — documented as a heuristic: a full public-suffix
+list is data this container does not ship, and the column is a
+GROUPING key (caps/diversity), not an identity claim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "canonicalize_url",
+    "host_of",
+    "registrable_host_key",
+    "cap_docs_per_domain",
+]
+
+_TRACKING = r"(utm_[a-z]+|gclid|fbclid|msclkid|ref)=[^&#]*"
+
+# common second-level public suffixes where the registrable domain is
+# three labels (heuristic subset; see module docstring)
+_TWO_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "com.br", "com.cn", "com.mx",
+    "co.in", "co.kr", "com.tr", "com.ar",
+)
+
+
+def canonicalize_url(url: Column) -> Column:
+    """RFC 3986 §6 syntactic normalization as one Catalyst expression
+    chain (see module docstring for the exact step list). NULL-safe:
+    null stays null; a schemeless input gains ``http://``."""
+    u = F.trim(url)
+    # default scheme, then split once into scheme / rest
+    u = F.when(u.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), u).otherwise(
+        F.concat(F.lit("http://"), u)
+    )
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    # fragment first: everything after # never reaches the server
+    rest = F.regexp_replace(rest, r"#.*$", "")
+    authority = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+    tail = F.regexp_replace(rest, r"^[^/?]*", "")
+    # strip explicit default ports
+    authority = (
+        F.when(scheme == "http", F.regexp_replace(authority, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(authority, ":443$", ""))
+        .otherwise(authority)
+    )
+    path = F.regexp_extract(tail, r"^([^?]*)", 1)
+    query = F.regexp_extract(tail, r"^[^?]*\?(.*)$", 1)
+    # path: collapse // runs, drop trailing / (keep bare root)
+    path = F.regexp_replace(path, r"/{2,}", "/")
+    path = F.regexp_replace(path, r"(.)/$", "$1")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    # query: strip tracking params, collapse leftover separators, sort
+    query = F.regexp_replace(query, _TRACKING, "")
+    query = F.regexp_replace(query, r"&{2,}", "&")
+    query = F.regexp_replace(query, r"^&|&$", "")
+    query = F.when(
+        query == "", query
+    ).otherwise(F.array_join(F.array_sort(F.split(query, "&")), "&"))
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        authority,
+        path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+    )
+
+
+def host_of(url: Column) -> Column:
+    """Lower-cased host of a URL (port and userinfo stripped);
+    schemeless inputs treated as host-first."""
+    u = F.trim(url)
+    u = F.when(u.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), u).otherwise(
+        F.concat(F.lit("http://"), u)
+    )
+    auth = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    auth = F.regexp_replace(auth, r"^.*@", "")  # userinfo
+    return F.regexp_replace(auth, r":\d+$", "")  # port
+
+
+def registrable_host_key(url: Column) -> Column:
+    """Grouping key approximating the registrable domain: the last two
+    host labels, or three when the last two form a known two-level
+    public suffix (heuristic subset — see module docstring)."""
+    host = host_of(url)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(
+        ".", F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    last3 = F.concat_ws(
+        ".",
+        F.element_at(parts, -3),
+        F.element_at(parts, -2),
+        F.element_at(parts, -1),
+    )
+    is_two_level = last2.isin(*_TWO_LEVEL_SUFFIXES)
+    return (
+        F.when(n <= 2, host)
+        .when(is_two_level & (n >= 3), last3)
+        .otherwise(last2)
+    )
+
+
+def cap_docs_per_domain(
+    df: DataFrame,
+    url_col: str = "url",
+    max_per_domain: int = 1000,
+    order_col: str | None = None,
+    descending: bool = True,
+) -> DataFrame:
+    """The anti-spam diversity gate: keep at most ``max_per_domain``
+    documents per registrable-domain key, preferring high ``order_col``
+    (a quality score) when given, else deterministic by the canonical
+    URL. One domain-keyed shuffle; the window ranks within domains
+    only (never a global sort). Adds ``domain_key`` to the output.
+
+    Skew note: a mega-domain's partition holds at most its own docs —
+    at 100 TB pair this with AQE skew-join handling or pre-filter the
+    handful of hosts above ~10^7 docs (their cap verdict needs only a
+    count, not a full rank)."""
+    if max_per_domain < 1:
+        raise ValueError("max_per_domain must be >= 1")
+    out = df.withColumn("domain_key", registrable_host_key(F.col(url_col)))
+    if order_col is not None:
+        first = (
+            F.col(order_col).desc() if descending else F.col(order_col).asc()
+        )
+        order = [first, canonicalize_url(F.col(url_col)).asc()]
+    else:
+        order = [canonicalize_url(F.col(url_col)).asc()]
+    w = Window.partitionBy("domain_key").orderBy(*order)
+    return (
+        out.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= max_per_domain)
+        .drop("__rank")
+    )

@@ -371,7 +371,7 @@ def test_probe_media_and_mpeg_decode_are_map_only(spark, sf_dir):
     # 100 TB both are embarrassingly parallel header/bit walks
     from polars_matmul_spark.queries_multimodal import MULTIMODAL_QUERIES
 
-    for name in ("probe_media", "mpeg_layer1_decode"):
+    for name in ("probe_media", "mpeg_layer1_decode", "warc_extract"):
         fn, _ = MULTIMODAL_QUERIES[name]
         df = fn(spark, sf_dir)
         assert count_shuffles(df) == 1, (name, explain_str(df, "simple"))

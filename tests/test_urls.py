@@ -1,0 +1,153 @@
+"""URL curation ops (operators/urls.py): canonicalization cases from
+RFC 3986 §6 plus the crawl-pipeline conventions (tracking params,
+query sorting), the domain-key heuristic, per-domain caps, and a plan
+gate pinning the whole family JVM-side."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_matmul_spark.operators.urls import (
+    canonicalize_url,
+    cap_docs_per_domain,
+    host_of,
+    registrable_host_key,
+)
+from polars_matmul_spark.plans.inspect import explain_str, uses_python_worker
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [
+        r.c for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()
+    ]
+
+
+CASES = [
+    # scheme/host case-folding
+    ("HTTP://Example.COM/Path", "http://example.com/Path"),
+    # default ports stripped, non-default kept
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("http://example.com:8080/a", "http://example.com:8080/a"),
+    # fragment dropped
+    ("http://a.com/p#frag", "http://a.com/p"),
+    ("http://a.com/#", "http://a.com/"),
+    # tracking params removed, remainder sorted, empty query dropped
+    ("http://a.com/p?utm_source=x&b=2&a=1", "http://a.com/p?a=1&b=2"),
+    ("http://a.com/p?gclid=abc", "http://a.com/p"),
+    ("http://a.com/p?z=1&fbclid=f&a=2", "http://a.com/p?a=2&z=1"),
+    # path normalization
+    ("http://a.com//x///y/", "http://a.com/x/y"),
+    ("http://a.com", "http://a.com/"),
+    ("http://a.com/", "http://a.com/"),
+    # schemeless input
+    ("Example.com/Q?b=1&a=1", "http://example.com/Q?a=1&b=1"),
+]
+
+
+class TestCanonicalize:
+    def test_cases(self, spark):
+        got = _canon(spark, [u for u, _ in CASES])
+        for (src, want), g in zip(CASES, got):
+            assert g == want, f"{src!r} -> {g!r}, want {want!r}"
+
+    def test_equal_urls_collide_and_different_keep_apart(self, spark):
+        same = [
+            "http://A.com:80/x//y?utm_campaign=c&b=2&a=1#top",
+            "http://a.com/x/y/?a=1&b=2",
+            "a.com/x/y?b=2&utm_source=s&a=1",
+        ]
+        different = ["http://a.com/x/y?a=2&b=2", "http://b.com/x/y?a=1&b=2"]
+        got = _canon(spark, same + different)
+        assert len(set(got[:3])) == 1
+        assert len(set(got)) == 3
+
+    def test_null_safe(self, spark):
+        df = spark.createDataFrame([(None,)], "url string")
+        assert df.select(canonicalize_url(F.col("url"))).collect()[0][0] is None
+
+
+class TestHostAndDomain:
+    @pytest.mark.parametrize(
+        "url,host,key",
+        [
+            ("http://www.Example.com/p", "www.example.com", "example.com"),
+            ("https://a.b.news.co.uk:8443/x", "a.b.news.co.uk", "news.co.uk"),
+            ("http://user:pw@sub.site.org/", "sub.site.org", "site.org"),
+            ("localhost:9000/health", "localhost", "localhost"),
+            ("http://example.com", "example.com", "example.com"),
+        ],
+    )
+    def test_host_and_key(self, spark, url, host, key):
+        df = spark.createDataFrame([(url,)], "url string")
+        r = df.select(
+            host_of(F.col("url")).alias("h"),
+            registrable_host_key(F.col("url")).alias("k"),
+        ).collect()[0]
+        assert (r.h, r.k) == (host, key)
+
+
+class TestDomainCap:
+    def test_cap_keeps_best_by_score(self, spark):
+        rows = [
+            (i, f"http://spam.com/page{i}", float(i)) for i in range(10)
+        ] + [(100, "http://ok.org/one", 1.0)]
+        df = spark.createDataFrame(rows, "doc_id long, url string, score double")
+        out = cap_docs_per_domain(
+            df, max_per_domain=3, order_col="score"
+        ).collect()
+        by_dom = {}
+        for r in out:
+            by_dom.setdefault(r.domain_key, []).append(r.doc_id)
+        assert sorted(by_dom["spam.com"]) == [7, 8, 9]  # top scores kept
+        assert by_dom["ok.org"] == [100]
+
+    def test_cap_deterministic_without_score(self, spark):
+        rows = [(i, f"http://spam.com/{chr(97 + i)}") for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        out = cap_docs_per_domain(df, max_per_domain=2)
+        got = sorted(r.doc_id for r in out.collect())
+        assert got == [0, 1]  # canonical-URL ascending: /a, /b
+        with pytest.raises(ValueError, match="max_per_domain"):
+            cap_docs_per_domain(df, max_per_domain=0)
+
+    def test_family_is_jvm_side_single_shuffle(self, spark):
+        from polars_matmul_spark.plans.inspect import count_shuffles
+
+        df = spark.createDataFrame(
+            [(1, "http://a.com/x", 0.5)], "doc_id long, url string, score double"
+        )
+        out = cap_docs_per_domain(df, order_col="score")
+        assert not uses_python_worker(out)
+        assert count_shuffles(out) == 1, explain_str(out, "simple")
+
+
+def test_canonicalization_is_exact_string_algebra(spark):
+    """The canonical form is plain deterministic string algebra —
+    independently recomputed here over 200 synthesized messy URLs and
+    compared exactly (the property that makes the op oracle-replayable
+    in any SQL engine)."""
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    ).withColumn(
+        "url",
+        F.concat(
+            F.lit("HTTP://Site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".COM:80//p"),
+            F.col("doc_id").cast("string"),
+            F.lit("/?utm_source=x&b="),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("&a=1#frag"),
+        ),
+    )
+    got = {
+        r.doc_id: r.c
+        for r in docs.select(
+            "doc_id", canonicalize_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    want = {
+        i: f"http://site{i % 7}.com/p{i}?a=1&b={i % 3}" for i in range(200)
+    }
+    assert got == want
