@@ -214,7 +214,7 @@ def main() -> None:
         # rotation)
         "cms_line_dedup",
         "priority_sample_docs",
-        "hamming_topk_srp",
+        # hamming_topk_srp left the registry in the round-8 rotation
         # round-7 rotation: span excision (exact + CMS), within-doc
         # strip, deterministic bin materialization, training mixture,
         # BPE encode
@@ -237,6 +237,7 @@ def main() -> None:
         "rawbytes_ingest",
         "mpeg_layer1_decode",
         "warc_extract",
+        "url_domain_cap",
     ]
     # best-of-2 per query (the round-2 bench recorded 2-6x phantom
     # regressions that two idle reruns traced to transient machine

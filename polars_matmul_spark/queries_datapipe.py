@@ -1340,7 +1340,10 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     # rawbytes ingest surface gets a driver row (queries_multimodal.py):
     "cms_line_dedup": (_cms_line_dedup, _CMS_LINE_DEDUP_ORACLE),
     "priority_sample_docs": (_priority_sample_docs, _PRIORITY_SAMPLE_ORACLE),
-    "hamming_topk_srp": (_hamming_topk_srp, _hamming_oracle()),
+    # hamming_topk_srp rotated out in round 8 (the SRP bit mechanics
+    # stay driver-gated through srp_neardup_bands; the Hamming top-k
+    # selection keeps its exact comparison in the rotated-query gate)
+    # so the URL-curation family gets a driver row (queries_text.py):
     # round-7 rotation: within-doc line strip, deterministic bin
     # materialization, the weighted training mixture, and BPE encode
     # get driver rows (matmul_nested / asof_purchase_click /

@@ -632,7 +632,79 @@ _EXCISE_CMS_ORACLE = _excise_reassembly_sql(
 # (mm_frame_sample) never got a CORRECTNESS row. Folding the subset
 # query away brings the registry to exactly 50 with zero coverage loss.
 
+# --- URL curation: canonicalize + per-domain cap (round 8) ------------------
+#
+# Messy URLs are synthesized deterministically from doc_id — mixed-case
+# scheme/host, explicit default port, duplicated slashes, a tracking
+# parameter, unsorted query, fragment — so their CANONICAL form has a
+# CLOSED FORM in doc_id that the oracle computes with string
+# concatenation alone. The Spark side must run the real regex
+# normalization chain (operators/urls.py) and the real domain-key +
+# windowed cap; any canonicalization bug breaks hash equality. The cap
+# keeps the top `max_per_domain` docs per registrable domain by text
+# length (tie-broken by canonical URL, which embeds doc_id — fully
+# deterministic).
+
+
+def _url_domain_cap(spark, sf_dir):
+    from polars_matmul_spark.operators.urls import (
+        canonicalize_url,
+        cap_docs_per_domain,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.length(F.regexp_replace("text", "[^\\x00-\\x7F]", "?")).alias(
+            "quality"
+        ),
+    )
+    messy = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("HTTP://Site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".COM:80//docs//"),
+            F.col("doc_id").cast("string"),
+            F.lit("/?utm_source=feed&b="),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("&a=1#frag"),
+        ),
+    )
+    kept = cap_docs_per_domain(
+        messy, max_per_domain=20, order_col="quality"
+    )
+    return kept.select(
+        "doc_id",
+        canonicalize_url(F.col("url")).alias("canon_url"),
+        "domain_key",
+        F.col("quality").cast("long").alias("quality"),
+    )
+
+
+_URL_DOMAIN_CAP_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         length(regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g')) AS quality,
+         'http://site' || (doc_id % 7) || '.com/docs/' || doc_id
+           || '?a=1&b=' || (doc_id % 3) AS canon_url,
+         'site' || (doc_id % 7) || '.com' AS domain_key
+  FROM documents
+), ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY domain_key
+           ORDER BY quality DESC, canon_url ASC
+         ) AS rk
+  FROM base
+)
+SELECT doc_id, canon_url, domain_key, CAST(quality AS BIGINT) AS quality
+FROM ranked WHERE rk <= 20
+"""
+
+
 TEXT_QUERIES: dict[str, tuple] = {
+    # round-8 third rotation: URL curation (hamming_topk_srp rotated
+    # to the pytest gate — see queries_datapipe.py)
+    "url_domain_cap": (_url_domain_cap, _URL_DOMAIN_CAP_ORACLE),
     # token_counts rotated out in round 8 (row-local tokenize-and-count
     # stays driver-exercised inside token_shards_assign / bpe_encode /
     # gopher_quality; exact value comparison moves to the rotated-query

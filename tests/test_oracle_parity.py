@@ -171,8 +171,10 @@ def _rotated_queries():
         "cms_word_counts": (qd._cms_word_counts, qd._CMS_WORD_ORACLE),
         # round-8 second wave: slot freed for mpeg_layer1_decode
         "profile_lineitem": (qp._profile_lineitem, qp._profile_oracle()),
-        # round-8 third wave: slot freed for warc_extract
+        # round-8 third wave: slots freed for warc_extract and
+        # url_domain_cap
         "token_counts": (qt._token_counts, qt._TOKEN_COUNTS_ORACLE),
+        "hamming_topk_srp": (qd._hamming_topk_srp, qd._hamming_oracle()),
     }
 
 

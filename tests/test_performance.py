@@ -241,7 +241,7 @@ _CEILINGS_SF01 = {
     # materialization, so the tight bound is back
     "cms_line_dedup": 8.0,
     "priority_sample_docs": 1.5,
-    "hamming_topk_srp": 7.0,
+    # hamming_topk_srp left the registry in the round-8 rotation
     # round-7 rotation rows; the excision pair retimed after the
     # shared-gram-pass/one-shuffle-counts rework (min walls 2.7 / 5.0 s
     # at calibration ~1.4x -> idle ~2 / 3.8 s, ceilings ~4x)
@@ -261,9 +261,11 @@ _CEILINGS_SF01 = {
     "probe_media": 3.0,
     "rawbytes_ingest": 14.0,
     "mpeg_layer1_decode": 5.0,
-    # round-8 third rotation (idle warm wall ~1.1 s; token_counts
-    # ceiling retired with its rotation)
+    # round-8 third rotation (idle warm walls ~1.1 / ~0.8 s;
+    # token_counts and hamming_topk_srp ceilings retired with their
+    # rotations)
     "warc_extract": 4.5,
+    "url_domain_cap": 3.0,
 }
 
 
