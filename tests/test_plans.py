@@ -64,13 +64,18 @@ def test_dedup_and_text_plans_stay_jvm_side(spark, sf_dir):
     assert not uses_python_worker(simhash16(docs))
     assert not uses_python_worker(neardup_pairs_minhash(docs))
     for name in (
-        "token_counts",
         "gopher_quality",
         "exact_dedup_docs",
         "winnow_dup_pairs",
+        "url_domain_cap",
     ):
         fn, _ = TEXT_QUERIES[name]
         assert not uses_python_worker(fn(spark, sf_dir)), name
+    # token_counts rotated out of the registry in round 8 — its
+    # JVM-only plan stays pinned via the query function
+    from polars_matmul_spark.queries_text import _token_counts
+
+    assert not uses_python_worker(_token_counts(spark, sf_dir))
     # lang_id and quality_score rotated out of the registry in round 5
     # — their JVM-only plans stay pinned here via the query functions
     from polars_matmul_spark.queries_text import _lang_id, _quality
