@@ -198,14 +198,10 @@ CASES = [
         "TakeOrderedAndProject — per-partition heaps feeding one "
         "k-row merge, never a global sort",
     ),
-    (
-        "hamming_topk_srp",
-        "Hamming search (round 6): one row-local signature pass "
-        "(broadcast projection matrix), queries broadcast into the "
-        "8-bytes-per-band corpus scan, integer popcount distance, "
-        "per-query top-k window over slim (q, c, dist) rows — the "
-        "float vectors are never touched after the signature pass",
-    ),
+    # hamming_topk_srp left the registry in the round-8 rotation; its
+    # plan shape stays pinned by srp_neardup_bands above (same SRP
+    # signature pass) and the rotated-query value gate
+
     (
         "excise_duplicate_spans",
         "Exact substring dedup by removal (driver row since round 7): one "
@@ -287,6 +283,20 @@ CASES_R8 = [
         "only join glues decoded text back onto member metadata by the "
         "composite long key — equi-join on batch-sized frames, "
         "quarantined members union in with no extra exchange",
+    ),
+    (
+        "warc_extract",
+        "WARC extraction (round 8): gzip-member split + record framing "
+        "+ HTTP response split all inside one mapInPandas — a single "
+        "deliberate repartition spreads the scan, then zero further "
+        "exchanges; sha digesting is a JVM-side projection on top",
+    ),
+    (
+        "url_domain_cap",
+        "URL curation (round 8): the whole canonicalization chain is "
+        "WholeStageCodegen regexp/string expressions (no Python worker "
+        "anywhere); the diversity cap is one domain-keyed window — the "
+        "single exchange in the plan — never a global sort",
     ),
 ]
 
