@@ -41,7 +41,11 @@ __all__ = [
     "cap_docs_per_domain",
 ]
 
-_TRACKING = r"(utm_[a-z]+|gclid|fbclid|msclkid|ref)=[^&#]*"
+# Anchored to a parameter boundary (start-of-query or '&') so names that
+# merely CONTAIN a tracking name survive intact: 'href=abc' is not 'ref=',
+# 'xutm_source=1' is not 'utm_source='. The boundary char is kept via $1;
+# the existing &-collapse / edge-trim steps clean up the leftover separator.
+_TRACKING = r"(^|&)(utm_[a-z]+|gclid|fbclid|msclkid|ref)=[^&#]*"
 
 # common second-level public suffixes where the registrable domain is
 # three labels (heuristic subset; see module docstring)
@@ -80,7 +84,7 @@ def canonicalize_url(url: Column) -> Column:
     path = F.regexp_replace(path, r"(.)/$", "$1")
     path = F.when(path == "", F.lit("/")).otherwise(path)
     # query: strip tracking params, collapse leftover separators, sort
-    query = F.regexp_replace(query, _TRACKING, "")
+    query = F.regexp_replace(query, _TRACKING, "$1")
     query = F.regexp_replace(query, r"&{2,}", "&")
     query = F.regexp_replace(query, r"^&|&$", "")
     query = F.when(

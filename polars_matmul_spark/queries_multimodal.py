@@ -459,6 +459,11 @@ def _mpeg_layer1(spark, sf_dir):
             "doc_id",
             F.regexp_replace("text", "[^\\x00-\\x7F]", "?").alias("text"),
         )
+        # Build and oracle must see the SAME byte count: an empty/NULL
+        # text would make the build use a 1-byte fallback (n=1, 3 frames)
+        # while the oracle computes from length(text)=0 (2 frames and a
+        # g % 0 division). Filter both sides identically instead.
+        .filter(F.length("text") >= 1)
         .repartition(spark.sparkContext.defaultParallelism)
     )
     alloc = [6] * 12 + [0] * 20  # nb = 7 on subbands 0..11
@@ -468,7 +473,7 @@ def _mpeg_layer1(spark, sf_dir):
         for pdf in batches:
             payloads = []
             for text in pdf["text"]:
-                b = (text or "?").encode("ascii", "replace")
+                b = text.encode("ascii", "replace")
                 n = len(b)
                 nf = n % 3 + 2
                 arr = np.frombuffer(b, np.uint8).astype(np.int64)
@@ -484,6 +489,7 @@ _MPEG_LAYER1_ORACLE = """
 WITH norm AS (
   SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g') AS text
   FROM documents
+  WHERE length(text) >= 1
 ), base AS (
   SELECT doc_id AS asset_id, text, length(text) AS n FROM norm
 ), pos AS (

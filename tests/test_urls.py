@@ -42,6 +42,17 @@ CASES = [
     ("http://a.com/", "http://a.com/"),
     # schemeless input
     ("Example.com/Q?b=1&a=1", "http://example.com/Q?a=1&b=1"),
+    # tracking-name match is anchored to a param BOUNDARY: params whose
+    # names merely CONTAIN a tracking name must survive intact
+    ("http://a.com/p?href=abc&a=1", "http://a.com/p?a=1&href=abc"),
+    ("http://a.com/p?xutm_source=1&a=2", "http://a.com/p?a=2&xutm_source=1"),
+    ("http://a.com/p?preference=dark", "http://a.com/p?preference=dark"),
+    ("http://a.com/p?href=X", "http://a.com/p?href=X"),
+    ("http://a.com/p?href=Y", "http://a.com/p?href=Y"),
+    # ...while true tracking params at every boundary position still go
+    ("http://a.com/p?ref=r&href=abc", "http://a.com/p?href=abc"),
+    ("http://a.com/p?utm_a=1&utm_b=2", "http://a.com/p"),
+    ("http://a.com/p?a=1&ref=r", "http://a.com/p?a=1"),
 ]
 
 
