@@ -126,9 +126,17 @@ def main() -> None:
             suspect = ref is not None and wall > _SUSPECT_FACTOR * ref
         best_pool[name] = sorted(best + [wall])[:_KEEP_BEST]
         times[name] = wall
+        best_ever = best_pool[name][0]
         row_detail[name] = {
             "wall": round(wall, 3),
-            "best_ever": round(best_pool[name][0], 4),
+            "best_ever": round(best_ever, 4),
+            # round-9 (r8 verdict "What's wrong #1"): the suspect
+            # trigger keys off the pool MEDIAN, which let four rows
+            # seal 1.3-1.45x over their best-ever with suspect=false.
+            # Drift vs the BEST is now a sealed per-row fact, plus a
+            # top-level drift_rows list (>1.25x best) — distinct from
+            # suspect (which still means "re-runs never recovered").
+            "ratio_vs_best": round(wall / best_ever, 3) if best_ever > 0 else 1.0,
             "suspect": suspect,
         }
         return wall
@@ -187,6 +195,9 @@ def main() -> None:
         "simhash_fingerprint",
         "exact_dedup_docs",
         "ann_ivf_topk",
+        # round-9 rotation: ann_brp_lsh_join (rows-only, MLlib) left
+        # the registry for the engine-replayable p-stable family
+        "lsh_euclidean_join",
         # round-4 corpus-pipeline families
         "line_dedup_strip",
         "quality_model_score",
@@ -573,6 +584,11 @@ def main() -> None:
     suspect_rows = sorted(
         k for k, d in row_detail.items() if d["suspect"]
     )
+    _DRIFT_FACTOR = 1.25
+    drift_rows = sorted(
+        k for k, d in row_detail.items()
+        if d["ratio_vs_best"] > _DRIFT_FACTOR
+    )
     total = sum(times.values())
     line = json.dumps(
         {
@@ -582,6 +598,7 @@ def main() -> None:
             "queries": {k: round(v, 3) for k, v in times.items()},
             "row_detail": row_detail,
             "suspect_rows": suspect_rows,
+            "drift_rows": drift_rows,
             "calibration": calib,
             "ratios_vs_same_machine_numpy": ratios,
             "delta_vs_prev": delta_vs_prev,

@@ -42,6 +42,8 @@ __all__ = [
     "srp_band_plan",
     "srp_signature",
     "srp_neardup",
+    "pstable_params",
+    "pstable_lsh_join",
     "projected_topk_rerank",
     "hamming_expr",
     "hamming_topk",
@@ -477,6 +479,182 @@ def srp_neardup(
         .select("id_a", "id_b", "cosine")
     )
     return verified
+
+
+def pstable_params(
+    in_dim: int,
+    n_tables: int,
+    hashes_per_table: int,
+    bucket_width: float,
+    seed: int = 7,
+) -> tuple[np.ndarray, np.ndarray]:
+    """The seeded parameter set of a p-stable Euclidean LSH family
+    (Datar, Immorlica, Indyk, Mirrokni, SoCG 2004): ``n_tables *
+    hashes_per_table`` raw N(0, 1) projection vectors ``A`` (NOT the
+    JL-normalized :func:`gaussian_matrix` — the 2-stable property needs
+    unit-variance entries so a.(u-v) ~ N(0, ||u-v||)) and matching
+    offsets ``B`` ~ Uniform[0, bucket_width).
+
+    Exposed separately so an external engine can regenerate the EXACT
+    same family and replay every bucket: h_i(v) = floor((a_i.v + b_i)
+    / w) is plain double arithmetic once A and B are shared data."""
+    if in_dim <= 0 or n_tables < 1 or hashes_per_table < 1:
+        raise ValueError("pstable_params dims/tables must be positive")
+    if not bucket_width > 0:
+        raise ValueError("bucket_width must be positive")
+    rng = np.random.default_rng(seed)
+    n = n_tables * hashes_per_table
+    A = rng.standard_normal((n, in_dim))
+    B = rng.uniform(0.0, bucket_width, size=n)
+    return A, B
+
+
+def pstable_lsh_join(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.5,
+    n_tables: int = 6,
+    hashes_per_table: int = 5,
+    bucket_width: float = 1.0,
+    seed: int = 7,
+) -> DataFrame:
+    """Euclidean near-neighbor self-join via p-stable LSH — the
+    engine-replayable alternative to MLlib's
+    ``ann.brp_lsh_similarity_join`` (whose projection vectors come from
+    a JVM-private RNG and so can never be replayed outside Spark; this
+    operator ships its own seeded family as broadcast DATA, the
+    ``srp_neardup`` recipe at Euclidean granularity).
+
+    Mechanics (Datar et al. 2004): hash h_i(v) = floor((a_i.v + b_i)/w)
+    with a_i ~ N(0, I), b_i ~ U[0, w); a table's bucket key is the
+    ':'-joined tuple of its ``hashes_per_table`` hashes (AND-
+    amplification), a candidate pair must share the FULL key of at
+    least one of ``n_tables`` tables (OR-amplification). Every
+    candidate is verified by EXACT Euclidean distance <= ``threshold``
+    — precision 1.0 by construction, the family only affects recall
+    (gated in tests/test_ann_recall.py on planted near-pairs).
+
+    Oracle parity: each dot is the sequential-f64 fold (== DuckDB
+    ``list_dot_product`` on DOUBLE[]), floor/divide/concat are exact
+    IEEE/string ops, and the verify distance is
+    sqrt(greatest(n_a - 2*dot + n_b, 0)) — every stage replays
+    bit-identically in any SQL engine given the same A/B data
+    (:func:`pstable_params`). The A matrix rides as ONE broadcast row,
+    not plan literals (the ``srp_signature`` Catalyst-planning lesson).
+
+    Scale shape: one row-local signature pass, one explode to
+    ``n_tables`` slim (table, key, id) rows, one equi-join on
+    (table, key) — pairwise work only inside buckets, no unblocked
+    O(n^2) pass, no training step, index side never re-shuffled
+    full-width (only ids + keys move; vectors rejoin for the verify).
+    Tuning rule of thumb: w ~ the interesting distance scale; raise
+    ``hashes_per_table`` to cut random collisions (each hash multiplies
+    the random-pair rate by p(c_far) < 1), raise ``n_tables`` to buy
+    recall back. Returns (id_a, id_b, dist) with id_a < id_b, distinct.
+    """
+    from pyspark.sql import functions as F
+
+    from polars_matmul_spark.operators.similarity_join import (
+        _fold_dot as _jvm_fold_dot,
+    )
+
+    if threshold <= 0:
+        raise ValueError(f"threshold must be positive, got {threshold}")
+    in_dim = _peek_dim(df, emb_col)
+    A, B = pstable_params(in_dim, n_tables, hashes_per_table, bucket_width, seed)
+    mat = df.sparkSession.createDataFrame(
+        [(
+            [[float(x) for x in row] for row in A],
+            [float(b) for b in B],
+        )],
+        "__A array<array<double>>, __B array<double>",
+    )
+    e = F.col(emb_col)
+    dots = F.transform(
+        F.col("__A"),
+        lambda row: F.aggregate(
+            F.zip_with(e, row, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ),
+    )
+    floors = F.zip_with(
+        dots,
+        F.col("__B"),
+        lambda d, b: F.floor((d + b) / F.lit(float(bucket_width))),
+    )
+    # stage the floors behind a select boundary: each table key slices
+    # them, and CollapseProject would otherwise inline the expensive
+    # transform once per table (the srp __dots discipline)
+    staged = df.crossJoin(F.broadcast(mat)).select(
+        F.col(id_col), floors.alias("__fl")
+    )
+    m = hashes_per_table
+    keys = [
+        F.array_join(
+            F.transform(
+                F.slice(F.col("__fl"), t * m + 1, m),
+                lambda v: v.cast("string"),
+            ),
+            ":",
+        )
+        for t in range(n_tables)
+    ]
+    sig = staged.select(
+        F.col(id_col), F.array(*keys).alias("__keys")
+    ).localCheckpoint(eager=False)
+    bands = sig.select(
+        id_col, F.posexplode(F.col("__keys")).alias("tbl", "key")
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    # norms once per POINT, not per pair (the srp_neardup pattern);
+    # dist = sqrt(greatest(nn_a - 2*dot + nn_b, 0)) keeps the verify to
+    # one per-pair fold and is the exact association both engines share
+    pts = df.select(
+        F.col(id_col), F.col(emb_col).cast("array<double>").alias("__e")
+    ).withColumn("__nn", _jvm_fold_dot(F.col("__e"), F.col("__e")))
+    dist = F.sqrt(
+        F.greatest(
+            F.col("__na")
+            - 2 * _jvm_fold_dot(F.col("__ea"), F.col("__eb"))
+            + F.col("__nb"),
+            F.lit(0.0),
+        )
+    )
+    return (
+        cand.join(
+            pts.select(
+                F.col(id_col).alias("id_a"),
+                F.col("__e").alias("__ea"),
+                F.col("__nn").alias("__na"),
+            ),
+            "id_a",
+        )
+        .join(
+            pts.select(
+                F.col(id_col).alias("id_b"),
+                F.col("__e").alias("__eb"),
+                F.col("__nn").alias("__nb"),
+            ),
+            "id_b",
+        )
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= threshold)
+        .select("id_a", "id_b", "dist")
+    )
 
 
 def projected_topk_rerank(

@@ -259,6 +259,107 @@ def _ann_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brp_lsh_similarity_join(a, b, threshold=1.2)
 
 
+# --- p-stable Euclidean LSH join (round 9) ----------------------------------
+#
+# The engine-replayable successor to the ann_brp_lsh_join driver row:
+# MLlib's BRP-LSH draws its projection vectors from a JVM-private RNG,
+# so that row could only ever be rows-only. pstable_lsh_join ships its
+# OWN seeded Gaussian family (Datar et al. 2004) as broadcast data, so
+# the ENTIRE operator — floor-bucket hashing, table equi-join, exact
+# Euclidean verify — replays bit-for-bit in DuckDB (the
+# srp_neardup_bands recipe at Euclidean granularity). To make the row
+# non-degenerate on the unit-norm embeddings (where random pairwise
+# distances concentrate at sqrt(2), far above any useful threshold),
+# near-pairs are PLANTED deterministically: every third vector gets a
+# clone shifted by a constant 0.001*(1 + vec_id % 5) per coordinate
+# (planted distance = 8*delta in 64-d, well inside threshold 0.5) —
+# pure double arithmetic the oracle mirrors exactly. The MLlib
+# integration stays pytest-gated (test_ann_recall.py).
+
+_LSH_EUC_TABLES, _LSH_EUC_M, _LSH_EUC_W = 6, 5, 1.0
+_LSH_EUC_SEED, _LSH_EUC_THRESH, _LSH_EUC_DIM = 11, 0.5, 64
+_LSH_EUC_CLONE_OFF = 1000000
+
+
+def _lsh_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_matmul_spark.operators.projection import pstable_lsh_join
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    delta = F.lit(0.001) * (F.lit(1) + F.col("vec_id") % 5)
+    clones = emb.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + _LSH_EUC_CLONE_OFF).alias("vec_id"),
+        F.transform("e", lambda x: x + delta).alias("e"),
+    )
+    pts = emb.unionByName(clones)
+    return pstable_lsh_join(
+        pts,
+        id_col="vec_id",
+        emb_col="e",
+        threshold=_LSH_EUC_THRESH,
+        n_tables=_LSH_EUC_TABLES,
+        hashes_per_table=_LSH_EUC_M,
+        bucket_width=_LSH_EUC_W,
+        seed=_LSH_EUC_SEED,
+    )
+
+
+def _lsh_euclidean_oracle() -> str:
+    from polars_matmul_spark.operators.projection import pstable_params
+
+    A, B = pstable_params(
+        _LSH_EUC_DIM, _LSH_EUC_TABLES, _LSH_EUC_M, _LSH_EUC_W, _LSH_EUC_SEED
+    )
+
+    def vec(row):
+        return "[" + ", ".join(repr(float(x)) for x in row) + "]::DOUBLE[]"
+
+    m, w = _LSH_EUC_M, _LSH_EUC_W
+    key_cols = []
+    for t in range(_LSH_EUC_TABLES):
+        hs = [
+            f"CAST(floor((list_dot_product(e, {vec(A[t * m + j])}) + "
+            f"({B[t * m + j]!r})::DOUBLE) / ({w!r})::DOUBLE) AS BIGINT)"
+            for j in range(m)
+        ]
+        key_cols.append("concat_ws(':', " + ", ".join(hs) + f") AS k{t}")
+    bands_union = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, k{t} AS key FROM sig"
+        for t in range(_LSH_EUC_TABLES)
+    )
+    return f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), pts AS (
+  SELECT vec_id, e FROM emb
+  UNION ALL
+  SELECT vec_id + {_LSH_EUC_CLONE_OFF},
+         list_transform(e, x -> x + 0.001::DOUBLE * (1 + vec_id % 5))
+  FROM emb WHERE vec_id % 3 = 0
+), sig AS (
+  SELECT vec_id, {", ".join(key_cols)} FROM pts
+), bands AS (
+  {bands_union}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.tbl = b.tbl AND a.key = b.key AND a.vec_id < b.vec_id
+), nn AS (
+  SELECT vec_id, e, list_dot_product(e, e) AS n2 FROM pts
+), v AS (
+  SELECT cand.id_a, cand.id_b,
+         sqrt(greatest(
+           na.n2 - 2 * list_dot_product(na.e, nb.e) + nb.n2, 0.0
+         )) AS dist
+  FROM cand
+  JOIN nn na ON cand.id_a = na.vec_id
+  JOIN nn nb ON cand.id_b = nb.vec_id
+)
+SELECT id_a, id_b, dist FROM v WHERE dist <= {_LSH_EUC_THRESH}
+"""
+
+
 def _explode_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # H5 explode + H8 row-position: first 8 dims of each vector
     emb = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 20)
@@ -1397,7 +1498,13 @@ CORE_QUERIES: dict[str, tuple] = {
     "matmul_flatten": (_matmul_flatten_scores, _MATMUL_FLATTEN_ORACLE),
     "embedding_neardup_cosine": (_embedding_neardup, _EMBEDDING_NEARDUP_ORACLE),
     "ann_ivf_topk": (_ann_ivf, _duck_ivf_oracle()),
-    "ann_brp_lsh_join": (_ann_brp_lsh, None),
+    # ann_brp_lsh_join rotated out in round 9: MLlib's JVM-private RNG
+    # made it the registry's one permanently rows-only row. Its
+    # replacement covers the same Euclidean-LSH-join semantics with an
+    # engine-replayable seeded family (full DuckDB value oracle); the
+    # MLlib integration keeps its recall/precision/determinism gates in
+    # tests/test_ann_recall.py and a rows-sanity gate there too.
+    "lsh_euclidean_join": (_lsh_euclidean, _lsh_euclidean_oracle()),
     # relational surface
     "q1_pricing_summary": (_q1, _Q1_SQL),
     "q3_shipping_priority": (_q3, _Q3_ORACLE),

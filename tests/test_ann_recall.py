@@ -131,6 +131,83 @@ def test_brp_lsh_join_deterministic_across_refits(spark):
     assert runs[0] == runs[1] and len(runs[0]) > 0
 
 
+def test_pstable_lsh_join_recall_precision_planted(spark):
+    # the engine-replayable Euclidean LSH (the round-9 successor to the
+    # BRP driver row): on planted near-pairs (every vector cloned with
+    # a constant per-coordinate shift, distances 0.04..0.16 in 64-d —
+    # the near-dup scale the w=1.0 family is tuned for; the Datar
+    # S-curve at c=0.16 gives table recall ~0.986, at c=0.32 it would
+    # sag to ~0.79, which is a PARAMETER statement, not a bug) recall
+    # must clear 0.95 and precision must be exactly 1.0 (every
+    # candidate is verified by exact distance <= threshold).
+    from polars_matmul_spark.operators.projection import pstable_lsh_join
+
+    emb = load_table(spark, "embeddings", SF01).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    delta = F.lit(0.005) * (F.lit(1) + F.col("vec_id") % 4)
+    clones = emb.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform("e", lambda x: x + delta).alias("e"),
+    )
+    pts = emb.unionByName(clones)
+    got = pstable_lsh_join(
+        pts, id_col="vec_id", emb_col="e", threshold=0.5,
+        n_tables=6, hashes_per_table=5, bucket_width=1.0, seed=11,
+    ).toPandas()
+
+    pdf = pts.orderBy("vec_id").toPandas()
+    X = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    D = K.similarity_matrix(X, X, "euclidean")
+    iu = np.triu_indices(len(ids), k=1)
+    within = D[iu] <= 0.5
+    exact = {
+        (int(ids[i]), int(ids[j]))
+        for i, j in zip(iu[0][within], iu[1][within])
+    }
+    planted = {(int(v), int(v) + 10_000) for v in pdf["vec_id"] if v < 10_000}
+    assert planted <= exact  # sanity: every plant is a true near-pair
+    pairs = {(r.id_a, r.id_b) for r in got.itertuples()}
+    assert pairs <= exact, f"{len(pairs - exact)} false positives"
+    recall = len(pairs & planted) / len(planted)
+    # 6 tables x 5 hashes at w=1.0: per-hash collision ~0.9 at c~0.2,
+    # table recall 1-(1-0.9^5)^6 ~ 0.998 — floor leaves seed margin only
+    assert recall >= 0.95, f"p-stable recall = {recall:.3f}"
+
+
+def test_pstable_lsh_join_partitioning_invariant(spark):
+    # seeded family rides as data, dots are sequential f64 folds: the
+    # emitted (pair, dist) set must be identical across partitionings
+    from polars_matmul_spark.operators.projection import pstable_lsh_join
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    runs = [
+        {
+            (r.id_a, r.id_b, r.dist)
+            for r in pstable_lsh_join(
+                frame, id_col="vec_id", emb_col="e", threshold=1.25,
+                n_tables=4, hashes_per_table=3, bucket_width=1.0, seed=3,
+            ).collect()
+        }
+        for frame in (emb.coalesce(1), emb.repartition(17))
+    ]
+    assert runs[0] == runs[1] and len(runs[0]) > 0
+
+
+def test_brp_lsh_registry_rotation_rows_sanity(spark):
+    # ann_brp_lsh_join left the 50-row registry in round 9 (rotated for
+    # the oracle-replayable p-stable row) — the old driver row's
+    # rows-level sanity keeps running here so the rotation never
+    # removes a check, only moves it
+    from polars_matmul_spark.queries_core import _ann_brp_lsh
+
+    out = _ann_brp_lsh(spark, "/root/testdata/sf0.001")
+    assert out.count() > 0
+
+
 def test_kmeans_centroids_beat_modular_at_equal_nprobe(spark):
     # trained lists must improve recall@5 over modular picks at the
     # same probe budget (that's the point of training them)

@@ -61,11 +61,13 @@ def _normalize(rows, colnames):
 def test_registry_discipline():
     """The driver records at most 50 queries — the registry must sit
     EXACTLY at the cap (a 51st slot would silently never get a
-    CORRECTNESS row, the round-1 bug), and only the two intrinsically
-    non-replayable operators may lack oracles."""
+    CORRECTNESS row, the round-1 bug). Since round 9 every row carries
+    a full DuckDB value oracle: the one intrinsically non-replayable
+    row (MLlib BRP-LSH, JVM-private RNG) was rotated to pytest and
+    replaced by the engine-replayable p-stable Euclidean LSH."""
     assert len(ALL_QUERIES) == 50
     no_oracle = {n for n, (_f, o) in ALL_QUERIES.items() if o is None}
-    assert no_oracle == {"ann_brp_lsh_join"}
+    assert no_oracle == set()
 
 
 def _assert_matches(name, fn, oracle, spark, duck):
