@@ -643,7 +643,12 @@ _EXCISE_CMS_ORACLE = _excise_reassembly_sql(
 # windowed cap; any canonicalization bug breaks hash equality. The cap
 # keeps the top `max_per_domain` docs per registrable domain by text
 # length (tie-broken by canonical URL, which embeds doc_id — fully
-# deterministic).
+# deterministic). Round 9: odd doc_ids become *.github.io user-sites
+# and a PSL fixture (github.io + com) rides through the cap, so the
+# public-suffix keying path (with_registrable_domain's broadcast
+# suffix joins, suffix+1-label extraction) is DRIVER-gated too — the
+# oracle's closed form keys each user-site separately, which only
+# holds if the Spark side applied the PSL correctly.
 
 
 def _url_domain_cap(spark, sf_dir):
@@ -658,20 +663,30 @@ def _url_domain_cap(spark, sf_dir):
             "quality"
         ),
     )
+    com_url = F.concat(
+        F.lit("HTTP://Site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM:80//docs//"),
+        F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=feed&b="),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("&a=1#frag"),
+    )
+    gh_url = F.concat(
+        F.lit("https://User"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".GitHub.IO//p//"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_campaign=x&z=9"),
+    )
     messy = docs.withColumn(
-        "url",
-        F.concat(
-            F.lit("HTTP://Site"),
-            (F.col("doc_id") % 7).cast("string"),
-            F.lit(".COM:80//docs//"),
-            F.col("doc_id").cast("string"),
-            F.lit("/?utm_source=feed&b="),
-            (F.col("doc_id") % 3).cast("string"),
-            F.lit("&a=1#frag"),
-        ),
+        "url", F.when(F.col("doc_id") % 2 == 0, com_url).otherwise(gh_url)
+    )
+    psl = spark.createDataFrame(
+        [("github.io",), ("com",)], "suffix string"
     )
     kept = cap_docs_per_domain(
-        messy, max_per_domain=20, order_col="quality"
+        messy, max_per_domain=20, order_col="quality", psl=psl
     )
     return kept.select(
         "doc_id",
@@ -685,9 +700,16 @@ _URL_DOMAIN_CAP_ORACLE = """
 WITH base AS (
   SELECT doc_id,
          length(regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g')) AS quality,
-         'http://site' || (doc_id % 7) || '.com/docs/' || doc_id
-           || '?a=1&b=' || (doc_id % 3) AS canon_url,
-         'site' || (doc_id % 7) || '.com' AS domain_key
+         CASE WHEN doc_id % 2 = 0
+              THEN 'http://site' || (doc_id % 7) || '.com/docs/' || doc_id
+                   || '?a=1&b=' || (doc_id % 3)
+              ELSE 'https://user' || (doc_id % 5) || '.github.io/p/'
+                   || doc_id || '?z=9'
+         END AS canon_url,
+         CASE WHEN doc_id % 2 = 0
+              THEN 'site' || (doc_id % 7) || '.com'
+              ELSE 'user' || (doc_id % 5) || '.github.io'
+         END AS domain_key
   FROM documents
 ), ranked AS (
   SELECT *, row_number() OVER (

@@ -133,6 +133,104 @@ class TestDomainCap:
         assert count_shuffles(out) == 1, explain_str(out, "simple")
 
 
+class TestPublicSuffixList:
+    def _psl(self, spark, *suffixes):
+        return spark.createDataFrame([(s,) for s in suffixes], "suffix string")
+
+    def test_github_io_class_sites_stay_apart(self, spark):
+        # the wrong-collapse regression (r8 verdict "What's missing
+        # #1"): WITHOUT a PSL, every *.github.io site collapses into
+        # one heuristic key and a cap silently over-prunes them; WITH
+        # the suffix row each user-site is its own registrable domain
+        from polars_matmul_spark.operators.urls import with_registrable_domain
+
+        rows = [
+            (1, "https://alice.github.io/blog"),
+            (2, "https://bob.github.io/repo"),
+            (3, "https://deep.sub.alice.github.io/x"),
+            (4, "https://example.com/a"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        psl = self._psl(spark, "github.io", "com")
+        with_psl = {
+            r.doc_id: r.domain_key
+            for r in with_registrable_domain(df, psl=psl).collect()
+        }
+        assert with_psl == {
+            1: "alice.github.io",
+            2: "bob.github.io",
+            3: "alice.github.io",  # registrable = suffix + ONE label
+            4: "example.com",
+        }
+        without = {
+            r.doc_id: r.domain_key
+            for r in with_registrable_domain(df, psl=None).collect()
+        }
+        assert without[1] == without[2] == "github.io"  # the collapse
+
+    def test_longest_suffix_wins_and_host_is_suffix(self, spark):
+        from polars_matmul_spark.operators.urls import with_registrable_domain
+
+        rows = [
+            (1, "http://shop.example.co.uk/x"),     # co.uk AND uk match
+            (2, "http://github.io/"),               # host IS the suffix
+            (3, "http://x.y.unknown-tld-zz/p"),     # no match -> heuristic
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        psl = self._psl(spark, "uk", "co.uk", "github.io")
+        got = {
+            r.doc_id: r.domain_key
+            for r in with_registrable_domain(df, psl=psl).collect()
+        }
+        assert got == {
+            1: "example.co.uk",
+            2: "github.io",
+            3: "y.unknown-tld-zz",  # heuristic fallback (last two labels)
+        }
+
+    def test_three_label_suffix_depth(self, spark):
+        from polars_matmul_spark.operators.urls import with_registrable_domain
+
+        df = spark.createDataFrame(
+            [(1, "http://mysite.s3.amazonaws.example/f")],
+            "doc_id long, url string",
+        )
+        psl = self._psl(spark, "s3.amazonaws.example")
+        got = with_registrable_domain(df, psl=psl).collect()[0].domain_key
+        assert got == "mysite.s3.amazonaws.example"
+
+    def test_cap_with_psl_and_shuffle_count(self, spark):
+        # the cap itself must respect PSL keys, and the suffix joins
+        # must stay BROADCAST (map-side): the data lineage keeps
+        # exactly ONE hash exchange — the domain-keyed window — while
+        # the only other exchanges live on the tiny psl build side
+        rows = [
+            (i, f"http://user{i}.pages.dev/p", 1.0) for i in range(6)
+        ] + [(100 + i, f"http://spam.com/{i}", float(i)) for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id long, url string, score double")
+        psl = spark.createDataFrame([("pages.dev",), ("com",)], "suffix string")
+        out = cap_docs_per_domain(df, max_per_domain=2, order_col="score", psl=psl)
+        got = sorted(r.doc_id for r in out.collect())
+        # every pages.dev user-site is its own domain (all kept);
+        # spam.com capped to its top-2 scores
+        assert got == [0, 1, 2, 3, 4, 5, 103, 104]
+        assert not uses_python_worker(out)
+        plan = explain_str(out, "simple")
+        assert "hashpartitioning(domain_key" in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        # no data-side exchange other than the window's: every other
+        # hash exchange partitions the lowered suffix column
+        import re
+
+        data_side = [
+            ln for ln in plan.splitlines()
+            if re.search(r"\bExchange hashpartitioning", ln)
+            and "__suffix" not in ln and "domain_key" not in ln
+        ]
+        assert data_side == [], plan
+
+
 def test_canonicalization_is_exact_string_algebra(spark):
     """The canonical form is plain deterministic string algebra —
     independently recomputed here over 200 synthesized messy URLs and
