@@ -226,10 +226,10 @@ def main() -> None:
         "cms_line_dedup",
         "priority_sample_docs",
         # hamming_topk_srp left the registry in the round-8 rotation
-        # round-7 rotation: span excision (exact + CMS), within-doc
+        # round-7 rotation: span excision (CMS; the exact variant left
+        # the registry in round 9 for triage_assets), within-doc
         # strip, deterministic bin materialization, training mixture,
         # BPE encode
-        "excise_duplicate_spans",
         "excise_spans_cms",
         "strip_within_doc",
         "materialize_bins",
@@ -249,6 +249,8 @@ def main() -> None:
         "mpeg_layer1_decode",
         "warc_extract",
         "url_domain_cap",
+        # round-9 promotion: probe->route->decode composition
+        "triage_assets",
     ]
     # best-of-2 per query (the round-2 bench recorded 2-6x phantom
     # regressions that two idle reruns traced to transient machine

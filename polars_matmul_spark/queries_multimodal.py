@@ -734,6 +734,159 @@ FROM base
 """
 
 
+# --- asset triage: probe -> route -> decode, one table ----------------------
+#
+# Round-9 promotion (the r8 verdict's "What's missing #3"): the one
+# round-8 operator family that was pytest-only gets a driver row. The
+# battery composes the three already-gated syntheses — MP3 Layer III
+# (probe-only), MP4 (probe-only), WAV (really decoded), MPEG-1 Layer I
+# (probed AND payload-bit decoded), opaque — and runs them through ONE
+# triage_assets call, so the row gates the routing itself: the probe
+# classifying every container, the decodable branch flowing through
+# decoded_asset_stats, the Layer I branch through decode_layer1_table,
+# everything landing in one unified catalog row per asset. DuckDB
+# replays all 25 columns from text-length arithmetic (incl. the Layer I
+# order-weighted code digest and the WAV RMS, both exact by
+# construction).
+
+
+def _triage_assets(spark, sf_dir):
+    import struct
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from polars_matmul_spark.operators.mpegaudio import encode_layer1
+    from polars_matmul_spark.operators.multimodal import triage_assets
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select(
+            "doc_id",
+            F.regexp_replace("text", "[^\\x00-\\x7F]", "?").alias("text"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    alloc = [6] * 12 + [0] * 20  # nb = 7 on subbands 0..11
+    sfs = [3] * 12
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                b = (text or "").encode("ascii", "replace")
+                n, r = len(b), did % 5
+                if r == 0:
+                    pl = _mp3_payload(struct, n)
+                elif r == 1:
+                    pl = _mp4_payload(struct, n)
+                elif r == 2 and n >= 2:
+                    data = (
+                        (np.frombuffer(b, np.uint8).astype(np.int32) - 128)
+                        * 256
+                    ).astype("<i2").tobytes()
+                    pl = (
+                        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                        + b"fmt "
+                        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                        + b"data" + struct.pack("<I", len(data)) + data
+                    )
+                elif r == 3 and n >= 1:
+                    nf = n % 3 + 2
+                    arr = np.frombuffer(b, np.uint8).astype(np.int64)
+                    codes = arr[np.arange(nf * 144) % n].reshape(nf, 12, 12)
+                    pl = encode_layer1(codes, alloc, sfs, 448, 32000)
+                else:
+                    pl = b"\x00" + b  # matches no container magic
+                payloads.append(pl)
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
+
+    encoded = docs.mapInPandas(build, "asset_id long, payload binary")
+    out = triage_assets(encoded)
+    return out.withColumn("duration_s", F.round("duration_s", 9)).withColumn(
+        "dec_duration_s", F.round("dec_duration_s", 9)
+    )
+
+
+_TRIAGE_ASSETS_ORACLE = """
+WITH norm AS (
+  SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g') AS text
+  FROM documents
+), base AS (
+  SELECT doc_id AS asset_id, text, length(text) AS n, doc_id % 5 AS r
+  FROM norm
+), wavpos AS (
+  SELECT asset_id, unnest(range(1, n + 1)) AS i, text
+  FROM base WHERE r = 2 AND n >= 2
+), wavrms AS (
+  SELECT asset_id,
+         sqrt(avg(((unicode(substring(text, CAST(i AS INT), 1)) - 128) / 128.0)
+                * ((unicode(substring(text, CAST(i AS INT), 1)) - 128) / 128.0)))
+           AS rms
+  FROM wavpos GROUP BY asset_id
+), l1pos AS (
+  SELECT asset_id, n, text, unnest(range(0, (n % 3 + 2) * 144)) AS g
+  FROM base WHERE r = 3 AND n >= 1
+), l1dig AS (
+  SELECT asset_id,
+         SUM(unicode(substring(text, CAST(g % n + 1 AS INT), 1)) * (g + 1))
+           AS code_digest
+  FROM l1pos GROUP BY asset_id
+)
+SELECT b.asset_id,
+  CASE WHEN b.r = 0 THEN 'mp3' WHEN b.r = 1 THEN 'mp4'
+       WHEN b.r = 2 AND b.n >= 2 THEN 'wav'
+       WHEN b.r = 3 AND b.n >= 1 THEN 'mp3'
+       ELSE 'opaque' END AS container,
+  CASE WHEN b.r = 0 THEN 'mpeg1-layer3' WHEN b.r = 1 THEN 'avc1'
+       WHEN b.r = 3 AND b.n >= 1 THEN 'mpeg1-layer1' END AS codec,
+  CASE WHEN b.r = 0 THEN round((b.n % 7 + 2) * 1152 / 44100.0, 9)
+       WHEN b.r = 1 THEN round(b.n * 13 / 1000.0, 9)
+       WHEN b.r = 3 AND b.n >= 1
+         THEN round((b.n % 3 + 2) * 384 / 32000.0, 9) END AS duration_s,
+  CASE WHEN b.r = 0 THEN CAST(128 AS BIGINT)
+       WHEN b.r = 3 AND b.n >= 1 THEN CAST(448 AS BIGINT)
+       END AS bitrate_kbps,
+  CASE WHEN b.r IN (0, 1) THEN CAST(44100 AS BIGINT)
+       WHEN b.r = 3 AND b.n >= 1 THEN CAST(32000 AS BIGINT)
+       END AS sample_rate,
+  CASE WHEN b.r = 0 THEN CAST(2 AS BIGINT)
+       WHEN b.r = 1 THEN CAST(b.n % 2 + 1 AS BIGINT)
+       WHEN b.r = 3 AND b.n >= 1 THEN CAST(1 AS BIGINT)
+       END AS channels,
+  CASE WHEN b.r = 1 THEN CAST(16 + b.n % 32 AS BIGINT) END AS width,
+  CASE WHEN b.r = 1 THEN CAST(16 + b.n % 24 AS BIGINT) END AS height,
+  CASE WHEN b.r = 0 THEN CAST(b.n % 7 + 2 AS BIGINT)
+       WHEN b.r = 1 THEN CAST(b.n AS BIGINT)
+       WHEN b.r = 3 AND b.n >= 1 THEN CAST(b.n % 3 + 2 AS BIGINT)
+       END AS n_frames,
+  CASE WHEN b.r = 1 THEN CAST(2 AS BIGINT) END AS n_tracks,
+  CASE WHEN b.r = 2 AND b.n >= 2 THEN 'wav' ELSE 'opaque'
+       END AS dec_container,
+  CASE WHEN b.r = 2 AND b.n >= 2 THEN CAST(8000 AS BIGINT)
+       END AS dec_sample_rate,
+  CASE WHEN b.r = 2 AND b.n >= 2 THEN CAST(b.n AS BIGINT) END AS n_samples,
+  CASE WHEN b.r = 2 AND b.n >= 2 THEN round(b.n / 8000.0, 9)
+       END AS dec_duration_s,
+  w.rms AS audio_rms,
+  CAST(NULL AS BIGINT) AS dec_width,
+  CAST(NULL AS BIGINT) AS dec_height,
+  CAST(NULL AS DOUBLE) AS mean_r,
+  CAST(NULL AS DOUBLE) AS mean_g,
+  CAST(NULL AS DOUBLE) AS mean_b,
+  CASE WHEN b.r = 3 AND b.n >= 1 THEN CAST(b.n % 3 + 2 AS BIGINT)
+       END AS l1_n_frames,
+  CASE WHEN b.r = 3 AND b.n >= 1 THEN CAST((b.n % 3 + 2) * 144 AS BIGINT)
+       END AS l1_n_codes,
+  CAST(d.code_digest AS BIGINT) AS l1_code_digest,
+  CAST(NULL AS VARCHAR) AS l1_error
+FROM base b
+LEFT JOIN wavrms w USING (asset_id)
+LEFT JOIN l1dig d USING (asset_id)
+"""
+
+
 MULTIMODAL_QUERIES: dict[str, tuple] = {
     # mm_asset_meta rotated out in round 6 (pure metadata select whose
     # payload-sha256/kind/dims shapes stay pinned in the rotated-query
@@ -755,6 +908,11 @@ MULTIMODAL_QUERIES: dict[str, tuple] = {
     # actually arrive in (token_counts rotated to the pytest gate;
     # tokenize-and-count stays driver-exercised in three other rows)
     "warc_extract": (_warc_extract, _WARC_EXTRACT_ORACLE),
+    # round-9 promotion: the probe->route->decode composition gets its
+    # own driver row (excise_duplicate_spans rotated to the pytest gate
+    # — excise_spans_cms keeps the reassembly replay driver-gated with
+    # strictly more mechanism):
+    "triage_assets": (_triage_assets, _TRIAGE_ASSETS_ORACLE),
     # mm_byte_histogram rotated out in round 6 (the vectorized-decode
     # family keeps its driver row via mm_decoded_stats — the REAL
     # decoder path — and the histogram keeps its exact value

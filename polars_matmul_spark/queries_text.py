@@ -756,7 +756,11 @@ TEXT_QUERIES: dict[str, tuple] = {
     # (exact keep-first + the bounded-state CMS sibling with a full
     # sketch replay); the slots come from single-mechanism rows
     # multiply covered in pytest — see queries_core/queries_pipeline
-    "excise_duplicate_spans": (_excise_spans, _EXCISE_ORACLE),
+    # excise_duplicate_spans rotated out in round 9 (its reassembly
+    # replay is a strict subset of excise_spans_cms's, which stays; the
+    # exact-frequency variant keeps its full value comparison in the
+    # rotated-query gate) so the triage_assets composition gets a
+    # driver row (queries_multimodal.py):
     "excise_spans_cms": (_excise_spans_cms, _EXCISE_CMS_ORACLE),
     # round-7 second rotation: span-granularity dedup observability
     # (top_suppliers_per_nation / zorder_keys / hypertable_rollup

@@ -177,6 +177,9 @@ def _rotated_queries():
         # url_domain_cap
         "token_counts": (qt._token_counts, qt._TOKEN_COUNTS_ORACLE),
         "hamming_topk_srp": (qd._hamming_topk_srp, qd._hamming_oracle()),
+        # round-9 rotation: slot freed for triage_assets (the CMS
+        # excision row keeps the reassembly replay driver-gated)
+        "excise_duplicate_spans": (qt._excise_spans, qt._EXCISE_ORACLE),
     }
 
 
