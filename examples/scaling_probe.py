@@ -518,6 +518,53 @@ def main() -> None:
         )
         print(json.dumps(row))
         emb.unpersist()
+
+    # --- round-9: mega-domain skew leg for cap_docs_per_domain ---
+    # One domain at 0% / 50% / 90% of a 2M-row corpus (50x-18,000x the
+    # cap) vs ~20k uniform domains. The wall must NOT grow with the
+    # mega-domain's size: row_number() <= k compiles to
+    # WindowGroupLimit, whose partition-local top-k bounds what any
+    # single domain sends through the exchange to k rows per input
+    # partition. Round-9 measurement (best-of-3): frac 0.0 -> 0.92 s,
+    # 0.5 -> ~0.8 s, 0.9 -> 0.67 s — the skewed corpus is FASTER
+    # (fewer distinct keys to sort), so the documented count-based
+    # pre-filter stays retired on this engine.
+    from polars_matmul_spark.operators.urls import cap_docs_per_domain
+
+    n_urls = 2_000_000
+    for frac in (0.0, 0.5, 0.9):
+        cut = int(n_urls * frac)
+        urls = (
+            spark.range(n_urls)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.concat(
+                    F.when(F.col("id") < cut, F.lit("http://mega.com/p"))
+                    .otherwise(
+                        F.concat(
+                            F.lit("http://site"),
+                            (F.col("id") % 20_000).cast("string"),
+                            F.lit(".com/p"),
+                        )
+                    ),
+                    F.col("id").cast("string"),
+                ).alias("url"),
+                (F.col("id") % 1000).cast("double").alias("score"),
+            )
+        )
+        capped = cap_docs_per_domain(urls, max_per_domain=100, order_col="score")
+        force(capped)  # warm
+        wall = min(timed(lambda: force(capped)) for _ in range(3))
+        print(
+            json.dumps(
+                {
+                    "leg": "url_domain_cap_skew",
+                    "mega_frac": frac,
+                    "mega_rows": cut,
+                    "wall": round(wall, 3),
+                }
+            )
+        )
     spark.stop()
 
 

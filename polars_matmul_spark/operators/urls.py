@@ -229,10 +229,19 @@ def cap_docs_per_domain(
     :func:`with_registrable_domain` — broadcast joins only, the
     shuffle count is unchanged.
 
-    Skew note: a mega-domain's partition holds at most its own docs —
-    at 100 TB pair this with AQE skew-join handling or pre-filter the
-    handful of hosts above ~10^7 docs (their cap verdict needs only a
-    count, not a full rank)."""
+    Skew note, MEASURED (round 9): ``row_number() <= k`` compiles to
+    WindowGroupLimit on Spark 3.5+/4.x — a partition-LOCAL top-k runs
+    before the exchange, so a mega-domain contributes at most
+    ``max_per_domain`` rows per input partition to the shuffle and the
+    final window partition holds <= k * n_input_partitions rows
+    regardless of domain size. Probe (examples/scaling_probe.py, 2M
+    rows, cap 100, best-of-3): a 90%-one-domain corpus runs the cap
+    FASTER (0.67 s) than a uniform 20k-domain corpus (0.92 s). The
+    count-based pre-filter this note used to prescribe is therefore
+    unnecessary on this engine; it remains the escape hatch only for
+    engines without window-group-limit pushdown. A plan gate in
+    tests/test_urls.py pins the WindowGroupLimit so a regression in
+    this property cannot land silently."""
     if max_per_domain < 1:
         raise ValueError("max_per_domain must be >= 1")
     out = with_registrable_domain(df, url_col, psl=psl, out_col="domain_key")

@@ -172,28 +172,43 @@ def warc_table(
     id_col: str = "asset_id",
     payload_col: str = "payload",
     max_member_bytes: int = 16 << 20,
+    record_types: set[str] | None = None,
 ) -> DataFrame:
     """Explode raw WARC payloads (gzip-per-record, multi-member gzip,
     or uncompressed) into one row per record:
 
     -> (asset_id, record_offset, warc_type, record_id, target_uri,
-    warc_content_type, http_status, http_content_type, body, error).
+    warc_content_type, http_status, http_content_type, truncated,
+    body, error).
 
-    ``body`` is the HTTP response body for response records, the raw
-    record body otherwise. Malformed payloads/records yield ``error``
-    rows with what could be salvaged (quarantine, never abort).
-    mapInPandas, no shuffle, bounded member decompression.
+    A real Common Crawl segment interleaves ``warcinfo`` (file
+    header), ``request``/``response`` pairs and ``metadata`` records —
+    ALL of them parse into ordinary rows here (``body`` is the HTTP
+    response body for response records, the raw record body
+    otherwise); quarantine ``error`` rows are reserved for ACTUAL
+    corruption (bad gzip, broken framing, malformed HTTP). The spec's
+    ``WARC-Truncated`` field (a crawler cut the capture short:
+    ``length``/``time``/``disconnect``/``unspecified``) surfaces as
+    its own column so a pipeline can filter partial captures without
+    re-reading headers.
+
+    ``record_types`` filters at parse time (e.g. ``{"response"}`` —
+    the usual text-pipeline front door): non-matching records are
+    skipped BEFORE their bodies are materialized into rows, so at
+    100 TB only the wanted records' bytes flow downstream. ``None``
+    keeps every type. mapInPandas, no shuffle, bounded member
+    decompression.
     """
     schema = (
         f"{id_col} long, record_offset long, warc_type string, "
         "record_id string, target_uri string, warc_content_type string, "
-        "http_status long, http_content_type string, body binary, "
-        "error string"
+        "http_status long, http_content_type string, truncated string, "
+        "body binary, error string"
     )
     cols = [
         id_col, "record_offset", "warc_type", "record_id", "target_uri",
-        "warc_content_type", "http_status", "http_content_type", "body",
-        "error",
+        "warc_content_type", "http_status", "http_content_type",
+        "truncated", "body", "error",
     ]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -212,12 +227,14 @@ def warc_table(
                 except ValueError as exc:
                     rows.append(
                         (aid, None, None, None, None, None, None, None,
-                         None, str(exc))
+                         None, None, str(exc))
                     )
                     continue
                 for rec in records:
                     h = rec["headers"]
                     wtype = h.get("warc-type")
+                    if record_types is not None and wtype not in record_types:
+                        continue
                     status, ctype, body = None, None, rec["body"]
                     err = None
                     if wtype == "response":
@@ -235,7 +252,9 @@ def warc_table(
                             h.get("warc-record-id"),
                             h.get("warc-target-uri"),
                             h.get("content-type"),
-                            status, ctype, body, err,
+                            status, ctype,
+                            h.get("warc-truncated"),
+                            body, err,
                         )
                     )
             yield pd.DataFrame(rows, columns=cols)

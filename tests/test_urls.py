@@ -132,6 +132,21 @@ class TestDomainCap:
         assert not uses_python_worker(out)
         assert count_shuffles(out) == 1, explain_str(out, "simple")
 
+    def test_mega_domain_skew_is_bounded_by_window_group_limit(self, spark):
+        # the skew story's load-bearing mechanism: row_number() <= k
+        # must compile to WindowGroupLimit (partition-LOCAL top-k
+        # before the exchange), so a mega-domain contributes at most
+        # k rows per input partition to the shuffle. Measured in the
+        # round-9 probe: a 90%-one-domain 2M-row corpus caps FASTER
+        # (0.67 s) than a uniform one (0.92 s). Pin the operator so a
+        # plan regression (e.g. an expression change that defeats the
+        # rewrite) cannot land silently.
+        df = spark.createDataFrame(
+            [(1, "http://a.com/x", 0.5)], "doc_id long, url string, score double"
+        )
+        out = cap_docs_per_domain(df, max_per_domain=3, order_col="score")
+        assert "WindowGroupLimit" in explain_str(out, "simple")
+
 
 class TestPublicSuffixList:
     def _psl(self, spark, *suffixes):

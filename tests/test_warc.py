@@ -172,6 +172,60 @@ class TestWarcTable:
         assert r.warc_type == "response" and r.error is not None
         assert bytes(r.body).startswith(b"HTTP/1.1")  # raw body kept
 
+    def test_full_segment_all_four_record_types_no_quarantine(self, spark):
+        # the layout a real Common Crawl segment ships: warcinfo header,
+        # request/response pair, metadata trailer — every record type
+        # becomes an ordinary row; quarantine is reserved for actual
+        # corruption (r8 verdict stretch #7)
+        meta = _record(
+            "metadata",
+            b"fetchTimeMs: 12\r\n",
+            uri="http://example.com/",
+            extra=(b"Content-Type: application/warc-fields",),
+        )
+        seg = WINFO + REQ + RESP + meta
+        rows = sorted(self._collect(spark, [seg]), key=lambda r: r.record_offset)
+        assert [r.warc_type for r in rows] == [
+            "warcinfo", "request", "response", "metadata",
+        ]
+        assert all(r.error is None for r in rows)
+        assert rows[3].warc_content_type == "application/warc-fields"
+        assert bytes(rows[3].body) == b"fetchTimeMs: 12\r\n"
+        assert all(r.truncated is None for r in rows)
+
+    def test_warc_truncated_surfaces(self, spark):
+        cut = _record(
+            "response",
+            _http(b"partial"),
+            uri="http://example.com/big",
+            extra=(b"WARC-Truncated: length",),
+        )
+        (r,) = self._collect(spark, [cut])
+        assert r.truncated == "length" and r.error is None
+        assert r.http_status == 200  # what WAS captured still parses
+
+    def test_record_types_filter(self, spark):
+        meta = _record("metadata", b"x: 1\r\n")
+        seg = WINFO + REQ + RESP + meta
+        df = spark.createDataFrame(
+            [(0, seg)], "asset_id long, payload binary"
+        )
+        only_resp = warc_table(df, record_types={"response"}).collect()
+        assert [r.warc_type for r in only_resp] == ["response"]
+        assert bytes(only_resp[0].body) == b"<html>hello</html>"
+        both = warc_table(df, record_types={"request", "metadata"}).collect()
+        assert sorted(r.warc_type for r in both) == ["metadata", "request"]
+        # corruption still quarantines even when filtered: the error
+        # row has warc_type None (not in any filter set) but must
+        # surface regardless — quarantine is not subject to routing
+        bad = warc_table(
+            spark.createDataFrame(
+                [(1, b"garbage")], "asset_id long, payload binary"
+            ),
+            record_types={"response"},
+        ).collect()
+        assert len(bad) == 1 and bad[0].error is not None
+
     def test_empty_input(self, spark):
         assert (
             warc_table(
