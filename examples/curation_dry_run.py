@@ -1,35 +1,42 @@
-"""End-to-end curation dry run with per-stage walls (round 7).
+"""End-to-end curation dry run with per-stage walls (round 7; round 9
+re-ordered crawl-native).
 
 Stitches the full training-data curation path the way a production
 run would — every stage MATERIALIZED to parquet before the next one
 reads it (production checkpointing; also what makes the per-stage
-walls honest: stage N+1 never silently recomputes stage N's lineage):
+walls honest: stage N+1 never silently recomputes stage N's lineage).
 
-    0. raw JSONL feed with injected corruption (setup, untimed)
-    1. quarantine ingest      sources/ingest.read_jsonl_quarantine
-    2. Gopher hygiene gate    text_filters.gopher_quality (verdict)
-    3. span excision          winnow.excise_duplicate_spans
-    4. MinHash near-dup       dedup.neardup_pairs_minhash
+Round 9 made the WARC container the pipeline's FRONT DOOR (the r8
+verdict's ask #5): the corpus enters as gzip-per-record WARC/1.0
+response records — the bytes Common Crawl actually ships — and ONE
+lineage runs extraction through shards:
+
+    0. WARC feed synthesis (setup, untimed — plays the crawler)
+    1. WARC extraction        warc.warc_table (gzip members + ISO
+                              28500 framing + HTTP split)
+    2. URL canonicalize+cap   urls.canonicalize_url
+                              + urls.cap_docs_per_domain
+    3. language ID            text.lang_id (a crawl ships no lang
+                              labels — predict, don't join them in)
+    4. Gopher hygiene gate    text_filters.gopher_quality (verdict)
+    5. span excision          winnow.excise_duplicate_spans
+    6. MinHash near-dup       dedup.neardup_pairs_minhash
          -> components       dedup.dedup_groups
          -> canonical keep   dedup.keep_canonical
-    5. DSIR selection         dsir.dsir_select (target = 'en' slice)
-    6. sequence packing       packing.pack_sequences + materialize_bins
-    7. token shards written   shards.write_token_shards
+    7. DSIR selection         dsir.dsir_select (target = predicted-en)
+    8. sequence packing       packing.pack_sequences + materialize_bins
+    9. token shards written   shards.write_token_shards
 
-plus the asset leg (round 8 — the multimodal layer end-to-end over a
-synthesized raw-crawl archive feed):
+plus two side legs gating the other ingest surfaces:
 
-    8. archive expansion      rawbytes.expand_archives
-    9. container probe        mediaprobe.probe_media_table
-   10. real decode stats      multimodal.decoded_asset_stats
+   10. JSONL quarantine       sources/ingest.read_jsonl_quarantine
+                              (the batch-feed alternative front door)
+
+   11. archive expansion      rawbytes.expand_archives
+   12. container probe        mediaprobe.probe_media_table
+   13. real decode stats      multimodal.decoded_asset_stats
                               + mpegaudio.decode_layer1_table
-   11. asset quality gate     row-local numeric verdicts
-
-and the crawl-native leg (round 8, second wave):
-
-   12. WARC extraction        warc.warc_table (gzip-per-record feed)
-   13. URL canonicalize+cap   urls.canonicalize_url
-                              + urls.cap_docs_per_domain
+   14. asset quality gate     row-local numeric verdicts
 
 Run from the repo root (writes CURATION_DRYRUN.md):
 
@@ -67,8 +74,13 @@ def main() -> None:
         pack_sequences,
     )
     from polars_matmul_spark.operators.shards import write_token_shards
-    from polars_matmul_spark.operators.text import token_count
+    from polars_matmul_spark.operators.text import lang_id, token_count
     from polars_matmul_spark.operators.text_filters import gopher_quality
+    from polars_matmul_spark.operators.urls import (
+        canonicalize_url,
+        cap_docs_per_domain,
+    )
+    from polars_matmul_spark.operators.warc import warc_table
     from polars_matmul_spark.operators.winnow import excise_duplicate_spans
     from polars_matmul_spark.plans.session import get_spark
     from polars_matmul_spark.sources.ingest import read_jsonl_quarantine
@@ -84,7 +96,7 @@ def main() -> None:
 
     stages: list[tuple[str, float, int, str]] = []
 
-    def checkpoint(name: str, df, note: str, ts_col_order=None) -> str:
+    def checkpoint(name: str, df, note: str) -> str:
         """Write a stage to parquet, record (wall, rows); return path."""
         path = os.path.join(WORK, name)
         t0 = time.perf_counter()
@@ -94,10 +106,157 @@ def main() -> None:
         stages.append((name, wall, n, note))
         return path
 
-    # --- stage 0 (setup, untimed): render documents as a JSONL feed
-    # with ~2% injected corruption — truncated lines and type breaks,
-    # the two real failure classes the quarantine exists for
+    import gzip as _gzip
+
+    import pandas as _pd
+
     docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text", "lang")
+    feed_docs = (
+        docs.select(
+            "doc_id",
+            F.regexp_replace("text", "[^\\x00-\\x7F]", "?").alias("text"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    # --- stage 0 (setup, untimed): the corpus as a real crawl ships it
+    # — WARC/1.0 response records, one gzip member per record, messy
+    # target URIs (mixed case, default port, doubled slashes, tracking
+    # params) across 23 hosts
+    def _build_warc(batches):
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                body = (text or "").encode("ascii", "replace")
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+                    + b"Content-Length: " + str(len(body)).encode()
+                    + b"\r\n\r\n" + body
+                )
+                rec = (
+                    b"WARC/1.0\r\nWARC-Type: response\r\n"
+                    + f"WARC-Record-ID: <urn:doc:{did}>\r\n".encode()
+                    + f"WARC-Target-URI: HTTP://Host{did % 23}.COM:80//d//{did}?utm_source=c&id={did}\r\n".encode()
+                    + b"Content-Type: application/http;msgtype=response\r\n"
+                    + b"Content-Length: " + str(len(http)).encode()
+                    + b"\r\n\r\n" + http + b"\r\n\r\n"
+                )
+                payloads.append(_gzip.compress(rec))
+            yield _pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
+
+    warc_feed_path = os.path.join(WORK, "warc_feed")
+    feed_docs.mapInPandas(
+        _build_warc, "asset_id long, payload binary"
+    ).write.mode("overwrite").parquet(warc_feed_path)
+
+    # --- stage 1: WARC record extraction — the pipeline's front door
+    wrecords = warc_table(
+        spark.read.parquet(warc_feed_path), record_types={"response"}
+    ).select(
+        F.col("asset_id").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("body").cast("string").alias("text"),
+        "http_status",
+    )
+    p1 = checkpoint(
+        "01_warc_extract", wrecords,
+        "multi-member gzip + ISO 28500 framing + HTTP split, mapInPandas",
+    )
+
+    # --- stage 2: URL canonicalization + per-domain diversity cap
+    wr = spark.read.parquet(p1).filter(F.col("http_status") == 200)
+    capped = cap_docs_per_domain(
+        wr.withColumn("quality", F.length("text")),
+        max_per_domain=150,
+        order_col="quality",
+    ).select(
+        "doc_id", canonicalize_url(F.col("url")).alias("canon_url"),
+        "domain_key", "text",
+    )
+    p2 = checkpoint(
+        "02_domain_cap", capped,
+        "pure-Catalyst RFC 3986 canonicalization; one domain-keyed window",
+    )
+
+    # --- stage 3: language ID — a crawl ships no lang labels, so the
+    # lineage PREDICTS them (stopword-hit heuristic, pure Catalyst)
+    # instead of joining ground truth back in
+    langed = spark.read.parquet(p2).withColumn("lang", lang_id(F.col("text")))
+    p3 = checkpoint(
+        "03_lang_id", langed,
+        "stopword-hit language guess, whole-stage-codegen CASE chain",
+    )
+
+    # --- stage 4: Gopher hygiene gate (row-local verdict, scan speed)
+    ingested = spark.read.parquet(p3)
+    ok_ids = (
+        gopher_quality(ingested, min_words=30)
+        .filter(F.col("gopher_ok"))
+        .select("doc_id")
+    )
+    gated = ingested.join(ok_ids, "doc_id")
+    p4 = checkpoint(
+        "04_gopher_gate", gated,
+        "row-local rule verdict; id-keyed join back (AQE broadcast)",
+    )
+
+    # --- stage 5: exact span excision (strip cross-doc spans >= k)
+    g = spark.read.parquet(p4).repartition(spark.sparkContext.defaultParallelism)
+    excised = (
+        excise_duplicate_spans(g.select("doc_id", "text"), k=20)
+        .select("doc_id", "text")
+        .join(g.select("doc_id", "lang", "domain_key"), "doc_id")
+    )
+    p5 = checkpoint(
+        "05_excised", excised,
+        "k-gram doc counts -> broadcast frequent set -> row-local interval merge",
+    )
+
+    # --- stage 6: MinHash near-dup -> components -> canonical keep
+    ex = spark.read.parquet(p5)
+    pairs = neardup_pairs_minhash(ex, threshold=0.8)
+    groups = dedup_groups(pairs)
+    kept = keep_canonical(ex, pairs)
+    p6 = checkpoint(
+        "06_deduped", kept,
+        f"LSH bands -> exact verify -> components ({groups.count()} grouped docs)",
+    )
+
+    # --- stage 7: DSIR selection toward the PREDICTED 'en' slice
+    dd = spark.read.parquet(p6)
+    target = dd.filter(F.col("lang") == "en").select("doc_id", "text")
+    n_dd = dd.count()
+    selected = dsir_select(dd, target, k=max(100, n_dd // 2))
+    p7 = checkpoint(
+        "07_dsir_selected", selected.select("doc_id", "text", "lang"),
+        "hashed unigram LMs (two 1024-double collects), Gumbel top-k",
+    )
+
+    # --- stage 8: packing (token counts -> bins -> physical sequences)
+    sel = spark.read.parquet(p7)
+    counted = sel.withColumn("n_tokens", token_count(F.col("text")))
+    packed = pack_sequences(counted, budget=512)
+    bins = materialize_bins(packed, sel)
+    checkpoint(
+        "08_packed_bins", bins,
+        "FFD per partition (ids only move), bodies join in for reassembly",
+    )
+
+    # --- stage 9: token shards written (deterministic global shuffle)
+    shard_path = os.path.join(WORK, "09_shards")
+    t0 = time.perf_counter()
+    write_token_shards(counted, shard_path, tokens_per_shard=20_000)
+    wall = time.perf_counter() - t0
+    n_shards = len(
+        [d for d in os.listdir(shard_path) if d.startswith("shard_id=")]
+    )
+    stages.append(
+        ("09_shards", wall, n_shards, "md5 global order -> 2-phase prefix sum -> partitioned write (rows = shard dirs)")
+    )
+
+    # --- side leg A (stage 10): the batch-feed alternative front door
+    # — JSONL with ~2% injected corruption (truncated lines and type
+    # breaks, the two real failure classes the quarantine exists for)
     raw_path = os.path.join(WORK, "feed_jsonl")
     line = F.to_json(F.struct("doc_id", "text", "lang"))
     corrupted = docs.select(
@@ -111,7 +270,6 @@ def main() -> None:
     )
     corrupted.coalesce(4).write.mode("overwrite").text(raw_path)
 
-    # --- stage 1: quarantine ingest
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -121,79 +279,13 @@ def main() -> None:
     )
     good, bad = read_jsonl_quarantine(spark, raw_path, schema)
     n_bad = bad.count()
-    p1 = checkpoint(
-        "01_ingested", good,
-        f"PERMISSIVE parse, one text scan; {n_bad} corrupt lines quarantined",
+    checkpoint(
+        "10_jsonl_ingest", good,
+        f"PERMISSIVE parse, one text scan; {n_bad} corrupt lines quarantined"
+        " (batch-feed side leg)",
     )
 
-    # --- stage 2: Gopher hygiene gate (row-local verdict, scan speed)
-    ingested = spark.read.parquet(p1)
-    ok_ids = (
-        gopher_quality(ingested, min_words=30)
-        .filter(F.col("gopher_ok"))
-        .select("doc_id")
-    )
-    gated = ingested.join(ok_ids, "doc_id")
-    p2 = checkpoint(
-        "02_gopher_gate", gated,
-        "row-local rule verdict; id-keyed join back (AQE broadcast)",
-    )
-
-    # --- stage 3: exact span excision (strip cross-doc spans >= k)
-    g = spark.read.parquet(p2).repartition(spark.sparkContext.defaultParallelism)
-    excised = (
-        excise_duplicate_spans(g.select("doc_id", "text"), k=20)
-        .select("doc_id", "text")
-        .join(g.select("doc_id", "lang"), "doc_id")
-    )
-    p3 = checkpoint(
-        "03_excised", excised,
-        "k-gram doc counts -> broadcast frequent set -> row-local interval merge",
-    )
-
-    # --- stage 4: MinHash near-dup -> components -> canonical keep
-    ex = spark.read.parquet(p3)
-    pairs = neardup_pairs_minhash(ex, threshold=0.8)
-    groups = dedup_groups(pairs)
-    kept = keep_canonical(ex, pairs)
-    p4 = checkpoint(
-        "04_deduped", kept,
-        f"LSH bands -> exact verify -> components ({groups.count()} grouped docs)",
-    )
-
-    # --- stage 5: DSIR selection toward the 'en' slice
-    dd = spark.read.parquet(p4)
-    target = dd.filter(F.col("lang") == "en").select("doc_id", "text")
-    n_dd = dd.count()
-    selected = dsir_select(dd, target, k=max(100, n_dd // 2))
-    p5 = checkpoint(
-        "05_dsir_selected", selected.select("doc_id", "text", "lang"),
-        "hashed unigram LMs (two 1024-double collects), Gumbel top-k",
-    )
-
-    # --- stage 6: packing (token counts -> bins -> physical sequences)
-    sel = spark.read.parquet(p5)
-    counted = sel.withColumn("n_tokens", token_count(F.col("text")))
-    packed = pack_sequences(counted, budget=512)
-    bins = materialize_bins(packed, sel)
-    p6 = checkpoint(
-        "06_packed_bins", bins,
-        "FFD per partition (ids only move), bodies join in for reassembly",
-    )
-
-    # --- stage 7: token shards written (deterministic global shuffle)
-    shard_path = os.path.join(WORK, "07_shards")
-    t0 = time.perf_counter()
-    write_token_shards(counted, shard_path, tokens_per_shard=20_000)
-    wall = time.perf_counter() - t0
-    n_shards = len(
-        [d for d in os.listdir(shard_path) if d.startswith("shard_id=")]
-    )
-    stages.append(
-        ("07_shards", wall, n_shards, "md5 global order -> 2-phase prefix sum -> partitioned write (rows = shard dirs)")
-    )
-
-    # --- asset leg (round 8): the multimodal layer end-to-end — raw
+    # --- side leg B (round 8): the multimodal layer end-to-end — raw
     # archive feed -> expand -> probe -> real decode stats -> quality
     # gate. Feed setup is untimed (it plays the crawler); every
     # pipeline stage is timed + materialized like the text leg.
@@ -202,7 +294,6 @@ def main() -> None:
     import zipfile as _zipfile
 
     import numpy as _np
-    import pandas as _pd
 
     from polars_matmul_spark.operators.mediaprobe import probe_media_table
     from polars_matmul_spark.operators.mpegaudio import (
@@ -211,14 +302,6 @@ def main() -> None:
     )
     from polars_matmul_spark.operators.multimodal import decoded_asset_stats
     from polars_matmul_spark.operators.rawbytes import expand_archives
-
-    feed_docs = (
-        docs.select(
-            "doc_id",
-            F.regexp_replace("text", "[^\\x00-\\x7F]", "?").alias("text"),
-        )
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
 
     def _build_asset_zip(batches):
         from polars_matmul_spark.operators.flac import encode_flac
@@ -260,29 +343,29 @@ def main() -> None:
     feed_path = os.path.join(WORK, "asset_feed")
     feed.write.mode("overwrite").parquet(feed_path)  # untimed setup
 
-    # --- stage 8: archive expansion (zip-bomb-guarded, quarantining)
+    # --- stage 11: archive expansion (zip-bomb-guarded, quarantining)
     raw_assets = spark.read.parquet(feed_path)
     members = expand_archives(raw_assets).select(
         "asset_id",
         F.col("member_path").alias("member"),
         F.col("member_bytes").alias("payload"),
     )
-    p8 = checkpoint(
-        "08_asset_expand", members,
+    p11 = checkpoint(
+        "11_asset_expand", members,
         "zip/tar expansion in mapInPandas; bounded per-member reads",
     )
 
-    # --- stage 9: container probe (header-bounded triage pass; one
+    # --- stage 12: container probe (header-bounded triage pass; one
     # media member per asset, so asset_id stays a key)
-    mem = spark.read.parquet(p8)
+    mem = spark.read.parquet(p11)
     media = mem.filter(F.col("member") != "sidecar.bin")
     probed = probe_media_table(media.select("asset_id", "payload"))
-    p9 = checkpoint(
-        "09_asset_probe", probed,
+    checkpoint(
+        "12_asset_probe", probed,
         "MP3 frame walk + BMFF box walk + magic tags; KBs read per asset",
     )
 
-    # --- stage 10: REAL decode stats (WAV/FLAC full parse + Layer I
+    # --- stage 13: REAL decode stats (WAV/FLAC full parse + Layer I
     # payload decode), opaque members pass through
     stats = decoded_asset_stats(media.select("asset_id", "payload"))
     l1 = decode_layer1_table(
@@ -291,14 +374,14 @@ def main() -> None:
         )
     ).select("asset_id", "n_frames", "n_codes", "code_digest")
     decoded = stats.join(l1, "asset_id", "left")
-    p10 = checkpoint(
-        "10_asset_decode", decoded,
+    p13 = checkpoint(
+        "13_asset_decode", decoded,
         "lossless WAV/FLAC decode (CRC+MD5-verified) + Layer I bit walk",
     )
 
-    # --- stage 11: asset quality gate (the multimodal analogue of the
+    # --- stage 14: asset quality gate (the multimodal analogue of the
     # Gopher stage: numeric verdicts, row-local)
-    dstats = spark.read.parquet(p10)
+    dstats = spark.read.parquet(p13)
     gated_assets = dstats.filter(
         (
             F.col("audio_rms").isNotNull()
@@ -309,74 +392,8 @@ def main() -> None:
         | (F.col("n_codes").isNotNull() & (F.col("n_codes") >= 288))
     )
     checkpoint(
-        "11_asset_gate", gated_assets,
+        "14_asset_gate", gated_assets,
         "row-local numeric verdicts over decoded stats (Catalyst only)",
-    )
-
-    # --- crawl-native leg (round 8): the same documents arriving the
-    # way a real crawl ships them — WARC/1.0 response records (gzip
-    # per record) — extracted, URL-canonicalized and domain-capped.
-    # Feed setup untimed; both pipeline stages timed + materialized.
-    import gzip as _gzip
-
-    from polars_matmul_spark.operators.urls import (
-        canonicalize_url,
-        cap_docs_per_domain,
-    )
-    from polars_matmul_spark.operators.warc import warc_table
-
-    def _build_warc(batches):
-        for pdf in batches:
-            payloads = []
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
-                body = (text or "").encode("ascii", "replace")
-                http = (
-                    b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
-                    + b"Content-Length: " + str(len(body)).encode()
-                    + b"\r\n\r\n" + body
-                )
-                rec = (
-                    b"WARC/1.0\r\nWARC-Type: response\r\n"
-                    + f"WARC-Record-ID: <urn:doc:{did}>\r\n".encode()
-                    + f"WARC-Target-URI: HTTP://Host{did % 23}.COM:80//d//{did}?utm_source=c&id={did}\r\n".encode()
-                    + b"Content-Type: application/http;msgtype=response\r\n"
-                    + b"Content-Length: " + str(len(http)).encode()
-                    + b"\r\n\r\n" + http + b"\r\n\r\n"
-                )
-                payloads.append(_gzip.compress(rec))
-            yield _pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
-
-    warc_feed_path = os.path.join(WORK, "warc_feed")
-    feed_docs.mapInPandas(
-        _build_warc, "asset_id long, payload binary"
-    ).write.mode("overwrite").parquet(warc_feed_path)
-
-    # --- stage 12: WARC record extraction (gzip members + framing +
-    # HTTP split — the crawl-native ingest path)
-    wrecords = warc_table(spark.read.parquet(warc_feed_path)).select(
-        F.col("asset_id").alias("doc_id"),
-        F.col("target_uri").alias("url"),
-        F.col("body").cast("string").alias("text"),
-        "http_status",
-    )
-    p12 = checkpoint(
-        "12_warc_extract", wrecords,
-        "multi-member gzip + ISO 28500 framing + HTTP split, mapInPandas",
-    )
-
-    # --- stage 13: URL canonicalization + per-domain diversity cap
-    wr = spark.read.parquet(p12)
-    capped = cap_docs_per_domain(
-        wr.withColumn("quality", F.length("text")),
-        max_per_domain=150,
-        order_col="quality",
-    ).select(
-        "doc_id", canonicalize_url(F.col("url")).alias("canon_url"),
-        "domain_key", "text",
-    )
-    checkpoint(
-        "13_domain_cap", capped,
-        "pure-Catalyst RFC 3986 canonicalization; one domain-keyed window",
     )
 
     total = sum(w for _, w, _, _ in stages)
@@ -399,18 +416,22 @@ def main() -> None:
     out += [
         f"| | **total** | **{total:.2f}** | | |",
         "",
-        "The composition is the SURVEY §7 story run as one artifact: "
-        "quarantine -> hygiene -> excision -> near-dup -> selection -> "
-        "packing -> shards. Each stage is the scale-shaped operator "
-        "documented in its module; nothing here is imperative glue "
-        "beyond the checkpoint writes a production pipeline would do "
-        "anyway.",
+        "Round 9 made the crawl container the pipeline's front door: "
+        "stages 01-09 are ONE lineage from gzip-per-record WARC/1.0 "
+        "bytes to token shards — extraction -> URL canonicalize + "
+        "per-domain cap -> language ID (predicted, a crawl ships no "
+        "labels) -> Gopher -> excision -> near-dup -> DSIR -> packing "
+        "-> shards. Stages 10-14 are the side legs gating the other "
+        "ingest surfaces (JSONL quarantine; the multimodal asset "
+        "layer). Each stage is the scale-shaped operator documented "
+        "in its module; nothing here is imperative glue beyond the "
+        "checkpoint writes a production pipeline would do anyway.",
         "",
         "Ordering note the dry run makes measurable: running span "
         "EXCISION before MinHash collapses the near-dup stage to "
         "(almost) nothing — the verbatim shared spans that made pairs "
         "exceed the Jaccard threshold were already cut out, so the "
-        "grouped-docs count at stage 04 reads ~0 where the same "
+        "grouped-docs count at stage 06 reads ~0 where the same "
         "corpus WITHOUT excision yields the registry row's ~47 "
         "groups. Excise-then-dedup keeps unique prose from both "
         "near-dup copies; dedup-then-excise drops one copy whole. "
