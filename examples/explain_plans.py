@@ -202,16 +202,10 @@ CASES = [
     # plan shape stays pinned by srp_neardup_bands above (same SRP
     # signature pass) and the rotated-query value gate
 
-    (
-        "excise_duplicate_spans",
-        "Exact substring dedup by removal (driver row since round 7): one "
-        "materialized gram pass feeds a distinct + map-side-combinable "
-        "frequency groupBy over uniform 48-bit hashes; the bounded "
-        "frequent-gram table broadcasts back into the slim (id, pos) "
-        "stream; reassembly is one per-doc aggregation + one id-keyed "
-        "join with a row-local interval-merge fold — no self-join, no "
-        "Python, a ubiquitous span costs O(occurrences)",
-    ),
+    # excise_duplicate_spans left the registry in the round-9 rotation
+    # (slot freed for triage_assets); its plan shape stays pinned by
+    # excise_spans_cms below (same gram pass, same reassembly) and the
+    # rotated-query value gate
     (
         "excise_spans_cms",
         "Bounded-state span excision (driver row, round 7): the gram "
@@ -293,10 +287,35 @@ CASES_R8 = [
     ),
     (
         "url_domain_cap",
-        "URL curation (round 8): the whole canonicalization chain is "
-        "WholeStageCodegen regexp/string expressions (no Python worker "
-        "anywhere); the diversity cap is one domain-keyed window — the "
-        "single exchange in the plan — never a global sort",
+        "URL curation (round 8; PSL-keyed since round 9): the whole "
+        "canonicalization chain is WholeStageCodegen regexp/string "
+        "expressions (no Python worker anywhere); the public-suffix "
+        "table joins in as per-depth BROADCAST left joins (build side "
+        "deduped once, exchange-reused); the diversity cap is one "
+        "domain-keyed window — the single data-side exchange — whose "
+        "row_number()<=k compiles to WindowGroupLimit, the "
+        "partition-local top-k that makes a mega-domain contribute at "
+        "most k rows per input partition to the shuffle (measured "
+        "skew-flat in examples/scaling_probe.py)",
+    ),
+    (
+        "lsh_euclidean_join",
+        "p-stable Euclidean LSH (round 9): the seeded Gaussian family "
+        "rides as ONE broadcast data row (no plan-literal bloat); the "
+        "floor-bucket signature is an interpreted fold staged behind a "
+        "select boundary and computed ONCE (localCheckpoint) for both "
+        "sides of the (table, key) self-join; the exact-distance "
+        "verify joins slim id pairs back to per-point norms — no "
+        "unblocked all-pairs stage anywhere",
+    ),
+    (
+        "triage_assets",
+        "Asset triage (round 9): probe -> route -> decode as three "
+        "mapInPandas stages over the SAME checkpointed scan plus two "
+        "id-keyed equi-joins of slim stat rows — payloads are never "
+        "shuffled (joins carry scalars only), the Layer I branch "
+        "filters on probe verdicts before its decode stage sees a "
+        "byte",
     ),
 ]
 
