@@ -127,10 +127,15 @@ def _probe_mp3(payload: bytes) -> dict:
         raise ValueError("no MPEG audio frame sync found")
     size, samples, info = first
     # Xing/Info header (VBR): frame count lives in the first frame's
-    # side-info region; accept it wherever it appears inside frame 1
+    # side-info region; accept it wherever it appears inside frame 1.
+    # LAYER III ONLY (round 9): the Xing/LAME convention is a Layer III
+    # artifact — on Layer I/II streams the sample bits are arbitrary
+    # payload data, so a coincidental 4-byte 'Xing'/'Info' match would
+    # silently replace the walked frame count with garbage (~6e-7 per
+    # frame of data-derived bits; real for crawl-scale corpora).
     xing_frames = None
     xing_vbr = False
-    window = payload[pos : pos + size]
+    window = payload[pos : pos + size] if info["layer"] == 3 else b""
     for tag in (b"Xing", b"Info"):
         at = window.find(tag)
         if at >= 0 and at + 12 <= len(window):

@@ -76,6 +76,27 @@ class TestMp3:
         info = probe_mp3(bytes(frame1) + _mp3_frames(2))
         assert info["n_frames"] == 500 and not info["vbr"]
 
+    def test_xing_ignored_on_layer1(self):
+        # the Xing/LAME convention is Layer III-only: a Layer I frame
+        # whose PAYLOAD bits happen to spell 'Xing' (sample bits are
+        # arbitrary data in the triage battery) must NOT replace the
+        # walked frame count with the bytes that follow (round 9)
+        from polars_matmul_spark.operators.mpegaudio import encode_layer1
+
+        import numpy as np
+
+        alloc = [6] * 12 + [0] * 20
+        codes = np.zeros((2, 12, 12), dtype=np.int64)
+        stream = bytearray(encode_layer1(codes, alloc, [3] * 12, 448, 32000))
+        at = 40  # inside frame 1's sample-bit region
+        stream[at : at + 4] = b"Xing"
+        stream[at + 4 : at + 8] = struct.pack(">I", 0x1)
+        stream[at + 8 : at + 12] = struct.pack(">I", 999)
+        info = probe_mp3(bytes(stream))
+        assert info["layer"] == 1
+        assert info["n_frames"] == 2  # walked, not the fake Xing count
+        assert not info["vbr"]
+
     def test_vbr_detected_from_bitrate_changes(self):
         h128 = bytes([0xFF, 0xFB, 0x90, 0x00])
         h160 = bytes([0xFF, 0xFB, 0xA0, 0x00])  # idx 10 -> 160 kbps

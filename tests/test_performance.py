@@ -241,11 +241,12 @@ _CEILINGS_SF01 = {
     # materialization, so the tight bound is back
     "cms_line_dedup": 8.0,
     "priority_sample_docs": 1.5,
-    # hamming_topk_srp left the registry in the round-8 rotation
+    # hamming_topk_srp left the registry in the round-8 rotation;
+    # excise_duplicate_spans in the round-9 rotation (its wall stays
+    # bounded transitively: the CMS sibling shares the gram pass)
     # round-7 rotation rows; the excision pair retimed after the
     # shared-gram-pass/one-shuffle-counts rework (min walls 2.7 / 5.0 s
     # at calibration ~1.4x -> idle ~2 / 3.8 s, ceilings ~4x)
-    "excise_duplicate_spans": 11.0,
     "excise_spans_cms": 18.0,
     "strip_within_doc": 2.5,
     "materialize_bins": 2.5,
@@ -265,7 +266,12 @@ _CEILINGS_SF01 = {
     # token_counts and hamming_topk_srp ceilings retired with their
     # rotations)
     "warc_extract": 4.5,
-    "url_domain_cap": 3.0,
+    # round 9: the row gained the github.io branch + PSL broadcast
+    # joins (idle warm wall ~0.9 s)
+    "url_domain_cap": 3.5,
+    # round-9 rotation rows (idle warm walls ~1.5 / ~1.5 s)
+    "lsh_euclidean_join": 6.0,
+    "triage_assets": 6.0,
 }
 
 
