@@ -138,6 +138,26 @@ def registrable_host_key(url: Column) -> Column:
     )
 
 
+def parse_psl_snapshot(text: str) -> list[str]:
+    """Parse a raw publicsuffix.org snapshot (the ``public_suffix_list
+    .dat`` format) into the rule list :func:`with_registrable_domain`
+    accepts: ``//`` comment lines and blanks dropped, everything after
+    the first whitespace on a line dropped (the format allows trailing
+    comments), rules lower-cased, ``*.``-wildcard and ``!``-exception
+    markers PRESERVED (the operator implements their semantics).
+    Offline-friendly: the caller ships whatever snapshot file they
+    trust; nothing is fetched."""
+    rules: list[str] = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("//"):
+            continue
+        rule = line.split()[0].lower()
+        if rule:
+            rules.append(rule)
+    return rules
+
+
 def with_registrable_domain(
     df: DataFrame,
     url_col: str = "url",
@@ -148,23 +168,31 @@ def with_registrable_domain(
     """Add ``out_col`` = the registrable domain of ``url_col``, keyed
     by a user-supplied public-suffix table when given.
 
-    ``psl`` is a one-column DataFrame (``suffix`` string, lower-case,
-    e.g. rows ``com``, ``co.uk``, ``github.io``, ``blogspot.com``) —
-    the offline-friendly form of publicsuffix.org's list: the user
-    ships whatever snapshot they trust, the operator never fetches.
-    The registrable domain is the LONGEST matching suffix plus one more
-    host label (the PSL algorithm, exact-match entries only; the
-    list's ``*.``-wildcard and ``!``-exception rules are documented
-    out of scope — flatten them into exact rows when exporting the
-    snapshot). A host that IS a suffix keys to itself; a host matching
-    no suffix falls back to :func:`registrable_host_key`'s heuristic,
-    so passing a partial table only ever IMPROVES keys.
+    ``psl`` is a one-column DataFrame (``suffix`` string) holding
+    publicsuffix.org rules — exact suffixes (``com``, ``co.uk``,
+    ``github.io``), ``*.``-wildcards (``*.ck``: any single label under
+    the base is itself a public suffix) and ``!``-exceptions
+    (``!www.ck``: cancels a wildcard — ``www.ck`` is registrable).
+    Feed a raw snapshot through :func:`parse_psl_snapshot`. The
+    operator never fetches anything.
 
-    Scale shape: one candidate-suffix column per depth (last 1..
-    ``max_suffix_labels`` labels, pure string ops) and one BROADCAST
-    left join per depth — map-side only, zero shuffles added; the PSL
-    (~10k rows) broadcasts once. Engine-portable: every step is
-    string algebra + equi-joins any SQL engine replays.
+    Resolution follows the PSL algorithm: among matching rules an
+    EXCEPTION prevails absolutely, else the longest (deepest) rule;
+    the registrable domain is the prevailing public suffix plus one
+    more host label (for an exception, the exception's own labels). A
+    host that IS a public suffix keys to itself; a host matching no
+    rule falls back to :func:`registrable_host_key`'s heuristic, so a
+    partial table only ever IMPROVES keys. Rules deeper than
+    ``max_suffix_labels`` labels (after stripping markers) never
+    match — raise it to cover the deepest rule you ship (the real
+    list's deepest is 5).
+
+    Scale shape: one candidate-suffix column per depth (pure string
+    ops), ONE aggregation of the rule table into per-base kind flags,
+    and one BROADCAST left join per depth — map-side only, zero
+    shuffles added to the data lineage; the PSL (~10k rows) broadcasts
+    once. Engine-portable: string algebra + equi-joins any SQL engine
+    replays.
 
     Why this matters at crawl scale (r8 verdict "What's missing #1"):
     under the bare heuristic every ``*.github.io`` site collapses into
@@ -179,35 +207,75 @@ def with_registrable_domain(
     parts = F.split(F.col("__host"), r"\.")
     n = F.size(parts)
     depths = range(1, max_suffix_labels + 1)
-    for k in depths:
+    # candidates up to max+2: a wildcard at base depth k makes the
+    # public suffix k+1 deep and the registrable domain k+2 deep
+    for k in range(1, max_suffix_labels + 3):
         cand = F.concat_ws(
             ".", *[F.element_at(parts, -(k - j)) for j in range(k)]
         )
         # a candidate only exists when the host has MORE labels than
         # the suffix or exactly equals it; shorter hosts yield null
         out = out.withColumn(f"__s{k}", F.when(n >= k, cand))
-    # dedupe the suffix table ONCE (duplicate rows would duplicate df
-    # rows through the left joins); each per-depth join is an alias of
-    # the same deduped subplan, so exchange reuse collapses the build
-    psl_uniq = psl.select(F.lower(F.col("suffix")).alias("__suffix")).distinct()
+    # normalize rules -> one row per BASE with kind flags (duplicate
+    # rows can never duplicate df rows through the joins), built once;
+    # each per-depth join aliases the same subplan so exchange reuse
+    # collapses the build side
+    r = F.lower(F.trim(F.col("suffix")))
+    base = (
+        F.when(r.startswith("!"), F.expr("substring(lower(trim(suffix)), 2)"))
+        .when(r.startswith("*."), F.expr("substring(lower(trim(suffix)), 3)"))
+        .otherwise(r)
+    )
+    rules = psl.select(
+        base.alias("__base"),
+        r.startswith("!").alias("__is_x"),
+        r.startswith("*.").alias("__is_w"),
+    )
+    flags = rules.groupBy("__base").agg(
+        F.max(~F.col("__is_x") & ~F.col("__is_w")).alias("__exact"),
+        F.max(F.col("__is_w")).alias("__wild"),
+        F.max(F.col("__is_x")).alias("__exc"),
+    )
     for k in depths:
-        m = psl_uniq.select(F.col("__suffix").alias(f"__m{k}"))
+        m = flags.select(
+            F.col("__base").alias(f"__m{k}"),
+            F.col("__exact").alias(f"__e{k}"),
+            F.col("__wild").alias(f"__w{k}"),
+            F.col("__exc").alias(f"__x{k}"),
+        )
         out = out.join(
             F.broadcast(m), out[f"__s{k}"] == m[f"__m{k}"], "left"
         )
-    # longest matched suffix wins; registrable = suffix + 1 label
+    # longest matched rule wins (ascending overwrite); the registrable
+    # domain is suffix + 1 label, or the host itself when the host IS
+    # the public suffix
     key = registrable_host_key(F.col(url_col))  # no-match fallback
-    for k in depths:  # ascending: deeper matches overwrite shallower
-        matched = F.col(f"__m{k}").isNotNull()
-        reg = F.when(n > k, F.col(f"__s{k + 1}") if k + 1 <= max_suffix_labels
-                     else F.concat_ws(
-                         ".", *[F.element_at(parts, -(k + 1 - j))
-                                for j in range(k + 1)]
-                     )).otherwise(F.col("__host"))
-        key = F.when(matched, reg).otherwise(key)
+    for k in depths:
+        exact = F.coalesce(F.col(f"__e{k}"), F.lit(False))
+        key = F.when(
+            exact,
+            F.when(n > k, F.col(f"__s{k + 1}")).otherwise(F.col("__host")),
+        ).otherwise(key)
+        # wildcard at base depth k: public suffix = k+1 labels; only
+        # matches when that label exists (n >= k+1). Applied after
+        # exact@k (deeper effective suffix), before exact@{k+1} (equal
+        # depth, identical registrable, order immaterial).
+        wild = F.coalesce(F.col(f"__w{k}"), F.lit(False)) & (n >= k + 1)
+        key = F.when(
+            wild,
+            F.when(n > k + 1, F.col(f"__s{k + 2}")).otherwise(F.col("__host")),
+        ).otherwise(key)
+    # exceptions prevail over every other matching rule, deepest last:
+    # the exception's own labels ARE the registrable domain
+    for k in depths:
+        exc = F.coalesce(F.col(f"__x{k}"), F.lit(False))
+        key = F.when(exc, F.col(f"__s{k}")).otherwise(key)
     out = out.withColumn(out_col, key)
-    drop = (["__host"]
-            + [f"__s{k}" for k in depths] + [f"__m{k}" for k in depths])
+    drop = (
+        ["__host"]
+        + [f"__s{k}" for k in range(1, max_suffix_labels + 3)]
+        + [f"__{p}{k}" for k in depths for p in ("m", "e", "w", "x")]
+    )
     return out.drop(*drop)
 
 

@@ -214,6 +214,71 @@ class TestPublicSuffixList:
         got = with_registrable_domain(df, psl=psl).collect()[0].domain_key
         assert got == "mysite.s3.amazonaws.example"
 
+    def test_wildcard_and_exception_rules(self, spark):
+        # publicsuffix.org's own classic vectors: '*.ck' makes every
+        # single label under ck a public suffix; '!www.ck' cancels it
+        # (www.ck is itself registrable); exceptions prevail absolutely
+        from polars_matmul_spark.operators.urls import with_registrable_domain
+
+        rows = [
+            (1, "http://foo.ck/"),      # host IS a public suffix
+            (2, "http://a.foo.ck/"),    # registrable = a.foo.ck
+            (3, "http://b.a.foo.ck/"),  # still a.foo.ck
+            (4, "http://www.ck/"),      # exception: www.ck registrable
+            (5, "http://x.www.ck/"),    # exception wins over wildcard
+            (6, "http://example.com/"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        psl = self._psl(spark, "*.ck", "!www.ck", "com")
+        got = {
+            r.doc_id: r.domain_key
+            for r in with_registrable_domain(df, psl=psl).collect()
+        }
+        assert got == {
+            1: "foo.ck",
+            2: "a.foo.ck",
+            3: "a.foo.ck",
+            4: "www.ck",
+            5: "www.ck",
+            6: "example.com",
+        }
+
+    def test_kobe_jp_exception_beats_deeper_wildcard(self, spark):
+        # the real list's kobe.jp block: '*.kobe.jp' + '!city.kobe.jp'
+        from polars_matmul_spark.operators.urls import with_registrable_domain
+
+        rows = [
+            (1, "http://a.b.city.kobe.jp/"),     # exception: city.kobe.jp
+            (2, "http://x.yokohama.kobe.jp/"),   # wildcard: suffix is
+            (3, "http://yokohama.kobe.jp/"),     # yokohama.kobe.jp
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        psl = self._psl(spark, "jp", "*.kobe.jp", "!city.kobe.jp")
+        got = {
+            r.doc_id: r.domain_key
+            for r in with_registrable_domain(df, psl=psl).collect()
+        }
+        assert got == {
+            1: "city.kobe.jp",
+            2: "x.yokohama.kobe.jp",
+            3: "yokohama.kobe.jp",  # host IS the wildcard public suffix
+        }
+
+    def test_parse_psl_snapshot(self):
+        from polars_matmul_spark.operators.urls import parse_psl_snapshot
+
+        text = (
+            "// ===BEGIN ICANN DOMAINS===\n"
+            "\n"
+            "com\n"
+            "*.ck\n"
+            "!www.ck  // trailing comment\n"
+            "GitHub.IO\n"
+        )
+        assert parse_psl_snapshot(text) == [
+            "com", "*.ck", "!www.ck", "github.io",
+        ]
+
     def test_cap_with_psl_and_shuffle_count(self, spark):
         # the cap itself must respect PSL keys, and the suffix joins
         # must stay BROADCAST (map-side): the data lineage keeps
@@ -235,13 +300,13 @@ class TestPublicSuffixList:
         assert "BroadcastHashJoin" in plan, plan
         assert "SortMergeJoin" not in plan, plan
         # no data-side exchange other than the window's: every other
-        # hash exchange partitions the lowered suffix column
+        # hash exchange partitions the rule table's base column
         import re
 
         data_side = [
             ln for ln in plan.splitlines()
             if re.search(r"\bExchange hashpartitioning", ln)
-            and "__suffix" not in ln and "domain_key" not in ln
+            and "__base" not in ln and "domain_key" not in ln
         ]
         assert data_side == [], plan
 
