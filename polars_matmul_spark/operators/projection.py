@@ -44,6 +44,8 @@ __all__ = [
     "srp_neardup",
     "pstable_params",
     "pstable_lsh_join",
+    "build_pstable_index",
+    "pstable_new_vs_index",
     "projected_topk_rerank",
     "hamming_expr",
     "hamming_topk",
@@ -509,6 +511,163 @@ def pstable_params(
     return A, B
 
 
+def _pstable_keys(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    n_tables: int,
+    hashes_per_table: int,
+    bucket_width: float,
+    seed: int,
+) -> DataFrame:
+    """(id, ``__keys`` array<string>) — one ':'-joined floor-bucket key
+    per table. The A matrix rides as ONE broadcast data row (the
+    ``srp_signature`` Catalyst-planning lesson); floors are staged
+    behind a select boundary so CollapseProject cannot inline the
+    expensive fold once per table (the srp ``__dots`` discipline)."""
+    from pyspark.sql import functions as F
+
+    in_dim = _peek_dim(df, emb_col)
+    A, B = pstable_params(in_dim, n_tables, hashes_per_table, bucket_width, seed)
+    mat = df.sparkSession.createDataFrame(
+        [(
+            [[float(x) for x in row] for row in A],
+            [float(b) for b in B],
+        )],
+        "__A array<array<double>>, __B array<double>",
+    )
+    e = F.col(emb_col)
+    dots = F.transform(
+        F.col("__A"),
+        lambda row: F.aggregate(
+            F.zip_with(e, row, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ),
+    )
+    floors = F.zip_with(
+        dots,
+        F.col("__B"),
+        lambda d, b: F.floor((d + b) / F.lit(float(bucket_width))),
+    )
+    staged = df.crossJoin(F.broadcast(mat)).select(
+        F.col(id_col), floors.alias("__fl")
+    )
+    m = hashes_per_table
+    keys = [
+        F.array_join(
+            F.transform(
+                F.slice(F.col("__fl"), t * m + 1, m),
+                lambda v: v.cast("string"),
+            ),
+            ":",
+        )
+        for t in range(n_tables)
+    ]
+    return staged.select(F.col(id_col), F.array(*keys).alias("__keys"))
+
+
+def build_pstable_index(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_tables: int = 6,
+    hashes_per_table: int = 5,
+    bucket_width: float = 1.0,
+    seed: int = 7,
+) -> DataFrame:
+    """The persistable Euclidean-LSH index: one slim (id, tbl, key) row
+    per (point, table). At 100 TB write it partitioned/bucketed by
+    (tbl, key) so :func:`pstable_new_vs_index` probes are bucket-local
+    scans; the float vectors stay in their own table, joined only for
+    the per-candidate exact verify. Parameters must match between
+    index build and probe (same seed = same family)."""
+    from pyspark.sql import functions as F
+
+    sig = _pstable_keys(
+        df, id_col, emb_col, n_tables, hashes_per_table, bucket_width, seed
+    )
+    return sig.select(
+        id_col, F.posexplode(F.col("__keys")).alias("tbl", "key")
+    )
+
+
+def pstable_new_vs_index(
+    new_batch: DataFrame,
+    index: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    n_tables: int = 6,
+    hashes_per_table: int = 5,
+    bucket_width: float = 1.0,
+    seed: int = 7,
+    new_id: str = "new_id",
+    old_id: str = "old_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Incremental Euclidean near-neighbor check: which rows of a NEW
+    batch fall within ``threshold`` of an already-indexed corpus — the
+    Euclidean analogue of ``ann.embedding_neardup_new_vs_index`` and
+    the incremental form of :func:`pstable_lsh_join`.
+
+    ``index`` is the persisted output of :func:`build_pstable_index`
+    over ``corpus`` (same family parameters — the seed IS the
+    contract); ``corpus`` holds (old_id, emb). The batch is hashed
+    with the SAME seeded family, its slim exploded (tbl, key) rows
+    BROADCAST into the index scan — the index is never shuffled; only
+    candidate ids flow out — then every candidate pair is verified by
+    exact distance. Equals the self-join's answer restricted to
+    crossing (new x old) pairs (pytest-pinned), because both sides
+    hash with the identical family. Returns (new_id, old_id, dist).
+    """
+    from pyspark.sql import functions as F
+
+    if threshold <= 0:
+        raise ValueError(f"threshold must be positive, got {threshold}")
+    nb = _pstable_keys(
+        new_batch.select(F.col(new_id), F.col(emb_col)),
+        new_id, emb_col, n_tables, hashes_per_table, bucket_width, seed,
+    ).localCheckpoint(eager=False)
+    bands_new = nb.select(
+        new_id, F.posexplode(F.col("__keys")).alias("tbl", "key")
+    )
+    cand = (
+        index.join(F.broadcast(bands_new), ["tbl", "key"])
+        .select(F.col(index.columns[0]).alias(old_id), new_id)
+        .distinct()
+    )
+    from polars_matmul_spark.operators.similarity_join import (
+        _fold_dot as _jvm_fold_dot,
+    )
+
+    def _pts(df, idc):
+        return df.select(
+            F.col(idc), F.col(emb_col).cast("array<double>").alias("__e")
+        ).withColumn("__nn", _jvm_fold_dot(F.col("__e"), F.col("__e")))
+
+    newp = _pts(new_batch, new_id).select(
+        F.col(new_id), F.col("__e").alias("__ea"), F.col("__nn").alias("__na")
+    )
+    oldp = _pts(corpus, old_id).select(
+        F.col(old_id), F.col("__e").alias("__eb"), F.col("__nn").alias("__nb")
+    )
+    dist = F.sqrt(
+        F.greatest(
+            F.col("__na")
+            - 2 * _jvm_fold_dot(F.col("__ea"), F.col("__eb"))
+            + F.col("__nb"),
+            F.lit(0.0),
+        )
+    )
+    return (
+        cand.join(F.broadcast(newp), new_id)
+        .join(oldp, old_id)
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= threshold)
+        .select(new_id, old_id, "dist")
+    )
+
+
 def pstable_lsh_join(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -561,48 +720,8 @@ def pstable_lsh_join(
 
     if threshold <= 0:
         raise ValueError(f"threshold must be positive, got {threshold}")
-    in_dim = _peek_dim(df, emb_col)
-    A, B = pstable_params(in_dim, n_tables, hashes_per_table, bucket_width, seed)
-    mat = df.sparkSession.createDataFrame(
-        [(
-            [[float(x) for x in row] for row in A],
-            [float(b) for b in B],
-        )],
-        "__A array<array<double>>, __B array<double>",
-    )
-    e = F.col(emb_col)
-    dots = F.transform(
-        F.col("__A"),
-        lambda row: F.aggregate(
-            F.zip_with(e, row, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        ),
-    )
-    floors = F.zip_with(
-        dots,
-        F.col("__B"),
-        lambda d, b: F.floor((d + b) / F.lit(float(bucket_width))),
-    )
-    # stage the floors behind a select boundary: each table key slices
-    # them, and CollapseProject would otherwise inline the expensive
-    # transform once per table (the srp __dots discipline)
-    staged = df.crossJoin(F.broadcast(mat)).select(
-        F.col(id_col), floors.alias("__fl")
-    )
-    m = hashes_per_table
-    keys = [
-        F.array_join(
-            F.transform(
-                F.slice(F.col("__fl"), t * m + 1, m),
-                lambda v: v.cast("string"),
-            ),
-            ":",
-        )
-        for t in range(n_tables)
-    ]
-    sig = staged.select(
-        F.col(id_col), F.array(*keys).alias("__keys")
+    sig = _pstable_keys(
+        df, id_col, emb_col, n_tables, hashes_per_table, bucket_width, seed
     ).localCheckpoint(eager=False)
     bands = sig.select(
         id_col, F.posexplode(F.col("__keys")).alias("tbl", "key")

@@ -197,6 +197,56 @@ def test_pstable_lsh_join_partitioning_invariant(spark):
     assert runs[0] == runs[1] and len(runs[0]) > 0
 
 
+def test_pstable_new_vs_index_equals_self_join_crossing_pairs(spark):
+    # the repo's incrementality contract, Euclidean edition: hashing a
+    # NEW batch with the same seeded family and probing the persisted
+    # (id, tbl, key) index must find exactly the self-join's pairs
+    # restricted to crossing (new x old) pairs — the index is never
+    # rehashed or shuffled
+    from polars_matmul_spark.operators.projection import (
+        build_pstable_index,
+        pstable_lsh_join,
+        pstable_new_vs_index,
+    )
+
+    emb = load_table(spark, "embeddings", SF01).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    # new batch: clones of indexed vectors (guaranteed near pairs)
+    # plus genuinely new vectors (mostly far)
+    clones = old.filter(F.col("vec_id") % 6 == 0).select(
+        (F.col("vec_id") + 50_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.004)).alias(
+            "embedding"
+        ),
+    )
+    new = emb.filter(F.col("vec_id") % 2 == 1).unionByName(clones)
+
+    params = dict(n_tables=6, hashes_per_table=5, bucket_width=1.0, seed=11)
+    idx = build_pstable_index(old, "vec_id", "embedding", **params)
+    got = pstable_new_vs_index(
+        new.select(F.col("vec_id").alias("new_id"), "embedding"),
+        idx,
+        old.select(F.col("vec_id").alias("old_id"), "embedding"),
+        threshold=0.6,
+        **params,
+    )
+    got_pairs = {(r.new_id, r.old_id, round(r.dist, 12)) for r in got.collect()}
+
+    full = pstable_lsh_join(
+        old.unionByName(new), "vec_id", "embedding", threshold=0.6, **params
+    )
+    old_ids = {r.vec_id for r in old.select("vec_id").collect()}
+    crossing = set()
+    for r in full.collect():
+        a_old, b_old = r.id_a in old_ids, r.id_b in old_ids
+        if a_old != b_old:  # exactly one side indexed
+            new_i, old_i = (r.id_b, r.id_a) if a_old else (r.id_a, r.id_b)
+            crossing.add((new_i, old_i, round(r.dist, 12)))
+    assert got_pairs == crossing and len(got_pairs) > 0
+
+
 def test_brp_lsh_registry_rotation_rows_sanity(spark):
     # ann_brp_lsh_join left the 50-row registry in round 9 (rotated for
     # the oracle-replayable p-stable row) — the old driver row's
