@@ -14,29 +14,32 @@ lineage runs extraction through shards:
     0. WARC feed synthesis (setup, untimed — plays the crawler)
     1. WARC extraction        warc.warc_table (gzip members + ISO
                               28500 framing + HTTP split)
-    2. URL canonicalize+cap   urls.canonicalize_url
+    2. HTML text extraction   html.strip_html + extract_title +
+                              link_density boilerplate gate (real
+                              crawls ship HTML, not plain text)
+    3. URL canonicalize+cap   urls.canonicalize_url
                               + urls.cap_docs_per_domain
-    3. language ID            text.lang_id (a crawl ships no lang
+    4. language ID            text.lang_id (a crawl ships no lang
                               labels — predict, don't join them in)
-    4. Gopher hygiene gate    text_filters.gopher_quality (verdict)
-    5. span excision          winnow.excise_duplicate_spans
-    6. MinHash near-dup       dedup.neardup_pairs_minhash
+    5. Gopher hygiene gate    text_filters.gopher_quality (verdict)
+    6. span excision          winnow.excise_duplicate_spans
+    7. MinHash near-dup       dedup.neardup_pairs_minhash
          -> components       dedup.dedup_groups
          -> canonical keep   dedup.keep_canonical
-    7. DSIR selection         dsir.dsir_select (target = predicted-en)
-    8. sequence packing       packing.pack_sequences + materialize_bins
-    9. token shards written   shards.write_token_shards
+    8. DSIR selection         dsir.dsir_select (target = predicted-en)
+    9. sequence packing       packing.pack_sequences + materialize_bins
+   10. token shards written   shards.write_token_shards
 
 plus two side legs gating the other ingest surfaces:
 
-   10. JSONL quarantine       sources/ingest.read_jsonl_quarantine
+   11. JSONL quarantine       sources/ingest.read_jsonl_quarantine
                               (the batch-feed alternative front door)
 
-   11. archive expansion      rawbytes.expand_archives
-   12. container probe        mediaprobe.probe_media_table
-   13. real decode stats      multimodal.decoded_asset_stats
+   12. archive expansion      rawbytes.expand_archives
+   13. container probe        mediaprobe.probe_media_table
+   14. real decode stats      multimodal.decoded_asset_stats
                               + mpegaudio.decode_layer1_table
-   14. asset quality gate     row-local numeric verdicts
+   15. asset quality gate     row-local numeric verdicts
 
 Run from the repo root (writes CURATION_DRYRUN.md):
 
@@ -127,9 +130,17 @@ def main() -> None:
         for pdf in batches:
             payloads = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
-                body = (text or "").encode("ascii", "replace")
+                # real crawls ship HTML: wrap each document the way a
+                # CMS page arrives — title, nav links, script noise
+                page = (
+                    f"<html><head><title>Doc {did}</title>"
+                    "<script>var v = 1;</script></head><body>"
+                    "<nav><a href='/'>home</a> <a href='/a'>about</a></nav>"
+                    f"<p>{text or ''}</p></body></html>"
+                )
+                body = page.encode("ascii", "replace")
                 http = (
-                    b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
                     + b"Content-Length: " + str(len(body)).encode()
                     + b"\r\n\r\n" + body
                 )
@@ -163,8 +174,30 @@ def main() -> None:
         "multi-member gzip + ISO 28500 framing + HTTP split, mapInPandas",
     )
 
-    # --- stage 2: URL canonicalization + per-domain diversity cap
-    wr = spark.read.parquet(p1).filter(F.col("http_status") == 200)
+    # --- stage 2: HTML text extraction (tags/script/style/entities
+    # out, link-density boilerplate gate) — pure Catalyst regexp chain
+    from polars_matmul_spark.operators.html import (
+        extract_title,
+        link_density,
+        strip_html,
+    )
+
+    wrec = spark.read.parquet(p1).filter(F.col("http_status") == 200)
+    extracted = (
+        wrec.withColumn("title", extract_title(F.col("text")))
+        .withColumn("ldens", link_density(F.col("text")))
+        .withColumn("text", strip_html(F.col("text")))
+        .filter(F.col("ldens") < 0.9)  # drop pure-navigation pages
+        .drop("ldens")
+    )
+    p2 = checkpoint(
+        "02_html_extract", extracted,
+        "tag/script/entity strip + title + link-density gate, "
+        "whole-stage-codegen regexp chain",
+    )
+
+    # --- stage 3: URL canonicalization + per-domain diversity cap
+    wr = spark.read.parquet(p2)
     capped = cap_docs_per_domain(
         wr.withColumn("quality", F.length("text")),
         max_per_domain=150,
@@ -174,7 +207,7 @@ def main() -> None:
         "domain_key", "text",
     )
     p2 = checkpoint(
-        "02_domain_cap", capped,
+        "03_domain_cap", capped,
         "pure-Catalyst RFC 3986 canonicalization; one domain-keyed window",
     )
 
@@ -183,7 +216,7 @@ def main() -> None:
     # instead of joining ground truth back in
     langed = spark.read.parquet(p2).withColumn("lang", lang_id(F.col("text")))
     p3 = checkpoint(
-        "03_lang_id", langed,
+        "04_lang_id", langed,
         "stopword-hit language guess, whole-stage-codegen CASE chain",
     )
 
@@ -196,7 +229,7 @@ def main() -> None:
     )
     gated = ingested.join(ok_ids, "doc_id")
     p4 = checkpoint(
-        "04_gopher_gate", gated,
+        "05_gopher_gate", gated,
         "row-local rule verdict; id-keyed join back (AQE broadcast)",
     )
 
@@ -208,7 +241,7 @@ def main() -> None:
         .join(g.select("doc_id", "lang", "domain_key"), "doc_id")
     )
     p5 = checkpoint(
-        "05_excised", excised,
+        "06_excised", excised,
         "k-gram doc counts -> broadcast frequent set -> row-local interval merge",
     )
 
@@ -218,7 +251,7 @@ def main() -> None:
     groups = dedup_groups(pairs)
     kept = keep_canonical(ex, pairs)
     p6 = checkpoint(
-        "06_deduped", kept,
+        "07_deduped", kept,
         f"LSH bands -> exact verify -> components ({groups.count()} grouped docs)",
     )
 
@@ -228,7 +261,7 @@ def main() -> None:
     n_dd = dd.count()
     selected = dsir_select(dd, target, k=max(100, n_dd // 2))
     p7 = checkpoint(
-        "07_dsir_selected", selected.select("doc_id", "text", "lang"),
+        "08_dsir_selected", selected.select("doc_id", "text", "lang"),
         "hashed unigram LMs (two 1024-double collects), Gumbel top-k",
     )
 
@@ -238,12 +271,12 @@ def main() -> None:
     packed = pack_sequences(counted, budget=512)
     bins = materialize_bins(packed, sel)
     checkpoint(
-        "08_packed_bins", bins,
+        "09_packed_bins", bins,
         "FFD per partition (ids only move), bodies join in for reassembly",
     )
 
     # --- stage 9: token shards written (deterministic global shuffle)
-    shard_path = os.path.join(WORK, "09_shards")
+    shard_path = os.path.join(WORK, "10_shards")
     t0 = time.perf_counter()
     write_token_shards(counted, shard_path, tokens_per_shard=20_000)
     wall = time.perf_counter() - t0
@@ -251,7 +284,7 @@ def main() -> None:
         [d for d in os.listdir(shard_path) if d.startswith("shard_id=")]
     )
     stages.append(
-        ("09_shards", wall, n_shards, "md5 global order -> 2-phase prefix sum -> partitioned write (rows = shard dirs)")
+        ("10_shards", wall, n_shards, "md5 global order -> 2-phase prefix sum -> partitioned write (rows = shard dirs)")
     )
 
     # --- side leg A (stage 10): the batch-feed alternative front door
@@ -280,7 +313,7 @@ def main() -> None:
     good, bad = read_jsonl_quarantine(spark, raw_path, schema)
     n_bad = bad.count()
     checkpoint(
-        "10_jsonl_ingest", good,
+        "11_jsonl_ingest", good,
         f"PERMISSIVE parse, one text scan; {n_bad} corrupt lines quarantined"
         " (batch-feed side leg)",
     )
@@ -351,7 +384,7 @@ def main() -> None:
         F.col("member_bytes").alias("payload"),
     )
     p11 = checkpoint(
-        "11_asset_expand", members,
+        "12_asset_expand", members,
         "zip/tar expansion in mapInPandas; bounded per-member reads",
     )
 
@@ -361,7 +394,7 @@ def main() -> None:
     media = mem.filter(F.col("member") != "sidecar.bin")
     probed = probe_media_table(media.select("asset_id", "payload"))
     checkpoint(
-        "12_asset_probe", probed,
+        "13_asset_probe", probed,
         "MP3 frame walk + BMFF box walk + magic tags; KBs read per asset",
     )
 
@@ -375,7 +408,7 @@ def main() -> None:
     ).select("asset_id", "n_frames", "n_codes", "code_digest")
     decoded = stats.join(l1, "asset_id", "left")
     p13 = checkpoint(
-        "13_asset_decode", decoded,
+        "14_asset_decode", decoded,
         "lossless WAV/FLAC decode (CRC+MD5-verified) + Layer I bit walk",
     )
 
@@ -392,7 +425,7 @@ def main() -> None:
         | (F.col("n_codes").isNotNull() & (F.col("n_codes") >= 288))
     )
     checkpoint(
-        "14_asset_gate", gated_assets,
+        "15_asset_gate", gated_assets,
         "row-local numeric verdicts over decoded stats (Catalyst only)",
     )
 
@@ -417,11 +450,13 @@ def main() -> None:
         f"| | **total** | **{total:.2f}** | | |",
         "",
         "Round 9 made the crawl container the pipeline's front door: "
-        "stages 01-09 are ONE lineage from gzip-per-record WARC/1.0 "
-        "bytes to token shards — extraction -> URL canonicalize + "
-        "per-domain cap -> language ID (predicted, a crawl ships no "
-        "labels) -> Gopher -> excision -> near-dup -> DSIR -> packing "
-        "-> shards. Stages 10-14 are the side legs gating the other "
+        "stages 01-10 are ONE lineage from gzip-per-record WARC/1.0 "
+        "bytes to token shards — record extraction -> HTML text "
+        "extraction (tag/script strip, entity decode, link-density "
+        "boilerplate gate) -> URL canonicalize + per-domain cap -> "
+        "language ID (predicted, a crawl ships no labels) -> Gopher -> "
+        "excision -> near-dup -> DSIR -> packing -> shards. Stages "
+        "11-15 are the side legs gating the other "
         "ingest surfaces (JSONL quarantine; the multimodal asset "
         "layer). Each stage is the scale-shaped operator documented "
         "in its module; nothing here is imperative glue beyond the "
@@ -431,7 +466,7 @@ def main() -> None:
         "EXCISION before MinHash collapses the near-dup stage to "
         "(almost) nothing — the verbatim shared spans that made pairs "
         "exceed the Jaccard threshold were already cut out, so the "
-        "grouped-docs count at stage 06 reads ~0 where the same "
+        "grouped-docs count at stage 07 reads ~0 where the same "
         "corpus WITHOUT excision yields the registry row's ~47 "
         "groups. Excise-then-dedup keeps unique prose from both "
         "near-dup copies; dedup-then-excise drops one copy whole. "
