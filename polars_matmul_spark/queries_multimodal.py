@@ -513,17 +513,25 @@ FROM base b JOIN dig d USING (asset_id)
 """
 
 
-# --- WARC record extraction --------------------------------------------------
+# --- WARC record extraction + HTML text extraction ---------------------------
 #
-# Round-8 third wave: the Common Crawl container itself. Each document
-# becomes one WARC/1.0 response record (even doc_ids wrapped as a gzip
-# member — the per-record-gzip layout crawlers actually ship — odd
-# ones left uncompressed) whose HTTP payload body IS the document
-# text; warc_table walks the version line, the CRLF named fields, the
-# Content-Length framing and the HTTP response split, and DuckDB
-# replays every extracted field from text arithmetic (body digested as
-# sha256 — binary columns stay out of the driver's canonicalizer, the
-# round-1 lesson). Equality proves the full record walk end-to-end.
+# Round-8 third wave; round 9 upgraded the payload to HTML: the Common
+# Crawl container AND the extraction a text pipeline runs on it. Each
+# document becomes one WARC/1.0 response record (even doc_ids wrapped
+# as a gzip member — the per-record-gzip layout crawlers actually ship
+# — odd ones left uncompressed) whose HTTP body is a synthesized HTML
+# PAGE (title, script noise with '<' and quote traps, nav links, the
+# document text in a <p>, a comment); warc_table walks the version
+# line, the CRLF named fields, the Content-Length framing and the HTTP
+# response split, then operators/html.py strips the page back to text
+# and pulls the title. DuckDB replays every field: record metadata
+# from id arithmetic, the page sha256 from the same string
+# concatenation, and the EXTRACTED text/title by running the identical
+# RE2-compatible regex chain — so the row gates the full crawl front
+# door (record walk + HTML extraction) end-to-end. Control chars are
+# normalized to spaces on both sides first: Java's \\s includes \\x0B,
+# RE2's does not — the one engine divergence in this chain, excluded
+# by construction.
 
 
 def _warc_extract(spark, sf_dir):
@@ -532,13 +540,18 @@ def _warc_extract(spark, sf_dir):
     import pandas as pd
     from pyspark.sql import functions as F
 
+    from polars_matmul_spark.operators.html import extract_title, strip_html
     from polars_matmul_spark.operators.warc import warc_table
 
     docs = (
         load_table(spark, "documents", sf_dir)
         .select(
             "doc_id",
-            F.regexp_replace("text", "[^\\x00-\\x7F]", "?").alias("text"),
+            F.regexp_replace(
+                F.regexp_replace("text", "[^\\x00-\\x7F]", "?"),
+                "[\\x00-\\x1F]",
+                " ",
+            ).alias("text"),
         )
         .repartition(spark.sparkContext.defaultParallelism)
     )
@@ -547,9 +560,15 @@ def _warc_extract(spark, sf_dir):
         for pdf in batches:
             payloads = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
-                body = (text or "").encode("ascii", "replace")
+                page = (
+                    f"<html><head><title>Doc {did} &amp; co</title>"
+                    "<script>if (1 < 2) { var x = '<p>'; }</script>"
+                    "</head><body><nav><a href='/'>home</a></nav>"
+                    f"<p>{text or ''}</p><!-- end --></body></html>"
+                )
+                body = page.encode("ascii", "replace")
                 http = (
-                    b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
                     + b"Content-Length: " + str(len(body)).encode()
                     + b"\r\n\r\n" + body
                 )
@@ -569,20 +588,51 @@ def _warc_extract(spark, sf_dir):
 
     raw = docs.mapInPandas(build, "asset_id long, payload binary")
     out = warc_table(raw)
+    page_str = F.col("body").cast("string")
     return out.select(
         "asset_id", "record_offset", "warc_type", "record_id",
         "target_uri", "warc_content_type", "http_status",
         "http_content_type",
         F.sha2("body", 256).alias("body_sha256"),
         F.octet_length("body").cast("long").alias("body_len"),
+        extract_title(page_str).alias("title"),
+        strip_html(page_str).alias("extracted_text"),
         "error",
     )
 
 
-_WARC_EXTRACT_ORACLE = """
+# the strip pipeline as DuckDB SQL over a column expression — the same
+# chain operators/html.py builds in Catalyst, RE2-replayable by
+# construction (tests/test_html.py pins Java==RE2 on this chain)
+def _duck_strip_html(col: str) -> str:
+    out = f"regexp_replace({col}, '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g')"
+    out = f"regexp_replace({out}, '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g')"
+    out = f"regexp_replace({out}, '(?s)<!--.*?-->', ' ', 'g')"
+    out = f"regexp_replace({out}, '(?s)<[^>]*>', ' ', 'g')"
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "''"), ("&apos;", "''"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        out = f"replace({out}, '{ent}', '{ch}')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+def _warc_extract_oracle() -> str:
+    page = (
+        "'<html><head><title>Doc ' || doc_id || ' &amp; co</title>"
+        "<script>if (1 < 2) { var x = ''<p>''; }</script>"
+        "</head><body><nav><a href=''/''>home</a></nav>"
+        "<p>' || text || '</p><!-- end --></body></html>'"
+    )
+    return f"""
 WITH norm AS (
-  SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g') AS text
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g'),
+           '[\\x00-\\x1F]', ' ', 'g') AS text
   FROM documents
+), pages AS (
+  SELECT doc_id, {page} AS page FROM norm
 )
 SELECT doc_id AS asset_id,
        CAST(0 AS BIGINT) AS record_offset,
@@ -591,12 +641,17 @@ SELECT doc_id AS asset_id,
        'http://corpus/' || doc_id AS target_uri,
        'application/http;msgtype=response' AS warc_content_type,
        CAST(200 AS BIGINT) AS http_status,
-       'text/plain' AS http_content_type,
-       sha256(text) AS body_sha256,
-       CAST(length(text) AS BIGINT) AS body_len,
+       'text/html' AS http_content_type,
+       sha256(page) AS body_sha256,
+       CAST(length(page) AS BIGINT) AS body_len,
+       'Doc ' || doc_id || ' & co' AS title,
+       {_duck_strip_html('page')} AS extracted_text,
        CAST(NULL AS VARCHAR) AS error
-FROM norm
+FROM pages
 """
+
+
+_WARC_EXTRACT_ORACLE = _warc_extract_oracle()
 
 
 # --- raw-crawl ingestion: archive expand + transcode ------------------------
