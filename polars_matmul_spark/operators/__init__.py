@@ -51,7 +51,15 @@
 - ``mining``           contrastive hard/in-batch negative mining
 - ``diagnose``         key-skew + partition-balance reports
 - ``projection``       seeded Gaussian JL projection, SRP bit
-  signatures, rerank-free hamming top-k
+  signatures, rerank-free hamming top-k; p-stable Euclidean LSH
+  (engine-replayable self-join + persistable bucket index +
+  new-vs-index probe)
+- ``warc``             WARC/ISO-28500 record extraction (multi-member
+  gzip, HTTP split, WARC-Truncated, record-type routing)
+- ``urls``             RFC 3986 URL canonicalization, public-suffix
+  registrable-domain keys (wildcards + exceptions), per-domain caps
+- ``html``             HTML text extraction: tag/script/entity strip,
+  title, link-density boilerplate signal (pure Catalyst)
 """
 
 from polars_matmul_spark.operators.similarity_join import (  # noqa: F401
