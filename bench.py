@@ -203,7 +203,8 @@ def main() -> None:
         "quality_model_score",
         "dsir_resample",
         "token_shards_assign",
-        "pq_adc_topk",
+        # pq_adc_topk left the registry in the round-9 second wave
+        # (ADC mechanism stays timed through ivfpq_adc_topk)
         "bloom_incremental_dedup",
         # round-5 rotation: embedding-dedup families (funnel_steps /
         # retention_cohorts / sessionize_events left the registry in
@@ -231,7 +232,7 @@ def main() -> None:
         # strip, deterministic bin materialization, training mixture,
         # BPE encode
         "excise_spans_cms",
-        "strip_within_doc",
+        # strip_within_doc left the registry in the round-9 second wave
         "materialize_bins",
         "mixture_sample",
         "bpe_encode",
@@ -251,6 +252,9 @@ def main() -> None:
         "url_domain_cap",
         # round-9 promotion: probe->route->decode composition
         "triage_assets",
+        # round-9 second wave: hybrid retrieval + late interaction
+        "hybrid_rrf_search",
+        "maxsim_multivector_topk",
     ]
     # best-of-2 per query (the round-2 bench recorded 2-6x phantom
     # regressions that two idle reruns traced to transient machine

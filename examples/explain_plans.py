@@ -104,13 +104,8 @@ CASES = [
         "table is the only thing that ever sees a single partition, "
         "offsets return via BroadcastHashJoin",
     ),
-    (
-        "pq_adc_topk",
-        "PQ/ADC top-k: the coded corpus streams through one mapInArrow "
-        "(queries + distance LUTs broadcast), only per-partition "
-        "candidate heaps shuffle — one slim Exchange, corpus never "
-        "decoded",
-    ),
+    # pq_adc_topk left the registry in the round-9 second wave; its
+    # ADC plan shape stays documented through ivfpq_adc_topk below
     (
         "bloom_incremental_dedup",
         "Bloom two-gate exact dedup: the MB-scale bitmap broadcasts "
@@ -214,13 +209,9 @@ CASES = [
         "the exact path — history-sized state never exists, let alone "
         "shuffles",
     ),
-    (
-        "strip_within_doc",
-        "Within-doc repeated-line strip (driver row, round 7): ONE "
-        "explicit doc_id exchange serves both the first-occurrence "
-        "window (doc, hash clustering) and the reassembly group-by — "
-        "no second shuffle, no Python",
-    ),
+    # strip_within_doc left the registry in the round-9 second wave;
+    # the line-dedup plan shapes stay documented through
+    # line_dedup_strip / cms_line_dedup
     (
         "materialize_bins",
         "Bin materialization (driver row, round 7): the deterministic "
@@ -316,6 +307,26 @@ CASES_R8 = [
         "shuffled (joins carry scalars only), the Layer I branch "
         "filters on probe verdicts before its decode stage sees a "
         "byte",
+    ),
+    (
+        "hybrid_rrf_search",
+        "Hybrid RRF search (round 9 wave 2): each leg ranks inside its "
+        "own query-partitioned window AFTER the leg has cut to its own "
+        "candidates (BM25's broadcast probe join; the dense leg's "
+        "BroadcastNestedLoop over two query vectors), the fuse is one "
+        "(query, doc)-keyed aggregation over <= top_per_leg * legs "
+        "rows, and the fused ranking is a third slim window — no "
+        "Python anywhere, candidate volume corpus-size independent "
+        "past the leg cuts",
+    ),
+    (
+        "maxsim_multivector_topk",
+        "Late-interaction MaxSim (round 9 wave 2): per-vector norms "
+        "precomputed BEFORE the pair join (O(n*d) not O(n^2*d)), the "
+        "max-per-(q_vec, doc) and the sorted sequential q_pos fold are "
+        "two partial-aggregable group-bys, the top-k window sees one "
+        "scalar row per (q_doc, c_doc) — whole-stage-codegen "
+        "throughout, no Python evaluation stage",
     ),
 ]
 

@@ -60,6 +60,9 @@
   registrable-domain keys (wildcards + exceptions), per-domain caps
 - ``html``             HTML text extraction: tag/script/entity strip,
   title, link-density boilerplate signal (pure Catalyst)
+- ``retrieval``        hybrid search: reciprocal-rank fusion of
+  lexical + dense legs; ColBERT-style late-interaction MaxSim top-k
+  (declarative exact twin + corpus-unbounded blocked path)
 """
 
 from polars_matmul_spark.operators.similarity_join import (  # noqa: F401

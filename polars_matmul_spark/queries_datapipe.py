@@ -1308,8 +1308,13 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     # column is the exact_dedup_docs mechanism and stays exercised
     # there; rollup_sales out — ROLLUP is exercised by
     # hypertable_rollup and explicit GROUPING SETS pytests): PQ and
-    # Bloom families get driver rows
-    "pq_adc_topk": (_pq_adc_topk, _PQ_ORACLE),
+    # Bloom families get driver rows.
+    # pq_adc_topk rotated out in round 9 second wave (the PQ
+    # codebook-train + ADC table-lookup mechanism stays driver-gated
+    # through ivfpq_adc_topk, which runs the same PQ tables under IVF
+    # routing; exact value comparison moves to test_oracle_parity's
+    # rotated-query gate) so hybrid RRF retrieval gets a driver row
+    # (queries_pipeline.py):
     "bloom_incremental_dedup": (_bloom_incremental, _BLOOM_ORACLE),
     # round-5 rotation (registry stays at the 50-slot cap): topk_dot
     # rotates out of queries_core (the dot metric stays driver-gated
@@ -1350,8 +1355,13 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     # range_join_price_bands / funnel_steps / retention_cohorts /
     # sessionize_events rotate out of queries_core — each a
     # single-mechanism row multiply covered in pytest, exact value
-    # comparisons kept in test_oracle_parity's rotated-query gate):
-    "strip_within_doc": (_strip_within_doc, _STRIP_WITHIN_DOC_ORACLE),
+    # comparisons kept in test_oracle_parity's rotated-query gate).
+    # strip_within_doc rotated out in round 9 second wave (the
+    # line-dedup family keeps TWO driver rows — line_dedup_strip and
+    # cms_line_dedup — that exercise the same explode/dedup/reassemble
+    # machinery across documents; the within-doc variant keeps its
+    # exact comparison in the rotated gate) so late-interaction MaxSim
+    # gets a driver row (queries_pipeline.py):
     "materialize_bins": (_materialize_bins_q, _MATERIALIZE_BINS_ORACLE),
     "mixture_sample": (_mixture_sample_q, _mixture_oracle()),
     "bpe_encode": (_bpe_encode_q, _bpe_oracle()),

@@ -470,6 +470,200 @@ SELECT * FROM last
 """
 
 
+# --- hybrid retrieval: BM25 + dense fused with RRF (round-9 wave 2) --------
+#
+# The production hybrid-search shape: a lexical leg (Okapi BM25, the
+# machinery bm25_search already driver-gates) and a dense leg (cosine
+# against per-query embedding vectors, the sequential-fold oracle-parity
+# form) each rank their own candidates per query; reciprocal-rank
+# fusion combines the two rankings without any score calibration.
+# Everything that reaches the output is rank arithmetic (integers) plus
+# the fixed-order RRF expression — deterministic on both engines.
+
+_HYBRID_TERMS = {0: ["data", "learning", "model"], 1: ["join", "merge", "window"]}
+_HYBRID_TOP_PER_LEG = 20
+_HYBRID_K = 10
+
+
+def _hybrid_rrf_search(spark, sf_dir):
+    from polars_matmul_spark.operators.retrieval import rrf_fuse
+    from polars_matmul_spark.operators.similarity_join import score_expr
+
+    docs = _docs(spark, sf_dir)
+    lex_legs = []
+    for qid, terms in _HYBRID_TERMS.items():
+        leg = bm25_score(docs, terms).select(
+            F.lit(qid).cast("long").alias("query_id"),
+            "doc_id",
+            F.col("bm25").alias("score"),
+        )
+        lex_legs.append(leg)
+    lex = lex_legs[0].unionByName(lex_legs[1])
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qv = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cv = emb.filter(F.col("vec_id") >= 2).select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("c_emb")
+    )
+    dense = qv.crossJoin(cv).select(
+        "query_id",
+        "doc_id",
+        score_expr(F.col("q_emb"), F.col("c_emb"), "cosine").alias("score"),
+    )
+    return rrf_fuse(
+        {"lex": lex, "dense": dense},
+        id_cols=["doc_id"],
+        group_cols=["query_id"],
+        top_per_leg=_HYBRID_TOP_PER_LEG,
+        k=_HYBRID_K,
+    )
+
+
+def _bm25_cte(terms: list[str]) -> str:
+    """The proven _BM25_ORACLE body as a reusable CTE expression for an
+    arbitrary term list (yields (doc_id, bm25))."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return rf"""(
+WITH dl AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                              t -> t <> '')) AS DOUBLE) AS dl
+  FROM documents
+), terms AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+  FROM documents
+), hits AS (
+  SELECT * FROM terms WHERE term <> '' AND term IN ({in_list})
+), tf AS (
+  SELECT h.doc_id, term, dl, count(*) AS tf
+  FROM hits h JOIN dl ON h.doc_id = dl.doc_id GROUP BY 1, 2, 3
+), dft AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+), ad AS (
+  SELECT avg(dl) AS avgdl FROM dl
+)
+SELECT doc_id,
+       sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS bm25
+FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN n CROSS JOIN ad
+GROUP BY doc_id
+)"""
+
+
+_HYBRID_ORACLE = rf"""
+WITH lex AS (
+  SELECT CAST(0 AS BIGINT) AS query_id, doc_id, bm25 AS score
+  FROM {_bm25_cte(_HYBRID_TERMS[0])} bm0
+  UNION ALL
+  SELECT CAST(1 AS BIGINT), doc_id, bm25 FROM {_bm25_cte(_HYBRID_TERMS[1])} bm1
+), qv AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+  FROM embeddings WHERE vec_id < 2
+), cv AS (
+  SELECT vec_id AS doc_id, embedding::DOUBLE[] AS c_emb
+  FROM embeddings WHERE vec_id >= 2
+), dense AS (
+  SELECT query_id, doc_id,
+         CASE WHEN sqrt(list_dot_product(q_emb, q_emb)) > 1e-10
+               AND sqrt(list_dot_product(c_emb, c_emb)) > 1e-10
+              THEN list_dot_product(q_emb, c_emb)
+                   / (sqrt(list_dot_product(q_emb, q_emb))
+                      * sqrt(list_dot_product(c_emb, c_emb)))
+              ELSE 0.0 END AS score
+  FROM qv CROSS JOIN cv
+), lexr AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 9) DESC, doc_id ASC) AS r
+  FROM lex QUALIFY r <= {_HYBRID_TOP_PER_LEG}
+), denser AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 9) DESC, doc_id ASC) AS r
+  FROM dense QUALIFY r <= {_HYBRID_TOP_PER_LEG}
+), fused AS (
+  SELECT query_id, doc_id,
+         l.r AS lex_rank, d.r AS dense_rank,
+         round(coalesce(1.0 / (60.0 + l.r), 0.0)
+               + coalesce(1.0 / (60.0 + d.r), 0.0), 9) AS rrf_score
+  FROM lexr l FULL JOIN denser d USING (query_id, doc_id)
+)
+SELECT query_id, doc_id, lex_rank, dense_rank, rrf_score,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY rrf_score DESC, doc_id ASC) AS fused_rank
+FROM fused
+QUALIFY fused_rank <= {_HYBRID_K}
+"""
+
+
+# --- late-interaction MaxSim top-k (round-9 wave 2) -------------------------
+#
+# ColBERT-style multi-vector retrieval: embeddings regrouped into
+# multi-vector documents of 5 (q_doc = vec_id div 5), score(q, d) =
+# sum over q's vectors of (max over d's vectors of cosine). The maxima
+# are order-insensitive float max; the sum folds sequentially in
+# ascending q_pos (aggregate over sort_array == DuckDB list_reduce over
+# list(... ORDER BY q_pos), both seeded so 0.0 + x == x).
+
+_MAXSIM_M = 5
+_MAXSIM_K = 5
+
+
+def _maxsim_multivector_topk(spark, sf_dir):
+    from polars_matmul_spark.operators.retrieval import maxsim_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 25).select(
+        F.expr(f"vec_id div {_MAXSIM_M}").cast("long").alias("q_doc"),
+        (F.col("vec_id") % _MAXSIM_M).cast("long").alias("q_pos"),
+        F.col("embedding").alias("q_emb"),
+    )
+    c = emb.filter(F.col("vec_id") >= 50).select(
+        F.expr(f"vec_id div {_MAXSIM_M}").cast("long").alias("c_doc"),
+        F.col("embedding").alias("c_emb"),
+    )
+    return maxsim_topk(q, c, k=_MAXSIM_K)
+
+
+_MAXSIM_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id // {_MAXSIM_M} AS q_doc, vec_id % {_MAXSIM_M} AS q_pos,
+         embedding::DOUBLE[] AS q_emb
+  FROM embeddings WHERE vec_id < 25
+), c AS (
+  SELECT vec_id // {_MAXSIM_M} AS c_doc, embedding::DOUBLE[] AS c_emb
+  FROM embeddings WHERE vec_id >= 50
+), scored AS (
+  SELECT q_doc, q_pos, c_doc,
+         CASE WHEN sqrt(list_dot_product(q_emb, q_emb)) > 1e-10
+               AND sqrt(list_dot_product(c_emb, c_emb)) > 1e-10
+              THEN list_dot_product(q_emb, c_emb)
+                   / (sqrt(list_dot_product(q_emb, q_emb))
+                      * sqrt(list_dot_product(c_emb, c_emb)))
+              ELSE 0.0 END AS sim
+  FROM q CROSS JOIN c
+), best AS (
+  SELECT q_doc, q_pos, c_doc, max(sim) AS best FROM scored GROUP BY 1, 2, 3
+), pairs AS (
+  SELECT q_doc, c_doc,
+         round(list_reduce(list(best ORDER BY q_pos), (s, x) -> s + x),
+               9) AS maxsim
+  FROM best GROUP BY 1, 2
+)
+SELECT q_doc,
+       row_number() OVER (PARTITION BY q_doc
+                          ORDER BY maxsim DESC, c_doc ASC) AS rank,
+       c_doc, maxsim
+FROM pairs
+QUALIFY rank <= {_MAXSIM_K}
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     # tfidf_weights rotated out in round 6: bm25_search drives the same
     # tokenize/df/idf machinery end-to-end and stays green; the exact
@@ -500,4 +694,11 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     # pytest gate):
     "profile_diff": (_profile_diff_orders, _PROFILE_DIFF_ORACLE),
     "merge_upsert": (_merge_upsert_customers, _MERGE_UPSERT_ORACLE),
+    # round-9 second wave: hybrid retrieval + late interaction (slots
+    # freed by rotating pq_adc_topk — its PQ-table + ADC mechanism stays
+    # driver-gated through ivfpq_adc_topk — and strip_within_doc — the
+    # line-dedup family keeps line_dedup_strip + cms_line_dedup driver
+    # rows; both keep exact comparisons in the rotated pytest gate)
+    "hybrid_rrf_search": (_hybrid_rrf_search, _HYBRID_ORACLE),
+    "maxsim_multivector_topk": (_maxsim_multivector_topk, _MAXSIM_ORACLE),
 }

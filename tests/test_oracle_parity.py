@@ -180,6 +180,12 @@ def _rotated_queries():
         # round-9 rotation: slot freed for triage_assets (the CMS
         # excision row keeps the reassembly replay driver-gated)
         "excise_duplicate_spans": (qt._excise_spans, qt._EXCISE_ORACLE),
+        # round-9 second wave: slots freed for hybrid_rrf_search and
+        # maxsim_multivector_topk (PQ+ADC stays driver-gated through
+        # ivfpq_adc_topk; the line-dedup family keeps line_dedup_strip
+        # and cms_line_dedup driver rows)
+        "pq_adc_topk": (qd._pq_adc_topk, qd._PQ_ORACLE),
+        "strip_within_doc": (qd._strip_within_doc, qd._STRIP_WITHIN_DOC_ORACLE),
     }
 
 

@@ -210,9 +210,10 @@ _CEILINGS_SF01 = {
     "quality_model_score": 2.0,
     "dsir_resample": 7.0,
     "token_shards_assign": 2.5,
-    # round-4 PQ + bloom rows (walls 1.2 / 1.3s on a 3.6x-loaded box,
-    # so idle ~0.4s; ceilings sized from the loaded measurement)
-    "pq_adc_topk": 4.5,
+    # round-4 bloom row (wall 1.3s on a 3.6x-loaded box, so idle
+    # ~0.4s; ceiling sized from the loaded measurement). pq_adc_topk
+    # left the registry in the round-9 second wave — its ADC wall
+    # stays bounded through ivfpq_adc_topk
     "bloom_incremental_dedup": 5.0,
     # round-5 rotation rows (idle walls from the self-gated bench at
     # calibration 1.02x: 3.53 / 2.46 / 1.33 / 0.76 / 0.63 s — ~4x
@@ -248,7 +249,8 @@ _CEILINGS_SF01 = {
     # shared-gram-pass/one-shuffle-counts rework (min walls 2.7 / 5.0 s
     # at calibration ~1.4x -> idle ~2 / 3.8 s, ceilings ~4x)
     "excise_spans_cms": 18.0,
-    "strip_within_doc": 2.5,
+    # strip_within_doc left the registry in the round-9 second wave
+    # (value parity stays in the rotated-query gate)
     "materialize_bins": 2.5,
     "mixture_sample": 2.0,
     "bpe_encode": 1.5,
@@ -272,6 +274,11 @@ _CEILINGS_SF01 = {
     # round-9 rotation rows (idle warm walls ~1.5 / ~1.5 s)
     "lsh_euclidean_join": 6.0,
     "triage_assets": 6.0,
+    # round-9 second wave (warm walls 3.1 / 1.1 s measured UNDER a
+    # concurrent full-suite run, so idle is lower; ceilings ~4x the
+    # contended reading)
+    "hybrid_rrf_search": 12.0,
+    "maxsim_multivector_topk": 4.5,
 }
 
 
