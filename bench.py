@@ -252,9 +252,12 @@ def main() -> None:
         "url_domain_cap",
         # round-9 promotion: probe->route->decode composition
         "triage_assets",
-        # round-9 second wave: hybrid retrieval + late interaction
+        # round-9 second wave: hybrid retrieval + late interaction +
+        # benchmark decontamination (bm25_search left the registry —
+        # its machinery is timed inside hybrid_rrf_search's legs)
         "hybrid_rrf_search",
         "maxsim_multivector_topk",
+        "decontaminate_docs",
     ]
     # best-of-2 per query (the round-2 bench recorded 2-6x phantom
     # regressions that two idle reruns traced to transient machine

@@ -39,11 +39,16 @@ CASES = [
         "window over the cross product); probed lists reached by "
         "equi-join on centroid_id",
     ),
+    # bm25_search left the registry in the round-9 second wave; its
+    # broadcast-probe plan shape now appears inside hybrid_rrf_search's
+    # lexical legs (below) and in decontaminate_docs' gram join
     (
-        "bm25_search",
-        "BM25: exploded corpus meets the tiny probe list in a "
-        "BroadcastHashJoin BEFORE any shuffle — the full corpus is "
-        "scanned once, never shuffled",
+        "decontaminate_docs",
+        "Benchmark decontamination (round 9 wave 2): the corpus' "
+        "exploded n-grams meet the tiny probe-gram digest table in a "
+        "BroadcastHashJoin BEFORE any shuffle — the corpus is scanned "
+        "once and never shuffled; only flagged (doc, probe) hit rows "
+        "reach the group-by",
     ),
     (
         "chunk_documents",

@@ -144,6 +144,7 @@ def tag_contaminated(
     doc_id: str = "doc_id",
     probe_id: str = "probe_id",
     n: int = 8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Benchmark decontamination: flag docs sharing any word ``n``-gram
     with a probe set (eval questions, test answers).
@@ -153,13 +154,21 @@ def tag_contaminated(
     scan speed and the join filters on hash equality — no shuffle of
     the corpus, ever. Returns (doc_id, n_hits, probe_ids) for flagged
     docs only; anti-join against it to clean the corpus.
+
+    ``hash_fn``: ``"xxhash64"`` (default — cheapest JVM codegen path)
+    or ``"md5"`` (engine-replayable: DuckDB computes the same digest
+    for the same gram, so the whole join replays bit-for-bit — the
+    oracle-parity form the driver row uses).
     """
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"Unknown hash_fn: {hash_fn}")
+    hf = F.xxhash64 if hash_fn == "xxhash64" else F.md5
     d = docs.select(
         F.col(doc_id), F.explode(shingles(tokens(F.col(doc_text)), n)).alias("g")
-    ).withColumn("h", F.xxhash64("g"))
+    ).withColumn("h", hf("g"))
     p = probes.select(
         F.col(probe_id), F.explode(shingles(tokens(F.col(probe_text)), n)).alias("g")
-    ).withColumn("h", F.xxhash64("g"))
+    ).withColumn("h", hf("g"))
     hits = d.join(F.broadcast(p.select(probe_id, "h").distinct()), "h")
     return hits.groupBy(doc_id).agg(
         F.count("*").alias("n_hits"),

@@ -670,7 +670,12 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     # tf-idf value comparison moves to test_oracle_parity's
     # rotated-query gate, freeing the slot for ivfpq_adc_topk
     # (queries_datapipe.py).
-    "bm25_search": (_bm25_search, _BM25_ORACLE),
+    # bm25_search rotated out in the round-9 second wave: the BM25
+    # machinery (tokenize/df/idf/dl/avgdl + scoring) runs driver-gated
+    # end-to-end inside hybrid_rrf_search's two lexical legs, and the
+    # standalone row keeps its exact value comparison in
+    # test_oracle_parity's rotated-query gate. Slot freed for
+    # decontaminate_docs (queries_text.py).
     "chunk_documents": (_chunk_docs, _CHUNK_ORACLE),
     # profile_lineitem rotated out in round 8 (profile_diff below runs
     # profile_table twice and diffs it — the same mechanism, strictly

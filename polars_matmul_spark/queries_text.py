@@ -723,6 +723,80 @@ FROM ranked WHERE rk <= 20
 """
 
 
+# --- benchmark decontamination (round-9 second wave) ------------------------
+#
+# The eval-overlap step every LLM data pipeline runs (GPT-3 appendix C
+# style): flag corpus docs sharing any word n-gram with a probe set.
+# The probe set here is synthesized from the corpus itself so the row
+# is closed-form at any SF: every 20th document with >= 10 tokens
+# contributes its tokens 3..10 as one 8-token "eval question" — each
+# contributing doc is then a guaranteed self-hit, and any OTHER doc
+# sharing that verbatim 8-gram is a genuine cross-doc contamination.
+# The operator runs with hash_fn="md5" (the engine-replayable form:
+# DuckDB computes the same digest for the same gram, so the broadcast
+# hash-join replays bit-for-bit, collisions and all). The probe_ids
+# array is projected as an order-pinned md5 digest (arrays stay out of
+# driver rows — the round-1 canonicalizer lesson).
+
+_DECON_N = 8
+_DECON_EVERY = 20
+_DECON_SKIP = 2
+
+
+def _decontaminate_docs(spark, sf_dir):
+    from polars_matmul_spark.operators.text_filters import tag_contaminated
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = X.tokens(F.col("text"))
+    probes = (
+        docs.filter(F.col("doc_id") % _DECON_EVERY == 0)
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= _DECON_SKIP + _DECON_N)
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            F.array_join(
+                F.slice("toks", _DECON_SKIP + 1, _DECON_N), " "
+            ).alias("text"),
+        )
+    )
+    out = tag_contaminated(docs, probes, n=_DECON_N, hash_fn="md5")
+    return out.select(
+        "doc_id",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.md5(
+            F.concat_ws(":", F.col("probe_ids").cast("array<string>"))
+        ).alias("probe_digest"),
+    )
+
+
+_DECON_ORACLE = rf"""
+WITH dt AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), dg AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i : i + {_DECON_N - 1}], ' ') AS g
+  FROM dt, unnest(range(1, len(toks) - {_DECON_N} + 2)) AS t(i)
+  WHERE len(toks) >= {_DECON_N}
+), probes AS (
+  SELECT doc_id AS probe_id,
+         array_to_string(toks[{_DECON_SKIP + 1} : {_DECON_SKIP + _DECON_N}],
+                         ' ') AS ptext
+  FROM dt
+  WHERE doc_id % {_DECON_EVERY} = 0 AND len(toks) >= {_DECON_SKIP + _DECON_N}
+), pg AS (
+  -- the probe is exactly {_DECON_N} tokens, so its shingle set is the
+  -- single gram equal to the probe text itself
+  SELECT DISTINCT probe_id, md5(ptext) AS h FROM probes
+), hits AS (
+  SELECT dg.doc_id, pg.probe_id FROM dg JOIN pg ON md5(dg.g) = pg.h
+)
+SELECT doc_id, count(*) AS n_hits,
+       md5(array_to_string(list(DISTINCT probe_id ORDER BY probe_id), ':'))
+         AS probe_digest
+FROM hits GROUP BY doc_id
+"""
+
+
 TEXT_QUERIES: dict[str, tuple] = {
     # round-8 third rotation: URL curation (hamming_topk_srp rotated
     # to the pytest gate — see queries_datapipe.py)
@@ -767,4 +841,10 @@ TEXT_QUERIES: dict[str, tuple] = {
     # rotate to the pytest gate — window-rank, bit-interleave and
     # time-bucket classes multiply covered there):
     "shared_span_stats": (_shared_span_stats_q, _SPAN_STATS_ORACLE),
+    # round-9 second wave: benchmark decontamination gets a driver row
+    # (bm25_search rotated to the pytest gate — its tokenize/df/idf/dl
+    # machinery now runs driver-gated end-to-end INSIDE
+    # hybrid_rrf_search's two lexical legs; exact value comparison
+    # kept in test_oracle_parity's rotated-query gate):
+    "decontaminate_docs": (_decontaminate_docs, _DECON_ORACLE),
 }

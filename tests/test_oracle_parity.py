@@ -186,6 +186,9 @@ def _rotated_queries():
         # and cms_line_dedup driver rows)
         "pq_adc_topk": (qd._pq_adc_topk, qd._PQ_ORACLE),
         "strip_within_doc": (qd._strip_within_doc, qd._STRIP_WITHIN_DOC_ORACLE),
+        # ...and for decontaminate_docs (BM25's machinery runs
+        # driver-gated inside hybrid_rrf_search's lexical legs)
+        "bm25_search": (qp._bm25_search, qp._BM25_ORACLE),
     }
 
 

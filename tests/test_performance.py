@@ -279,6 +279,10 @@ _CEILINGS_SF01 = {
     # contended reading)
     "hybrid_rrf_search": 12.0,
     "maxsim_multivector_topk": 4.5,
+    # benchmark decontamination (idle warm wall ~2.2 s: the md5-per-
+    # gram scan over the full corpus is the cost; the probe join is a
+    # broadcast)
+    "decontaminate_docs": 9.0,
 }
 
 

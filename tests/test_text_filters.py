@@ -1,5 +1,6 @@
 """PII redaction, repetition scoring, contamination tagging."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from polars_matmul_spark.operators.text_filters import (
@@ -86,6 +87,33 @@ def test_tag_contaminated_flags_probe_overlap(spark, sf_dir):
         assert 300 not in r.probe_ids
     # flagged set is small relative to the corpus (no false mass-matching)
     assert len(out) < docs.count() / 2
+
+
+def test_tag_contaminated_md5_matches_xxhash(spark, sf_dir):
+    """hash_fn only changes the join-key encoding — the flagged set,
+    hit counts and probe attributions are identical (both digests are
+    collision-free at any realistic gram count)."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    seeds = docs.orderBy("doc_id").limit(2).collect()
+    probes = spark.createDataFrame(
+        [(100, seeds[0].text), (200, seeds[1].text)],
+        "probe_id long, text string",
+    )
+    a = {
+        r.doc_id: (r.n_hits, tuple(r.probe_ids))
+        for r in tag_contaminated(docs, probes).collect()
+    }
+    b = {
+        r.doc_id: (r.n_hits, tuple(r.probe_ids))
+        for r in tag_contaminated(docs, probes, hash_fn="md5").collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_tag_contaminated_unknown_hash_raises(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="Unknown hash_fn"):
+        tag_contaminated(docs, docs, hash_fn="sha9000")
 
 
 def test_tag_contaminated_broadcast_plan(spark, sf_dir):
