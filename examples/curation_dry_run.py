@@ -255,13 +255,40 @@ def main() -> None:
         f"LSH bands -> exact verify -> components ({groups.count()} grouped docs)",
     )
 
-    # --- stage 7: DSIR selection toward the PREDICTED 'en' slice
-    dd = spark.read.parquet(p6)
+    # --- stage 7: benchmark decontamination (the eval-overlap gate a
+    # training pipeline runs before selection; probes synthesized from
+    # the corpus itself — every 20th doc's tokens 3..10 as an 8-token
+    # "eval question" — so the stage provably fires: the contributing
+    # docs are guaranteed self-hits, anything else sharing the verbatim
+    # 8-gram is genuine cross-doc contamination)
+    from polars_matmul_spark.operators.text import tokens as _tok
+    from polars_matmul_spark.operators.text_filters import tag_contaminated
+
+    dd_in = spark.read.parquet(p6)
+    probes = (
+        dd_in.filter(F.col("doc_id") % 20 == 0)
+        .select("doc_id", _tok(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 10)
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            F.array_join(F.slice("toks", 3, 8), " ").alias("text"),
+        )
+    )
+    flagged = tag_contaminated(dd_in, probes)
+    clean = dd_in.join(flagged.select("doc_id"), "doc_id", "left_anti")
+    p6b = checkpoint(
+        "08_decontaminated", clean,
+        f"probe 8-gram broadcast join, corpus never shuffled "
+        f"({flagged.count()} docs flagged + anti-joined out)",
+    )
+
+    # --- stage 8: DSIR selection toward the PREDICTED 'en' slice
+    dd = spark.read.parquet(p6b)
     target = dd.filter(F.col("lang") == "en").select("doc_id", "text")
     n_dd = dd.count()
     selected = dsir_select(dd, target, k=max(100, n_dd // 2))
     p7 = checkpoint(
-        "08_dsir_selected", selected.select("doc_id", "text", "lang"),
+        "09_dsir_selected", selected.select("doc_id", "text", "lang"),
         "hashed unigram LMs (two 1024-double collects), Gumbel top-k",
     )
 
@@ -271,12 +298,12 @@ def main() -> None:
     packed = pack_sequences(counted, budget=512)
     bins = materialize_bins(packed, sel)
     checkpoint(
-        "09_packed_bins", bins,
+        "10_packed_bins", bins,
         "FFD per partition (ids only move), bodies join in for reassembly",
     )
 
     # --- stage 9: token shards written (deterministic global shuffle)
-    shard_path = os.path.join(WORK, "10_shards")
+    shard_path = os.path.join(WORK, "11_shards")
     t0 = time.perf_counter()
     write_token_shards(counted, shard_path, tokens_per_shard=20_000)
     wall = time.perf_counter() - t0
@@ -284,7 +311,7 @@ def main() -> None:
         [d for d in os.listdir(shard_path) if d.startswith("shard_id=")]
     )
     stages.append(
-        ("10_shards", wall, n_shards, "md5 global order -> 2-phase prefix sum -> partitioned write (rows = shard dirs)")
+        ("11_shards", wall, n_shards, "md5 global order -> 2-phase prefix sum -> partitioned write (rows = shard dirs)")
     )
 
     # --- side leg A (stage 10): the batch-feed alternative front door
@@ -313,7 +340,7 @@ def main() -> None:
     good, bad = read_jsonl_quarantine(spark, raw_path, schema)
     n_bad = bad.count()
     checkpoint(
-        "11_jsonl_ingest", good,
+        "12_jsonl_ingest", good,
         f"PERMISSIVE parse, one text scan; {n_bad} corrupt lines quarantined"
         " (batch-feed side leg)",
     )
@@ -384,7 +411,7 @@ def main() -> None:
         F.col("member_bytes").alias("payload"),
     )
     p11 = checkpoint(
-        "12_asset_expand", members,
+        "13_asset_expand", members,
         "zip/tar expansion in mapInPandas; bounded per-member reads",
     )
 
@@ -394,7 +421,7 @@ def main() -> None:
     media = mem.filter(F.col("member") != "sidecar.bin")
     probed = probe_media_table(media.select("asset_id", "payload"))
     checkpoint(
-        "13_asset_probe", probed,
+        "14_asset_probe", probed,
         "MP3 frame walk + BMFF box walk + magic tags; KBs read per asset",
     )
 
@@ -408,7 +435,7 @@ def main() -> None:
     ).select("asset_id", "n_frames", "n_codes", "code_digest")
     decoded = stats.join(l1, "asset_id", "left")
     p13 = checkpoint(
-        "14_asset_decode", decoded,
+        "15_asset_decode", decoded,
         "lossless WAV/FLAC decode (CRC+MD5-verified) + Layer I bit walk",
     )
 
@@ -425,7 +452,7 @@ def main() -> None:
         | (F.col("n_codes").isNotNull() & (F.col("n_codes") >= 288))
     )
     checkpoint(
-        "15_asset_gate", gated_assets,
+        "16_asset_gate", gated_assets,
         "row-local numeric verdicts over decoded stats (Catalyst only)",
     )
 
@@ -450,13 +477,15 @@ def main() -> None:
         f"| | **total** | **{total:.2f}** | | |",
         "",
         "Round 9 made the crawl container the pipeline's front door: "
-        "stages 01-10 are ONE lineage from gzip-per-record WARC/1.0 "
+        "stages 01-11 are ONE lineage from gzip-per-record WARC/1.0 "
         "bytes to token shards — record extraction -> HTML text "
         "extraction (tag/script strip, entity decode, link-density "
         "boilerplate gate) -> URL canonicalize + per-domain cap -> "
         "language ID (predicted, a crawl ships no labels) -> Gopher -> "
-        "excision -> near-dup -> DSIR -> packing -> shards. Stages "
-        "11-15 are the side legs gating the other "
+        "excision -> near-dup -> benchmark decontamination (probe "
+        "8-gram broadcast join, flagged docs anti-joined out) -> DSIR "
+        "-> packing -> shards. Stages "
+        "12-16 are the side legs gating the other "
         "ingest surfaces (JSONL quarantine; the multimodal asset "
         "layer). Each stage is the scale-shaped operator documented "
         "in its module; nothing here is imperative glue beyond the "
