@@ -519,6 +519,43 @@ def main() -> None:
         print(json.dumps(row))
         emb.unpersist()
 
+    # --- round-9 second wave: late-interaction MaxSim, blocked path ---
+    # 10 fixed query docs (5 vectors each) against a corpus of
+    # 5-vector docs grown Kx. The blocked path broadcasts the 50 query
+    # vectors, groups the corpus by doc ONCE, computes each doc's full
+    # MaxSim in one BLAS batch and shuffles only (q_doc, c_doc, score)
+    # scalars — so the wall must track the corpus scan linearly and
+    # the declarative exact twin (pair materialization) must agree at
+    # K=1 (agreement is pytest-gated; here we pin the SCALING shape).
+    from polars_matmul_spark.operators.retrieval import maxsim_topk_blocked
+
+    mv_q = emb_base.filter(F.col("vec_id") < 50).select(
+        F.expr("vec_id div 5").cast("long").alias("q_doc"),
+        (F.col("vec_id") % 5).cast("long").alias("q_pos"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+    )
+    for k in (1, 4, 8):
+        emb = embeddings_x(k)
+        n_vecs = emb.count()
+        mv_c = emb.filter(F.col("vec_id") % 10_000_000 >= 50).select(
+            F.expr("vec_id div 5").cast("long").alias("c_doc"),
+            F.col("embedding").alias("c_emb"),
+        )
+        blocked = maxsim_topk_blocked(mv_q, mv_c, k=10)
+        force(blocked)
+        wall = min(timed(lambda: force(blocked)) for _ in range(2))
+        print(
+            json.dumps(
+                {
+                    "leg": "maxsim_blocked_sf_x",
+                    "k": k,
+                    "n_corpus_vecs": n_vecs,
+                    "wall": wall,
+                }
+            )
+        )
+        emb.unpersist()
+
     # --- round-9: mega-domain skew leg for cap_docs_per_domain ---
     # One domain at 0% / 50% / 90% of a 2M-row corpus (50x-18,000x the
     # cap) vs ~20k uniform domains. The wall must NOT grow with the
