@@ -62,7 +62,8 @@
   title, link-density boilerplate signal (pure Catalyst)
 - ``retrieval``        hybrid search: reciprocal-rank fusion of
   lexical + dense legs; ColBERT-style late-interaction MaxSim top-k
-  (declarative exact twin + corpus-unbounded blocked path)
+  (declarative exact twin + corpus-unbounded blocked path +
+  centroid-pruned PLAID-style approximate path)
 """
 
 from polars_matmul_spark.operators.similarity_join import (  # noqa: F401

@@ -68,7 +68,12 @@ from polars_matmul_spark.operators.similarity_join import (
     similarity_join_exact,
 )
 
-__all__ = ["rrf_fuse", "maxsim_topk", "maxsim_topk_blocked"]
+__all__ = [
+    "rrf_fuse",
+    "maxsim_topk",
+    "maxsim_topk_blocked",
+    "maxsim_topk_ivf",
+]
 
 
 def rrf_fuse(
@@ -195,6 +200,12 @@ def maxsim_topk(
     scored = similarity_join_exact(
         queries, corpus, q_col, c_col, metric=metric, score_col="__sim"
     )
+    return _maxsim_tail(scored, q_doc, q_pos, c_doc, k, score_dp)
+
+
+def _maxsim_tail(scored, q_doc, q_pos, c_doc, k, score_dp):
+    """Shared max -> ordered fold -> top-k tail over per-vector-pair
+    scores in a ``__sim`` column."""
     per_qvec = scored.groupBy(q_doc, q_pos, c_doc).agg(
         F.max("__sim").alias("__best")
     )
@@ -209,6 +220,153 @@ def maxsim_topk(
         .filter(F.col("rank") <= k)
         .select(q_doc, "rank", c_doc, "maxsim")
     )
+
+
+def maxsim_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    q_doc: str = "q_doc",
+    q_pos: str = "q_pos",
+    c_doc: str = "c_doc",
+    q_col: str = "q_emb",
+    c_col: str = "c_emb",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    seed: int = 7,
+    score_dp: int = 9,
+) -> DataFrame:
+    """Centroid-pruned MaxSim — the ColBERTv2/PLAID retrieval shape,
+    the approximate scale path next to the exact ``maxsim_topk`` /
+    ``maxsim_topk_blocked`` pair.
+
+    Index: seeded-KMeans centroids over the corpus VECTORS
+    (``ann.train_centroids_kmeans``, bounded training sample); every
+    corpus vector routes to its nearest centroid via a pure-projection
+    argmax fold over the centroid array riding as ONE broadcast data
+    row — no explode, no per-vector id, no shuffle. Query: each query
+    vector probes its ``nprobe`` nearest centroids (tiny
+    query x centroid cross join + per-vector window). Candidate docs =
+    docs with at least one vector routed to a probed centroid for the
+    query doc. Exact cosine MaxSim then runs RESTRICTED to candidate
+    (q_doc, c_doc) pairs — scores of emitted pairs are exact (the
+    ``semdedup``/IVF contract: approximation only prunes candidates),
+    recall is pytest-gated against the exhaustive path.
+
+    100 TB shape: assignment is a map over the corpus (centroids
+    broadcast); the candidate join carries (c_doc, centroid_id)
+    DISTINCT pairs — slim longs, not vectors; the exact stage's pair
+    volume is bounded by the probed lists instead of |Q| x |C|. The
+    one corpus-sized shuffle is the c_doc-keyed candidate equi-join,
+    which doc-clustered storage makes map-side.
+    """
+    from polars_matmul_spark.operators.ann import train_centroids_kmeans
+
+    spark = queries.sparkSession
+    cent = train_centroids_kmeans(
+        corpus.select(F.col(c_col).alias("embedding")),
+        n_centroids=n_centroids,
+        seed=seed,
+    )
+    cent_rows = [
+        (int(r["centroid_id"]), [float(x) for x in r["centroid_emb"]])
+        for r in cent.collect()
+    ]
+    cent_rows.sort()
+    one_row = spark.createDataFrame(
+        [(cent_rows,)],
+        "cents array<struct<cid: long, emb: array<double>>>",
+    )
+
+    def _dot(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0).cast("double"),
+            lambda s, x: s + x,
+        )
+
+    # corpus-side routing: argmax cosine over the centroid array as a
+    # sequential fold (ascending cid; strict > keeps the lowest cid on
+    # ties) — zero shuffles, zero explodes, runs in the scan projection
+    v = F.col(c_col).cast("array<double>")
+    init = F.struct(
+        F.lit(-2.0).cast("double").alias("s"), F.lit(-1).cast("long").alias("cid")
+    )
+    best = F.aggregate(
+        F.col("cents"),
+        init,
+        lambda acc, ce: F.when(
+            (
+                _dot(v, ce["emb"])
+                / F.greatest(
+                    F.sqrt(_dot(v, v)) * F.sqrt(_dot(ce["emb"], ce["emb"])),
+                    F.lit(1e-10),
+                )
+            )
+            > acc["s"],
+            F.struct(
+                (
+                    _dot(v, ce["emb"])
+                    / F.greatest(
+                        F.sqrt(_dot(v, v)) * F.sqrt(_dot(ce["emb"], ce["emb"])),
+                        F.lit(1e-10),
+                    )
+                ).alias("s"),
+                ce["cid"].alias("cid"),
+            ),
+        ).otherwise(acc),
+    )
+    routed = (
+        corpus.crossJoin(F.broadcast(one_row))
+        .select(c_doc, best["cid"].alias("centroid_id"))
+        .distinct()
+    )
+
+    # query-side probing: tiny (n_qvecs x n_centroids) cross join,
+    # top-nprobe per query vector, then the DISTINCT probed set per
+    # query doc
+    qv = queries.select(q_doc, q_pos, F.col(q_col).cast("array<double>").alias("__q"))
+    scored_cent = qv.crossJoin(F.broadcast(cent)).select(
+        q_doc,
+        q_pos,
+        F.col("centroid_id"),
+        (
+            _dot(F.col("__q"), F.col("centroid_emb"))
+            / F.greatest(
+                F.sqrt(_dot(F.col("__q"), F.col("__q")))
+                * F.sqrt(_dot(F.col("centroid_emb"), F.col("centroid_emb"))),
+                F.lit(1e-10),
+            )
+        ).alias("__s"),
+    )
+    wp = Window.partitionBy(q_doc, q_pos).orderBy(
+        F.col("__s").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        scored_cent.withColumn("__r", F.row_number().over(wp))
+        .filter(F.col("__r") <= nprobe)
+        .select(q_doc, "centroid_id")
+        .distinct()
+    )
+
+    cand = probes.join(routed, "centroid_id").select(q_doc, c_doc).distinct()
+
+    # exact MaxSim restricted to candidate pairs (scores exact; only
+    # the candidate set is approximate)
+    qn = queries.withColumn("__qq", _dot(F.col(q_col).cast("array<double>"),
+                                         F.col(q_col).cast("array<double>")))
+    cn = corpus.withColumn("__cc", _dot(F.col(c_col).cast("array<double>"),
+                                        F.col(c_col).cast("array<double>")))
+    pairs = cand.join(qn, q_doc).join(cn, c_doc)
+    dot = _dot(F.col(q_col).cast("array<double>"), F.col(c_col).cast("array<double>"))
+    qnorm = F.sqrt(F.col("__qq"))
+    cnorm = F.sqrt(F.col("__cc"))
+    sim = F.when(
+        (qnorm > F.lit(K.EPS_F64)) & (cnorm > F.lit(K.EPS_F64)),
+        dot / (qnorm * cnorm),
+    ).otherwise(F.lit(0.0))
+    scored = pairs.withColumn("__sim", sim)
+    return _maxsim_tail(scored, q_doc, q_pos, c_doc, k, score_dp)
 
 
 def maxsim_topk_blocked(

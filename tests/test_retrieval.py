@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from polars_matmul_spark.operators.retrieval import (
     maxsim_topk,
     maxsim_topk_blocked,
+    maxsim_topk_ivf,
     rrf_fuse,
 )
 
@@ -273,6 +274,63 @@ def test_maxsim_blocked_empty_queries_raises(spark):
     empty_q = spark.createDataFrame([], "q_doc long, q_pos long, q_emb array<float>")
     with pytest.raises(ValueError, match="Empty series"):
         maxsim_topk_blocked(empty_q, c)
+
+
+def test_maxsim_ivf_full_probe_equals_exact(spark):
+    # nprobe == n_centroids -> every doc is a candidate -> the pruned
+    # path must EQUAL the exhaustive one row-for-row (scores exact,
+    # same rounding, same tiebreak)
+    q, c, _, _ = _mvec_frames(spark, n_qdocs=3, n_cdocs=10, m=4, d=16)
+    exact = {(r.q_doc, r.rank): (r.c_doc, r.maxsim) for r in maxsim_topk(q, c, k=4).collect()}
+    pruned = {
+        (r.q_doc, r.rank): (r.c_doc, r.maxsim)
+        for r in maxsim_topk_ivf(q, c, k=4, n_centroids=4, nprobe=4).collect()
+    }
+    assert pruned == exact
+
+
+def test_maxsim_ivf_planted_clone_rank1(spark):
+    # the query doc's own vectors planted as corpus doc 999: identical
+    # vectors route to identical centroids, so the clone is ALWAYS a
+    # candidate (nprobe >= 1) and lands rank 1 with maxsim == n_qvecs
+    q, c, qrows, _ = _mvec_frames(spark, n_qdocs=1, n_cdocs=8, m=3)
+    clone = spark.createDataFrame(
+        [(999, emb) for _qd, _pos, emb in qrows],
+        "c_doc long, c_emb array<float>",
+    )
+    out = maxsim_topk_ivf(
+        q, c.unionByName(clone), k=2, n_centroids=4, nprobe=1
+    ).collect()
+    top = [r for r in out if r.rank == 1][0]
+    assert top.c_doc == 999
+    assert top.maxsim == pytest.approx(3.0, abs=1e-9)
+
+
+def test_maxsim_ivf_partial_probe_recall(spark):
+    # deterministic seeded setup: with half the centroids probed the
+    # pruned top-1 should usually agree with the exhaustive top-1
+    q, c, _, _ = _mvec_frames(spark, n_qdocs=4, n_cdocs=16, m=4, d=16, seed=11)
+    exact_top1 = {
+        r.q_doc: r.c_doc for r in maxsim_topk(q, c, k=1).collect()
+    }
+    pruned = maxsim_topk_ivf(q, c, k=1, n_centroids=8, nprobe=4).collect()
+    hits = sum(1 for r in pruned if exact_top1.get(r.q_doc) == r.c_doc)
+    assert hits >= 2  # loose floor; full-probe equality is gated above
+
+
+def test_maxsim_ivf_candidate_scores_exact(spark):
+    # every (q_doc, c_doc) the pruned path emits must carry the SAME
+    # score the exhaustive path assigns that pair (approximation only
+    # prunes, never perturbs)
+    q, c, qrows, crows = _mvec_frames(spark, n_qdocs=2, n_cdocs=8, m=3, d=12)
+    exact_pairs = _py_maxsim(qrows, crows, k=len(crows))
+    exact_scores = {
+        (qd, cd): s for (qd, _r), (cd, s) in exact_pairs.items()
+    }
+    out = maxsim_topk_ivf(q, c, k=3, n_centroids=4, nprobe=2).collect()
+    assert len(out) > 0
+    for r in out:
+        assert exact_scores[(r.q_doc, r.c_doc)] == r.maxsim
 
 
 def test_maxsim_declarative_plan_jvm_side(spark):
