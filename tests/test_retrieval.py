@@ -333,6 +333,25 @@ def test_maxsim_ivf_candidate_scores_exact(spark):
         assert exact_scores[(r.q_doc, r.c_doc)] == r.maxsim
 
 
+def test_rrf_partitioning_invariance(spark):
+    # fused output must not depend on input partitioning or row order
+    rows = [(1 + (d % 3), d, float((d * 37) % 11)) for d in range(40)]
+    legs_a = {"x": _mk_leg(spark, rows).repartition(7), "y": _mk_leg(spark, rows[::-1])}
+    legs_b = {"x": _mk_leg(spark, rows).coalesce(1), "y": _mk_leg(spark, rows[::-1]).repartition(3)}
+    norm = lambda out: sorted(tuple(r) for r in out.collect())
+    a = norm(rrf_fuse(legs_a, id_cols=["doc_id"], group_cols=["query_id"]))
+    b = norm(rrf_fuse(legs_b, id_cols=["doc_id"], group_cols=["query_id"]))
+    assert a == b
+
+
+def test_maxsim_partitioning_invariance(spark):
+    q, c, _, _ = _mvec_frames(spark, n_qdocs=2, n_cdocs=6, m=3, d=8)
+    norm = lambda out: sorted(tuple(r) for r in out.collect())
+    a = norm(maxsim_topk(q.repartition(5), c.repartition(3), k=3))
+    b = norm(maxsim_topk(q.coalesce(1), c.repartition(7), k=3))
+    assert a == b
+
+
 def test_maxsim_declarative_plan_jvm_side(spark):
     q, c, _, _ = _mvec_frames(spark, n_qdocs=1, n_cdocs=2)
     plan = maxsim_topk(q, c)._jdf.queryExecution().executedPlan().toString()
