@@ -64,6 +64,9 @@
   lexical + dense legs; ColBERT-style late-interaction MaxSim top-k
   (declarative exact twin + corpus-unbounded blocked path +
   centroid-pruned PLAID-style approximate path)
+- ``ranking_eval``     retrieval-quality metrics: MRR, recall@k,
+  precision@k, nDCG@k per query + macro averages (ordered folds,
+  DuckDB-replayable)
 """
 
 from polars_matmul_spark.operators.similarity_join import (  # noqa: F401
