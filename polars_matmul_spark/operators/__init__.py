@@ -67,6 +67,10 @@
 - ``ranking_eval``     retrieval-quality metrics: MRR, recall@k,
   precision@k, nDCG@k per query + macro averages (ordered folds,
   DuckDB-replayable)
+- image near-dup: ``multimodal.image_dhash`` (perceptual dHash over
+  really-decoded BMP/PNG/JPEG/GIF/TIFF pixels) +
+  ``neardup_images_dhash`` (banded Hamming join, pigeonhole-exact
+  below the band count)
 """
 
 from polars_matmul_spark.operators.similarity_join import (  # noqa: F401

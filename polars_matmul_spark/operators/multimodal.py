@@ -1008,6 +1008,133 @@ def resize_bmp_real(
     return df.select(id_col, "payload").mapInPandas(resize, schema)
 
 
+def image_dhash(
+    df: DataFrame, id_col: str = "asset_id", hash_size: int = 8
+) -> DataFrame:
+    """Perceptual difference-hash over REALLY DECODED pixels — the
+    image-side analogue of the text fingerprints: two images that look
+    alike hash to nearby bit strings no matter which container or
+    (lossless) encoding they shipped in.
+
+    Recipe (the standard dHash): decode any supported container
+    (BMP/PNG/JPEG/GIF/TIFF via :func:`_decode_image_rgb` — so a PNG
+    and a BMP of the SAME pixels get the SAME hash), Rec.601 luma,
+    nearest-neighbor sample to a (hash_size, hash_size+1) grid with
+    the repo's ``np.linspace`` grid arithmetic, emit one bit per
+    horizontal neighbor pair (left < right), pack row-major into a
+    64-bit long (hash_size=8). Integer comparisons on deterministic
+    float luma — partitioning-invariant, no RNG.
+
+    -> (id_col, dhash long, src_w long, src_h long); undecodable
+    payloads emit nothing. mapInPandas, no shuffle.
+    """
+    if hash_size < 1 or hash_size * hash_size > 64:
+        raise ValueError("hash_size must be in 1..8 (bits must fit a long)")
+    schema = f"{id_col} long, dhash long, src_w long, src_h long"
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf[id_col], pdf["payload"]):
+                img = _decode_image_rgb(bytes(payload))
+                if img is None:
+                    continue
+                h, w, _ = img.shape
+                luma = (
+                    0.299 * img[:, :, 0].astype(np.float64)
+                    + 0.587 * img[:, :, 1]
+                    + 0.114 * img[:, :, 2]
+                )
+                ys = np.linspace(0, h - 1, hash_size).astype(np.int64)
+                xs = np.linspace(0, w - 1, hash_size + 1).astype(np.int64)
+                grid = luma[ys[:, None], xs[None, :]]
+                bits = (grid[:, :-1] < grid[:, 1:]).ravel()
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                # interpret the packed bits as signed 64-bit (Spark
+                # long) — with hash_size 8 the top bit can be set
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                rows.append(
+                    {id_col: aid, "dhash": val, "src_w": w, "src_h": h}
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "dhash", "src_w", "src_h"]
+            )
+
+    return df.select(id_col, "payload").mapInPandas(compute, schema)
+
+
+def neardup_images_dhash(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    max_distance: int = 10,
+    bands: int = 4,
+    hash_size: int = 8,
+) -> DataFrame:
+    """Image near-duplicate pairs by banded Hamming join over dHashes
+    — the MinHash-LSH shape applied to perceptual image bits.
+
+    The 64-bit dhash splits into ``bands`` equal bit-slices (pure
+    Catalyst shift/mask); a candidate pair shares at least one slice
+    verbatim; the verify recomputes the exact Hamming distance with
+    ``bit_count(a XOR b)`` and keeps pairs <= ``max_distance``. By
+    pigeonhole the join is EXACT (recall 1.0) for pairs with distance
+    < ``bands``; beyond that it is the standard LSH recall trade —
+    raise ``bands`` for higher recall at more candidates.
+
+    100 TB shape: hashes are one scan (the decode pass); the band join
+    carries (band_idx, band_val, id) longs — never pixels; candidate
+    verify is integer XOR on slim pairs. -> (id_a, id_b, distance),
+    id_a < id_b, distinct.
+    """
+    if bands < 1 or 64 % bands != 0:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    hashes = image_dhash(df, id_col=id_col, hash_size=hash_size).select(
+        F.col(id_col).alias("__id"), "dhash"
+    )
+    slices = []
+    for b in range(bands):
+        slices.append(
+            hashes.select(
+                "__id",
+                "dhash",
+                F.lit(b).alias("__band"),
+                # logical right shift: cast through unsigned arithmetic
+                # via shiftrightunsigned (sign bit must not smear)
+                (F.shiftrightunsigned(F.col("dhash"), b * width)
+                 .bitwiseAND(F.lit(mask))).alias("__key"),
+            )
+        )
+    banded = slices[0]
+    for s in slices[1:]:
+        banded = banded.unionByName(s)
+    left = banded
+    right = banded.select(
+        F.col("__id").alias("__id_b"),
+        F.col("dhash").alias("__dhash_b"),
+        "__band",
+        "__key",
+    )
+    cand = (
+        left.join(right, ["__band", "__key"])
+        .filter(F.col("__id") < F.col("__id_b"))
+        .select("__id", "__id_b", "dhash", "__dhash_b")
+        .distinct()
+    )
+    out = cand.select(
+        F.col("__id").alias("id_a"),
+        F.col("__id_b").alias("id_b"),
+        F.bit_count(
+            F.col("dhash").bitwiseXOR(F.col("__dhash_b"))
+        ).cast("long").alias("distance"),
+    )
+    return out.filter(F.col("distance") <= max_distance)
+
+
 def triage_assets(
     df: DataFrame, id_col: str = "asset_id", payload_col: str = "payload"
 ) -> DataFrame:
