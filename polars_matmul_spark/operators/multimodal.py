@@ -1135,6 +1135,69 @@ def neardup_images_dhash(
     return out.filter(F.col("distance") <= max_distance)
 
 
+def _band_slices(hashes: DataFrame, bands: int, id_alias: str, hash_alias: str) -> DataFrame:
+    width = 64 // bands
+    mask = (1 << width) - 1
+    slices = []
+    for b in range(bands):
+        slices.append(
+            hashes.select(
+                F.col(hashes.columns[0]).alias(id_alias),
+                F.col(hashes.columns[1]).alias(hash_alias),
+                F.lit(b).alias("__band"),
+                (F.shiftrightunsigned(F.col(hashes.columns[1]), b * width)
+                 .bitwiseAND(F.lit(mask))).alias("__key"),
+            )
+        )
+    out = slices[0]
+    for s in slices[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def image_neardup_new_vs_index(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str = "asset_id",
+    max_distance: int = 10,
+    bands: int = 4,
+    hash_size: int = 8,
+) -> DataFrame:
+    """Incremental image near-dup: an arriving batch of image payloads
+    against a PERSISTED dhash catalog (the ``image_dhash`` output —
+    (id, dhash) longs) — the incremental-family contract
+    (minhash/winnow/gram/p-stable/IVF siblings): the index is only
+    touched by an equi-join probe of the (small) new side's band keys
+    and never shuffles; the result equals the full-corpus
+    :func:`neardup_images_dhash` restricted to (new x index) pairs
+    (pytest-pinned).
+
+    -> (new_id, index_id, distance), distance <= max_distance.
+    """
+    if bands < 1 or 64 % bands != 0:
+        raise ValueError("bands must divide 64")
+    new_hashes = image_dhash(new_df, id_col=id_col, hash_size=hash_size).select(
+        id_col, "dhash"
+    )
+    nb = _band_slices(new_hashes, bands, "new_id", "__dhash_n")
+    ib = _band_slices(
+        index_df.select(id_col, "dhash"), bands, "index_id", "__dhash_i"
+    )
+    cand = (
+        ib.join(F.broadcast(nb), ["__band", "__key"])
+        .select("new_id", "index_id", "__dhash_n", "__dhash_i")
+        .distinct()
+    )
+    out = cand.select(
+        "new_id",
+        "index_id",
+        F.bit_count(
+            F.col("__dhash_n").bitwiseXOR(F.col("__dhash_i"))
+        ).cast("long").alias("distance"),
+    )
+    return out.filter(F.col("distance") <= max_distance)
+
+
 def triage_assets(
     df: DataFrame, id_col: str = "asset_id", payload_col: str = "payload"
 ) -> DataFrame:

@@ -60,6 +60,11 @@ def ranking_metrics(
     judgments; rel > 0 means relevant. Queries present in qrels but
     retrieving nothing still get a row (all-zero metrics) — silently
     dropping them would inflate every macro average.
+
+    Preconditions: ranks are unique within a query (a run IS a
+    ranking; duplicated ranks make the DCG fold order depend on the
+    tie) and qrels carry one judgment per (query, doc) — duplicate
+    judgments would double-join hits.
     """
     if k < 1:
         raise ValueError("k must be >= 1")

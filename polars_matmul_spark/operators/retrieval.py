@@ -102,6 +102,11 @@ def rrf_fuse(
     leg (null where the candidate missed that leg's top list) +
     ``rrf_score`` (rounded to ``score_dp``) + ``fused_rank``. ``k``
     truncates the fused ranking per group.
+
+    Precondition: one row per (group, id) within each leg — a leg IS a
+    ranking, so duplicated candidates are malformed input (the rank
+    pivot would keep the WORST duplicate's rank). Deduplicate upstream
+    (e.g. ``groupBy(...).agg(F.max(score))``) if a leg can repeat ids.
     """
     if not legs:
         raise ValueError("Empty series: no legs to fuse")
@@ -259,6 +264,11 @@ def maxsim_topk_ivf(
     volume is bounded by the probed lists instead of |Q| x |C|. The
     one corpus-sized shuffle is the c_doc-keyed candidate equi-join,
     which doc-clustered storage makes map-side.
+
+    A query doc whose probed centroids hold no corpus vectors yields
+    NO output rows (the exhaustive paths always emit k): that means
+    ``nprobe``/``n_centroids`` are mistuned for the data — raise
+    nprobe rather than treating absence as an empty result.
     """
     from polars_matmul_spark.operators.ann import train_centroids_kmeans
 

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from polars_matmul_spark.operators.multimodal import (
     encode_png,
     image_dhash,
+    image_neardup_new_vs_index,
     neardup_images_dhash,
 )
 
@@ -128,6 +129,53 @@ def test_dhash_hash_size_bounds(spark):
         image_dhash(df, hash_size=9)
     with pytest.raises(ValueError, match="bands must divide"):
         neardup_images_dhash(df, bands=5)
+
+
+def test_incremental_equals_full_restricted(spark):
+    img = _gradient()
+    other = _gradient(seed=55)
+    hist_rows = [
+        (1, bytearray(encode_png(img))),
+        (2, bytearray(encode_png(other))),
+    ]
+    new_rows = [
+        (10, bytearray(encode_png(_noised(img)))),   # near-dup of 1
+        (11, bytearray(encode_png((255 - np.flip(_gradient(seed=77), axis=1)).astype(np.uint8)))),
+    ]
+    index = image_dhash(_assets(spark, hist_rows)).select("asset_id", "dhash")
+    inc = {
+        (r.new_id, r.index_id): r.distance
+        for r in image_neardup_new_vs_index(
+            _assets(spark, new_rows), index, max_distance=10
+        ).collect()
+    }
+    # full-corpus run restricted to (new x history) crossing pairs
+    full = {
+        (max(r.id_a, r.id_b), min(r.id_a, r.id_b)): r.distance
+        for r in neardup_images_dhash(
+            _assets(spark, hist_rows + new_rows), max_distance=10
+        ).collect()
+        if (r.id_a < 10) != (r.id_b < 10)
+    }
+    assert inc == full
+    assert (10, 1) in inc
+
+
+def test_incremental_index_broadcast_plan(spark):
+    img = _gradient()
+    index = image_dhash(_assets(spark, [(1, bytearray(encode_png(img)))])).select(
+        "asset_id", "dhash"
+    )
+    plan = (
+        image_neardup_new_vs_index(
+            _assets(spark, [(2, bytearray(encode_png(img)))]), index
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the new side broadcasts into the index probe — the index is
+    # never the shuffled side of a SortMergeJoin
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_band_join_plan_no_pixels(spark):
