@@ -1162,6 +1162,7 @@ def image_neardup_new_vs_index(
     max_distance: int = 10,
     bands: int = 4,
     hash_size: int = 8,
+    new_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental image near-dup: an arriving batch of image payloads
     against a PERSISTED dhash catalog (the ``image_dhash`` output —
@@ -1173,12 +1174,16 @@ def image_neardup_new_vs_index(
     (pytest-pinned).
 
     -> (new_id, index_id, distance), distance <= max_distance.
+
+    ``new_hashes`` short-circuits the decode when the caller already
+    holds the batch's ``image_dhash`` output (the streaming loop hashes
+    once and reuses it for both the within-batch and vs-history check).
     """
     if bands < 1 or 64 % bands != 0:
         raise ValueError("bands must divide 64")
-    new_hashes = image_dhash(new_df, id_col=id_col, hash_size=hash_size).select(
-        id_col, "dhash"
-    )
+    if new_hashes is None:
+        new_hashes = image_dhash(new_df, id_col=id_col, hash_size=hash_size)
+    new_hashes = new_hashes.select(id_col, "dhash")
     nb = _band_slices(new_hashes, bands, "new_id", "__dhash_n")
     ib = _band_slices(
         index_df.select(id_col, "dhash"), bands, "index_id", "__dhash_i"
