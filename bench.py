@@ -187,7 +187,9 @@ def main() -> None:
         "q5_local_supplier",
         "topk_cosine",
         "matmul_flatten",
-        "embedding_neardup_cosine",
+        # embedding_neardup_cosine left the registry in the round-9
+        # third wave (cosine thresholds stay timed via semantic dedup)
+        "image_neardup_dhash",
         # token_counts left the registry in the round-8 third rotation
         "gopher_quality",
         "neardup_ngram_jaccard",

@@ -1496,7 +1496,12 @@ CORE_QUERIES: dict[str, tuple] = {
     # rotated-query gate) so the CMS/sampling/Hamming families get
     # driver rows in queries_datapipe:
     "matmul_flatten": (_matmul_flatten_scores, _MATMUL_FLATTEN_ORACLE),
-    "embedding_neardup_cosine": (_embedding_neardup, _EMBEDDING_NEARDUP_ORACLE),
+    # embedding_neardup_cosine rotated out in the round-9 third wave
+    # (brute-force cosine thresholding stays driver-gated through
+    # topk_cosine / semantic_dedup_pairs / srp_neardup_bands; exact
+    # value comparison kept in test_oracle_parity's rotated gate) so
+    # the perceptual image-dedup family gets its oracle row
+    # (queries_multimodal.py):
     "ann_ivf_topk": (_ann_ivf, _duck_ivf_oracle()),
     # ann_brp_lsh_join rotated out in round 9: MLlib's JVM-private RNG
     # made it the registry's one permanently rows-only row. Its

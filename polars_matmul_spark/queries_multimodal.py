@@ -942,6 +942,129 @@ LEFT JOIN l1dig d USING (asset_id)
 """
 
 
+# --- perceptual image near-dup driver row (round-9 third wave) --------------
+#
+# The image-dedup family's oracle gate: documents become REAL 24-bit
+# BMPs whose pixel (y, x, c) is text byte ((y*17 + x)*3 + c) mod n —
+# the mm_decoded_stats recipe at image granularity — every 4th doc
+# also ships an exact pixel copy at id + 10_000_000 (planted distance-0
+# pairs), and the full dHash -> banded-Hamming-join -> bit_count verify
+# pipeline runs over the decoded pixels. Geometry (17 x 8) is chosen so
+# the dHash sampling grid (linspace over 9 x 8 points) lands on EXACT
+# integer coordinates (x step 2, y step 1), making every luma value,
+# comparison bit, packed 64-bit hash, band key and Hamming distance a
+# closed-form function of the text bytes that DuckDB replays
+# bit-for-bit (Rec.601 weights in the same association order; the
+# signed-long conversion via HUGEINT arithmetic).
+
+_IMG_W, _IMG_H = 17, 8
+_IMG_COPY_EVERY = 4
+_IMG_COPY_OFF = 10_000_000
+_IMG_MAXDIST = 10
+
+
+def _image_neardup_dhash(spark, sf_dir):
+    import struct
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from polars_matmul_spark.operators.multimodal import neardup_images_dhash
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.length("text") >= 1)
+        .select(
+            "doc_id",
+            F.regexp_replace("text", "[^\\x00-\\x7F]", "?").alias("text"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    w, h = _IMG_W, _IMG_H
+
+    def build(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(
+                    text.encode("ascii", "replace"), np.uint8
+                )
+                n = len(b)
+                img = b[np.arange(h * w * 3) % n].reshape(h, w, 3)
+                stride = (w * 3 + 3) & ~3
+                rows = np.zeros((h, stride), dtype=np.uint8)
+                rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+                data = rows.tobytes()
+                off = 14 + 40
+                hdr = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+                info = struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                    2835, 2835, 0, 0,
+                )
+                pl = hdr + info + data
+                ids.append(did)
+                payloads.append(pl)
+                if did % _IMG_COPY_EVERY == 0:
+                    ids.append(did + _IMG_COPY_OFF)
+                    payloads.append(pl)
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    assets = docs.mapInPandas(build, "asset_id long, payload binary")
+    return neardup_images_dhash(assets, max_distance=_IMG_MAXDIST)
+
+
+_IMAGE_NEARDUP_ORACLE = f"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g') AS text
+  FROM documents WHERE length(text) >= 1
+), assets AS (
+  SELECT doc_id AS asset_id, text FROM norm
+  UNION ALL
+  SELECT doc_id + {_IMG_COPY_OFF}, text FROM norm
+  WHERE doc_id % {_IMG_COPY_EVERY} = 0
+), pix AS (
+  -- Rec.601 luma at the 9 x 8 dHash grid (x = 2*xi, y = yi): pixel
+  -- channel c of (y, x) is text byte ((y*{_IMG_W} + x)*3 + c) mod n
+  SELECT asset_id, yi, xi,
+         0.299 * unicode(substring(text,
+           ((yi*{_IMG_W} + xi*2)*3 + 0) % length(text) + 1, 1))
+       + 0.587 * unicode(substring(text,
+           ((yi*{_IMG_W} + xi*2)*3 + 1) % length(text) + 1, 1))
+       + 0.114 * unicode(substring(text,
+           ((yi*{_IMG_W} + xi*2)*3 + 2) % length(text) + 1, 1)) AS luma
+  FROM assets, unnest(range(0, {_IMG_H})) t1(yi), unnest(range(0, 9)) t2(xi)
+), bits AS (
+  SELECT a.asset_id, CAST(a.yi * 8 + a.xi AS INT) AS k,
+         CASE WHEN a.luma < b.luma THEN 1 ELSE 0 END AS bit
+  FROM pix a JOIN pix b
+    ON a.asset_id = b.asset_id AND a.yi = b.yi AND b.xi = a.xi + 1
+  WHERE a.xi < 8
+), hashes AS (
+  SELECT asset_id, u,
+         CAST(CASE WHEN u >= CAST(1 AS HUGEINT) << 63
+                   THEN u - (CAST(1 AS HUGEINT) << 64)
+                   ELSE u END AS BIGINT) AS dhash
+  FROM (SELECT asset_id,
+               sum(CAST(bit AS HUGEINT) * (CAST(1 AS HUGEINT) << (63 - k)))
+                 AS u
+        FROM bits GROUP BY asset_id)
+), banded AS (
+  SELECT asset_id, dhash, b,
+         CAST(u // (CAST(1 AS HUGEINT) << (16 * b)) % 65536 AS BIGINT)
+           AS band_key
+  FROM hashes, unnest(range(0, 4)) t(b)
+), cand AS (
+  SELECT DISTINCT l.asset_id AS id_a, r.asset_id AS id_b,
+         l.dhash AS ha, r.dhash AS hb
+  FROM banded l JOIN banded r
+    ON l.b = r.b AND l.band_key = r.band_key AND l.asset_id < r.asset_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS distance
+FROM cand WHERE bit_count(xor(ha, hb)) <= {_IMG_MAXDIST}
+"""
+
+
 MULTIMODAL_QUERIES: dict[str, tuple] = {
     # mm_asset_meta rotated out in round 6 (pure metadata select whose
     # payload-sha256/kind/dims shapes stay pinned in the rotated-query
@@ -968,6 +1091,12 @@ MULTIMODAL_QUERIES: dict[str, tuple] = {
     # — excise_spans_cms keeps the reassembly replay driver-gated with
     # strictly more mechanism):
     "triage_assets": (_triage_assets, _TRIAGE_ASSETS_ORACLE),
+    # round-9 third wave: the perceptual image-dedup family gets its
+    # oracle gate (embedding_neardup_cosine rotated to the pytest gate
+    # — brute-force cosine thresholding stays driver-gated through
+    # topk_cosine / semantic_dedup_pairs / srp_neardup_bands, and the
+    # row keeps its exact comparison in test_oracle_parity):
+    "image_neardup_dhash": (_image_neardup_dhash, _IMAGE_NEARDUP_ORACLE),
     # mm_byte_histogram rotated out in round 6 (the vectorized-decode
     # family keeps its driver row via mm_decoded_stats — the REAL
     # decoder path — and the histogram keeps its exact value

@@ -189,6 +189,13 @@ def _rotated_queries():
         # ...and for decontaminate_docs (BM25's machinery runs
         # driver-gated inside hybrid_rrf_search's lexical legs)
         "bm25_search": (qp._bm25_search, qp._BM25_ORACLE),
+        # round-9 third wave: slot freed for image_neardup_dhash
+        # (cosine thresholding stays driver-gated through topk_cosine /
+        # semantic_dedup_pairs / srp_neardup_bands)
+        "embedding_neardup_cosine": (
+            qc._embedding_neardup,
+            qc._EMBEDDING_NEARDUP_ORACLE,
+        ),
     }
 
 

@@ -283,6 +283,10 @@ _CEILINGS_SF01 = {
     # gram scan over the full corpus is the cost; the probe join is a
     # broadcast)
     "decontaminate_docs": 9.0,
+    # perceptual image dedup (idle warm wall ~5.5 s: 6250 BMP
+    # synth+decode+dhash Python passes dominate; the band join is slim
+    # longs)
+    "image_neardup_dhash": 18.0,
 }
 
 
