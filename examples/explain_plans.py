@@ -325,6 +325,14 @@ CASES_R8 = [
         "past the leg cuts",
     ),
     (
+        "image_neardup_dhash",
+        "Perceptual image dedup (round 9 wave 3): BMP synth + decode + "
+        "dHash in ONE mapInPandas pass, band keys as flat long "
+        "projections, the candidate equi-join and bit_count verify all "
+        "carry 8-byte hashes — pixels exist only inside the hash stage, "
+        "never in a shuffle",
+    ),
+    (
         "maxsim_multivector_topk",
         "Late-interaction MaxSim (round 9 wave 2): per-vector norms "
         "precomputed BEFORE the pair join (O(n*d) not O(n^2*d)), the "
