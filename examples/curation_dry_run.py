@@ -456,6 +456,61 @@ def main() -> None:
         "row-local numeric verdicts over decoded stats (Catalyst only)",
     )
 
+    # --- stage 17 (asset side leg): perceptual image dedup — BMP
+    # assets synthesized from the docs (every 5th doc also ships a
+    # pixel-exact copy), dHashed from decoded pixels, near-dup pairs
+    # via the banded Hamming join; the pairs table is what an asset
+    # pipeline anti-joins before training
+    import struct as _struct
+
+    import numpy as _np
+    import pandas as _pd
+
+    from polars_matmul_spark.operators.multimodal import (
+        neardup_images_dhash,
+    )
+
+    def _build_bmps(batches):
+        w, h = 17, 8
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                b = _np.frombuffer(
+                    (text or "?").encode("ascii", "replace"), _np.uint8
+                )
+                if len(b) == 0:
+                    b = _np.frombuffer(b"?", _np.uint8)
+                img = b[_np.arange(h * w * 3) % len(b)].reshape(h, w, 3)
+                stride = (w * 3 + 3) & ~3
+                rows_a = _np.zeros((h, stride), dtype=_np.uint8)
+                rows_a[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+                data = rows_a.tobytes()
+                off = 14 + 40
+                pl = (
+                    _struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+                    + _struct.pack(
+                        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                        2835, 2835, 0, 0,
+                    )
+                    + data
+                )
+                ids.append(did)
+                payloads.append(pl)
+                if did % 5 == 0:
+                    ids.append(did + 50_000_000)
+                    payloads.append(pl)
+            yield _pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    img_assets = docs.select("doc_id", "text").mapInPandas(
+        _build_bmps, "asset_id long, payload binary"
+    )
+    img_pairs = neardup_images_dhash(img_assets, max_distance=10)
+    checkpoint(
+        "17_image_neardup", img_pairs,
+        "BMP synth+decode+dHash one mapInPandas pass; banded Hamming "
+        "join on 8-byte hashes (pixels never shuffle)",
+    )
+
     total = sum(w for _, w, _, _ in stages)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = [
@@ -485,9 +540,9 @@ def main() -> None:
         "excision -> near-dup -> benchmark decontamination (probe "
         "8-gram broadcast join, flagged docs anti-joined out) -> DSIR "
         "-> packing -> shards. Stages "
-        "12-16 are the side legs gating the other "
+        "12-17 are the side legs gating the other "
         "ingest surfaces (JSONL quarantine; the multimodal asset "
-        "layer). Each stage is the scale-shaped operator documented "
+        "layer, ending in perceptual image dedup over decoded pixels). Each stage is the scale-shaped operator documented "
         "in its module; nothing here is imperative glue beyond the "
         "checkpoint writes a production pipeline would do anyway.",
         "",

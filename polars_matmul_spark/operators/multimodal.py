@@ -1027,6 +1027,12 @@ def image_dhash(
 
     -> (id_col, dhash long, src_w long, src_h long); undecodable
     payloads emit nothing. mapInPandas, no shuffle.
+
+    Standard dHash caveat: constant-color (and any row-wise
+    monotone-equal) images all hash to the same value — gradient bits
+    carry no signal without luma variation. If flat images are common
+    in the corpus, pre-filter them (e.g. on ``pixel_stats`` variance)
+    before treating distance-0 pairs as duplicates.
     """
     if hash_size < 1 or hash_size * hash_size > 64:
         raise ValueError("hash_size must be in 1..8 (bits must fit a long)")

@@ -107,6 +107,11 @@ def rrf_fuse(
     ranking, so duplicated candidates are malformed input (the rank
     pivot would keep the WORST duplicate's rank). Deduplicate upstream
     (e.g. ``groupBy(...).agg(F.max(score))``) if a leg can repeat ids.
+
+    Scale note: empty ``group_cols`` means ONE global ranking window —
+    a single partition. That is fine for an already-cut candidate set
+    (the normal fuse input); for corpus-wide per-query retrieval,
+    always partition by the query column.
     """
     if not legs:
         raise ValueError("Empty series: no legs to fuse")
