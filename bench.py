@@ -267,9 +267,30 @@ def main() -> None:
     # protocol in _measure: rows landing >1.5x their persisted
     # best-ever median get re-run, and sealed suspect=true if the
     # wall never recovers
+    def _purge_spark_state():
+        """Drop blocks a finished row left pinned in executor storage —
+        localCheckpoint RDDs stay referenced until Python GC, so after
+        ~45 rows the accumulated storage/GC pressure inflated LATE
+        rows' sealed walls 2-5x over their isolated values (r9 wave-3
+        diagnosis: triage_assets 10.8s sealed vs ~2s isolated,
+        image_neardup_dhash 12.7s vs ~5.4s — both appended last in the
+        headline list). Each row now starts from a clean cache state;
+        within-row caching semantics are untouched (purge runs AFTER
+        the row's final timed run)."""
+        import gc
+
+        spark.catalog.clearCache()
+        jsc = spark.sparkContext._jsc.sc()
+        prdds = jsc.getPersistentRDDs()
+        it = prdds.iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(False)
+        gc.collect()
+
     for name in headline:
         fn, _oracle = ALL_QUERIES[name]
         _measure(name, lambda fn=fn: _force(fn(spark, SF_DIR)))
+        _purge_spark_state()
 
     # --- kernel path on the sf embeddings table ---
     emb = load_table(spark, "embeddings", SF_DIR)
