@@ -71,6 +71,9 @@
   really-decoded BMP/PNG/JPEG/GIF/TIFF pixels) +
   ``neardup_images_dhash`` (banded Hamming join, pigeonhole-exact
   below the band count)
+- ``linkgraph``        crawl link-graph priors: href extraction,
+  registrable-domain edges, exact integer fixed-point PageRank
+  (order-free sums, engine-replayable by construction)
 """
 
 from polars_matmul_spark.operators.similarity_join import (  # noqa: F401

@@ -1,0 +1,143 @@
+"""Link-graph quality priors: href extraction -> domain edge table ->
+exact fixed-point PageRank.
+
+The crawl-curation signal Common-Crawl-derived pipelines rank domains
+by (centrality as a quality/spam prior): extract outgoing links from
+HTML bodies, collapse to registrable-domain edges, and run PageRank.
+
+Exactness design (the repo's oracle-parity rule, taken further than
+the usual float discipline): ranks live in INTEGER fixed-point
+("rank units", ``scale`` units = total mass 1.0) and every step is
+integer arithmetic — damping via ``r * damping // 100``, per-edge
+contribution via ``damped // out_degree`` (floor division; the
+remainder mass is deliberately dropped, see below), and per-node sums
+of longs, which are ORDER-INDEPENDENT — so the whole iteration
+replays bit-for-bit in any engine, no rounding grids, no fold-order
+pinning needed. A float PageRank differs at the last ulp depending on
+aggregation order; an integer one cannot.
+
+Documented deviations from textbook PageRank (both conservative and
+deterministic):
+- floor division drops up to ``out_degree - 1`` units per (node,
+  iteration) and dangling nodes (no out-links) drop their whole
+  damped mass — total mass slowly leaks instead of being
+  redistributed. At ``scale`` = 1e12 the leak is ~1e-9 relative per
+  iteration: irrelevant for RANKING, and the price of exactness.
+- the teleport term uses ``scale * (100 - damping) // 100 // n`` —
+  the same floor rule.
+
+100 TB shape: each iteration is one (src-keyed) join of the slim
+(node, rank, degree) table onto the edge list plus one dst-keyed
+groupBy-sum — the classic two-shuffle PageRank step; the edge table
+never widens. Iterations localCheckpoint so plan depth stays O(1)
+per step instead of O(iterations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from polars_matmul_spark.operators.urls import (
+    canonicalize_url,
+    registrable_host_key,
+)
+
+__all__ = ["extract_hrefs", "domain_edges", "pagerank_fixedpoint"]
+
+_HREF_RE = r'(?i)href\s*=\s*["\']([^"\'<>\s]+)["\']'
+
+
+def extract_hrefs(text: Column) -> Column:
+    """All href targets in an HTML body (array<string>): quoted
+    attribute values only — the unquoted form is vanishingly rare in
+    real markup and accepting it would swallow adjacent attributes."""
+    return F.regexp_extract_all(text, F.lit(_HREF_RE), 1)
+
+
+def domain_edges(
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct (src_domain, dst_domain) edges: the page's own
+    registrable domain -> each absolute http(s) link target's domain.
+    Relative links (no scheme) carry no cross-domain signal and are
+    dropped; self-loops are kept (a site linking itself is real
+    signal for the dangling-mass rule, and PageRank handles loops).
+    """
+    links = docs.select(
+        registrable_host_key(canonicalize_url(F.col(url_col))).alias("src_domain"),
+        F.explode(extract_hrefs(F.col(text_col))).alias("href"),
+    ).filter(F.col("href").rlike(r"(?i)^https?://"))
+    return (
+        links.select(
+            "src_domain",
+            registrable_host_key(canonicalize_url(F.col("href"))).alias(
+                "dst_domain"
+            ),
+        )
+        .filter(F.col("src_domain") != "")
+        .filter(F.col("dst_domain") != "")
+        .distinct()
+    )
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    src_col: str = "src_domain",
+    dst_col: str = "dst_domain",
+    n_iter: int = 3,
+    damping: int = 85,
+    scale: int = 1_000_000_000_000,
+) -> DataFrame:
+    """Exact integer-arithmetic PageRank over a (src, dst) edge list.
+
+    -> (node, rank) with rank in integer units of ``1/scale`` total
+    mass. Nodes = union of sources and destinations. Deterministic and
+    engine-replayable by construction (see module docstring).
+    """
+    if not 0 <= damping <= 100:
+        raise ValueError("damping must be a percentage in 0..100")
+    if n_iter < 0:
+        raise ValueError("n_iter must be >= 0")
+    e = edges.select(
+        F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("__src").alias("node"))
+        .unionByName(e.select(F.col("__dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
+    deg = e.groupBy("__src").agg(F.count("*").alias("__deg"))
+
+    base = scale * (100 - damping) // 100 // n
+    ranks = nodes.withColumn("rank", F.lit(int(scale // n)).cast("long"))
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "__src"), "__src")
+            .join(deg, "__src")
+            .select(
+                F.col("__dst").alias("node"),
+                # integer `div` throughout — double division + cast
+                # would MOSTLY agree but is not an identity we want to
+                # carry a proof obligation for
+                F.expr(f"((rank * {damping}) div 100) div __deg").alias("__c"),
+            )
+        )
+        summed = contrib.groupBy("node").agg(F.sum("__c").alias("__in"))
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                (F.lit(int(base)) + F.coalesce(F.col("__in"), F.lit(0)))
+                .cast("long")
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -1,0 +1,162 @@
+"""Link-graph PageRank (operators/linkgraph.py): href extraction,
+domain edge building, and the integer fixed-point PageRank — exact
+pure-Python replication, a DuckDB replay with unrolled iterations,
+ranking sanity on known graphs, and partitioning invariance."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from polars_matmul_spark.operators.linkgraph import (
+    domain_edges,
+    extract_hrefs,
+    pagerank_fixedpoint,
+)
+
+SCALE = 1_000_000_000_000
+DAMP = 85
+
+
+def _py_pagerank(edges, n_iter=3, damping=DAMP, scale=SCALE):
+    """Literal integer replication of the operator."""
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    base = scale * (100 - damping) // 100 // n
+    r = {v: scale // n for v in nodes}
+    for _ in range(n_iter):
+        incoming = {v: 0 for v in nodes}
+        for s, d in edges:
+            incoming[d] += (r[s] * damping // 100) // deg[s]
+        r = {v: base + incoming[v] for v in nodes}
+    return r
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(edges, "src_domain string, dst_domain string")
+
+
+CHAIN = [("a.com", "b.com"), ("b.com", "c.com"), ("c.com", "a.com")]
+STAR = [("s1.com", "hub.com"), ("s2.com", "hub.com"), ("s3.com", "hub.com"),
+        ("hub.com", "s1.com")]
+
+
+@pytest.mark.parametrize("edges", [CHAIN, STAR, CHAIN + STAR])
+def test_pagerank_exact_vs_python(spark, edges):
+    got = {r.node: r.rank for r in pagerank_fixedpoint(_edges_df(spark, edges)).collect()}
+    assert got == _py_pagerank(edges)
+
+
+def test_pagerank_star_ranks_hub_first(spark):
+    got = {r.node: r.rank for r in pagerank_fixedpoint(_edges_df(spark, STAR)).collect()}
+    assert got["hub.com"] == max(got.values())
+    # the one spoke the hub links back to outranks the others
+    assert got["s1.com"] > got["s2.com"] == got["s3.com"]
+
+
+def test_pagerank_duckdb_replay(spark):
+    """One unrolled iteration set in SQL must reproduce the integer
+    ranks bit-for-bit (integer //, order-free sums)."""
+    edges = CHAIN + STAR + [("hub.com", "c.com")]
+    got = (
+        pagerank_fixedpoint(_edges_df(spark, edges), n_iter=2)
+        .orderBy("node")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE e (src VARCHAR, dst VARCHAR)"
+    )
+    con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+    n = len({s for s, _ in edges} | {d for _, d in edges})
+    base = SCALE * (100 - DAMP) // 100 // n
+    oracle = con.sql(f"""
+WITH nodes AS (SELECT DISTINCT src AS node FROM e
+               UNION SELECT DISTINCT dst FROM e),
+deg AS (SELECT src, count(*) AS d FROM (SELECT DISTINCT src, dst FROM e) GROUP BY src),
+r0 AS (SELECT node, CAST({SCALE // n} AS BIGINT) AS rank FROM nodes),
+i1 AS (
+  SELECT n.node,
+         CAST({base} + coalesce(sum((r0.rank * {DAMP} // 100) // deg.d), 0)
+              AS BIGINT) AS rank
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN r0 ON r0.node = e.src
+  LEFT JOIN deg ON deg.src = e.src
+  GROUP BY n.node
+), i2 AS (
+  SELECT n.node,
+         CAST({base} + coalesce(sum((i1.rank * {DAMP} // 100) // deg.d), 0)
+              AS BIGINT) AS rank
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN i1 ON i1.node = e.src
+  LEFT JOIN deg ON deg.src = e.src
+  GROUP BY n.node
+)
+SELECT node, rank FROM i2 ORDER BY node
+""").df()
+    assert got.equals(oracle), f"\n{got}\nvs\n{oracle}"
+
+
+def test_pagerank_mass_conservation_bound(spark):
+    # floor division + dangling rules only ever DROP mass
+    got = pagerank_fixedpoint(_edges_df(spark, CHAIN + STAR)).collect()
+    assert sum(r.rank for r in got) <= SCALE
+    assert all(r.rank > 0 for r in got)
+
+
+def test_pagerank_partitioning_invariance(spark):
+    edges = CHAIN + STAR
+    a = sorted(tuple(r) for r in pagerank_fixedpoint(_edges_df(spark, edges).repartition(7)).collect())
+    b = sorted(tuple(r) for r in pagerank_fixedpoint(_edges_df(spark, edges).coalesce(1)).collect())
+    assert a == b
+
+
+def test_pagerank_validation(spark):
+    with pytest.raises(ValueError, match="damping"):
+        pagerank_fixedpoint(_edges_df(spark, CHAIN), damping=101)
+    with pytest.raises(ValueError, match="n_iter"):
+        pagerank_fixedpoint(_edges_df(spark, CHAIN), n_iter=-1)
+
+
+def test_extract_hrefs_and_edges(spark):
+    docs = spark.createDataFrame(
+        [
+            (
+                "http://blog.example.com/post",
+                '<a href="https://GitHub.com/x">x</a> '
+                "<A HREF='http://sub.wiki.org/page?utm_source=t'>y</A> "
+                '<a href="/relative/path">rel</a> '
+                '<img src="http://img.cdn.net/i.png">',
+            ),
+            ("http://example.com/", "no links here"),
+        ],
+        "url string, text string",
+    )
+    hrefs = docs.select(extract_hrefs(F.col("text")).alias("h")).collect()
+    assert hrefs[0].h == [
+        "https://GitHub.com/x",
+        "http://sub.wiki.org/page?utm_source=t",
+        "/relative/path",
+    ]
+    edges = {
+        (r.src_domain, r.dst_domain) for r in domain_edges(docs).collect()
+    }
+    # relative link dropped; img src is not an href; case-folded and
+    # tracking-stripped targets collapse to registrable domains
+    assert edges == {
+        ("example.com", "github.com"),
+        ("example.com", "wiki.org"),
+    }
+
+
+def test_pagerank_plan_jvm_side(spark):
+    plan = (
+        pagerank_fixedpoint(_edges_df(spark, CHAIN), n_iter=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
