@@ -86,6 +86,7 @@ def rrf_fuse(
     ascending: Sequence[str] = (),
     score_dp: int = 9,
     k: int | None = None,
+    weights: Mapping[str, float] | None = None,
 ) -> DataFrame:
     """Fuse named ranked legs into one RRF ranking.
 
@@ -112,6 +113,10 @@ def rrf_fuse(
     a single partition. That is fine for an already-cut candidate set
     (the normal fuse input); for corpus-wide per-query retrieval,
     always partition by the query column.
+
+    ``weights`` (weighted RRF): per-leg multiplier on the
+    ``1/(k_const + rank)`` contribution, default 1.0 — still a
+    fixed-order expression, so determinism is unchanged.
     """
     if not legs:
         raise ValueError("Empty series: no legs to fuse")
@@ -152,8 +157,9 @@ def rrf_fuse(
     fused = allrows.groupBy(*gcols, *icols).agg(*agg)
     rrf: Column = F.lit(0.0)
     for name in leg_names:
+        w = float(weights.get(name, 1.0)) if weights else 1.0
         rrf = rrf + F.coalesce(
-            F.lit(1.0) / (F.lit(float(k_const)) + F.col(f"{name}_rank")),
+            F.lit(w) / (F.lit(float(k_const)) + F.col(f"{name}_rank")),
             F.lit(0.0),
         )
     fused = fused.withColumn("rrf_score", F.round(rrf, score_dp))

@@ -146,6 +146,28 @@ def test_rrf_rank_tiebreak_on_rounded_score(spark):
     assert (out[3].leg_rank, out[4].leg_rank, out[5].leg_rank) == (1, 2, 3)
 
 
+def test_rrf_weighted_legs(spark):
+    # weight 0 silences a leg entirely; weight 2 doubles its term
+    legs = {
+        "a": [(1, 1, 5.0), (1, 2, 4.0)],
+        "b": [(1, 2, 9.0), (1, 3, 8.0)],
+    }
+    out = {
+        r.doc_id: r
+        for r in rrf_fuse(
+            {n: _mk_leg(spark, rows) for n, rows in legs.items()},
+            id_cols=["doc_id"],
+            group_cols=["query_id"],
+            weights={"a": 2.0, "b": 0.0},
+        ).collect()
+    }
+    assert out[1].rrf_score == round(2.0 / 61, 9)
+    assert out[2].rrf_score == round(2.0 / 62 + 0.0, 9)
+    assert out[3].rrf_score == 0.0
+    # ranks themselves are weight-independent
+    assert out[3].b_rank == 2
+
+
 def test_rrf_empty_legs_raises(spark):
     with pytest.raises(ValueError, match="Empty series"):
         rrf_fuse({}, id_cols=["doc_id"])
