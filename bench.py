@@ -51,21 +51,34 @@ def _timed(fn) -> float:
 _BENCH_BEST_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".bench_best.json"
 )
+# round-10 (r9 verdict "Next round #1a"): the session pool above is
+# gitignored and the round driver resets the worktree, so the sealed
+# run used to start with NO cross-round reference — a slow host window
+# poisoned the whole artifact (r9: 22 drift rows, 3 suspects, judged
+# rows 2.5x the r8 seal on untouched code). bench_reference.json is a
+# COMMITTED, deliberately-curated pool of known-clean per-row walls
+# (min across sealed rounds + in-session bests); _load_best_pool
+# merges it under the session pool so ratio_vs_best always has a
+# trustworthy denominator, first run of a fresh checkout included.
+_BENCH_REFERENCE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_reference.json"
+)
 _KEEP_BEST = 5
 _SUSPECT_FACTOR = 1.5
 
 
 def _load_best_pool(sf_key: str) -> dict[str, list[float]]:
-    try:
-        with open(_BENCH_BEST_PATH) as fh:
-            data = json.load(fh)
-        pool = data.get(sf_key, {})
-        return {
-            k: sorted(float(x) for x in v)[:_KEEP_BEST]
-            for k, v in pool.items()
-        }
-    except (OSError, ValueError, TypeError, AttributeError):
-        return {}
+    merged: dict[str, list[float]] = {}
+    for path in (_BENCH_REFERENCE_PATH, _BENCH_BEST_PATH):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+            pool = data.get(sf_key, {})
+            for k, v in pool.items():
+                merged.setdefault(k, []).extend(float(x) for x in v)
+        except (OSError, ValueError, TypeError, AttributeError):
+            continue
+    return {k: sorted(v)[:_KEEP_BEST] for k, v in merged.items()}
 
 
 def _save_best_pool(sf_key: str, pool: dict[str, list[float]]) -> None:
@@ -102,17 +115,33 @@ def main() -> None:
     row_detail: dict[str, dict] = {}
     sf_key = os.path.basename(SF_DIR.rstrip("/"))
     best_pool = _load_best_pool(sf_key)
+    # round-10 stretch (r9 verdict #8): each row seals the measurement
+    # window it ran in, so a judge can attribute drift to a slow host
+    # window without cross-referencing artifacts
+    current_window = ["main"]
+    # round-10 (r9 verdict #1b): per-row rebuild runners, so a row that
+    # seals >1.5x its pool BEST can be re-measured on a FRESH JVM — the
+    # r9 failure mode was session-sticky, and the in-place sleeps of
+    # the r8 protocol never cleared it
+    runners: dict[str, object] = {}
 
     def _measure(name: str, thunk, runs: int = 2, retries: int = 2) -> float:
         """best-of-``runs`` wall for ``thunk``, checked against this
         machine's persisted best-ever pool: a wall >1.5x the pool
-        median gets up to ``retries`` extra runs (a contention burst
-        usually clears within seconds); if it STILL exceeds the
-        reference, the row is sealed suspect=true — never a clean
-        number in prose and a noisy one in the artifact."""
+        BEST (round-10; the r9 median trigger let 2.5x-over-best rows
+        seal suspect=false) gets up to ``retries`` extra runs (a
+        contention burst usually clears within seconds); if it STILL
+        exceeds the reference, the row is sealed suspect=true — never
+        a clean number in prose and a noisy one in the artifact. Rows
+        that stay suspect get one more chance on a FRESH JVM in the
+        window-retry pass (see _window_retry below)."""
         wall = min(_timed(thunk) for _ in range(runs))
         best = best_pool.get(name, [])
-        ref = best[len(best) // 2] if len(best) >= 3 else None
+        # ratio-to-BEST: with the committed curated reference merged
+        # into the pool, the min is a deliberate known-clean wall, not
+        # a lucky fluke — so it is the honest denominator (r9 verdict
+        # Next round #1b)
+        ref = best[0] if best else None
         suspect = False
         if ref is not None and wall > _SUSPECT_FACTOR * ref:
             for _ in range(retries):
@@ -138,6 +167,7 @@ def main() -> None:
             # suspect (which still means "re-runs never recovered").
             "ratio_vs_best": round(wall / best_ever, 3) if best_ever > 0 else 1.0,
             "suspect": suspect,
+            "window": current_window[0],
         }
         return wall
 
@@ -267,7 +297,7 @@ def main() -> None:
     # protocol in _measure: rows landing >1.5x their persisted
     # best-ever median get re-run, and sealed suspect=true if the
     # wall never recovers
-    def _purge_spark_state():
+    def _purge_spark_state(sp):
         """Drop blocks a finished row left pinned in executor storage —
         localCheckpoint RDDs stay referenced until Python GC, so after
         ~45 rows the accumulated storage/GC pressure inflated LATE
@@ -279,63 +309,92 @@ def main() -> None:
         the row's final timed run)."""
         import gc
 
-        spark.catalog.clearCache()
-        jsc = spark.sparkContext._jsc.sc()
+        sp.catalog.clearCache()
+        jsc = sp.sparkContext._jsc.sc()
         prdds = jsc.getPersistentRDDs()
         it = prdds.iterator()
         while it.hasNext():
             it.next()._2().unpersist(False)
         gc.collect()
 
+    def _headline_runner(name):
+        def run(sp):
+            fn, _oracle = ALL_QUERIES[name]
+            _measure(name, lambda: _force(fn(sp, SF_DIR)))
+
+        return run
+
     for name in headline:
-        fn, _oracle = ALL_QUERIES[name]
-        _measure(name, lambda fn=fn: _force(fn(spark, SF_DIR)))
-        _purge_spark_state()
+        runners[name] = _headline_runner(name)
+        runners[name](spark)
+        _purge_spark_state(spark)
 
     # --- kernel path on the sf embeddings table ---
-    emb = load_table(spark, "embeddings", SF_DIR)
-    corpus_pdf = emb.filter(F.col("vec_id") >= 50).select("embedding").toPandas()
-    corpus = np.stack(corpus_pdf["embedding"].to_numpy()).astype(np.float32)
-    qdf = emb.filter(F.col("vec_id") < 50).select("vec_id", "embedding")
-    _measure(
-        "kernel_topk_sf",
-        lambda: _force(
-            topk_exploded(qdf, F.col("embedding"), corpus, k=10, keep=["vec_id"])
-        ),
-    )
+    def _run_kernel_topk(sp):
+        emb = load_table(sp, "embeddings", SF_DIR)
+        corpus_pdf = (
+            emb.filter(F.col("vec_id") >= 50).select("embedding").toPandas()
+        )
+        corpus = np.stack(corpus_pdf["embedding"].to_numpy()).astype(np.float32)
+        qdf = emb.filter(F.col("vec_id") < 50).select("vec_id", "embedding")
+        _measure(
+            "kernel_topk_sf",
+            lambda: _force(
+                topk_exploded(
+                    qdf, F.col("embedding"), corpus, k=10, keep=["vec_id"]
+                )
+            ),
+        )
+
+    runners["kernel_topk_sf"] = _run_kernel_topk
+    _run_kernel_topk(spark)
 
     # --- blocked distributed top-k (corpus-unbounded exact path) ---
-    qd = emb.filter(F.col("vec_id") < 50).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    cd = emb.filter(F.col("vec_id") >= 50).select(
-        F.col("vec_id").alias("corpus_id"), "embedding"
-    )
-    _measure(
-        "blocked_topk_sf",
-        lambda: _force(topk_join_blocked(qd, cd, k=10, metric="cosine")),
-    )
+    def _qd_cd(sp):
+        emb = load_table(sp, "embeddings", SF_DIR)
+        qd = emb.filter(F.col("vec_id") < 50).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        cd = emb.filter(F.col("vec_id") >= 50).select(
+            F.col("vec_id").alias("corpus_id"), "embedding"
+        )
+        return qd, cd
+
+    def _run_blocked(sp):
+        qd, cd = _qd_cd(sp)
+        _measure(
+            "blocked_topk_sf",
+            lambda: _force(topk_join_blocked(qd, cd, k=10, metric="cosine")),
+        )
+
+    runners["blocked_topk_sf"] = _run_blocked
+    _run_blocked(spark)
 
     # the same exact path at a corpus 50x the table (97.5k rows) — the
     # regime the operator exists for, where the corpus could NOT be
     # broadcast and the kernel-broadcast form (topk_arrow) would not
     # apply; wall should scale ~linearly in corpus rows since shuffle
     # volume stays O(n_q * k * n_partitions) (round-7 verdict stretch)
-    cd_big = (
-        cd.crossJoin(spark.range(50).select(F.col("id").alias("rep")))
-        .select(
-            (F.col("corpus_id") * 50 + F.col("rep")).alias("corpus_id"),
-            "embedding",
+    def _run_blocked_x50(sp):
+        qd, cd = _qd_cd(sp)
+        cd_big = (
+            cd.crossJoin(sp.range(50).select(F.col("id").alias("rep")))
+            .select(
+                (F.col("corpus_id") * 50 + F.col("rep")).alias("corpus_id"),
+                "embedding",
+            )
+            .repartition(32)
+            .cache()
         )
-        .repartition(32)
-        .cache()
-    )
-    cd_big.count()
-    _measure(
-        "blocked_topk_sf_x50",
-        lambda: _force(topk_join_blocked(qd, cd_big, k=10, metric="cosine")),
-    )
-    cd_big.unpersist()
+        cd_big.count()
+        _measure(
+            "blocked_topk_sf_x50",
+            lambda: _force(topk_join_blocked(qd, cd_big, k=10, metric="cosine")),
+        )
+        cd_big.unpersist()
+
+    runners["blocked_topk_sf_x50"] = _run_blocked_x50
+    _run_blocked_x50(spark)
 
     # --- streaming: hourly windowed agg, full availableNow replay ---
     from polars_matmul_spark.streaming.events import (
@@ -348,36 +407,89 @@ def main() -> None:
     # the round-3 "+47% regression" — a cold single-shot on a loaded
     # box), then best-of-2 full availableNow replays. Each timed run is
     # a genuine full replay (fresh query name + checkpoint).
-    def _replay(name):
-        run_stream_to_memory(
-            hourly_event_counts_stream(spark, SF_DIR), name, "complete"
+    import itertools
+
+    _replay_seq = itertools.count()  # fresh query name per replay
+
+    def _run_streaming(sp):
+        def _replay(name):
+            run_stream_to_memory(
+                hourly_event_counts_stream(sp, SF_DIR), name, "complete"
+            )
+
+        _replay(f"bench_hourly_warm_{next(_replay_seq)}")
+        _measure(
+            "streaming_hourly_replay",
+            lambda: _replay(f"bench_hourly_mem_{next(_replay_seq)}"),
         )
 
-    _replay("bench_hourly_warm")
-    _replay_seq = iter(range(100))  # fresh query name per timed replay
-    _measure(
-        "streaming_hourly_replay",
-        lambda: _replay(f"bench_hourly_mem_{next(_replay_seq)}"),
-    )
+    runners["streaming_hourly_replay"] = _run_streaming
+    _run_streaming(spark)
 
     # --- end-to-end corpus prep (filter -> redact -> dedup groups ->
     # split -> pack): the composed-pipeline number, incl. the iterative
     # connected-components rounds ---
     from polars_matmul_spark.pipelines import prepare_training_corpus
 
-    def _run_pipeline():
-        out = prepare_training_corpus(spark, SF_DIR)
-        _force(out["corpus"])
-        _force(out["packed"])
+    def _run_pipeline_row(sp):
+        def _run_pipeline():
+            out = prepare_training_corpus(sp, SF_DIR)
+            _force(out["corpus"])
+            _force(out["packed"])
 
-    # same warm + best-of-2 methodology as every other headline (this
-    # row was the one single-shot left — first-run JIT/page-cache
-    # noise inflated the composed number by ~30%)
-    _run_pipeline()
-    _measure("corpus_prep_pipeline", _run_pipeline)
-    # the pipeline caches its filtered/kept stages per call; drop all
-    # storage so the judged ref-shape section below starts clean
-    spark.catalog.clearCache()
+        # same warm + best-of-2 methodology as every other headline
+        # (this row was the one single-shot left — first-run JIT/
+        # page-cache noise inflated the composed number by ~30%)
+        _run_pipeline()
+        _measure("corpus_prep_pipeline", _run_pipeline)
+        # the pipeline caches its filtered/kept stages per call; drop
+        # all storage so whatever runs next starts clean
+        sp.catalog.clearCache()
+
+    runners["corpus_prep_pipeline"] = _run_pipeline_row
+    _run_pipeline_row(spark)
+
+    # --- window retry (round-10, r9 verdict "Next round #1b"): any
+    # suspect row, plus any top-10-wall row sealing >1.5x its pool
+    # BEST, gets ONE re-measure on a FRESH JVM. The r9 failure mode was
+    # session-sticky (judged rows 1.8-2.5x over both in-session best
+    # and the r8 seal, on untouched code; in-place sleeps never
+    # recovered) — only a new JVM gives the row a genuinely new window.
+    # _measure keeps the better of the two windows per row.
+    _retry_cap = 12  # bound the pass; worst rows first
+
+    def _window_retry_rows() -> list[str]:
+        top_wall = set(sorted(times, key=times.get, reverse=True)[:10])
+        drifted = [
+            k
+            for k, d in row_detail.items()
+            if k in runners
+            and d["ratio_vs_best"] > _SUSPECT_FACTOR
+            and (d["suspect"] or k in top_wall)
+        ]
+        drifted.sort(key=lambda k: row_detail[k]["ratio_vs_best"], reverse=True)
+        return drifted[:_retry_cap]
+
+    retry_rows = _window_retry_rows()
+    if retry_rows:
+        spark.stop()
+        spark = get_spark("bench-window-retry")
+        current_window[0] = "fresh_jvm_retry"
+        calib["window_retry_rows"] = retry_rows
+        _calibrate("window_retry")
+        # re-warm the fresh JVM (python worker boot + codegen) before
+        # taking numbers on it
+        emb_small = load_table(spark, "embeddings", SF_DIR).limit(64)
+        _force(emb_small.withColumn("m", topk(F.col("embedding"), warm_c, k=3)))
+        _force(
+            load_table(spark, "lineitem", SF_DIR)
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"))
+        )
+        for name in retry_rows:
+            runners[name](spark)
+            _purge_spark_state(spark)
+        current_window[0] = "main"
 
     # re-calibrate right before the ref-shape kernels — these are the
     # numbers judged against BASELINE.md, so the load DURING them is
@@ -541,12 +653,21 @@ def main() -> None:
             _measure(name, lambda plan=plan: _force(plan), runs=3)
 
 
+    current_window[0] = "ref_shape"
     _ref_shape_section(spark)
     _JUDGED = ["ref_topk_1000x10000x256", "ref_matmul_f32_1000x10000x256"]
-    if any(row_detail[n]["suspect"] for n in _JUDGED):
+    # round-10: the retry also triggers on ratio-to-BEST, not only the
+    # in-place suspect flag — the judged numbers are the ones read
+    # against BASELINE.md, so they get the strictest recovery path
+    if any(
+        row_detail[n]["suspect"]
+        or row_detail[n]["ratio_vs_best"] > _SUSPECT_FACTOR
+        for n in _JUDGED
+    ):
         spark.stop()
         spark = get_spark("bench-refshape-retry")
         calib["ref_shape_session_retry"] = True
+        current_window[0] = "ref_shape_fresh_jvm"
         _calibrate("ref_shape_retry")
         _ref_shape_section(spark)
 
@@ -621,6 +742,30 @@ def main() -> None:
         k for k, d in row_detail.items()
         if d["ratio_vs_best"] > _DRIFT_FACTOR
     )
+    # --- window verdict (round-10, r9 verdict "Next round #1c"): when
+    # several rows STILL sit >1.5x their pool best after the in-place
+    # retries AND the fresh-JVM pass, the run itself measured a bad
+    # host window — the artifact says so at the top level, instead of
+    # leaving a judge to infer it from 22 scattered drift flags. NumPy
+    # co-drift (rows with no Spark in them) is sealed alongside as the
+    # host-attribution signal.
+    _still_over = sorted(
+        k for k, d in row_detail.items()
+        if d["ratio_vs_best"] > _SUSPECT_FACTOR
+    )
+    _numpy_rows = [
+        k for k in ("numpy_topk_ref_shape", "numpy_matmul_f32_ref_shape")
+        if k in row_detail
+    ]
+    window_verdict = {
+        "window_suspect": len(_still_over) >= 5,
+        "rows_over_1p5x_best_after_retry": _still_over,
+        "numpy_codrift_ratio": round(
+            sum(row_detail[k]["ratio_vs_best"] for k in _numpy_rows)
+            / max(len(_numpy_rows), 1),
+            3,
+        ),
+    }
     total = sum(times.values())
     line = json.dumps(
         {
@@ -631,6 +776,7 @@ def main() -> None:
             "row_detail": row_detail,
             "suspect_rows": suspect_rows,
             "drift_rows": drift_rows,
+            "window": window_verdict,
             "calibration": calib,
             "ratios_vs_same_machine_numpy": ratios,
             "delta_vs_prev": delta_vs_prev,
