@@ -224,14 +224,17 @@ def main() -> None:
         "gopher_quality",
         "neardup_ngram_jaccard",
         "neardup_minhash_lsh",
-        "simhash_fingerprint",
+        # simhash_fingerprint left the registry in the round-10
+        # rotation (sign-bit fingerprinting stays timed through
+        # srp_neardup_bands)
         "exact_dedup_docs",
         "ann_ivf_topk",
         # round-9 rotation: ann_brp_lsh_join (rows-only, MLlib) left
         # the registry for the engine-replayable p-stable family
         "lsh_euclidean_join",
-        # round-4 corpus-pipeline families
-        "line_dedup_strip",
+        # round-4 corpus-pipeline families (line_dedup_strip left the
+        # registry in the round-10 rotation — line dedup stays timed
+        # through cms_line_dedup)
         "quality_model_score",
         "dsir_resample",
         "token_shards_assign",
@@ -290,6 +293,11 @@ def main() -> None:
         "hybrid_rrf_search",
         "maxsim_multivector_topk",
         "decontaminate_docs",
+        # round-10 promotions: integer fixed-point PageRank over the
+        # synthesized link graph (both variants) and retrieval
+        # evaluation composed onto the hybrid run
+        "domain_pagerank",
+        "rank_eval_hybrid",
     ]
     # best-of-2 per query (the round-2 bench recorded 2-6x phantom
     # regressions that two idle reruns traced to transient machine

@@ -75,16 +75,28 @@ def ranking_metrics(
         query_col, doc_col, F.col(rel_col).cast("long").alias("__rel")
     )
 
-    # per-query relevant counts + IDCG from the grade multiset
-    per_q_rel = qr.filter(F.col("__rel") > 0).groupBy(query_col).agg(
-        F.count("*").alias("n_relevant"),
+    # per-query relevant counts + IDCG from the grade multiset. Grouped
+    # over ALL distinct qrels query ids — rel>0 filtering happens
+    # INSIDE the aggregates (collect_list skips the when()'s nulls), so
+    # a query whose judgments are all rel=0 and that retrieves nothing
+    # still gets its promised all-zero row instead of silently
+    # shrinking macro_metrics' denominator (round-10 ADVICE fix).
+    per_q_rel = qr.groupBy(query_col).agg(
+        F.sum(F.when(F.col("__rel") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_relevant"),
         # IDCG@k: grades sorted DESCENDING, positions 1..k — fold over
         # the (-rel) sort so the order is pinned without a reverse()
         _fold_sum(
             F.transform(
                 F.slice(
                     F.sort_array(
-                        F.collect_list(F.struct((-F.col("__rel")).alias("nr")))
+                        F.collect_list(
+                            F.when(
+                                F.col("__rel") > 0,
+                                F.struct((-F.col("__rel")).alias("nr")),
+                            )
+                        )
                     ),
                     1,
                     k,

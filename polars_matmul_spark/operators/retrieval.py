@@ -213,6 +213,19 @@ def maxsim_topk(
     """
     if not K.higher_is_better(metric):
         raise ValueError(f"Unknown metric: {metric} (maxsim needs a similarity)")
+    # similarity_join_exact renames colliding corpus columns with a c_
+    # prefix; if c_doc/c_col also exist on the QUERY side, the groupBy
+    # in _maxsim_tail would silently resolve to the query-side column
+    # and collapse every corpus doc into one garbage row — refuse
+    # loudly instead (round-10 ADVICE fix).
+    collisions = {c for c in (c_doc, c_col) if c in set(queries.columns)}
+    if collisions:
+        raise ValueError(
+            "maxsim_topk: corpus column(s) "
+            f"{sorted(collisions)} collide with query-side columns; "
+            "rename one side (the corpus id/vector columns must not "
+            "exist on the query DataFrame)"
+        )
     scored = similarity_join_exact(
         queries, corpus, q_col, c_col, metric=metric, score_col="__sim"
     )
@@ -308,34 +321,33 @@ def maxsim_topk_ivf(
 
     # corpus-side routing: argmax cosine over the centroid array as a
     # sequential fold (ascending cid; strict > keeps the lowest cid on
-    # ties) — zero shuffles, zero explodes, runs in the scan projection
+    # ties) — zero shuffles, zero explodes, runs in the scan projection.
+    # The cosine is computed ONCE per centroid in a transform() to
+    # (sim, cid) structs, then the fold is a cheap scalar argmax —
+    # under interpreted higher-order functions the previous form
+    # re-evaluated each centroid's cosine in both the when() condition
+    # and the result struct (round-10 ADVICE fix).
     v = F.col(c_col).cast("array<double>")
     init = F.struct(
         F.lit(-2.0).cast("double").alias("s"), F.lit(-1).cast("long").alias("cid")
     )
-    best = F.aggregate(
+    cent_sims = F.transform(
         F.col("cents"),
-        init,
-        lambda acc, ce: F.when(
+        lambda ce: F.struct(
             (
                 _dot(v, ce["emb"])
                 / F.greatest(
                     F.sqrt(_dot(v, v)) * F.sqrt(_dot(ce["emb"], ce["emb"])),
                     F.lit(1e-10),
                 )
-            )
-            > acc["s"],
-            F.struct(
-                (
-                    _dot(v, ce["emb"])
-                    / F.greatest(
-                        F.sqrt(_dot(v, v)) * F.sqrt(_dot(ce["emb"], ce["emb"])),
-                        F.lit(1e-10),
-                    )
-                ).alias("s"),
-                ce["cid"].alias("cid"),
-            ),
-        ).otherwise(acc),
+            ).alias("s"),
+            ce["cid"].alias("cid"),
+        ),
+    )
+    best = F.aggregate(
+        cent_sims,
+        init,
+        lambda acc, e: F.when(e["s"] > acc["s"], e).otherwise(acc),
     )
     routed = (
         corpus.crossJoin(F.broadcast(one_row))
@@ -423,19 +435,34 @@ def maxsim_topk_blocked(
     )
     if len(qpdf) == 0:
         raise ValueError("Empty series: query side has no rows")
+    # re-sort pandas-side as a guard (works for ANY orderable id dtype,
+    # unlike np.lexsort on object arrays); Spark already emitted
+    # (q_doc, q_pos) order, so this is a stable no-op in practice
+    qpdf = qpdf.sort_values([q_doc, q_pos], kind="mergesort").reset_index(
+        drop=True
+    )
     Q = K.to_matrix(qpdf[q_col].tolist()).astype(np.float64)
     qdocs = qpdf[q_doc].to_numpy()
-    qpos_order = np.lexsort((qpdf[q_pos].to_numpy(), qdocs))
-    Q = Q[qpos_order]
-    qdocs = qdocs[qpos_order]
-    uniq_qdocs, qdoc_starts = np.unique(qdocs, return_index=True)
+    # array is sorted, so first-occurrence order IS ascending order
+    uniq_qdocs = pd.unique(qdocs)
     bc = spark.sparkContext.broadcast((Q, qdocs, uniq_qdocs))
 
-    out_schema = f"{q_doc} long, {c_doc} long, maxsim double"
+    # derive the id column types from the inputs — doc ids can be
+    # strings/ints/anything orderable, not just longs (round-10 ADVICE
+    # fix; the declarative twin maxsim_topk was already id-generic)
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(q_doc, queries.schema[q_doc].dataType),
+            StructField(c_doc, corpus.schema[c_doc].dataType),
+            StructField("maxsim", DoubleType()),
+        ]
+    )
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         Qb, qdocs_b, uq = bc.value
-        doc = int(pdf[c_doc].iloc[0])
+        doc = pdf[c_doc].iloc[0]
         C = K.to_matrix(pdf[c_col].tolist()).astype(np.float64)
         S = K.similarity_matrix(Qb, C, metric)  # (n_qvecs, n_cvecs)
         best = S.max(axis=1)  # order-insensitive float max

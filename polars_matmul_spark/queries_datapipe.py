@@ -1300,7 +1300,11 @@ FROM r WHERE rank <= {_HAM_K}
 
 
 DATAPIPE_QUERIES: dict[str, tuple] = {
-    "line_dedup_strip": (_line_dedup_strip, _LINE_DEDUP_ORACLE),
+    # line_dedup_strip rotated out in round 10 (the line-dedup family
+    # keeps cms_line_dedup driver-gated — the bounded-state variant
+    # with the full sketch replay; the exact variant keeps its value
+    # comparison in the rotated pytest gate) so rank_eval_hybrid gets
+    # a driver row (queries_pipeline.py).
     "quality_model_score": (_quality_model_score, _quality_oracle()),
     "dsir_resample": (_dsir_resample, _DSIR_ORACLE),
     "token_shards_assign": (_token_shards, _SHARDS_ORACLE),

@@ -664,6 +664,137 @@ QUALIFY rank <= {_MAXSIM_K}
 """
 
 
+# --- retrieval evaluation over the hybrid run (round-10 promotion) ---------
+#
+# The measurement loop composed onto a live retrieval row: the
+# hybrid_rrf_search fused ranking IS the run; graded qrels are
+# synthesized from doc_id arithmetic (judged sets for both live
+# queries with grades 0..2, one judged-but-never-retrieved query, and
+# one query whose judgments are ALL rel=0 — the r9 ADVICE edge case —
+# so every promised edge row is driver-gated). Output = per-query
+# metrics x the macro means (one crossJoin of the 1-row macro), so one
+# row gates ranking_metrics, macro_metrics, AND the composition with
+# the hybrid pipeline.
+
+_RE_K = 10
+
+
+def _rank_eval_hybrid(spark, sf_dir):
+    from polars_matmul_spark.operators.ranking_eval import (
+        macro_metrics,
+        ranking_metrics,
+    )
+
+    run = _hybrid_rrf_search(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("fused_rank").alias("rank")
+    )
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def _q(qid, mod, residue, rel_col):
+        return docs.filter(F.col("doc_id") % mod == residue).select(
+            F.lit(qid).cast("long").alias("query_id"),
+            "doc_id",
+            rel_col.cast("long").alias("rel"),
+        )
+
+    qrels = (
+        _q(0, 7, 0, F.col("doc_id") % 3)
+        .unionByName(_q(1, 7, 1, F.col("doc_id") % 3))
+        .unionByName(_q(2, 11, 0, F.lit(1)))
+        .unionByName(_q(3, 13, 0, F.lit(0)))
+    )
+    # 4-row table consumed twice (per-query rows + the macro agg):
+    # materialize once instead of re-running the hybrid pipeline
+    per_q = ranking_metrics(run, qrels, k=_RE_K).localCheckpoint(eager=False)
+    return per_q.crossJoin(F.broadcast(macro_metrics(per_q)))
+
+
+def _rank_eval_oracle() -> str:
+    """The proven test_ranking_eval.py DuckDB replay, fed by the full
+    hybrid oracle as the run and the same closed-form qrels."""
+    k = _RE_K
+    return f"""
+WITH run AS (
+  SELECT query_id, doc_id, fused_rank AS rank FROM ({_HYBRID_ORACLE})
+), qrels AS (
+  SELECT CAST(0 AS BIGINT) AS query_id, doc_id,
+         CAST(doc_id % 3 AS BIGINT) AS rel
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT CAST(1 AS BIGINT), doc_id, CAST(doc_id % 3 AS BIGINT)
+  FROM documents WHERE doc_id % 7 = 1
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), doc_id, CAST(1 AS BIGINT)
+  FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), doc_id, CAST(0 AS BIGINT)
+  FROM documents WHERE doc_id % 13 = 0
+), runk AS (
+  SELECT query_id, doc_id, rank FROM run WHERE rank <= {k}
+), relsorted AS (
+  SELECT query_id,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_relevant,
+         list(rel ORDER BY rel DESC) FILTER (rel > 0) AS rels
+  FROM qrels GROUP BY query_id
+), idcg_pos AS (
+  SELECT query_id, unnest(rels[1:{k}]) AS rel,
+         generate_subscripts(rels[1:{k}], 1) AS pos
+  FROM relsorted
+), idcg AS (
+  SELECT query_id,
+         list_reduce(list_prepend(0.0,
+           list((pow(2.0, rel) - 1.0) / log2(pos + 1.0) ORDER BY pos)),
+           (s, x) -> s + x) AS idcg
+  FROM idcg_pos GROUP BY query_id
+), hits AS (
+  SELECT r.query_id, r.rank, coalesce(q.rel, 0) AS rel
+  FROM runk r LEFT JOIN qrels q
+    ON r.query_id = q.query_id AND r.doc_id = q.doc_id
+), perq AS (
+  SELECT query_id, count(*) AS n_retrieved,
+         min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_hits,
+         list_reduce(list_prepend(0.0,
+           list((pow(2.0, rel) - 1.0) / log2(rank + 1.0) ORDER BY rank)),
+           (s, x) -> s + x) AS dcg
+  FROM hits GROUP BY query_id
+), final AS (
+  SELECT query_id,
+         CAST(coalesce(n_retrieved, 0) AS BIGINT) AS n_retrieved,
+         CAST(coalesce(n_relevant, 0) AS BIGINT) AS n_relevant,
+         round(CASE WHEN first_rel IS NOT NULL THEN 1.0 / first_rel
+                    ELSE 0.0 END, 9) AS rr,
+         round(CASE WHEN coalesce(n_relevant, 0) > 0
+                    THEN coalesce(n_hits, 0) / CAST(n_relevant AS DOUBLE)
+                    ELSE 0.0 END, 9) AS recall_at_k,
+         round(coalesce(n_hits, 0) / {float(k)}, 9) AS precision_at_k,
+         round(CASE WHEN coalesce(idcg, 0.0) > 0.0
+                    THEN coalesce(dcg, 0.0) / idcg ELSE 0.0 END, 9)
+           AS ndcg_at_k
+  FROM relsorted FULL JOIN perq USING (query_id)
+  LEFT JOIN idcg USING (query_id)
+), macro AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         round(list_reduce(list_prepend(0.0, list(rr ORDER BY query_id)),
+                           (s, x) -> s + x) / count(*), 9) AS mean_rr,
+         round(list_reduce(list_prepend(0.0,
+                 list(recall_at_k ORDER BY query_id)),
+                           (s, x) -> s + x) / count(*), 9)
+           AS mean_recall_at_k,
+         round(list_reduce(list_prepend(0.0,
+                 list(precision_at_k ORDER BY query_id)),
+                           (s, x) -> s + x) / count(*), 9)
+           AS mean_precision_at_k,
+         round(list_reduce(list_prepend(0.0,
+                 list(ndcg_at_k ORDER BY query_id)),
+                           (s, x) -> s + x) / count(*), 9)
+           AS mean_ndcg_at_k
+  FROM final
+)
+SELECT f.*, m.* FROM final f CROSS JOIN macro m
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     # tfidf_weights rotated out in round 6: bm25_search drives the same
     # tokenize/df/idf machinery end-to-end and stays green; the exact
@@ -706,4 +837,9 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     # rows; both keep exact comparisons in the rotated pytest gate)
     "hybrid_rrf_search": (_hybrid_rrf_search, _HYBRID_ORACLE),
     "maxsim_multivector_topk": (_maxsim_multivector_topk, _MAXSIM_ORACLE),
+    # round-10 promotion: retrieval evaluation composed onto the hybrid
+    # run (slot freed by rotating line_dedup_strip — the line-dedup
+    # family keeps cms_line_dedup driver-gated; the exact variant keeps
+    # its full value comparison in the rotated pytest gate):
+    "rank_eval_hybrid": (_rank_eval_hybrid, _rank_eval_oracle()),
 }

@@ -797,6 +797,177 @@ FROM hits GROUP BY doc_id
 """
 
 
+# --- link-graph PageRank driver row (round-10 promotion) --------------------
+#
+# HTML pages are SYNTHESIZED from doc_id arithmetic (the
+# image_neardup_dhash pattern: closed-form inputs so the oracle derives
+# the expected EDGE SET independently instead of mechanically replaying
+# the extraction) and pushed through the REAL chain: extract_hrefs ->
+# canonicalize_url -> registrable_host_key -> distinct domain edges ->
+# integer fixed-point PageRank in BOTH variants (conservative leak +
+# redistribute_dangling). Every page links its successor site (www-
+# prefixed, tracking params to strip), one CDN hub (single-quoted
+# href, explicit default port, duplicate slashes), every 6th page the
+# sink domain; a relative href and an <img src> must NOT produce
+# edges. hubs + sink host no pages -> REAL dangling mass, so the two
+# variants genuinely diverge. All rank arithmetic is integer, so the
+# oracle unrolls the iterations bit-exactly with scalar-subquery
+# residuals.
+
+_PR_ITER = 3
+_PR_DAMP = 85
+_PR_SCALE = 1_000_000_000_000
+
+
+def _domain_pagerank(spark, sf_dir):
+    from polars_matmul_spark.operators.linkgraph import (
+        domain_edges,
+        pagerank_fixedpoint,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    html = F.concat(
+        F.lit('<p><a href="https://www.Site'),
+        ((F.col("doc_id") + 1) % 5).cast("string"),
+        F.lit(".com/next/"),
+        F.col("doc_id").cast("string"),
+        F.lit('?utm_source=x&q=1">n</a> '),
+        F.lit("<A HREF='http://cdn.HUB"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit(".net:80/a//b/'>h</a> "),
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.lit('<a href="http://Sink.ORG/out#f">s</a> '),
+        ).otherwise(F.lit("")),
+        F.lit(
+            '<a href="/local/x">rel</a>'
+            ' <img src="http://img.cdn.net/i.png"></p>'
+        ),
+    )
+    url = F.concat(
+        F.lit("http://Blog.Site"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".COM/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    pages = docs.select(url.alias("url"), html.alias("text"))
+    # materialize the slim edge table once — four consumers (two
+    # PageRank variants + both degree aggs) otherwise re-run the
+    # synth + extract chain per action
+    edges = domain_edges(pages).localCheckpoint(eager=False)
+    pr = pagerank_fixedpoint(
+        edges, n_iter=_PR_ITER, damping=_PR_DAMP, scale=_PR_SCALE
+    )
+    prc = pagerank_fixedpoint(
+        edges,
+        n_iter=_PR_ITER,
+        damping=_PR_DAMP,
+        scale=_PR_SCALE,
+        redistribute_dangling=True,
+    ).withColumnRenamed("rank", "rank_conserving")
+    deg_out = edges.groupBy(F.col("src_domain").alias("node")).agg(
+        F.count("*").alias("out_degree")
+    )
+    deg_in = edges.groupBy(F.col("dst_domain").alias("node")).agg(
+        F.count("*").alias("in_degree")
+    )
+    return (
+        pr.join(prc, "node")
+        .join(deg_out, "node", "left")
+        .join(deg_in, "node", "left")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).cast("long").alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).cast("long").alias("in_degree"),
+            "rank",
+            "rank_conserving",
+        )
+    )
+
+
+def _pr_oracle() -> str:
+    """Unrolled integer PageRank oracle: the edge set derived from the
+    same doc_id arithmetic the Spark side synthesizes its HTML from,
+    then _PR_ITER exact integer iterations for both variants."""
+    damp, scale = _PR_DAMP, _PR_SCALE
+
+    def default_step(out: str, prev: str) -> str:
+        return f"""{out} AS (
+  SELECT n.node,
+         (SELECT base FROM consts)
+           + coalesce(sum(({prev}.rank * {damp} // 100) // deg.d), 0) AS rank
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN {prev} ON {prev}.node = e.src
+  LEFT JOIN deg ON deg.src = e.src
+  GROUP BY n.node
+)"""
+
+    def conserving_step(out: str, prev: str) -> str:
+        return f"""{out}i AS (
+  SELECT n.node,
+         coalesce(sum(({prev}.rank * {damp} // 100) // deg.d), 0) AS inc
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN {prev} ON {prev}.node = e.src
+  LEFT JOIN deg ON deg.src = e.src
+  GROUP BY n.node
+), {out} AS (
+  SELECT node,
+         (SELECT base FROM consts) + inc
+           + ({scale} - (SELECT n * base FROM consts)
+              - (SELECT sum(inc) FROM {out}i))
+             // (SELECT n FROM consts) AS rank
+  FROM {out}i
+)"""
+
+    steps = []
+    prev_d, prev_c = "r0", "r0"
+    for i in range(1, _PR_ITER + 1):
+        steps.append(default_step(f"d{i}", prev_d))
+        steps.append(conserving_step(f"c{i}", prev_c))
+        prev_d, prev_c = f"d{i}", f"c{i}"
+    body = ",\n".join(steps)
+    return f"""
+WITH e AS (
+  SELECT DISTINCT 'site' || (doc_id % 5) || '.com' AS src,
+                  'site' || ((doc_id + 1) % 5) || '.com' AS dst
+  FROM documents
+  UNION
+  SELECT DISTINCT 'site' || (doc_id % 5) || '.com',
+                  'hub' || (doc_id % 3) || '.net'
+  FROM documents
+  UNION
+  SELECT DISTINCT 'site' || (doc_id % 5) || '.com', 'sink.org'
+  FROM documents WHERE doc_id % 6 = 0
+), nodes AS (
+  SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e
+), deg AS (
+  SELECT src, count(*) AS d FROM e GROUP BY src
+), degin AS (
+  SELECT dst, count(*) AS d FROM e GROUP BY dst
+), consts AS (
+  SELECT count(*) AS n,
+         ({scale} * {100 - damp} // 100) // count(*) AS base,
+         {scale} // count(*) AS r_init
+  FROM nodes
+), r0 AS (
+  SELECT node, (SELECT r_init FROM consts) AS rank FROM nodes
+),
+{body}
+SELECT n.node,
+       CAST(coalesce(deg.d, 0) AS BIGINT) AS out_degree,
+       CAST(coalesce(degin.d, 0) AS BIGINT) AS in_degree,
+       CAST({prev_d}.rank AS BIGINT) AS rank,
+       CAST({prev_c}.rank AS BIGINT) AS rank_conserving
+FROM nodes n
+LEFT JOIN deg ON deg.src = n.node
+LEFT JOIN degin ON degin.dst = n.node
+JOIN {prev_d} ON {prev_d}.node = n.node
+JOIN {prev_c} ON {prev_c}.node = n.node
+"""
+
+
 TEXT_QUERIES: dict[str, tuple] = {
     # round-8 third rotation: URL curation (hamming_topk_srp rotated
     # to the pytest gate — see queries_datapipe.py)
@@ -819,7 +990,12 @@ TEXT_QUERIES: dict[str, tuple] = {
     "exact_dedup_docs": (_exact_dedup, _EXACT_DEDUP_ORACLE),
     "neardup_ngram_jaccard": (_neardup_exact, _duck_jaccard_pairs(0.5)),
     "neardup_minhash_lsh": (_neardup_minhash, _duck_jaccard_pairs(0.8)),
-    "simhash_fingerprint": (_simhash, _duck_simhash()),
+    # simhash_fingerprint rotated out in round 10 (the srp/hamming
+    # family keeps sign-bit fingerprinting driver-gated through
+    # srp_neardup_bands; exact value comparison moves to the rotated
+    # pytest gate) so the link-graph PageRank prior — previously
+    # pytest-only — gets a driver row:
+    "domain_pagerank": (_domain_pagerank, _pr_oracle()),
     # round-6 rotation: the curation classic and the component closure
     # get driver rows (q18 / cust_quartiles / brand_above_avg rotate
     # out of queries_core — window/subquery classes multiply covered;

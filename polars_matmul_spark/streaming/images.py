@@ -52,7 +52,17 @@ def ingest_images_batch(
     """Admit one micro-batch of (id, payload): hash decoded pixels,
     collapse within-batch near-dups, reject vs the persisted catalog,
     append novel hash rows to ``catalog_dir/epoch=N`` and rejected ids
-    (near-dups + undecodables) to ``rejected_dir/epoch=N``."""
+    (near-dups + undecodables) to ``rejected_dir/epoch=N``.
+
+    Batch-size assumption: the within-batch greedy collapse pulls the
+    batch's near-dup PAIR list (ids only, never pixels) to the driver —
+    the greedy keep-lowest-id-against-survivors chain is inherently
+    sequential. That list is O(within-batch duplicate pairs); a
+    pathological micro-batch of thousands of mutual near-dups (e.g. a
+    crawl burst of one identical image) costs O(dups^2) pairs, so size
+    micro-batches (maxFilesPerTrigger) accordingly. The dropped-id set
+    flows back as a broadcast anti-join, not an IN-list expression, so
+    the PLAN stays O(1) regardless of how many rows drop."""
     batch = batch_df.localCheckpoint(eager=True)
     hashes = image_dhash(batch, id_col=id_col).localCheckpoint(eager=True)
 
@@ -85,7 +95,13 @@ def ingest_images_batch(
                 dropped.append(i)
             else:
                 kept.add(i)
-    survivors = hashes.filter(~F.col(id_col).isin(dropped)) if dropped else hashes
+    if dropped:
+        dropped_df = spark.createDataFrame(
+            [(int(i),) for i in dropped], f"{id_col} long"
+        )
+        survivors = hashes.join(F.broadcast(dropped_df), id_col, "left_anti")
+    else:
+        survivors = hashes
 
     # vs everything accepted so far. Crash-replay guard is double:
     # the replayed epoch's own half-committed rows are filtered out of

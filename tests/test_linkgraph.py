@@ -35,6 +35,26 @@ def _py_pagerank(edges, n_iter=3, damping=DAMP, scale=SCALE):
     return r
 
 
+def _py_pagerank_conserving(edges, n_iter=3, damping=DAMP, scale=SCALE):
+    """Literal integer replication of redistribute_dangling=True."""
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    base = scale * (100 - damping) // 100 // n
+    r = {v: scale // n for v in nodes}
+    for _ in range(n_iter):
+        incoming = {v: 0 for v in nodes}
+        for s, d in edges:
+            incoming[d] += (r[s] * damping // 100) // deg[s]
+        residual = scale - n * base - sum(incoming.values())
+        share = residual // n
+        r = {v: base + incoming[v] + share for v in nodes}
+    return r
+
+
 def _edges_df(spark, edges):
     return spark.createDataFrame(edges, "src_domain string, dst_domain string")
 
@@ -107,6 +127,94 @@ def test_pagerank_mass_conservation_bound(spark):
     got = pagerank_fixedpoint(_edges_df(spark, CHAIN + STAR)).collect()
     assert sum(r.rank for r in got) <= SCALE
     assert all(r.rank > 0 for r in got)
+
+
+# a graph with REAL dangling mass: b.com and sink.org emit nothing, so
+# the default variant leaks their whole damped rank every iteration
+DANGLING = [("a.com", "b.com"), ("a.com", "sink.org"), ("c.com", "a.com"),
+            ("c.com", "b.com")]
+
+
+@pytest.mark.parametrize("edges", [CHAIN, STAR, DANGLING, CHAIN + STAR])
+def test_pagerank_conserving_exact_vs_python(spark, edges):
+    got = {
+        r.node: r.rank
+        for r in pagerank_fixedpoint(
+            _edges_df(spark, edges), redistribute_dangling=True
+        ).collect()
+    }
+    assert got == _py_pagerank_conserving(edges)
+
+
+@pytest.mark.parametrize("edges", [CHAIN, STAR, DANGLING, CHAIN + STAR])
+def test_pagerank_conserving_mass_pin(spark, edges):
+    """Leak == 0 +- n units per run: total mass after every iteration
+    is scale - (residual mod n), so the final sum sits in
+    (scale - n, scale]."""
+    got = pagerank_fixedpoint(
+        _edges_df(spark, edges), n_iter=5, redistribute_dangling=True
+    ).collect()
+    n = len(got)
+    leak = SCALE - sum(r.rank for r in got)
+    assert 0 <= leak < n, leak
+    # while the default variant on the dangling graph leaks for real
+    if edges is DANGLING:
+        dflt = pagerank_fixedpoint(_edges_df(spark, edges), n_iter=5).collect()
+        assert SCALE - sum(r.rank for r in dflt) > n
+
+
+def test_pagerank_conserving_duckdb_replay(spark):
+    """The conserving iteration replays bit-for-bit in SQL: the
+    residual is a scalar subquery over the incoming sums."""
+    edges = DANGLING + CHAIN
+    got = (
+        pagerank_fixedpoint(
+            _edges_df(spark, edges), n_iter=2, redistribute_dangling=True
+        )
+        .orderBy("node")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    # the operator dedups edges before anything else (DANGLING + CHAIN
+    # contains a.com->b.com twice) — the replay must join the DEDUPED
+    # edge table, not the raw inserts
+    con.sql("CREATE TABLE e_raw (src VARCHAR, dst VARCHAR)")
+    con.executemany("INSERT INTO e_raw VALUES (?, ?)", edges)
+    con.sql("CREATE TABLE e AS SELECT DISTINCT src, dst FROM e_raw")
+    n = len({s for s, _ in edges} | {d for _, d in edges})
+    base = SCALE * (100 - DAMP) // 100 // n
+    step = """
+{out} AS (
+  SELECT n.node,
+         CAST(coalesce(sum(({prev}.rank * {damp} // 100) // deg.d), 0)
+              AS BIGINT) AS inc
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN {prev} ON {prev}.node = e.src
+  LEFT JOIN deg ON deg.src = e.src
+  GROUP BY n.node
+), {out}r AS (
+  SELECT node,
+         CAST({base} + inc
+              + ({scale} - {nbase} - (SELECT sum(inc) FROM {out})) // {n}
+              AS BIGINT) AS rank
+  FROM {out}
+)"""
+    oracle = con.sql(
+        f"""
+WITH nodes AS (SELECT DISTINCT src AS node FROM e
+               UNION SELECT DISTINCT dst FROM e),
+deg AS (SELECT src, count(*) AS d
+        FROM (SELECT DISTINCT src, dst FROM e) GROUP BY src),
+r0 AS (SELECT node, CAST({SCALE // n} AS BIGINT) AS rank FROM nodes),
+{step.format(out="i1", prev="r0", damp=DAMP, base=base,
+             scale=SCALE, nbase=n * base, n=n).lstrip()},
+{step.format(out="i2", prev="i1r", damp=DAMP, base=base,
+             scale=SCALE, nbase=n * base, n=n).lstrip()}
+SELECT node, rank FROM i2r ORDER BY node
+"""
+    ).df()
+    assert got.equals(oracle), f"\n{got}\nvs\n{oracle}"
 
 
 def test_pagerank_partitioning_invariance(spark):

@@ -196,6 +196,12 @@ def _rotated_queries():
             qc._embedding_neardup,
             qc._EMBEDDING_NEARDUP_ORACLE,
         ),
+        # round-10 rotation: slots freed for domain_pagerank (the
+        # srp/hamming family keeps sign-bit fingerprinting driver-gated
+        # through srp_neardup_bands) and rank_eval_hybrid (the
+        # line-dedup family keeps cms_line_dedup driver-gated)
+        "simhash_fingerprint": (qt._simhash, qt._duck_simhash()),
+        "line_dedup_strip": (qd._line_dedup_strip, qd._LINE_DEDUP_ORACLE),
     }
 
 

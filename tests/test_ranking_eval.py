@@ -29,6 +29,10 @@ QREL_ROWS = [
     (1, 10, 2), (1, 11, 1),
     (2, 20, 1), (2, 21, 1),
     (4, 40, 1),
+    # q5: judged, but every judgment is rel=0, and it retrieves
+    # nothing — must still get its all-zero row (r9 ADVICE fix; it
+    # used to be dropped, shrinking the macro denominator)
+    (5, 50, 0),
 ]
 
 
@@ -68,6 +72,10 @@ def test_known_values_k10(spark):
     assert out[3].n_relevant == 0 and out[3].ndcg_at_k == 0.0
     # q4: judged but retrieved nothing -> zero row present
     assert out[4].n_retrieved == 0 and out[4].rr == 0.0 and out[4].recall_at_k == 0.0
+    # q5: all judgments rel=0 AND nothing retrieved -> still a row
+    assert 5 in out
+    assert out[5].n_retrieved == 0 and out[5].n_relevant == 0
+    assert out[5].rr == 0.0 and out[5].ndcg_at_k == 0.0
 
 
 def test_k_cut_ignores_deep_ranks(spark):
@@ -94,9 +102,12 @@ def test_duckdb_replay_exact(spark):
     oracle = con.sql(f"""
 WITH runk AS (SELECT query_id, doc_id, rank FROM run_t WHERE rank <= {k}),
 relsorted AS (
-  SELECT query_id, count(*) AS n_relevant,
-         list(rel ORDER BY rel DESC) AS rels
-  FROM qrels_t WHERE rel > 0 GROUP BY query_id
+  -- grouped over ALL judged queries; rel>0 filtering inside the
+  -- aggregates (mirrors the Spark side's all-zero-judgment fix)
+  SELECT query_id,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_relevant,
+         list(rel ORDER BY rel DESC) FILTER (rel > 0) AS rels
+  FROM qrels_t GROUP BY query_id
 ), idcg_pos AS (
   SELECT query_id, unnest(rels[1:{k}]) AS rel,
          generate_subscripts(rels[1:{k}], 1) AS pos

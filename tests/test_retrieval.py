@@ -298,6 +298,44 @@ def test_maxsim_blocked_empty_queries_raises(spark):
         maxsim_topk_blocked(empty_q, c)
 
 
+def test_maxsim_column_collision_raises(spark):
+    # r9 ADVICE (medium): shared column names between the two sides
+    # used to make the corpus groupBy silently resolve to the QUERY
+    # column and collapse every corpus doc into one garbage row
+    q, c, _, _ = _mvec_frames(spark, n_qdocs=1, n_cdocs=2)
+    q2 = q.withColumnRenamed("q_doc", "doc_id")
+    c2 = c.withColumnRenamed("c_doc", "doc_id")
+    with pytest.raises(ValueError, match="collide"):
+        maxsim_topk(q2, c2, q_doc="doc_id", c_doc="doc_id")
+    c3 = c.withColumnRenamed("c_emb", "q_emb")
+    with pytest.raises(ValueError, match="collide"):
+        maxsim_topk(q, c3, c_col="q_emb")
+
+
+def test_maxsim_blocked_string_doc_ids(spark):
+    # r9 ADVICE (low): the blocked path hardcoded long id types; it
+    # must now carry any id dtype the declarative twin accepts
+    q, c, _, _ = _mvec_frames(spark, n_qdocs=3, n_cdocs=6, m=3, d=8)
+    qs = q.select(
+        F.concat(F.lit("q"), F.col("q_doc")).alias("q_doc"), "q_pos", "q_emb"
+    )
+    cs = c.select(
+        F.concat(F.lit("d"), F.col("c_doc")).alias("c_doc"), "c_emb"
+    )
+    a = {
+        (r.q_doc, r.rank): (r.c_doc, r.maxsim)
+        for r in maxsim_topk(qs, cs, k=3).collect()
+    }
+    b = {
+        (r.q_doc, r.rank): (r.c_doc, r.maxsim)
+        for r in maxsim_topk_blocked(qs, cs, k=3).collect()
+    }
+    assert a.keys() == b.keys() and len(a) == 9
+    for key, (cd, s) in a.items():
+        assert b[key][0] == cd
+        assert b[key][1] == pytest.approx(s, abs=1e-8)
+
+
 def test_maxsim_ivf_full_probe_equals_exact(spark):
     # nprobe == n_centroids -> every doc is a candidate -> the pruned
     # path must EQUAL the exhaustive one row-for-row (scores exact,
