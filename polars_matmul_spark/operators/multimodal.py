@@ -69,6 +69,11 @@ __all__ = [
     "resize_bmp_real",
     "frame_sample_gif",
     "triage_assets",
+    "image_dhash",
+    "image_dhash_variance",
+    "neardup_images_dhash",
+    "neardup_images_dhash_filtered",
+    "image_neardup_new_vs_index",
 ]
 
 #: fixed fake-image width; height is derived from the payload length
@@ -1030,9 +1035,10 @@ def image_dhash(
 
     Standard dHash caveat: constant-color (and any row-wise
     monotone-equal) images all hash to the same value — gradient bits
-    carry no signal without luma variation. If flat images are common
-    in the corpus, pre-filter them (e.g. on ``pixel_stats`` variance)
-    before treating distance-0 pairs as duplicates.
+    carry no signal without luma variation. The caveat is ENFORCED as
+    code by :func:`neardup_images_dhash_filtered` (luma-variance
+    pre-filter in the same decode pass); use it whenever flat images
+    can occur in the corpus.
     """
     if hash_size < 1 or hash_size * hash_size > 64:
         raise ValueError("hash_size must be in 1..8 (bits must fit a long)")
@@ -1072,6 +1078,135 @@ def image_dhash(
     return df.select(id_col, "payload").mapInPandas(compute, schema)
 
 
+def image_dhash_variance(
+    df: DataFrame, id_col: str = "asset_id", hash_size: int = 8
+) -> DataFrame:
+    """:func:`image_dhash` plus the luma VARIANCE of the full decoded
+    plane (population variance, f64) in the same decode pass — the
+    signal the dHash flat-image caveat says to pre-filter on: a
+    constant-color image has variance 0 and an (informationless)
+    all-zero gradient hash.
+
+    -> (id_col, dhash long, src_w long, src_h long, luma_var double).
+    """
+    if hash_size < 1 or hash_size * hash_size > 64:
+        raise ValueError("hash_size must be in 1..8 (bits must fit a long)")
+    schema = (
+        f"{id_col} long, dhash long, src_w long, src_h long,"
+        " luma_var double"
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf[id_col], pdf["payload"]):
+                img = _decode_image_rgb(bytes(payload))
+                if img is None:
+                    continue
+                h, w, _ = img.shape
+                luma = (
+                    0.299 * img[:, :, 0].astype(np.float64)
+                    + 0.587 * img[:, :, 1]
+                    + 0.114 * img[:, :, 2]
+                )
+                ys = np.linspace(0, h - 1, hash_size).astype(np.int64)
+                xs = np.linspace(0, w - 1, hash_size + 1).astype(np.int64)
+                grid = luma[ys[:, None], xs[None, :]]
+                bits = (grid[:, :-1] < grid[:, 1:]).ravel()
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                rows.append(
+                    {
+                        id_col: aid, "dhash": val, "src_w": w, "src_h": h,
+                        "luma_var": float(luma.var()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "dhash", "src_w", "src_h", "luma_var"],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(compute, schema)
+
+
+def _neardup_pairs_from_hashes(
+    hashes: DataFrame, bands: int, max_distance: int
+) -> DataFrame:
+    """Banded Hamming self-join over an (__id, dhash) table — the
+    shared tail of :func:`neardup_images_dhash` and its
+    variance-filtered sibling."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    slices = []
+    for b in range(bands):
+        slices.append(
+            hashes.select(
+                "__id",
+                "dhash",
+                F.lit(b).alias("__band"),
+                # logical right shift: cast through unsigned arithmetic
+                # via shiftrightunsigned (sign bit must not smear)
+                (F.shiftrightunsigned(F.col("dhash"), b * width)
+                 .bitwiseAND(F.lit(mask))).alias("__key"),
+            )
+        )
+    banded = slices[0]
+    for s in slices[1:]:
+        banded = banded.unionByName(s)
+    right = banded.select(
+        F.col("__id").alias("__id_b"),
+        F.col("dhash").alias("__dhash_b"),
+        "__band",
+        "__key",
+    )
+    cand = (
+        banded.join(right, ["__band", "__key"])
+        .filter(F.col("__id") < F.col("__id_b"))
+        .select("__id", "__id_b", "dhash", "__dhash_b")
+        .distinct()
+    )
+    out = cand.select(
+        F.col("__id").alias("id_a"),
+        F.col("__id_b").alias("id_b"),
+        F.bit_count(
+            F.col("dhash").bitwiseXOR(F.col("__dhash_b"))
+        ).cast("long").alias("distance"),
+    )
+    return out.filter(F.col("distance") <= max_distance)
+
+
+def neardup_images_dhash_filtered(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    max_distance: int = 10,
+    bands: int = 4,
+    hash_size: int = 8,
+    min_luma_variance: float = 1.0,
+) -> DataFrame:
+    """:func:`neardup_images_dhash` with the flat-image caveat ENFORCED
+    (r9 verdict #7): images whose full-plane luma variance falls below
+    ``min_luma_variance`` never enter the band join, so the
+    constant-color / monotone-row degeneracy (every flat image hashes
+    to the same value) cannot report unrelated blank images as
+    duplicate pairs. The default threshold (1.0 luma-unit^2 on the
+    0-255 scale) cuts solid fills and near-solid fills while leaving
+    any real photographic or synthetic content (typical variance
+    10^2-10^3) untouched. Same output shape as the unfiltered form;
+    variance is computed in the ONE decode pass (no extra scan).
+    """
+    if bands < 1 or 64 % bands != 0:
+        raise ValueError("bands must divide 64")
+    hashes = (
+        image_dhash_variance(df, id_col=id_col, hash_size=hash_size)
+        .filter(F.col("luma_var") >= min_luma_variance)
+        .select(F.col(id_col).alias("__id"), "dhash")
+    )
+    return _neardup_pairs_from_hashes(hashes, bands, max_distance)
+
+
 def neardup_images_dhash(
     df: DataFrame,
     id_col: str = "asset_id",
@@ -1097,48 +1232,10 @@ def neardup_images_dhash(
     """
     if bands < 1 or 64 % bands != 0:
         raise ValueError("bands must divide 64")
-    width = 64 // bands
-    mask = (1 << width) - 1
     hashes = image_dhash(df, id_col=id_col, hash_size=hash_size).select(
         F.col(id_col).alias("__id"), "dhash"
     )
-    slices = []
-    for b in range(bands):
-        slices.append(
-            hashes.select(
-                "__id",
-                "dhash",
-                F.lit(b).alias("__band"),
-                # logical right shift: cast through unsigned arithmetic
-                # via shiftrightunsigned (sign bit must not smear)
-                (F.shiftrightunsigned(F.col("dhash"), b * width)
-                 .bitwiseAND(F.lit(mask))).alias("__key"),
-            )
-        )
-    banded = slices[0]
-    for s in slices[1:]:
-        banded = banded.unionByName(s)
-    left = banded
-    right = banded.select(
-        F.col("__id").alias("__id_b"),
-        F.col("dhash").alias("__dhash_b"),
-        "__band",
-        "__key",
-    )
-    cand = (
-        left.join(right, ["__band", "__key"])
-        .filter(F.col("__id") < F.col("__id_b"))
-        .select("__id", "__id_b", "dhash", "__dhash_b")
-        .distinct()
-    )
-    out = cand.select(
-        F.col("__id").alias("id_a"),
-        F.col("__id_b").alias("id_b"),
-        F.bit_count(
-            F.col("dhash").bitwiseXOR(F.col("__dhash_b"))
-        ).cast("long").alias("distance"),
-    )
-    return out.filter(F.col("distance") <= max_distance)
+    return _neardup_pairs_from_hashes(hashes, bands, max_distance)
 
 
 def _band_slices(hashes: DataFrame, bands: int, id_alias: str, hash_alias: str) -> DataFrame:

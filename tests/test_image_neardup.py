@@ -12,8 +12,10 @@ from pyspark.sql import functions as F
 from polars_matmul_spark.operators.multimodal import (
     encode_png,
     image_dhash,
+    image_dhash_variance,
     image_neardup_new_vs_index,
     neardup_images_dhash,
+    neardup_images_dhash_filtered,
 )
 
 
@@ -100,6 +102,51 @@ def test_neardup_pairs_found_and_separated(spark):
     assert out[(1, 2)] == 0
     assert (1, 3) in out and out[(1, 3)] <= 10
     assert not any(4 in pair for pair in out)
+
+
+def _flat(h=24, w=32, value=200):
+    return np.full((h, w, 3), value, dtype=np.uint8)
+
+
+def test_flat_images_collide_unfiltered_but_are_prefiltered(spark):
+    """The documented dHash degeneracy, now ENFORCED as code: two
+    UNRELATED constant-color images hash identically (distance-0 pair
+    in the raw operator), and the variance-filtered form drops them
+    while keeping a genuine near-dup pair in the same corpus."""
+    img = _gradient()
+    rows = [
+        (1, bytearray(encode_png(img))),
+        (2, bytearray(encode_png(_noised(img)))),      # real near dup
+        (3, bytearray(encode_png(_flat(value=200)))),  # solid gray
+        (4, bytearray(encode_png(_flat(value=10)))),   # solid near-black
+    ]
+    df = _assets(spark, rows)
+    raw = {
+        (r.id_a, r.id_b) for r in neardup_images_dhash(df, max_distance=10).collect()
+    }
+    assert (3, 4) in raw  # the degeneracy is real: unrelated flats pair
+    filt = {
+        (r.id_a, r.id_b)
+        for r in neardup_images_dhash_filtered(df, max_distance=10).collect()
+    }
+    assert (3, 4) not in filt and not any(3 in p or 4 in p for p in filt)
+    assert (1, 2) in filt  # real content still pairs
+
+
+def test_dhash_variance_values(spark):
+    df = _assets(
+        spark,
+        [
+            (1, bytearray(encode_png(_flat()))),
+            (2, bytearray(encode_png(_gradient()))),
+        ],
+    )
+    out = {r.asset_id: r for r in image_dhash_variance(df).collect()}
+    assert out[1].luma_var == 0.0
+    assert out[2].luma_var > 100.0
+    # dhash agrees with the variance-less twin bit-for-bit
+    plain = {r.asset_id: r.dhash for r in image_dhash(df).collect()}
+    assert {k: v.dhash for k, v in out.items()} == plain
 
 
 def test_banded_join_recall_exact_under_bands(spark):
