@@ -131,12 +131,23 @@ def main() -> None:
             payloads = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 # real crawls ship HTML: wrap each document the way a
-                # CMS page arrives — title, nav links, script noise
+                # CMS page arrives — title, nav links, script noise,
+                # and ABSOLUTE cross-host links (the link-graph stage
+                # extracts hrefs from this raw markup: a 23-host ring
+                # plus three hub domains that host no pages — real
+                # dangling mass for the PageRank stage)
+                hub = (
+                    f"<a href='http://hub{did % 3}.net/x'>h</a> "
+                    if did % 4 == 0
+                    else ""
+                )
                 page = (
                     f"<html><head><title>Doc {did}</title>"
                     "<script>var v = 1;</script></head><body>"
                     "<nav><a href='/'>home</a> <a href='/a'>about</a></nav>"
-                    f"<p>{text or ''}</p></body></html>"
+                    f'<p><a href="http://Host{(did + 7) % 23}.COM/d/x">n</a> '
+                    + hub
+                    + f"{text or ''}</p></body></html>"
                 )
                 body = page.encode("ascii", "replace")
                 http = (
@@ -511,6 +522,73 @@ def main() -> None:
         "join on 8-byte hashes (pixels never shuffle)",
     )
 
+    # --- stage 18 (crawl side leg, round 10): link-graph quality
+    # prior — href extraction over the RAW stage-01 HTML (the markup
+    # stage 02 strips away), registrable-domain edges, 3 iterations of
+    # integer fixed-point PageRank with the mass-conserving
+    # redistribute_dangling option (the hub domains host no pages, so
+    # the dangling mass is real)
+    from polars_matmul_spark.operators.linkgraph import (
+        domain_edges,
+        pagerank_fixedpoint,
+    )
+
+    raw_pages = spark.read.parquet(p1)  # url + raw HTML
+    lg_edges = domain_edges(raw_pages).localCheckpoint(eager=False)
+    pr = pagerank_fixedpoint(lg_edges, n_iter=3, redistribute_dangling=True)
+    checkpoint(
+        "18_link_graph", pr,
+        "href extract over raw HTML -> registrable-domain edges -> "
+        "3-iteration integer fixed-point PageRank, dangling+floor mass "
+        "redistributed (leak < n units)",
+    )
+
+    # --- streaming twin (round 10): the SAME WARC feed through the
+    # composed streaming front door (streaming/front_door.py) — WARC ->
+    # HTML -> URL quota -> CMS line strip -> span excision -> Bloom ->
+    # MinHash -> decontamination, 4 micro-batches, arrival-order
+    # semantics, every sub-stage keeping its idempotent epoch sinks
+    from polars_matmul_spark.streaming.front_door import (
+        STAGE_DIRS,
+        run_front_door_stream,
+    )
+
+    sroot = os.path.join(WORK, "stream_front_door")
+    sin = os.path.join(sroot, "in")
+    spark.read.parquet(warc_feed_path).repartition(4).write.parquet(sin)
+    sprobes = os.path.join(sroot, "probes")
+    probes.write.parquet(sprobes)  # the stage-08 probe set, reused
+    t0 = time.perf_counter()
+    # hygiene thresholds scale with the corpus: this synthetic feed
+    # draws from a ~35-word vocabulary, so at min_docs=2 nearly every
+    # 20-char window is "cross-doc boilerplate" and excision strips
+    # documents to (identical) stumps that the Bloom exact gate then
+    # collapses — a production pipeline sets the ubiquity thresholds
+    # from corpus stats, which here means "shared by dozens of docs"
+    run_front_door_stream(
+        spark,
+        sin,
+        os.path.join(sroot, "state"),
+        sprobes,
+        os.path.join(sroot, "ckpt"),
+        max_per_domain=150,
+        line_min_docs=10,
+        excise_min_docs=25,
+    )
+    stream_wall = time.perf_counter() - t0
+    stream_rows = []
+    for key in (
+        "quota", "line_clean", "excised", "bloom_corpus",
+        "minhash_corpus", "clean", "flagged",
+    ):
+        try:
+            n = spark.read.parquet(
+                os.path.join(sroot, "state", STAGE_DIRS[key])
+            ).count()
+        except Exception:
+            n = 0
+        stream_rows.append((key, n))
+
     total = sum(w for _, w, _, _ in stages)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = [
@@ -531,6 +609,24 @@ def main() -> None:
     out += [
         f"| | **total** | **{total:.2f}** | | |",
         "",
+        "## Streaming front door (round 10)",
+        "",
+        f"The SAME WARC feed, split into 4 micro-batch files and run "
+        f"through the composed streaming front door "
+        f"(`streaming/front_door.py`: WARC -> HTML -> URL quota -> CMS "
+        f"line strip -> span excision -> Bloom exact dedup -> MinHash "
+        f"near-dup -> decontamination, one foreachBatch chain, each "
+        f"sub-stage keeping its idempotent epoch sinks). Total wall "
+        f"{stream_wall:.2f}s for all epochs incl. stream bootstrap. "
+        f"Arrival-order semantics (quota first-come-first-kept, hygiene "
+        f"against history-so-far) — the stream==driven-batch and "
+        f"replay-idempotence gates live in "
+        f"tests/test_streaming_front_door.py.",
+        "",
+        "| stage sink | rows (all epochs) |",
+        "|---|---|",
+        *[f"| {k} | {n} |" for k, n in stream_rows],
+        "",
         "Round 9 made the crawl container the pipeline's front door: "
         "stages 01-11 are ONE lineage from gzip-per-record WARC/1.0 "
         "bytes to token shards — record extraction -> HTML text "
@@ -540,9 +636,11 @@ def main() -> None:
         "excision -> near-dup -> benchmark decontamination (probe "
         "8-gram broadcast join, flagged docs anti-joined out) -> DSIR "
         "-> packing -> shards. Stages "
-        "12-17 are the side legs gating the other "
+        "12-18 are the side legs gating the other "
         "ingest surfaces (JSONL quarantine; the multimodal asset "
-        "layer, ending in perceptual image dedup over decoded pixels). Each stage is the scale-shaped operator documented "
+        "layer, ending in perceptual image dedup over decoded pixels; "
+        "round 10 adds the link-graph PageRank prior over the raw "
+        "stage-01 HTML and the streaming front-door twin above). Each stage is the scale-shaped operator documented "
         "in its module; nothing here is imperative glue beyond the "
         "checkpoint writes a production pipeline would do anyway.",
         "",
