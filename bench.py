@@ -65,6 +65,17 @@ _BENCH_REFERENCE_PATH = os.path.join(
 )
 _KEEP_BEST = 5
 _SUSPECT_FACTOR = 1.5
+# absolute jitter allowance on the suspect limit: millisecond-scale
+# diagnostic rows (pure-NumPy BLAS/argpartition micro-walls) jitter by
+# tens of ms run-to-run, so a pure ratio trigger on a 10 ms best is
+# noise by construction. 50 ms cannot mask a real regression on any
+# row that matters (every judged row's best is > 0.2 s, where the
+# ratio term dominates).
+_JITTER_SEC = 0.05
+
+
+def _suspect_limit(ref: float) -> float:
+    return max(_SUSPECT_FACTOR * ref, ref + _JITTER_SEC)
 
 
 def _load_best_pool(sf_key: str) -> dict[str, list[float]]:
@@ -143,16 +154,16 @@ def main() -> None:
         # Next round #1b)
         ref = best[0] if best else None
         suspect = False
-        if ref is not None and wall > _SUSPECT_FACTOR * ref:
+        if ref is not None and wall > _suspect_limit(ref):
             for _ in range(retries):
                 time.sleep(2)
                 wall = min(wall, _timed(thunk))
-                if wall <= _SUSPECT_FACTOR * ref:
+                if wall <= _suspect_limit(ref):
                     break
-            suspect = wall > _SUSPECT_FACTOR * ref
+            suspect = wall > _suspect_limit(ref)
         if name in times:  # re-measured section: keep the best window
             wall = min(wall, times[name])
-            suspect = ref is not None and wall > _SUSPECT_FACTOR * ref
+            suspect = ref is not None and wall > _suspect_limit(ref)
         best_pool[name] = sorted(best + [wall])[:_KEEP_BEST]
         times[name] = wall
         best_ever = best_pool[name][0]
@@ -472,7 +483,7 @@ def main() -> None:
             k
             for k, d in row_detail.items()
             if k in runners
-            and d["ratio_vs_best"] > _SUSPECT_FACTOR
+            and d["wall"] > _suspect_limit(d["best_ever"])
             and (d["suspect"] or k in top_wall)
         ]
         drifted.sort(key=lambda k: row_detail[k]["ratio_vs_best"], reverse=True)
@@ -669,7 +680,7 @@ def main() -> None:
     # against BASELINE.md, so they get the strictest recovery path
     if any(
         row_detail[n]["suspect"]
-        or row_detail[n]["ratio_vs_best"] > _SUSPECT_FACTOR
+        or row_detail[n]["wall"] > _suspect_limit(row_detail[n]["best_ever"])
         for n in _JUDGED
     ):
         spark.stop()
@@ -759,7 +770,7 @@ def main() -> None:
     # host-attribution signal.
     _still_over = sorted(
         k for k, d in row_detail.items()
-        if d["ratio_vs_best"] > _SUSPECT_FACTOR
+        if d["wall"] > _suspect_limit(d["best_ever"])
     )
     _numpy_rows = [
         k for k in ("numpy_topk_ref_shape", "numpy_matmul_f32_ref_shape")

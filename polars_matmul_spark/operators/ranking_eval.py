@@ -1,4 +1,5 @@
-"""Retrieval-quality evaluation: MRR, recall@k, precision@k, nDCG@k.
+"""Retrieval-quality evaluation: MRR, recall@k, precision@k, nDCG@k,
+AP@k (MAP).
 
 The measurement loop every retrieval / hybrid-search / dedup-tuning
 pipeline runs: given a RUN (per-query ranked candidates) and QRELS
@@ -12,7 +13,12 @@ Standard definitions (TREC):
 - nDCG@k (Jarvelin & Kekalainen 2002, the (2^rel - 1) gain form):
   DCG@k / IDCG@k, where DCG = sum over retrieved positions of
   (2^rel - 1) / log2(pos + 1) and IDCG is the same sum over the
-  query's relevance grades sorted descending (truncated at k).
+  query's relevance grades sorted descending (truncated at k);
+- AP@k (the trec_eval convention, macro mean = MAP): sum over
+  RELEVANT retrieved ranks r <= k of (relevant-in-top-r / r),
+  divided by the query's TOTAL relevant count — the denominator is
+  all judged-relevant docs, not min(k, R), so truncation genuinely
+  costs score.
 
 Float discipline (the repo's oracle-parity rule): every sum that
 reaches the output folds SEQUENTIALLY in a pinned order —
@@ -29,7 +35,7 @@ run is never shuffled wider than its own (query, rank) rows.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["ranking_metrics", "macro_metrics"]
@@ -112,6 +118,18 @@ def ranking_metrics(
         "__rank",
         F.coalesce(F.col("__rel"), F.lit(0)).alias("__rel"),
     )
+    # AP@k needs relevant-in-top-r at each relevant rank r: a rank-
+    # ordered cumulative count within the query (the run is already
+    # cut to <= k rows per query, so this window is candidate-list
+    # sized, never corpus-sized)
+    wcum = (
+        Window.partitionBy(query_col)
+        .orderBy(F.col("__rank").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hits = hits.withColumn(
+        "__cum", F.sum(F.when(F.col("__rel") > 0, 1).otherwise(0)).over(wcum)
+    )
     per_q_run = hits.groupBy(query_col).agg(
         F.count("*").alias("n_retrieved"),
         F.min(F.when(F.col("__rel") > 0, F.col("__rank"))).alias("__first"),
@@ -124,6 +142,28 @@ def ranking_metrics(
                 / F.log2(s["__rank"].cast("double") + F.lit(1.0)),
             )
         ).alias("__dcg"),
+        # AP numerator: sum over relevant ranks of cum/r, folded in
+        # ascending rank (collect_list skips the when()'s nulls at
+        # non-relevant ranks)
+        _fold_sum(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("__rel") > 0,
+                            F.struct(
+                                "__rank",
+                                (
+                                    F.col("__cum").cast("double")
+                                    / F.col("__rank")
+                                ).alias("__pr"),
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s["__pr"],
+            )
+        ).alias("__ap_num"),
     )
 
     joined = per_q_rel.join(per_q_run, query_col, "full")
@@ -155,6 +195,14 @@ def ranking_metrics(
             ).otherwise(F.lit(0.0)),
             score_dp,
         ).alias("ndcg_at_k"),
+        F.round(
+            F.when(
+                F.coalesce(F.col("n_relevant"), F.lit(0)) > 0,
+                F.coalesce(F.col("__ap_num"), F.lit(0.0))
+                / F.col("n_relevant").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            score_dp,
+        ).alias("ap_at_k"),
     )
 
 
@@ -165,7 +213,7 @@ def macro_metrics(
 ) -> DataFrame:
     """One macro row: arithmetic mean of each per-query metric, summed
     in query-id order (pinned fold) over exact per-query values."""
-    metrics = ["rr", "recall_at_k", "precision_at_k", "ndcg_at_k"]
+    metrics = ["rr", "recall_at_k", "precision_at_k", "ndcg_at_k", "ap_at_k"]
 
     def _field(name):
         # single-parameter lambda (a two-parameter one would be read as

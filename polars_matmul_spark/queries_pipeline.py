@@ -747,7 +747,10 @@ WITH run AS (
            (s, x) -> s + x) AS idcg
   FROM idcg_pos GROUP BY query_id
 ), hits AS (
-  SELECT r.query_id, r.rank, coalesce(q.rel, 0) AS rel
+  SELECT r.query_id, r.rank, coalesce(q.rel, 0) AS rel,
+         sum(CASE WHEN coalesce(q.rel, 0) > 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY r.query_id ORDER BY r.rank
+                 ROWS UNBOUNDED PRECEDING) AS cum
   FROM runk r LEFT JOIN qrels q
     ON r.query_id = q.query_id AND r.doc_id = q.doc_id
 ), perq AS (
@@ -756,7 +759,11 @@ WITH run AS (
          sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_hits,
          list_reduce(list_prepend(0.0,
            list((pow(2.0, rel) - 1.0) / log2(rank + 1.0) ORDER BY rank)),
-           (s, x) -> s + x) AS dcg
+           (s, x) -> s + x) AS dcg,
+         list_reduce(list_prepend(0.0,
+           list(CAST(cum AS DOUBLE) / rank ORDER BY rank)
+             FILTER (rel > 0)),
+           (s, x) -> s + x) AS ap_num
   FROM hits GROUP BY query_id
 ), final AS (
   SELECT query_id,
@@ -770,7 +777,11 @@ WITH run AS (
          round(coalesce(n_hits, 0) / {float(k)}, 9) AS precision_at_k,
          round(CASE WHEN coalesce(idcg, 0.0) > 0.0
                     THEN coalesce(dcg, 0.0) / idcg ELSE 0.0 END, 9)
-           AS ndcg_at_k
+           AS ndcg_at_k,
+         round(CASE WHEN coalesce(n_relevant, 0) > 0
+                    THEN coalesce(ap_num, 0.0)
+                         / CAST(n_relevant AS DOUBLE)
+                    ELSE 0.0 END, 9) AS ap_at_k
   FROM relsorted FULL JOIN perq USING (query_id)
   LEFT JOIN idcg USING (query_id)
 ), macro AS (
@@ -788,7 +799,11 @@ WITH run AS (
          round(list_reduce(list_prepend(0.0,
                  list(ndcg_at_k ORDER BY query_id)),
                            (s, x) -> s + x) / count(*), 9)
-           AS mean_ndcg_at_k
+           AS mean_ndcg_at_k,
+         round(list_reduce(list_prepend(0.0,
+                 list(ap_at_k ORDER BY query_id)),
+                           (s, x) -> s + x) / count(*), 9)
+           AS mean_ap_at_k
   FROM final
 )
 SELECT f.*, m.* FROM final f CROSS JOIN macro m

@@ -76,6 +76,12 @@ def test_known_values_k10(spark):
     assert 5 in out
     assert out[5].n_retrieved == 0 and out[5].n_relevant == 0
     assert out[5].rr == 0.0 and out[5].ndcg_at_k == 0.0
+    # AP@k (trec_eval convention): q1 hits at ranks 1, 3 of R=2 ->
+    # (1/1 + 2/3) / 2; q2 hits at ranks 3, 9 of R=2 -> (1/3 + 2/9) / 2
+    assert out[1].ap_at_k == round((1 / 1 + 2 / 3) / 2, 9)
+    assert out[2].ap_at_k == round((1 / 3 + 2 / 9) / 2, 9)
+    assert out[3].ap_at_k == 0.0 and out[4].ap_at_k == 0.0
+    assert out[5].ap_at_k == 0.0
 
 
 def test_k_cut_ignores_deep_ranks(spark):
@@ -84,6 +90,8 @@ def test_k_cut_ignores_deep_ranks(spark):
     # q2's rank-9 hit on doc 21 is outside k=3 -> recall 1/2
     assert out[2].recall_at_k == 0.5
     assert out[2].precision_at_k == round(1 / 3, 9)
+    # ...and AP's denominator stays the FULL R=2 (truncation costs)
+    assert out[2].ap_at_k == round((1 / 3) / 2, 9)
 
 
 def test_duckdb_replay_exact(spark):
@@ -119,7 +127,10 @@ relsorted AS (
            (s, x) -> s + x) AS idcg
   FROM idcg_pos GROUP BY query_id
 ), hits AS (
-  SELECT r.query_id, r.rank, coalesce(q.rel, 0) AS rel
+  SELECT r.query_id, r.rank, coalesce(q.rel, 0) AS rel,
+         sum(CASE WHEN coalesce(q.rel, 0) > 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY r.query_id ORDER BY r.rank
+                 ROWS UNBOUNDED PRECEDING) AS cum
   FROM runk r LEFT JOIN qrels_t q
     ON r.query_id = q.query_id AND r.doc_id = q.doc_id
 ), perq AS (
@@ -128,7 +139,11 @@ relsorted AS (
          sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_hits,
          list_reduce(list_prepend(0.0,
            list((pow(2.0, rel) - 1.0) / log2(rank + 1.0) ORDER BY rank)),
-           (s, x) -> s + x) AS dcg
+           (s, x) -> s + x) AS dcg,
+         list_reduce(list_prepend(0.0,
+           list(CAST(cum AS DOUBLE) / rank ORDER BY rank)
+             FILTER (rel > 0)),
+           (s, x) -> s + x) AS ap_num
   FROM hits GROUP BY query_id
 )
 SELECT query_id,
@@ -141,7 +156,10 @@ SELECT query_id,
                   ELSE 0.0 END, 9) AS recall_at_k,
        round(coalesce(n_hits, 0) / {float(k)}, 9) AS precision_at_k,
        round(CASE WHEN coalesce(idcg, 0.0) > 0.0
-                  THEN coalesce(dcg, 0.0) / idcg ELSE 0.0 END, 9) AS ndcg_at_k
+                  THEN coalesce(dcg, 0.0) / idcg ELSE 0.0 END, 9) AS ndcg_at_k,
+       round(CASE WHEN coalesce(n_relevant, 0) > 0
+                  THEN coalesce(ap_num, 0.0) / CAST(n_relevant AS DOUBLE)
+                  ELSE 0.0 END, 9) AS ap_at_k
 FROM relsorted FULL JOIN perq USING (query_id)
 LEFT JOIN idcg USING (query_id)
 ORDER BY query_id
