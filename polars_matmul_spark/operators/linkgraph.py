@@ -55,7 +55,12 @@ from polars_matmul_spark.operators.urls import (
     registrable_host_key,
 )
 
-__all__ = ["extract_hrefs", "domain_edges", "pagerank_fixedpoint"]
+__all__ = [
+    "extract_hrefs",
+    "domain_edges",
+    "pagerank_fixedpoint",
+    "pagerank_converged",
+]
 
 _HREF_RE = r'(?i)href\s*=\s*["\']([^"\'<>\s]+)["\']'
 
@@ -120,6 +125,21 @@ def pagerank_fixedpoint(
         raise ValueError("damping must be a percentage in 0..100")
     if n_iter < 0:
         raise ValueError("n_iter must be >= 0")
+    nodes, e, deg, n = _graph_tables(edges, src_col, dst_col)
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
+    base = scale * (100 - damping) // 100 // n
+    ranks = nodes.withColumn("rank", F.lit(int(scale // n)).cast("long"))
+    for _ in range(n_iter):
+        ranks = _pagerank_step(
+            nodes, e, deg, ranks, n, base, damping, scale,
+            redistribute_dangling,
+        )
+    return ranks
+
+
+def _graph_tables(edges, src_col, dst_col):
+    """Deduped edge table, node table (checkpointed), out-degrees, n."""
     e = edges.select(
         F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
     ).distinct()
@@ -130,64 +150,135 @@ def pagerank_fixedpoint(
         .localCheckpoint(eager=False)
     )
     n = nodes.count()
-    if n == 0:
-        return nodes.withColumn("rank", F.lit(0).cast("long"))
     deg = e.groupBy("__src").agg(F.count("*").alias("__deg"))
+    return nodes, e, deg, n
 
+
+def _pagerank_step(
+    nodes, e, deg, ranks, n, base, damping, scale, redistribute_dangling
+) -> DataFrame:
+    """One exact integer iteration (the two-shuffle step); the new
+    rank table is lazily checkpointed so plan depth stays O(1)."""
+    contrib = (
+        e.join(ranks.withColumnRenamed("node", "__src"), "__src")
+        .join(deg, "__src")
+        .select(
+            F.col("__dst").alias("node"),
+            # integer `div` throughout — double division + cast
+            # would MOSTLY agree but is not an identity we want to
+            # carry a proof obligation for
+            F.expr(f"((rank * {damping}) div 100) div __deg").alias("__c"),
+        )
+    )
+    summed = contrib.groupBy("node").agg(F.sum("__c").alias("__in"))
+    if redistribute_dangling:
+        # the iteration's entire dropped mass as ONE scalar:
+        # residual = scale - n*base - sum(incoming). Broadcast the
+        # 1-row total back over the nodes and floor-divide it; the
+        # per-node share is integer, order-independent, and DuckDB
+        # replays it as a scalar subquery.
+        tot = summed.agg(
+            F.coalesce(F.sum("__in"), F.lit(0)).cast("long").alias("__tot")
+        )
+        share = F.expr(
+            f"(cast({scale} as bigint) - cast({int(n) * int(base)} as"
+            f" bigint) - __tot) div cast({n} as bigint)"
+        )
+        return (
+            nodes.join(summed, "node", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "node",
+                (
+                    F.lit(int(base))
+                    + F.coalesce(F.col("__in"), F.lit(0))
+                    + share
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        nodes.join(summed, "node", "left")
+        .select(
+            "node",
+            (F.lit(int(base)) + F.coalesce(F.col("__in"), F.lit(0)))
+            .cast("long")
+            .alias("rank"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def pagerank_converged(
+    edges: DataFrame,
+    src_col: str = "src_domain",
+    dst_col: str = "dst_domain",
+    max_iter: int = 50,
+    tol_units: int | None = None,
+    damping: int = 85,
+    scale: int = 1_000_000_000_000,
+    redistribute_dangling: bool = True,
+) -> tuple[DataFrame, dict]:
+    """Iterate the exact integer PageRank step until the total rank
+    movement falls to ``tol_units`` (sum over nodes of |Δrank|, in
+    integer 1/scale units) or ``max_iter`` is hit.
+
+    -> ``(ranks, info)`` with ``info = {"n_iter": iterations actually
+    run, "final_delta_units": the last movement, "converged": bool}``.
+
+    The stop rule is an EXACT integer decision — the delta sum is an
+    order-independent sum of longs, so the iteration count is
+    deterministic on any engine and a fixed-``n_iter`` run with
+    ``info["n_iter"]`` reproduces the ranks bit-for-bit (pytest-
+    pinned). Default ``tol_units`` is ``scale // 10**6`` (1e-6
+    relative total movement — far below anything that reorders a
+    ranking).
+
+    Cost note: convergence checking needs one driver-side scalar per
+    iteration (a slim self-join of consecutive rank tables + a 1-row
+    sum) — the standard price of any iterate-until-stable job; the
+    data-sized work per iteration is unchanged from the fixed-count
+    form. Defaults to the mass-conserving variant: without it the
+    conservative leak itself keeps the deltas from settling.
+    """
+    if not 0 <= damping <= 100:
+        raise ValueError("damping must be a percentage in 0..100")
+    if max_iter < 1:
+        raise ValueError("max_iter must be >= 1")
+    if tol_units is None:
+        tol_units = scale // 10**6
+    nodes, e, deg, n = _graph_tables(edges, src_col, dst_col)
+    if n == 0:
+        return (
+            nodes.withColumn("rank", F.lit(0).cast("long")),
+            {"n_iter": 0, "final_delta_units": 0, "converged": True},
+        )
     base = scale * (100 - damping) // 100 // n
     ranks = nodes.withColumn("rank", F.lit(int(scale // n)).cast("long"))
-    for _ in range(n_iter):
-        contrib = (
-            e.join(ranks.withColumnRenamed("node", "__src"), "__src")
-            .join(deg, "__src")
-            .select(
-                F.col("__dst").alias("node"),
-                # integer `div` throughout — double division + cast
-                # would MOSTLY agree but is not an identity we want to
-                # carry a proof obligation for
-                F.expr(f"((rank * {damping}) div 100) div __deg").alias("__c"),
-            )
+    delta = None
+    it = 0
+    for it in range(1, max_iter + 1):
+        new_ranks = _pagerank_step(
+            nodes, e, deg, ranks, n, base, damping, scale,
+            redistribute_dangling,
         )
-        summed = contrib.groupBy("node").agg(F.sum("__c").alias("__in"))
-        if redistribute_dangling:
-            # the iteration's entire dropped mass as ONE scalar:
-            # residual = scale - n*base - sum(incoming). Broadcast the
-            # 1-row total back over the nodes and floor-divide it; the
-            # per-node share is integer, order-independent, and DuckDB
-            # replays it as a scalar subquery.
-            tot = summed.agg(
-                F.coalesce(F.sum("__in"), F.lit(0))
-                .cast("long")
-                .alias("__tot")
+        delta = (
+            new_ranks.withColumnRenamed("rank", "__new")
+            .join(ranks, "node")
+            .agg(
+                F.coalesce(
+                    F.sum(F.abs(F.col("__new") - F.col("rank"))), F.lit(0)
+                ).alias("d")
             )
-            share = F.expr(
-                f"(cast({scale} as bigint) - cast({int(n) * int(base)} as"
-                f" bigint) - __tot) div cast({n} as bigint)"
-            )
-            ranks = (
-                nodes.join(summed, "node", "left")
-                .crossJoin(F.broadcast(tot))
-                .select(
-                    "node",
-                    (
-                        F.lit(int(base))
-                        + F.coalesce(F.col("__in"), F.lit(0))
-                        + share
-                    )
-                    .cast("long")
-                    .alias("rank"),
-                )
-                .localCheckpoint(eager=False)
-            )
-        else:
-            ranks = (
-                nodes.join(summed, "node", "left")
-                .select(
-                    "node",
-                    (F.lit(int(base)) + F.coalesce(F.col("__in"), F.lit(0)))
-                    .cast("long")
-                    .alias("rank"),
-                )
-                .localCheckpoint(eager=False)
-            )
-    return ranks
+            .collect()[0]["d"]
+        )
+        ranks = new_ranks
+        if delta <= tol_units:
+            break
+    return ranks, {
+        "n_iter": it,
+        "final_delta_units": int(delta),
+        "converged": delta is not None and delta <= tol_units,
+    }

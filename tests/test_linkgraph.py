@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from polars_matmul_spark.operators.linkgraph import (
     domain_edges,
     extract_hrefs,
+    pagerank_converged,
     pagerank_fixedpoint,
 )
 
@@ -222,6 +223,82 @@ def test_pagerank_partitioning_invariance(spark):
     a = sorted(tuple(r) for r in pagerank_fixedpoint(_edges_df(spark, edges).repartition(7)).collect())
     b = sorted(tuple(r) for r in pagerank_fixedpoint(_edges_df(spark, edges).coalesce(1)).collect())
     assert a == b
+
+
+def _py_pagerank_converged(edges, max_iter=50, tol_units=None,
+                           damping=DAMP, scale=SCALE):
+    """Literal replication of pagerank_converged (conserving step)."""
+    if tol_units is None:
+        tol_units = scale // 10**6
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    base = scale * (100 - damping) // 100 // n
+    r = {v: scale // n for v in nodes}
+    it, delta = 0, None
+    for it in range(1, max_iter + 1):
+        incoming = {v: 0 for v in nodes}
+        for s, d in edges:
+            incoming[d] += (r[s] * damping // 100) // deg[s]
+        share = (scale - n * base - sum(incoming.values())) // n
+        new_r = {v: base + incoming[v] + share for v in nodes}
+        delta = sum(abs(new_r[v] - r[v]) for v in nodes)
+        r = new_r
+        if delta <= tol_units:
+            break
+    return r, it, delta
+
+
+@pytest.mark.parametrize("edges", [CHAIN, STAR, DANGLING])
+def test_pagerank_converged_exact_vs_python(spark, edges):
+    # a 0.85-damped walk contracts ~0.85x per iteration, so 1e-6
+    # relative movement needs ~85 iterations — keep the SPARK side to
+    # a handful and assert exact agreement with the replication
+    # (ranks, iteration count, final delta, converged verdict alike)
+    got, info = pagerank_converged(_edges_df(spark, edges), max_iter=6)
+    exp_r, exp_it, exp_delta = _py_pagerank_converged(edges, max_iter=6)
+    assert {r.node: r.rank for r in got.collect()} == exp_r
+    assert info["n_iter"] == exp_it
+    assert info["final_delta_units"] == exp_delta
+    assert info["converged"] == (exp_delta <= SCALE // 10**6)
+    # a fixed-count run with the reported iteration count reproduces
+    # the ranks bit-for-bit — the stop rule is exact integer
+    fixed = pagerank_fixedpoint(
+        _edges_df(spark, edges), n_iter=info["n_iter"],
+        redistribute_dangling=True,
+    )
+    assert {r.node: r.rank for r in fixed.collect()} == exp_r
+
+
+def test_pagerank_converged_reaches_tolerance(spark):
+    # low damping contracts fast (0.30^k): CHAIN genuinely converges
+    # to 1e-6 relative movement within a handful of iterations
+    got, info = pagerank_converged(
+        _edges_df(spark, CHAIN), max_iter=20, damping=30
+    )
+    exp_r, exp_it, exp_delta = _py_pagerank_converged(
+        CHAIN, max_iter=20, damping=30
+    )
+    assert info["converged"] and info["n_iter"] == exp_it < 20
+    assert info["final_delta_units"] == exp_delta <= SCALE // 10**6
+    assert {r.node: r.rank for r in got.collect()} == exp_r
+
+
+def test_pagerank_converged_max_iter_cap(spark):
+    # an absurdly tight tolerance cannot converge -> caps at max_iter
+    got, info = pagerank_converged(
+        _edges_df(spark, STAR), max_iter=2, tol_units=0
+    )
+    assert info["n_iter"] == 2 and not info["converged"]
+    assert got.count() == 4
+
+
+def test_pagerank_converged_validation(spark):
+    with pytest.raises(ValueError, match="max_iter"):
+        pagerank_converged(_edges_df(spark, CHAIN), max_iter=0)
 
 
 def test_pagerank_validation(spark):
