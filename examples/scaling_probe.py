@@ -602,6 +602,56 @@ def main() -> None:
                 }
             )
         )
+
+    # --- round-10: link-graph PageRank scaling leg ---
+    # A synthetic graph grown Kx at CONSTANT average out-degree (5):
+    # nodes = 100k*K, each node s emits edges to (s*7 + j*1013 + 1)
+    # mod n for j in 0..4 — deterministic, no RNG, hub-free. Each
+    # iteration is the two-shuffle slim-table step (edge join +
+    # dst-keyed sum), so the wall must track the edge count linearly;
+    # superlinear growth would expose plan-depth or lineage blowup
+    # (the localCheckpoint-per-iteration exists to prevent exactly
+    # that).
+    from polars_matmul_spark.operators.linkgraph import pagerank_fixedpoint
+
+    for k in (1, 4, 8):
+        n_nodes = 100_000 * k
+        edges = (
+            spark.range(n_nodes * 5)
+            .select(
+                (F.col("id") % n_nodes).alias("src_id"),
+                (
+                    (F.col("id") % n_nodes) * 7
+                    + (F.col("id") / n_nodes).cast("long") * 1013
+                    + 1
+                )
+                .cast("long")
+                .alias("__t"),
+            )
+            .select("src_id", (F.col("__t") % n_nodes).alias("dst_id"))
+            .cache()
+        )
+        n_edges = edges.count()
+        pr = lambda: force(
+            pagerank_fixedpoint(
+                edges, "src_id", "dst_id", n_iter=3,
+                redistribute_dangling=True,
+            )
+        )
+        pr()  # warm
+        wall = min(timed(pr) for _ in range(2))
+        print(
+            json.dumps(
+                {
+                    "leg": "pagerank_sf_x",
+                    "k": k,
+                    "n_nodes": n_nodes,
+                    "n_edges": n_edges,
+                    "wall": wall,
+                }
+            )
+        )
+        edges.unpersist()
     spark.stop()
 
 
