@@ -59,6 +59,7 @@ __all__ = [
     "extract_hrefs",
     "domain_edges",
     "pagerank_fixedpoint",
+    "pagerank_dual",
     "pagerank_converged",
 ]
 
@@ -208,6 +209,44 @@ def _pagerank_step(
             .alias("rank"),
         )
         .localCheckpoint(eager=False)
+    )
+
+
+def pagerank_dual(
+    edges: DataFrame,
+    src_col: str = "src_domain",
+    dst_col: str = "dst_domain",
+    n_iter: int = 3,
+    damping: int = 85,
+    scale: int = 1_000_000_000_000,
+) -> DataFrame:
+    """Both variants over ONE prepared graph: -> (node, rank,
+    rank_conserving). Bit-identical to running
+    :func:`pagerank_fixedpoint` twice (pytest-pinned) but the edge
+    dedup, node table, degree agg and node count are built once — the
+    comparison shape the `domain_pagerank` driver row gates without
+    paying the graph prep twice."""
+    if not 0 <= damping <= 100:
+        raise ValueError("damping must be a percentage in 0..100")
+    if n_iter < 0:
+        raise ValueError("n_iter must be >= 0")
+    nodes, e, deg, n = _graph_tables(edges, src_col, dst_col)
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("long")).withColumn(
+            "rank_conserving", F.lit(0).cast("long")
+        )
+    base = scale * (100 - damping) // 100 // n
+    init = nodes.withColumn("rank", F.lit(int(scale // n)).cast("long"))
+    r_plain, r_cons = init, init
+    for _ in range(n_iter):
+        r_plain = _pagerank_step(
+            nodes, e, deg, r_plain, n, base, damping, scale, False
+        )
+        r_cons = _pagerank_step(
+            nodes, e, deg, r_cons, n, base, damping, scale, True
+        )
+    return r_plain.join(
+        r_cons.withColumnRenamed("rank", "rank_conserving"), "node"
     )
 
 

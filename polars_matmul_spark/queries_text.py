@@ -822,7 +822,7 @@ _PR_SCALE = 1_000_000_000_000
 def _domain_pagerank(spark, sf_dir):
     from polars_matmul_spark.operators.linkgraph import (
         domain_edges,
-        pagerank_fixedpoint,
+        pagerank_dual,
     )
 
     docs = _docs(spark, sf_dir).select("doc_id")
@@ -851,20 +851,16 @@ def _domain_pagerank(spark, sf_dir):
         F.col("doc_id").cast("string"),
     )
     pages = docs.select(url.alias("url"), html.alias("text"))
-    # materialize the slim edge table once — four consumers (two
-    # PageRank variants + both degree aggs) otherwise re-run the
-    # synth + extract chain per action
+    # materialize the slim edge table once — the dual PageRank and
+    # both degree aggs otherwise re-run the synth + extract chain per
+    # action
     edges = domain_edges(pages).localCheckpoint(eager=False)
-    pr = pagerank_fixedpoint(
+    # both variants over ONE prepared graph (pagerank_dual ==
+    # pagerank_fixedpoint twice, pytest-pinned — the row pays the edge
+    # dedup / node count once)
+    pr = pagerank_dual(
         edges, n_iter=_PR_ITER, damping=_PR_DAMP, scale=_PR_SCALE
     )
-    prc = pagerank_fixedpoint(
-        edges,
-        n_iter=_PR_ITER,
-        damping=_PR_DAMP,
-        scale=_PR_SCALE,
-        redistribute_dangling=True,
-    ).withColumnRenamed("rank", "rank_conserving")
     deg_out = edges.groupBy(F.col("src_domain").alias("node")).agg(
         F.count("*").alias("out_degree")
     )
@@ -872,8 +868,7 @@ def _domain_pagerank(spark, sf_dir):
         F.count("*").alias("in_degree")
     )
     return (
-        pr.join(prc, "node")
-        .join(deg_out, "node", "left")
+        pr.join(deg_out, "node", "left")
         .join(deg_in, "node", "left")
         .select(
             "node",

@@ -11,6 +11,7 @@ from polars_matmul_spark.operators.linkgraph import (
     domain_edges,
     extract_hrefs,
     pagerank_converged,
+    pagerank_dual,
     pagerank_fixedpoint,
 )
 
@@ -294,6 +295,17 @@ def test_pagerank_converged_max_iter_cap(spark):
     )
     assert info["n_iter"] == 2 and not info["converged"]
     assert got.count() == 4
+
+
+@pytest.mark.parametrize("edges", [CHAIN, DANGLING, CHAIN + STAR])
+def test_pagerank_dual_equals_two_runs(spark, edges):
+    dual = {
+        r.node: (r.rank, r.rank_conserving)
+        for r in pagerank_dual(_edges_df(spark, edges)).collect()
+    }
+    plain = _py_pagerank(edges)
+    cons = _py_pagerank_conserving(edges)
+    assert dual == {v: (plain[v], cons[v]) for v in plain}
 
 
 def test_pagerank_converged_validation(spark):
