@@ -164,9 +164,18 @@ def main() -> None:
         if name in times:  # re-measured section: keep the best window
             wall = min(wall, times[name])
             suspect = ref is not None and wall > _suspect_limit(ref)
-        best_pool[name] = sorted(best + [wall])[:_KEEP_BEST]
+        # round-11 (r10 ADVICE): a wall that sealed suspect NEVER
+        # enters the best pool — for a newly promoted row (fewer than
+        # _KEEP_BEST prior entries) a contention-inflated wall would
+        # otherwise become a stored "best" and mask later regressions.
+        # A first-ever wall (empty pool) can't be suspect (no ref), so
+        # every row still gets a pool entry eventually.
+        if not suspect:
+            best_pool[name] = sorted(best + [wall])[:_KEEP_BEST]
+        else:
+            best_pool[name] = best
         times[name] = wall
-        best_ever = best_pool[name][0]
+        best_ever = best_pool[name][0] if best_pool[name] else wall
         row_detail[name] = {
             "wall": round(wall, 3),
             "best_ever": round(best_ever, 4),

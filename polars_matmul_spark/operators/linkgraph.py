@@ -222,10 +222,15 @@ def pagerank_dual(
 ) -> DataFrame:
     """Both variants over ONE prepared graph: -> (node, rank,
     rank_conserving). Bit-identical to running
-    :func:`pagerank_fixedpoint` twice (pytest-pinned) but the edge
-    dedup, node table, degree agg and node count are built once — the
-    comparison shape the `domain_pagerank` driver row gates without
-    paying the graph prep twice."""
+    :func:`pagerank_fixedpoint` twice (pytest-pinned) but FUSED: the
+    two rank columns ride ONE node table, so each iteration is one
+    contrib join + one groupBy computing both sums — the same
+    two-shuffle step as a single variant, not two of them. The
+    per-column arithmetic is unchanged (identical integer expressions
+    per variant), so fusion cannot change a single rank unit. Edge
+    dedup, node table, degree agg and node count are also built once —
+    the comparison shape the `domain_pagerank` driver row gates
+    without paying the graph prep or the iteration twice."""
     if not 0 <= damping <= 100:
         raise ValueError("damping must be a percentage in 0..100")
     if n_iter < 0:
@@ -236,17 +241,63 @@ def pagerank_dual(
             "rank_conserving", F.lit(0).cast("long")
         )
     base = scale * (100 - damping) // 100 // n
-    init = nodes.withColumn("rank", F.lit(int(scale // n)).cast("long"))
-    r_plain, r_cons = init, init
+    init = F.lit(int(scale // n)).cast("long")
+    ranks = nodes.withColumn("rank", init).withColumn(
+        "rank_conserving", init
+    )
     for _ in range(n_iter):
-        r_plain = _pagerank_step(
-            nodes, e, deg, r_plain, n, base, damping, scale, False
+        ranks = _pagerank_dual_step(
+            nodes, e, deg, ranks, n, base, damping, scale
         )
-        r_cons = _pagerank_step(
-            nodes, e, deg, r_cons, n, base, damping, scale, True
+    return ranks
+
+
+def _pagerank_dual_step(
+    nodes, e, deg, ranks, n, base, damping, scale
+) -> DataFrame:
+    """One fused iteration carrying (rank, rank_conserving): the SAME
+    two-shuffle step as :func:`_pagerank_step`, with both variants'
+    contributions computed in the one join and both sums in the one
+    groupBy. The conserving residual stays a 1-row broadcast over the
+    summed table (sum of the conserving column only)."""
+    contrib = (
+        e.join(ranks.withColumnRenamed("node", "__src"), "__src")
+        .join(deg, "__src")
+        .select(
+            F.col("__dst").alias("node"),
+            F.expr(f"((rank * {damping}) div 100) div __deg").alias("__c"),
+            F.expr(
+                f"((rank_conserving * {damping}) div 100) div __deg"
+            ).alias("__cc"),
         )
-    return r_plain.join(
-        r_cons.withColumnRenamed("rank", "rank_conserving"), "node"
+    )
+    summed = contrib.groupBy("node").agg(
+        F.sum("__c").alias("__in"), F.sum("__cc").alias("__inc")
+    )
+    tot = summed.agg(
+        F.coalesce(F.sum("__inc"), F.lit(0)).cast("long").alias("__tot")
+    )
+    share = F.expr(
+        f"(cast({scale} as bigint) - cast({int(n) * int(base)} as"
+        f" bigint) - __tot) div cast({n} as bigint)"
+    )
+    return (
+        nodes.join(summed, "node", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "node",
+            (F.lit(int(base)) + F.coalesce(F.col("__in"), F.lit(0)))
+            .cast("long")
+            .alias("rank"),
+            (
+                F.lit(int(base))
+                + F.coalesce(F.col("__inc"), F.lit(0))
+                + share
+            )
+            .cast("long")
+            .alias("rank_conserving"),
+        )
+        .localCheckpoint(eager=False)
     )
 
 

@@ -1039,43 +1039,45 @@ def image_dhash(
     code by :func:`neardup_images_dhash_filtered` (luma-variance
     pre-filter in the same decode pass); use it whenever flat images
     can occur in the corpus.
+
+    Implemented as a projection of :func:`image_dhash_variance` so the
+    filtered and unfiltered near-dup paths share ONE hash kernel —
+    they cannot desync bit-for-bit (the variance reduction the
+    projection discards is one extra pass over the already-decoded
+    luma plane, noise next to the decode itself).
     """
-    if hash_size < 1 or hash_size * hash_size > 64:
-        raise ValueError("hash_size must be in 1..8 (bits must fit a long)")
-    schema = f"{id_col} long, dhash long, src_w long, src_h long"
+    return image_dhash_variance(df, id_col=id_col, hash_size=hash_size).drop(
+        "luma_var"
+    )
 
-    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for aid, payload in zip(pdf[id_col], pdf["payload"]):
-                img = _decode_image_rgb(bytes(payload))
-                if img is None:
-                    continue
-                h, w, _ = img.shape
-                luma = (
-                    0.299 * img[:, :, 0].astype(np.float64)
-                    + 0.587 * img[:, :, 1]
-                    + 0.114 * img[:, :, 2]
-                )
-                ys = np.linspace(0, h - 1, hash_size).astype(np.int64)
-                xs = np.linspace(0, w - 1, hash_size + 1).astype(np.int64)
-                grid = luma[ys[:, None], xs[None, :]]
-                bits = (grid[:, :-1] < grid[:, 1:]).ravel()
-                val = 0
-                for b in bits:
-                    val = (val << 1) | int(b)
-                # interpret the packed bits as signed 64-bit (Spark
-                # long) — with hash_size 8 the top bit can be set
-                if val >= 1 << 63:
-                    val -= 1 << 64
-                rows.append(
-                    {id_col: aid, "dhash": val, "src_w": w, "src_h": h}
-                )
-            yield pd.DataFrame(
-                rows, columns=[id_col, "dhash", "src_w", "src_h"]
-            )
 
-    return df.select(id_col, "payload").mapInPandas(compute, schema)
+def _dhash_row(payload: bytes, hash_size: int):
+    """Decode one payload and compute the shared dHash kernel:
+    -> (signed-64 dhash, src_w, src_h, luma population variance) or
+    None if undecodable. The ONLY place the grid/bit-pack recipe
+    lives — both :func:`image_dhash` and :func:`image_dhash_variance`
+    (and through them every near-dup path) go through here."""
+    img = _decode_image_rgb(payload)
+    if img is None:
+        return None
+    h, w, _ = img.shape
+    luma = (
+        0.299 * img[:, :, 0].astype(np.float64)
+        + 0.587 * img[:, :, 1]
+        + 0.114 * img[:, :, 2]
+    )
+    ys = np.linspace(0, h - 1, hash_size).astype(np.int64)
+    xs = np.linspace(0, w - 1, hash_size + 1).astype(np.int64)
+    grid = luma[ys[:, None], xs[None, :]]
+    bits = (grid[:, :-1] < grid[:, 1:]).ravel()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    # interpret the packed bits as signed 64-bit (Spark long) — with
+    # hash_size 8 the top bit can be set
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val, w, h, float(luma.var())
 
 
 def image_dhash_variance(
@@ -1100,28 +1102,14 @@ def image_dhash_variance(
         for pdf in batches:
             rows = []
             for aid, payload in zip(pdf[id_col], pdf["payload"]):
-                img = _decode_image_rgb(bytes(payload))
-                if img is None:
+                hit = _dhash_row(bytes(payload), hash_size)
+                if hit is None:
                     continue
-                h, w, _ = img.shape
-                luma = (
-                    0.299 * img[:, :, 0].astype(np.float64)
-                    + 0.587 * img[:, :, 1]
-                    + 0.114 * img[:, :, 2]
-                )
-                ys = np.linspace(0, h - 1, hash_size).astype(np.int64)
-                xs = np.linspace(0, w - 1, hash_size + 1).astype(np.int64)
-                grid = luma[ys[:, None], xs[None, :]]
-                bits = (grid[:, :-1] < grid[:, 1:]).ravel()
-                val = 0
-                for b in bits:
-                    val = (val << 1) | int(b)
-                if val >= 1 << 63:
-                    val -= 1 << 64
+                val, w, h, var = hit
                 rows.append(
                     {
                         id_col: aid, "dhash": val, "src_w": w, "src_h": h,
-                        "luma_var": float(luma.var()),
+                        "luma_var": var,
                     }
                 )
             yield pd.DataFrame(

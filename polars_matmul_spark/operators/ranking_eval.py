@@ -59,7 +59,7 @@ def ranking_metrics(
     score_dp: int = 9,
 ) -> DataFrame:
     """Per-query metrics: (query_col, n_retrieved, n_relevant, rr,
-    recall_at_k, precision_at_k, ndcg_at_k).
+    recall_at_k, precision_at_k, ndcg_at_k, ap_at_k).
 
     ``run`` carries one row per retrieved candidate with a 1-based
     ``rank_col`` (ranks > k are ignored). ``qrels`` carries graded

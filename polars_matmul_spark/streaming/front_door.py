@@ -58,7 +58,15 @@ from polars_matmul_spark.streaming.urls import domain_quota_batch
 __all__ = ["front_door_batch", "run_front_door_stream", "STAGE_DIRS"]
 
 # every state/sink directory the chain owns, relative to its root —
-# one place, so tests and operators can never disagree on layout
+# one place, so tests and operators can never disagree on layout.
+#
+# Epoch-dir contract (relied on by replay — keep it when adding
+# stages): a MISSING ``epoch=N`` dir under a stage is a valid state
+# meaning "this stage emitted nothing for epoch N" — front_door_batch
+# returns early when a stage's output is empty, so every LATER stage
+# writes no epoch dir at all for that epoch. _epoch_output treats
+# missing-dir and empty-dir identically (both -> None), so a replayed
+# epoch takes the same early exit and reproduces the same absence.
 STAGE_DIRS = {
     "quota": "01_quota_accepted",
     "line_cms": "02_line_cms",
