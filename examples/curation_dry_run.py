@@ -565,6 +565,7 @@ def main() -> None:
     # documents to (identical) stumps that the Bloom exact gate then
     # collapses — a production pipeline sets the ubiquity thresholds
     # from corpus stats, which here means "shared by dozens of docs"
+    stage_timings: dict = {}
     run_front_door_stream(
         spark,
         sin,
@@ -574,6 +575,7 @@ def main() -> None:
         max_per_domain=150,
         line_min_docs=10,
         excise_min_docs=25,
+        timings=stage_timings,
     )
     stream_wall = time.perf_counter() - t0
     stream_rows = []
@@ -626,6 +628,33 @@ def main() -> None:
         "| stage sink | rows (all epochs) |",
         "|---|---|",
         *[f"| {k} | {n} |" for k, n in stream_rows],
+        "",
+        "### Where an epoch's wall goes (round 11, the r10 verdict's #7)",
+        "",
+        "Per-sub-stage walls summed over all epochs (front_door_batch's "
+        "`timings` hook). `readback` is the TOTAL cost of every "
+        "epoch-dir read-back (`_epoch_output`, 6 per epoch) — the part "
+        "an in-memory handoff between sub-stages could remove:",
+        "",
+        "| sub-stage | total (s) | per-epoch mean (s) |",
+        "|---|---|---|",
+        *[
+            f"| {k} | {sum(v):.2f} | {sum(v)/max(1,len(v)):.2f} |"
+            for k, v in sorted(
+                stage_timings.items(), key=lambda kv: -sum(kv[1])
+            )
+        ],
+        "",
+        f"Verdict on the proposed in-memory handoff: the read-backs cost "
+        f"{sum(stage_timings.get('readback', [0])):.2f}s of the "
+        f"{stream_wall:.2f}s total — the wall is the sub-stages' own "
+        "compute (sketch builds, gram hashing, signatures) plus their "
+        "protocol-mandated eager checkpoints, not the parquet "
+        "round-trips. A handoff would also have to either re-compute "
+        "each stage's lazily-written output on next use or add an "
+        "extra eager checkpoint per stage, trading a cheap columnar "
+        "read for a costlier materialization — measured here, and "
+        "rejected on the numbers.",
         "",
         "Round 9 made the crawl container the pipeline's front door: "
         "stages 01-11 are ONE lineage from gzip-per-record WARC/1.0 "

@@ -126,7 +126,7 @@ def pagerank_fixedpoint(
         raise ValueError("damping must be a percentage in 0..100")
     if n_iter < 0:
         raise ValueError("n_iter must be >= 0")
-    nodes, e, deg, n = _graph_tables(edges, src_col, dst_col)
+    nodes, e, deg, n, parts = _graph_tables(edges, src_col, dst_col)
     if n == 0:
         return nodes.withColumn("rank", F.lit(0).cast("long"))
     base = scale * (100 - damping) // 100 // n
@@ -134,13 +134,23 @@ def pagerank_fixedpoint(
     for _ in range(n_iter):
         ranks = _pagerank_step(
             nodes, e, deg, ranks, n, base, damping, scale,
-            redistribute_dangling,
+            redistribute_dangling, parts,
         )
     return ranks
 
 
 def _graph_tables(edges, src_col, dst_col):
-    """Deduped edge table, node table (checkpointed), out-degrees, n."""
+    """Deduped edge table, node table (checkpointed), out-degrees, n,
+    and the slim-table partition count.
+
+    The partition count matters more than it looks: a checkpointed
+    rank table inherits ``spark.sql.shuffle.partitions`` (200 on a
+    bare session) as its RDD partitioning, and because checkpointed
+    RDD scans sit outside AQE's reach every later job schedules that
+    many (mostly empty) tasks PER ITERATION. Size the slim (node,
+    rank) tables by the data instead: ~50k rows per partition, floored
+    at 1 — a 9-node driver-row graph iterates in single-task jobs, a
+    1e9-node graph still spreads across the cluster."""
     e = edges.select(
         F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
     ).distinct()
@@ -151,12 +161,15 @@ def _graph_tables(edges, src_col, dst_col):
         .localCheckpoint(eager=False)
     )
     n = nodes.count()
+    parts = max(1, min(int(n // 50_000) + 1, 100_000))
+    nodes = nodes.coalesce(parts).localCheckpoint(eager=False)
     deg = e.groupBy("__src").agg(F.count("*").alias("__deg"))
-    return nodes, e, deg, n
+    return nodes, e, deg, n, parts
 
 
 def _pagerank_step(
-    nodes, e, deg, ranks, n, base, damping, scale, redistribute_dangling
+    nodes, e, deg, ranks, n, base, damping, scale, redistribute_dangling,
+    parts=None,
 ) -> DataFrame:
     """One exact integer iteration (the two-shuffle step); the new
     rank table is lazily checkpointed so plan depth stays O(1)."""
@@ -198,6 +211,7 @@ def _pagerank_step(
                 .cast("long")
                 .alias("rank"),
             )
+            .coalesce(parts or 1)
             .localCheckpoint(eager=False)
         )
     return (
@@ -208,6 +222,7 @@ def _pagerank_step(
             .cast("long")
             .alias("rank"),
         )
+        .coalesce(parts or 1)
         .localCheckpoint(eager=False)
     )
 
@@ -235,7 +250,7 @@ def pagerank_dual(
         raise ValueError("damping must be a percentage in 0..100")
     if n_iter < 0:
         raise ValueError("n_iter must be >= 0")
-    nodes, e, deg, n = _graph_tables(edges, src_col, dst_col)
+    nodes, e, deg, n, parts = _graph_tables(edges, src_col, dst_col)
     if n == 0:
         return nodes.withColumn("rank", F.lit(0).cast("long")).withColumn(
             "rank_conserving", F.lit(0).cast("long")
@@ -247,13 +262,13 @@ def pagerank_dual(
     )
     for _ in range(n_iter):
         ranks = _pagerank_dual_step(
-            nodes, e, deg, ranks, n, base, damping, scale
+            nodes, e, deg, ranks, n, base, damping, scale, parts
         )
     return ranks
 
 
 def _pagerank_dual_step(
-    nodes, e, deg, ranks, n, base, damping, scale
+    nodes, e, deg, ranks, n, base, damping, scale, parts=None
 ) -> DataFrame:
     """One fused iteration carrying (rank, rank_conserving): the SAME
     two-shuffle step as :func:`_pagerank_step`, with both variants'
@@ -297,6 +312,7 @@ def _pagerank_dual_step(
             .cast("long")
             .alias("rank_conserving"),
         )
+        .coalesce(parts or 1)
         .localCheckpoint(eager=False)
     )
 
@@ -339,7 +355,7 @@ def pagerank_converged(
         raise ValueError("max_iter must be >= 1")
     if tol_units is None:
         tol_units = scale // 10**6
-    nodes, e, deg, n = _graph_tables(edges, src_col, dst_col)
+    nodes, e, deg, n, parts = _graph_tables(edges, src_col, dst_col)
     if n == 0:
         return (
             nodes.withColumn("rank", F.lit(0).cast("long")),
@@ -352,7 +368,7 @@ def pagerank_converged(
     for it in range(1, max_iter + 1):
         new_ranks = _pagerank_step(
             nodes, e, deg, ranks, n, base, damping, scale,
-            redistribute_dangling,
+            redistribute_dangling, parts,
         )
         delta = (
             new_ranks.withColumnRenamed("rank", "__new")

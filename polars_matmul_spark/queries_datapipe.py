@@ -1319,7 +1319,11 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     # routing; exact value comparison moves to test_oracle_parity's
     # rotated-query gate) so hybrid RRF retrieval gets a driver row
     # (queries_pipeline.py):
-    "bloom_incremental_dedup": (_bloom_incremental, _BLOOM_ORACLE),
+    # bloom_incremental_dedup rotated out in round 11: the Bloom
+    # fingerprint gate now runs driver-gated as front_door_curation's
+    # exact-dedup stage (queries_pipeline.py); the standalone
+    # history-vs-new row keeps its exact value comparison in
+    # test_oracle_parity's rotated-query gate.
     # round-5 rotation (registry stays at the 50-slot cap): topk_dot
     # rotates out of queries_core (the dot metric stays driver-gated
     # through matmul_flatten's dot scores and kernel pytests) and

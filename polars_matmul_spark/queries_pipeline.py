@@ -810,6 +810,440 @@ SELECT f.*, m.* FROM final f CROSS JOIN macro m
 """
 
 
+# --- the composed streaming front door as a driver row (round 11) -----------
+#
+# The r10 verdict's ask #3: streaming/front_door.py's 8-stage chain —
+# WARC -> HTML gates -> URL quota -> CMS line strip -> CMS span
+# excision -> Bloom exact dedup -> MinHash near-dup -> decontamination
+# — run batch-driven as ONE epoch, with the oracle REPLAYING every
+# stage in DuckDB over the same synthesized corpus and the output
+# gating the admitted set at every stage boundary plus the final
+# hygiene rewrites (md5 of each post-excision text) and the flagged
+# set's hit counts.
+#
+# Input synthesis (doc_id arithmetic + the real documents text, the
+# warc_extract pattern): every document becomes one WARC/1.0 response
+# record whose HTTP body is an HTML page. Planted classes make each
+# stage provably act:
+#   doc_id % 97 == 1   -> HTTP 404 (dropped by the status gate)
+#   doc_id % 97 == 2   -> link-farm page (dropped by the ldens gate;
+#                         margins pinned in tests/test_front_door_row.py)
+#   doc_id % 25 == m   -> domain site{m}.com; quota keeps the first
+#                         _FD_MAXDOM ids per domain
+#   doc_id % 83 == 5   -> identical boilerplate body in >= 3 docs ->
+#                         whole-line stripped by the line CMS
+#   doc_id % 83 == 6   -> exact-dup PAIRS (2 < line_min_docs survives
+#                         the line strip; 2 < excise_min_docs survives
+#                         excision) -> Bloom drops the higher id
+#   doc_id % 83 == 7   -> near-dup PAIRS (40 shared tokens + 1 unique;
+#                         jaccard 41/43 ~ 0.953 >= 0.8) -> MinHash
+#                         collapse keeps the lower id
+#   doc_id % 83 == 8   -> one 20-token span shared by >= 3 docs ->
+#                         excised from ALL copies (strip-everywhere)
+#   everything else    -> the real (ASCII-normalized) document text
+# Planted bodies interleave their class/variant marker into every
+# token so no >= excise_k-char substring is shared beyond the design.
+# min_docs is 3 for BOTH hygiene sketches so the planted PAIRS survive
+# hygiene and genuinely reach the dedup stages.
+#
+# Probes are mid-document 8-grams (tokens 13..20 of the extracted
+# text) of every 20th doc — self-hits when the source survives, real
+# cross-doc contamination otherwise; the chain runs tag_contaminated
+# with hash_fn="md5" (the engine-replayable form).
+#
+# Every sketch decision (line CMS, gram CMS) is replayed counter-by-
+# counter, so the comparison is exact at ANY SF including collisions.
+# 100 TB shape: the row IS the composition audit — each stage keeps
+# its own bounded state and epoch sinks (see streaming/front_door.py).
+
+_FD_MAXDOM = 15
+_FD_NDOM = 25
+_FD_LINE_MIN = 3
+_FD_K = 20
+_FD_EXCISE_MIN = 3
+_FD_THRESH = 0.8
+_FD_N = 8
+_FD_PROBE_EVERY = 20
+_FD_PROBE_SKIP = 12
+_FD_CMS_LINE_W, _FD_CMS_LINE_D = 8192, 5      # cms_strip_ingest defaults
+# gram sketch sized so eps*N stays FAR under excise_min_docs: quota
+# bounds survivors to _FD_NDOM * _FD_MAXDOM = 375 docs at ANY SF, so
+# distinct k-grams are ~260k; 2^20 cells/row puts the per-cell load at
+# ~0.25 — a unique gram needs +2 collision mass in EVERY row to be
+# wrongly cut (the 65536 default measurably mass-cut at this corpus:
+# ~375*700 inserts = ~4/cell load pushed unique grams past min_docs)
+_FD_CMS_GRAM_W, _FD_CMS_GRAM_D = 1 << 20, 5
+
+_FD_L_BODY = "boilerplate banner mirrored verbatim across portal pages"
+_FD_E_SPAN = " ".join(f"esw{j}" for j in range(20))
+_FD_FARM = "<a href='/f'>" + " ".join(f"lnk{j}" for j in range(40)) + "</a> z"
+_FD_PAGE_HEAD = (
+    "<html><head><title>Corpus page</title></head>"
+    "<body><nav><a href='/'>home</a></nav><p>"
+)
+_FD_PAGE_TAIL = "</p></body></html>"
+
+
+def _fd_pages(spark, sf_dir):
+    """(doc_id, url, page, status): the synthesized crawl."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", "[^\\x00-\\x7F]", "?"),
+            "[\\x00-\\x1F]",
+            " ",
+        ).alias("raw"),
+    )
+    v = F.expr("doc_id div 83 div 2").cast("string")
+    b_body = F.concat_ws(
+        " ", *[F.concat(F.lit("bd"), v, F.lit(f"x{j}")) for j in range(10)]
+    )
+    n_body = F.concat(
+        F.concat_ws(
+            " ",
+            *[F.concat(F.lit("nd"), v, F.lit(f"w{j}")) for j in range(40)],
+        ),
+        F.lit(" uq"),
+        F.col("doc_id").cast("string"),
+    )
+    e_body = F.concat(
+        F.lit(_FD_E_SPAN + " eu"),
+        F.col("doc_id").cast("string"),
+        F.lit(" tail"),
+        F.col("doc_id").cast("string"),
+    )
+    cls = F.col("doc_id") % 83
+    body = (
+        F.when(F.col("doc_id") % 97 == 2, F.lit(_FD_FARM))
+        .when(cls == 5, F.lit(_FD_L_BODY))
+        .when(cls == 6, b_body)
+        .when(cls == 7, n_body)
+        .when(cls == 8, e_body)
+        .otherwise(F.col("raw"))
+    )
+    page = F.concat(F.lit(_FD_PAGE_HEAD), body, F.lit(_FD_PAGE_TAIL))
+    status = F.when(
+        F.col("doc_id") % 97 == 1, F.lit("404 Not Found")
+    ).otherwise(F.lit("200 OK"))
+    url = F.concat(
+        F.lit("http://Site"),
+        (F.col("doc_id") % _FD_NDOM).cast("string"),
+        F.lit(".COM/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    return docs.select(
+        "doc_id", url.alias("url"), page.alias("page"), status.alias("status")
+    )
+
+
+def _fd_warc(spark, pages):
+    """Wrap pages as WARC/1.0 response records (gzip members for even
+    ids, plain for odd — both container paths), one payload per doc."""
+    import pandas as pd  # noqa: F401  (mapInPandas worker import)
+
+    def build(batches):
+        import gzip
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did, url, page, status in zip(
+                pdf["doc_id"], pdf["url"], pdf["page"], pdf["status"]
+            ):
+                body = page.encode("ascii", "replace")
+                http = (
+                    f"HTTP/1.1 {status}\r\nContent-Type: text/html\r\n"
+                    f"Content-Length: {len(body)}\r\n\r\n"
+                ).encode() + body
+                rec = (
+                    b"WARC/1.0\r\nWARC-Type: response\r\n"
+                    + f"WARC-Record-ID: <urn:doc:{did}>\r\n".encode()
+                    + f"WARC-Target-URI: {url}\r\n".encode()
+                    + b"Content-Type: application/http;msgtype=response\r\n"
+                    + f"Content-Length: {len(http)}\r\n\r\n".encode()
+                    + http
+                    + b"\r\n\r\n"
+                )
+                payloads.append(gzip.compress(rec) if did % 2 == 0 else rec)
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return pages.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(build, "asset_id long, payload binary")
+
+
+def _front_door_curation(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from polars_matmul_spark.operators.html import link_density, strip_html
+    from polars_matmul_spark.operators.text import tokens
+    from polars_matmul_spark.operators.warc import warc_table
+    from polars_matmul_spark.streaming.front_door import (
+        STAGE_DIRS,
+        front_door_batch,
+    )
+
+    root = tempfile.mkdtemp(prefix="fd_row_")
+    state_root = os.path.join(root, "state")
+    probes_dir = os.path.join(root, "probes")
+    try:
+        pages = _fd_pages(spark, sf_dir).localCheckpoint(eager=True)
+
+        # probe catalog: mid-document 8-grams of the EXTRACTED text of
+        # every 20th page — written first, the way a production run
+        # stages its benchmark suite before opening the front door
+        ext = pages.select("doc_id", strip_html(F.col("page")).alias("text"))
+        toks = tokens(F.col("text"))
+        probes = (
+            ext.filter(F.col("doc_id") % _FD_PROBE_EVERY == 0)
+            .select("doc_id", toks.alias("toks"))
+            .filter(F.size("toks") >= _FD_PROBE_SKIP + _FD_N)
+            .select(
+                F.col("doc_id").alias("probe_id"),
+                F.array_join(
+                    F.slice("toks", _FD_PROBE_SKIP + 1, _FD_N), " "
+                ).alias("text"),
+            )
+        )
+        probes.write.mode("overwrite").parquet(probes_dir)
+
+        raw = _fd_warc(spark, pages).localCheckpoint(eager=True)
+        front_door_batch(
+            spark,
+            raw,
+            0,
+            state_root,
+            probes_dir,
+            max_per_domain=_FD_MAXDOM,
+            line_min_docs=_FD_LINE_MIN,
+            excise_k=_FD_K,
+            excise_min_docs=_FD_EXCISE_MIN,
+            excise_cms_width=_FD_CMS_GRAM_W,
+            excise_cms_depth=_FD_CMS_GRAM_D,
+            minhash_threshold=_FD_THRESH,
+            decon_n=_FD_N,
+            decon_hash="md5",
+        )
+
+        # the head set (the one stage boundary the chain does not sink)
+        # re-derived with the same operators over the same records
+        records = warc_table(raw, record_types={"response"}).select(
+            F.col("asset_id").alias("doc_id"),
+            F.col("body").cast("string").alias("html"),
+            "http_status",
+        )
+        head = (
+            records.filter(F.col("http_status") == 200)
+            .filter(link_density(F.col("html")) < 0.9)
+            .select("doc_id")
+        )
+
+        def _ep(key):
+            return spark.read.parquet(
+                os.path.join(state_root, STAGE_DIRS[key], "epoch=0")
+            )
+
+        def _stage(df, name, fp=None, n_hits=None):
+            return df.select(
+                F.lit(name).alias("stage"),
+                "doc_id",
+                (fp if fp is not None else F.lit(None).cast("string")).alias(
+                    "fp"
+                ),
+                (
+                    n_hits if n_hits is not None else F.lit(0).cast("long")
+                ).alias("n_hits"),
+            )
+
+        out = (
+            _stage(head, "head")
+            .unionByName(_stage(_ep("quota"), "quota"))
+            .unionByName(_stage(_ep("excised"), "hygiene", fp=F.md5("text")))
+            .unionByName(_stage(_ep("minhash_corpus"), "unique"))
+            .unionByName(_stage(_ep("clean"), "clean"))
+            .unionByName(
+                _stage(
+                    _ep("flagged"),
+                    "flagged",
+                    fp=F.col("probe_ids"),
+                    n_hits=F.col("n_hits").cast("long"),
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _fd_oracle() -> str:
+    from polars_matmul_spark.queries_multimodal import _duck_strip_html
+    from polars_matmul_spark.queries_text import (
+        _excise_cms_hits_cte,
+        _excise_reassembly_sql,
+    )
+
+    # variant-token bodies via one replace() over a '#' template — a
+    # 40-term '||' chain trips DuckDB's binder recursion limit
+    b_tpl = " ".join(f"bd#x{j}" for j in range(10))
+    n_tpl = " ".join(f"nd#w{j}" for j in range(40))
+    v_sql = "CAST(doc_id // 83 // 2 AS VARCHAR)"
+    b_body = f"replace('{b_tpl}', '#', {v_sql})"
+    n_body = f"replace('{n_tpl}', '#', {v_sql}) || ' uq' || doc_id"
+    e_body = f"'{_FD_E_SPAN} eu' || doc_id || ' tail' || doc_id"
+    # the excise replay over the line-clean CTE, embedded as a subquery
+    # (its own WITH runs against lc)
+    excise_sql = _excise_reassembly_sql(
+        _excise_cms_hits_cte(_FD_CMS_GRAM_W, _FD_CMS_GRAM_D, _FD_EXCISE_MIN),
+        _FD_K,
+        src="lc",
+    )
+    w, d = _FD_CMS_LINE_W, _FD_CMS_LINE_D
+    return rf"""
+WITH RECURSIVE norm AS MATERIALIZED (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(text, '[^\x00-\x7F]', '?', 'g'),
+                        '[\x00-\x1F]', ' ', 'g') AS raw
+  FROM documents
+), pg AS MATERIALIZED (
+  SELECT doc_id,
+         '{_FD_PAGE_HEAD.replace("'", "''")}' || CASE
+            WHEN doc_id % 83 = 5 THEN '{_FD_L_BODY}'
+            WHEN doc_id % 83 = 6 THEN {b_body}
+            WHEN doc_id % 83 = 7 THEN {n_body}
+            WHEN doc_id % 83 = 8 THEN {e_body}
+            ELSE raw
+         END || '{_FD_PAGE_TAIL}' AS page
+  FROM norm
+  WHERE doc_id % 97 != 1 AND doc_id % 97 != 2
+), ext AS MATERIALIZED (
+  SELECT doc_id, {_duck_strip_html('page')} AS text,
+         doc_id % {_FD_NDOM} AS dom
+  FROM pg
+), quota AS MATERIALIZED (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY dom ORDER BY doc_id) AS rk
+    FROM ext
+  ) WHERE rk <= {_FD_MAXDOM}
+), lh AS MATERIALIZED (
+  SELECT doc_id, text,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
+         trim(text) = '' AS is_blank
+  FROM quota
+), lcnt AS MATERIALIZED (
+  SELECT r.range AS row, (h1 + r.range * h2) % {w} AS col, SUM(n) AS n
+  FROM (
+    SELECT ('0x' || substr(md5(h), 1, 12))::BIGINT AS h1,
+           ('0x' || substr(md5(h), 13, 12))::BIGINT * 2 + 1 AS h2,
+           n
+    FROM (SELECT h, count(DISTINCT doc_id) AS n
+          FROM lh WHERE NOT is_blank GROUP BY h)
+  ) CROSS JOIN range(0, {d}) r GROUP BY 1, 2
+), lest AS MATERIALIZED (
+  SELECT hh.h, MIN(coalesce(lcnt.n, 0)) AS est
+  FROM (
+    SELECT DISTINCT h,
+           ('0x' || substr(md5(h), 1, 12))::BIGINT AS h1,
+           ('0x' || substr(md5(h), 13, 12))::BIGINT * 2 + 1 AS h2
+    FROM lh
+  ) hh CROSS JOIN range(0, {d}) r
+  LEFT JOIN lcnt ON lcnt.row = r.range
+                AND lcnt.col = (hh.h1 + r.range * hh.h2) % {w}
+  GROUP BY hh.h
+), lc AS MATERIALIZED (
+  SELECT lh.doc_id,
+         CASE WHEN lest.est >= {_FD_LINE_MIN} AND NOT lh.is_blank
+              THEN '' ELSE lh.text END AS text
+  FROM lh JOIN lest ON lh.h = lest.h
+), ex AS MATERIALIZED (
+  {excise_sql}
+), bl AS MATERIALIZED (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (
+             PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+',
+                                             ' ', 'g'))
+             ORDER BY doc_id
+           ) AS rk
+    FROM ex
+  ) WHERE rk = 1
+), mtok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM bl
+), msh AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        for i in range(1, len(toks) - 1)]) AS shingles
+  FROM mtok WHERE len(toks) >= 3
+), mex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM msh
+), mip AS MATERIALIZED (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM mex a JOIN mex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), msz AS (
+  SELECT doc_id, len(shingles) AS n_sh FROM msh
+), mp AS MATERIALIZED (
+  SELECT d1, d2 FROM mip
+  JOIN msz s1 ON d1 = s1.doc_id
+  JOIN msz s2 ON d2 = s2.doc_id
+  WHERE CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) >= {_FD_THRESH}
+), medge AS (
+  SELECT d1 AS a, d2 AS b FROM mp UNION SELECT d2, d1 FROM mp
+), mreach AS (
+  SELECT a, b FROM medge
+  UNION
+  SELECT r.a, e.b FROM mreach r JOIN medge e ON r.b = e.a
+), mdrop AS (
+  SELECT a AS doc_id FROM mreach GROUP BY a HAVING least(a, min(b)) != a
+), uniq AS MATERIALIZED (
+  SELECT doc_id, text FROM bl
+  WHERE doc_id NOT IN (SELECT doc_id FROM mdrop)
+), probes AS MATERIALIZED (
+  SELECT doc_id AS probe_id,
+         array_to_string(
+           toks[{_FD_PROBE_SKIP + 1}:{_FD_PROBE_SKIP + _FD_N}], ' '
+         ) AS ptext
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM ext WHERE doc_id % {_FD_PROBE_EVERY} = 0)
+  WHERE len(toks) >= {_FD_PROBE_SKIP + _FD_N}
+), dg AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+{_FD_N - 1}], ' ') AS g
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM uniq) u,
+       unnest(range(1, len(toks) - {_FD_N} + 2)) AS t(i)
+  WHERE len(toks) >= {_FD_N}
+), pgm AS (
+  SELECT DISTINCT probe_id, md5(ptext) AS h FROM probes
+), fhits AS MATERIALIZED (
+  SELECT dg.doc_id, pgm.probe_id FROM dg JOIN pgm ON md5(dg.g) = pgm.h
+), flag AS MATERIALIZED (
+  SELECT doc_id, count(*) AS n_hits,
+         array_to_string(list(DISTINCT probe_id ORDER BY probe_id), ':')
+           AS probe_ids
+  FROM fhits GROUP BY doc_id
+)
+SELECT 'head' AS stage, doc_id, CAST(NULL AS VARCHAR) AS fp,
+       CAST(0 AS BIGINT) AS n_hits FROM ext
+UNION ALL
+SELECT 'quota', doc_id, NULL, 0 FROM quota
+UNION ALL
+SELECT 'hygiene', doc_id, md5(text), 0 FROM ex
+UNION ALL
+SELECT 'unique', doc_id, NULL, 0 FROM uniq
+UNION ALL
+SELECT 'clean', doc_id, NULL, 0 FROM uniq
+  WHERE doc_id NOT IN (SELECT doc_id FROM flag)
+UNION ALL
+SELECT 'flagged', doc_id, probe_ids, n_hits FROM flag
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     # tfidf_weights rotated out in round 6: bm25_search drives the same
     # tokenize/df/idf machinery end-to-end and stays green; the exact
@@ -857,4 +1291,8 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     # family keeps cms_line_dedup driver-gated; the exact variant keeps
     # its full value comparison in the rotated pytest gate):
     "rank_eval_hybrid": (_rank_eval_hybrid, _rank_eval_oracle()),
+    # round 11: the composed streaming front door gets a driver row
+    # (slot freed by rotating bloom_incremental_dedup — its Bloom gate
+    # runs driver-gated INSIDE this chain's exact-dedup stage):
+    "front_door_curation": (_front_door_curation, _fd_oracle()),
 }

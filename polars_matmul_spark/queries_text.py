@@ -424,14 +424,17 @@ FROM reach GROUP BY a
 _EXCISE_K = 12
 
 
-def _excise_reassembly_sql(hits_cte: str, k: int) -> str:
+def _excise_reassembly_sql(hits_cte: str, k: int, src: str = "documents") -> str:
     """The shared gaps-and-islands reassembly over a ``hits(doc_id,
     pos)`` CTE: merge overlapping [pos, pos+k) intervals per doc with a
     running-max window, stitch the kept gaps back in document order —
-    the SQL mirror of winnow._excise_reassemble's row-local fold."""
+    the SQL mirror of winnow._excise_reassemble's row-local fold.
+    ``src`` is the (doc_id, text) relation to excise — a table/view
+    name or a CTE name when the returned SQL is embedded as a
+    subquery (the front-door composition does this)."""
     return f"""
 WITH d AS (
-  SELECT doc_id, text FROM documents WHERE length(text) >= {k}
+  SELECT doc_id, text FROM {src} WHERE length(text) >= {k}
 ), idx AS (
   SELECT doc_id, text,
          unnest(range(1, length(text) - {k} + 2)) AS i
@@ -465,7 +468,7 @@ SELECT doc.doc_id,
          AS text,
        COALESCE(n_spans_removed, 0) AS n_spans_removed,
        COALESCE(n_chars_removed, 0) AS n_chars_removed
-FROM documents doc LEFT JOIN agg USING (doc_id)
+FROM {src} doc LEFT JOIN agg USING (doc_id)
 """
 
 
@@ -600,8 +603,12 @@ FROM s GROUP BY d1, d2
 """
 
 
-_EXCISE_CMS_ORACLE = _excise_reassembly_sql(
-    f"""wc AS (
+def _excise_cms_hits_cte(width: int, depth: int, min_docs: int) -> str:
+    """The gram-CMS replay fragment (distinct-per-doc counts -> md5
+    double-hash counters -> min-fold estimates -> hit positions at
+    ``est >= min_docs``) over the ``g(doc_id, pos, h)`` gram CTE the
+    reassembly SQL provides."""
+    return f"""wc AS (
   SELECT h, COUNT(DISTINCT doc_id) AS n FROM g GROUP BY h
 ), hh AS (
   SELECT h, n,
@@ -609,18 +616,22 @@ _EXCISE_CMS_ORACLE = _excise_reassembly_sql(
          ('0x' || substr(md5(CAST(h AS VARCHAR)), 13, 12))::BIGINT * 2 + 1 AS h2
   FROM wc
 ), cnt AS (
-  SELECT r.range AS row, (h1 + r.range * h2) % {_EXCISE_CMS_W} AS col,
+  SELECT r.range AS row, (h1 + r.range * h2) % {width} AS col,
          SUM(n) AS n
-  FROM hh CROSS JOIN range(0, {_EXCISE_CMS_D}) r GROUP BY 1, 2
+  FROM hh CROSS JOIN range(0, {depth}) r GROUP BY 1, 2
 ), est AS (
   SELECT hh.h, MIN(coalesce(cnt.n, 0)) AS est
-  FROM hh CROSS JOIN range(0, {_EXCISE_CMS_D}) r
+  FROM hh CROSS JOIN range(0, {depth}) r
   LEFT JOIN cnt ON cnt.row = r.range
-              AND cnt.col = (hh.h1 + r.range * hh.h2) % {_EXCISE_CMS_W}
+              AND cnt.col = (hh.h1 + r.range * hh.h2) % {width}
   GROUP BY hh.h
 ), hits AS (
-  SELECT g.doc_id, g.pos FROM g JOIN est USING (h) WHERE est.est >= 2
-)""",
+  SELECT g.doc_id, g.pos FROM g JOIN est USING (h) WHERE est.est >= {min_docs}
+)"""
+
+
+_EXCISE_CMS_ORACLE = _excise_reassembly_sql(
+    _excise_cms_hits_cte(_EXCISE_CMS_W, _EXCISE_CMS_D, 2),
     _EXCISE_K,
 )
 
@@ -819,13 +830,10 @@ _PR_DAMP = 85
 _PR_SCALE = 1_000_000_000_000
 
 
-def _domain_pagerank(spark, sf_dir):
-    from polars_matmul_spark.operators.linkgraph import (
-        domain_edges,
-        pagerank_dual,
-    )
-
-    docs = _docs(spark, sf_dir).select("doc_id")
+def _pr_synth_pages(docs):
+    """(url, text) page synthesis shared by the PageRank rows — HTML
+    from doc_id arithmetic (see the comment block above) so the
+    oracles derive the expected EDGE SET independently."""
     html = F.concat(
         F.lit('<p><a href="https://www.Site'),
         ((F.col("doc_id") + 1) % 5).cast("string"),
@@ -850,7 +858,16 @@ def _domain_pagerank(spark, sf_dir):
         F.lit(".COM/p/"),
         F.col("doc_id").cast("string"),
     )
-    pages = docs.select(url.alias("url"), html.alias("text"))
+    return docs.select(url.alias("url"), html.alias("text"))
+
+
+def _domain_pagerank(spark, sf_dir):
+    from polars_matmul_spark.operators.linkgraph import (
+        domain_edges,
+        pagerank_dual,
+    )
+
+    pages = _pr_synth_pages(_docs(spark, sf_dir).select("doc_id"))
     # materialize the slim edge table once — the dual PageRank and
     # both degree aggs otherwise re-run the synth + extract chain per
     # action
@@ -880,17 +897,12 @@ def _domain_pagerank(spark, sf_dir):
     )
 
 
-def _pr_oracle() -> str:
-    """Unrolled integer PageRank oracle: the edge set derived from the
-    same doc_id arithmetic the Spark side synthesizes its HTML from,
-    then _PR_ITER exact integer iterations for both variants."""
-    damp, scale = _PR_DAMP, _PR_SCALE
-
-    def default_step(out: str, prev: str) -> str:
-        return f"""{out} AS (
+def _pr_default_step(out: str, prev: str) -> str:
+    """SQL for one conservative-leak integer PageRank step."""
+    return f"""{out} AS MATERIALIZED (
   SELECT n.node,
          (SELECT base FROM consts)
-           + coalesce(sum(({prev}.rank * {damp} // 100) // deg.d), 0) AS rank
+           + coalesce(sum(({prev}.rank * {_PR_DAMP} // 100) // deg.d), 0) AS rank
   FROM nodes n
   LEFT JOIN e ON e.dst = n.node
   LEFT JOIN {prev} ON {prev}.node = e.src
@@ -898,43 +910,44 @@ def _pr_oracle() -> str:
   GROUP BY n.node
 )"""
 
-    def conserving_step(out: str, prev: str) -> str:
-        return f"""{out}i AS (
+
+def _pr_conserving_step(out: str, prev: str) -> str:
+    """SQL for one mass-conserving integer PageRank step (the scalar
+    residual as a subquery)."""
+    return f"""{out}i AS MATERIALIZED (
   SELECT n.node,
-         coalesce(sum(({prev}.rank * {damp} // 100) // deg.d), 0) AS inc
+         coalesce(sum(({prev}.rank * {_PR_DAMP} // 100) // deg.d), 0) AS inc
   FROM nodes n
   LEFT JOIN e ON e.dst = n.node
   LEFT JOIN {prev} ON {prev}.node = e.src
   LEFT JOIN deg ON deg.src = e.src
   GROUP BY n.node
-), {out} AS (
+), {out} AS MATERIALIZED (
   SELECT node,
          (SELECT base FROM consts) + inc
-           + ({scale} - (SELECT n * base FROM consts)
+           + ({_PR_SCALE} - (SELECT n * base FROM consts)
               - (SELECT sum(inc) FROM {out}i))
              // (SELECT n FROM consts) AS rank
   FROM {out}i
 )"""
 
-    steps = []
-    prev_d, prev_c = "r0", "r0"
-    for i in range(1, _PR_ITER + 1):
-        steps.append(default_step(f"d{i}", prev_d))
-        steps.append(conserving_step(f"c{i}", prev_c))
-        prev_d, prev_c = f"d{i}", f"c{i}"
-    body = ",\n".join(steps)
-    return f"""
-WITH e AS (
+
+def _pr_graph_preamble(cond: str = "TRUE") -> str:
+    """Shared oracle CTE preamble: edge set from the page-synthesis
+    doc_id arithmetic (``cond`` filters the contributing docs), node
+    table, degrees, integer consts, r0."""
+    scale, damp = _PR_SCALE, _PR_DAMP
+    return f"""e AS MATERIALIZED (
   SELECT DISTINCT 'site' || (doc_id % 5) || '.com' AS src,
                   'site' || ((doc_id + 1) % 5) || '.com' AS dst
-  FROM documents
+  FROM documents WHERE {cond}
   UNION
   SELECT DISTINCT 'site' || (doc_id % 5) || '.com',
                   'hub' || (doc_id % 3) || '.net'
-  FROM documents
+  FROM documents WHERE {cond}
   UNION
   SELECT DISTINCT 'site' || (doc_id % 5) || '.com', 'sink.org'
-  FROM documents WHERE doc_id % 6 = 0
+  FROM documents WHERE doc_id % 6 = 0 AND {cond}
 ), nodes AS (
   SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e
 ), deg AS (
@@ -948,7 +961,22 @@ WITH e AS (
   FROM nodes
 ), r0 AS (
   SELECT node, (SELECT r_init FROM consts) AS rank FROM nodes
-),
+)"""
+
+
+def _pr_oracle() -> str:
+    """Unrolled integer PageRank oracle: the edge set derived from the
+    same doc_id arithmetic the Spark side synthesizes its HTML from,
+    then _PR_ITER exact integer iterations for both variants."""
+    steps = []
+    prev_d, prev_c = "r0", "r0"
+    for i in range(1, _PR_ITER + 1):
+        steps.append(_pr_default_step(f"d{i}", prev_d))
+        steps.append(_pr_conserving_step(f"c{i}", prev_c))
+        prev_d, prev_c = f"d{i}", f"c{i}"
+    body = ",\n".join(steps)
+    return f"""
+WITH {_pr_graph_preamble()},
 {body}
 SELECT n.node,
        CAST(coalesce(deg.d, 0) AS BIGINT) AS out_degree,
@@ -960,6 +988,85 @@ LEFT JOIN deg ON deg.src = n.node
 LEFT JOIN degin ON degin.dst = n.node
 JOIN {prev_d} ON {prev_d}.node = n.node
 JOIN {prev_c} ON {prev_c}.node = n.node
+"""
+
+
+# --- iterate-until-converged PageRank driver row (round-11 promotion,
+# the r10 verdict's ask #4): the stop rule is an EXACT integer
+# decision (order-independent sum of |Δrank| longs), so the iteration
+# count is engine-deterministic and the oracle can unroll to it.
+#
+# The row runs on docs with doc_id < _PRC_MAXDOC only: the synthesized
+# graph depends on doc_ids solely through (%5, %3, %6) residues, and
+# 0..29 already realizes every residue combination, so the graph is
+# the SAME fixed 9-node / 25-edge graph the full corpus yields at any
+# SF — the extraction chain stays scale-gated by domain_pagerank; this
+# row gates the STOP RULE. On that graph the conserving-variant delta
+# sequence is (pure-integer replication, damping 85, scale 1e12):
+#   it4 9_269_644_303,  it5 2_801_492_516,  it6 846_673_298
+# so tol 5e9 stops at EXACTLY n_iter = 5 with ~1.8x margin on both
+# sides. If the engine's stop rule ever drifted by one iteration, the
+# emitted n_iter/final_delta constants AND every rank value would
+# hash-mismatch.
+_PRC_TOL = 5_000_000_000
+_PRC_MAXDOC = 30
+_PRC_ITERS = 5
+
+
+def _pagerank_converged_q(spark, sf_dir):
+    from polars_matmul_spark.operators.linkgraph import (
+        domain_edges,
+        pagerank_converged,
+    )
+
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .filter(F.col("doc_id") < _PRC_MAXDOC)
+    )
+    edges = domain_edges(_pr_synth_pages(docs)).localCheckpoint(eager=False)
+    ranks, info = pagerank_converged(
+        edges,
+        max_iter=20,
+        tol_units=_PRC_TOL,
+        damping=_PR_DAMP,
+        scale=_PR_SCALE,
+    )
+    return ranks.select(
+        "node",
+        "rank",
+        F.lit(int(info["n_iter"])).cast("long").alias("n_iter"),
+        F.lit(int(info["final_delta_units"]))
+        .cast("long")
+        .alias("final_delta_units"),
+        F.lit(bool(info["converged"])).alias("converged"),
+    )
+
+
+def _prc_oracle() -> str:
+    """Conserving-step unroll to the deterministic stop iteration;
+    final_delta/converged derived IN SQL from the last two rank
+    tables, n_iter pinned to the replicated stop count."""
+    steps = []
+    prev = "r0"
+    for i in range(1, _PRC_ITERS + 1):
+        steps.append(_pr_conserving_step(f"c{i}", prev))
+        prev = f"c{i}"
+    last, before = f"c{_PRC_ITERS}", f"c{_PRC_ITERS - 1}"
+    body = ",\n".join(steps)
+    return f"""
+WITH {_pr_graph_preamble(f'doc_id < {_PRC_MAXDOC}')},
+{body},
+delta AS (
+  SELECT sum(abs(a.rank - b.rank)) AS d
+  FROM {last} a JOIN {before} b ON a.node = b.node
+)
+SELECT a.node,
+       CAST(a.rank AS BIGINT) AS rank,
+       CAST({_PRC_ITERS} AS BIGINT) AS n_iter,
+       CAST((SELECT d FROM delta) AS BIGINT) AS final_delta_units,
+       (SELECT d FROM delta) <= {_PRC_TOL} AS converged
+FROM {last} a
 """
 
 
@@ -1012,10 +1119,11 @@ TEXT_QUERIES: dict[str, tuple] = {
     # rotate to the pytest gate — window-rank, bit-interleave and
     # time-bucket classes multiply covered there):
     "shared_span_stats": (_shared_span_stats_q, _SPAN_STATS_ORACLE),
-    # round-9 second wave: benchmark decontamination gets a driver row
-    # (bm25_search rotated to the pytest gate — its tokenize/df/idf/dl
-    # machinery now runs driver-gated end-to-end INSIDE
-    # hybrid_rrf_search's two lexical legs; exact value comparison
-    # kept in test_oracle_parity's rotated-query gate):
-    "decontaminate_docs": (_decontaminate_docs, _DECON_ORACLE),
+    # decontaminate_docs rotated out in round 11: tag_contaminated's
+    # md5-gram machinery now runs driver-gated end-to-end as the final
+    # stage of front_door_curation (queries_pipeline.py) and the
+    # standalone row keeps its exact value comparison in
+    # test_oracle_parity's rotated-query gate. Slot freed for the
+    # iterate-until-converged PageRank row:
+    "pagerank_converged_domains": (_pagerank_converged_q, _prc_oracle()),
 }

@@ -108,15 +108,27 @@ def front_door_batch(
     line_min_docs: int = 3,
     excise_k: int = 20,
     excise_min_docs: int = 2,
+    excise_cms_width: int = 65536,
+    excise_cms_depth: int = 5,
     minhash_threshold: float = 0.8,
     decon_n: int = 8,
+    decon_hash: str = "xxhash64",
     id_col: str = "asset_id",
+    timings: dict | None = None,
 ) -> None:
     """Admit one micro-batch of raw WARC payloads
     (``id_col`` long, ``payload`` binary) through the whole front
     door; the surviving documents land in
     ``state_root/06_clean/epoch=N`` (with ``06_flagged`` carrying the
-    decontamination rejects and each stage dir its own state)."""
+    decontamination rejects and each stage dir its own state).
+
+    ``timings``: optional dict; each sub-stage appends its wall
+    seconds to ``timings[stage]`` and each epoch-dir read-back to
+    ``timings["readback"]`` — the observability the dry run reports
+    (where does an epoch's wall actually go?).
+    """
+    import time as _time
+
     from polars_matmul_spark.operators.html import (
         extract_title,
         link_density,
@@ -126,6 +138,19 @@ def front_door_batch(
 
     def _dir(key: str) -> str:
         return os.path.join(state_root, STAGE_DIRS[key])
+
+    _t = [_time.perf_counter()]
+
+    def _mark(stage: str) -> None:
+        now = _time.perf_counter()
+        if timings is not None:
+            timings.setdefault(stage, []).append(now - _t[0])
+        _t[0] = now
+
+    def _read(key: str):
+        out = _epoch_output(spark, state_root, key, epoch_id)
+        _mark("readback")
+        return out
 
     # --- stateless head: WARC records -> boilerplate-gated HTML text
     records = warc_table(
@@ -145,6 +170,7 @@ def front_door_batch(
         .select("doc_id", "url", "title", "text")
         .localCheckpoint(eager=True)
     )
+    _mark("head")
 
     # --- stateful chain: each stage admits, commits its epoch dir,
     # and hands its output to the next
@@ -152,7 +178,8 @@ def front_door_batch(
         spark, docs, epoch_id, _dir("quota"),
         max_per_domain=max_per_domain, psl=psl,
     )
-    cur = _epoch_output(spark, state_root, "quota", epoch_id)
+    _mark("quota")
+    cur = _read("quota")
     if cur is None:
         return
     # the hygiene protocol canonicalizes its input to (doc_id, text);
@@ -163,15 +190,23 @@ def front_door_batch(
         spark, cur, epoch_id, _dir("line_cms"), _dir("line_clean"),
         min_docs=line_min_docs,
     )
-    cur = _epoch_output(spark, state_root, "line_clean", epoch_id)
+    _mark("line_strip")
+    cur = _read("line_clean")
     if cur is None:
         return
 
+    # CMS sizing is the caller's contract: the sketch must keep
+    # eps*N (N = distinct k-grams EVER inserted) well under
+    # excise_min_docs or collisions excise unique prose (the CMS
+    # error is one-sided). The default suits micro-batches; size up
+    # for wide corpora.
     excise_ingest_batch(
         spark, cur, epoch_id, _dir("gram_cms"), _dir("excised"),
         k=excise_k, min_docs=excise_min_docs,
+        width=excise_cms_width, depth=excise_cms_depth,
     )
-    cur = _epoch_output(spark, state_root, "excised", epoch_id)
+    _mark("excise")
+    cur = _read("excised")
     if cur is None:
         return
     cur = cur.join(extras, "doc_id")
@@ -179,7 +214,8 @@ def front_door_batch(
     bloom_ingest_batch(
         spark, cur, epoch_id, _dir("bloom"), _dir("bloom_corpus")
     )
-    cur = _epoch_output(spark, state_root, "bloom_corpus", epoch_id)
+    _mark("bloom")
+    cur = _read("bloom_corpus")
     if cur is None:
         return
 
@@ -187,14 +223,16 @@ def front_door_batch(
         spark, cur, epoch_id, _dir("minhash_index"), _dir("minhash_corpus"),
         threshold=minhash_threshold,
     )
-    cur = _epoch_output(spark, state_root, "minhash_corpus", epoch_id)
+    _mark("minhash")
+    cur = _read("minhash_corpus")
     if cur is None:
         return
 
     decontaminate_ingest_batch(
         spark, cur, epoch_id, probes_dir, _dir("clean"), _dir("flagged"),
-        n=decon_n,
+        n=decon_n, hash_fn=decon_hash,
     )
+    _mark("decontaminate")
 
 
 def run_front_door_stream(
@@ -209,9 +247,13 @@ def run_front_door_stream(
     line_min_docs: int = 3,
     excise_k: int = 20,
     excise_min_docs: int = 2,
+    excise_cms_width: int = 65536,
+    excise_cms_depth: int = 5,
     minhash_threshold: float = 0.8,
     decon_n: int = 8,
+    decon_hash: str = "xxhash64",
     max_files_per_trigger: int = 1,
+    timings: dict | None = None,
 ):
     """Drive the front door over a WARC payload file stream
     (availableNow); returns the finished query."""
@@ -227,7 +269,10 @@ def run_front_door_stream(
             max_per_domain=max_per_domain, psl=psl,
             line_min_docs=line_min_docs, excise_k=excise_k,
             excise_min_docs=excise_min_docs,
+            excise_cms_width=excise_cms_width,
+            excise_cms_depth=excise_cms_depth,
             minhash_threshold=minhash_threshold, decon_n=decon_n,
+            decon_hash=decon_hash, timings=timings,
         )
 
     q = (

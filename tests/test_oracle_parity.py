@@ -202,6 +202,12 @@ def _rotated_queries():
         # line-dedup family keeps cms_line_dedup driver-gated)
         "simhash_fingerprint": (qt._simhash, qt._duck_simhash()),
         "line_dedup_strip": (qd._line_dedup_strip, qd._LINE_DEDUP_ORACLE),
+        # round-11 rotation: slots freed for front_door_curation (whose
+        # chain runs the Bloom fingerprint gate and md5-gram
+        # decontamination driver-gated end-to-end) and
+        # pagerank_converged_domains
+        "decontaminate_docs": (qt._decontaminate_docs, qt._DECON_ORACLE),
+        "bloom_incremental_dedup": (qd._bloom_incremental, qd._BLOOM_ORACLE),
     }
 
 
