@@ -259,8 +259,9 @@ def main() -> None:
         "dsir_resample",
         "token_shards_assign",
         # pq_adc_topk left the registry in the round-9 second wave
-        # (ADC mechanism stays timed through ivfpq_adc_topk)
-        "bloom_incremental_dedup",
+        # (ADC mechanism stays timed through ivfpq_adc_topk);
+        # bloom_incremental_dedup left in round 11 (the Bloom gate is
+        # timed inside front_door_curation's exact-dedup stage)
         # round-5 rotation: embedding-dedup families (funnel_steps /
         # retention_cohorts / sessionize_events left the registry in
         # the round-7 rotation)
@@ -312,12 +313,18 @@ def main() -> None:
         # its machinery is timed inside hybrid_rrf_search's legs)
         "hybrid_rrf_search",
         "maxsim_multivector_topk",
-        "decontaminate_docs",
+        # decontaminate_docs left the registry in round 11 (md5-gram
+        # decontamination is timed as front_door_curation's last stage)
         # round-10 promotions: integer fixed-point PageRank over the
         # synthesized link graph (both variants) and retrieval
         # evaluation composed onto the hybrid run
         "domain_pagerank",
         "rank_eval_hybrid",
+        # round-11 promotions: the composed 8-stage streaming front
+        # door batch-driven as one epoch, and the exact integer
+        # convergence stop rule on the fixed residue graph
+        "front_door_curation",
+        "pagerank_converged_domains",
     ]
     # best-of-2 per query (the round-2 bench recorded 2-6x phantom
     # regressions that two idle reruns traced to transient machine
