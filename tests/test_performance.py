@@ -212,11 +212,10 @@ _CEILINGS_SF01 = {
     "quality_model_score": 2.0,
     "dsir_resample": 7.0,
     "token_shards_assign": 2.5,
-    # round-4 bloom row (wall 1.3s on a 3.6x-loaded box, so idle
-    # ~0.4s; ceiling sized from the loaded measurement). pq_adc_topk
-    # left the registry in the round-9 second wave — its ADC wall
-    # stays bounded through ivfpq_adc_topk
-    "bloom_incremental_dedup": 5.0,
+    # round-4 bloom row left the registry in the round-11 rotation
+    # (the Bloom gate's wall is bounded inside front_door_curation's
+    # ceiling below). pq_adc_topk left the registry in the round-9
+    # second wave — its ADC wall stays bounded through ivfpq_adc_topk
     # round-5 rotation rows (idle walls from the self-gated bench at
     # calibration 1.02x: 3.53 / 2.46 / 1.33 / 0.76 / 0.63 s — ~4x
     # ceilings; funnel_steps and retention_cohorts left the registry
@@ -281,10 +280,9 @@ _CEILINGS_SF01 = {
     # contended reading)
     "hybrid_rrf_search": 12.0,
     "maxsim_multivector_topk": 4.5,
-    # benchmark decontamination (idle warm wall ~2.2 s: the md5-per-
-    # gram scan over the full corpus is the cost; the probe join is a
-    # broadcast)
-    "decontaminate_docs": 9.0,
+    # decontaminate_docs left the registry in the round-11 rotation
+    # (the md5-gram decontamination wall is bounded inside
+    # front_door_curation's ceiling below)
     # perceptual image dedup (idle warm wall ~5.5 s: 6250 BMP
     # synth+decode+dhash Python passes dominate; the band join is slim
     # longs)
@@ -297,6 +295,14 @@ _CEILINGS_SF01 = {
     # rank_eval recomputes the hybrid run as its input (~3.4 s idle).
     "domain_pagerank": 16.0,
     "rank_eval_hybrid": 14.0,
+    # round-11 promotions. front_door_curation is the 8-stage composed
+    # chain (~10 sub-stages' fixed job overhead dominates; quota bounds
+    # deep stages to 375 docs at ANY SF; warm bench walls 20.9/21.7 s,
+    # bare fresh-session 34 s). pagerank_converged_domains is
+    # job-count-bound like domain_pagerank (5 iterations x step +
+    # 1-row delta collect on a 9-node graph; warm walls 10.5-11.9 s).
+    "front_door_curation": 45.0,
+    "pagerank_converged_domains": 22.0,
 }
 
 
