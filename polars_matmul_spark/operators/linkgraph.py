@@ -151,9 +151,20 @@ def _graph_tables(edges, src_col, dst_col):
     rank) tables by the data instead: ~50k rows per partition, floored
     at 1 — a 9-node driver-row graph iterates in single-task jobs, a
     1e9-node graph still spreads across the cluster."""
-    e = edges.select(
-        F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
-    ).distinct()
+    # e and deg are lazily checkpointed: every iteration joins BOTH,
+    # and without the checkpoint each step-job re-runs the edge dedup
+    # shuffle and the degree agg from scratch. The lazy form costs no
+    # extra job — e materializes inside the nodes-count job (AQE has
+    # coalesced the distinct's output by then, so the pinned RDD
+    # carries the coalesced partitioning, not the raw
+    # spark.sql.shuffle.partitions), deg inside the first iteration.
+    e = (
+        edges.select(
+            F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     nodes = (
         e.select(F.col("__src").alias("node"))
         .unionByName(e.select(F.col("__dst").alias("node")))
@@ -163,7 +174,11 @@ def _graph_tables(edges, src_col, dst_col):
     n = nodes.count()
     parts = max(1, min(int(n // 50_000) + 1, 100_000))
     nodes = nodes.coalesce(parts).localCheckpoint(eager=False)
-    deg = e.groupBy("__src").agg(F.count("*").alias("__deg"))
+    deg = (
+        e.groupBy("__src")
+        .agg(F.count("*").alias("__deg"))
+        .localCheckpoint(eager=False)
+    )
     return nodes, e, deg, n, parts
 
 
