@@ -980,9 +980,8 @@ def _front_door_curation(spark, sf_dir):
     import shutil
     import tempfile
 
-    from polars_matmul_spark.operators.html import link_density, strip_html
+    from polars_matmul_spark.operators.html import strip_html
     from polars_matmul_spark.operators.text import tokens
-    from polars_matmul_spark.operators.warc import warc_table
     from polars_matmul_spark.streaming.front_door import (
         STAGE_DIRS,
         front_door_batch,
@@ -1030,19 +1029,6 @@ def _front_door_curation(spark, sf_dir):
             decon_hash="md5",
         )
 
-        # the head set (the one stage boundary the chain does not sink)
-        # re-derived with the same operators over the same records
-        records = warc_table(raw, record_types={"response"}).select(
-            F.col("asset_id").alias("doc_id"),
-            F.col("body").cast("string").alias("html"),
-            "http_status",
-        )
-        head = (
-            records.filter(F.col("http_status") == 200)
-            .filter(link_density(F.col("html")) < 0.9)
-            .select("doc_id")
-        )
-
         def _ep(key):
             return spark.read.parquet(
                 os.path.join(state_root, STAGE_DIRS[key], "epoch=0")
@@ -1061,7 +1047,7 @@ def _front_door_curation(spark, sf_dir):
             )
 
         out = (
-            _stage(head, "head")
+            _stage(_ep("head"), "head")
             .unionByName(_stage(_ep("quota"), "quota"))
             .unionByName(_stage(_ep("excised"), "hygiene", fp=F.md5("text")))
             .unionByName(_stage(_ep("minhash_corpus"), "unique"))

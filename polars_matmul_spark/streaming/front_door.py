@@ -68,6 +68,7 @@ __all__ = ["front_door_batch", "run_front_door_stream", "STAGE_DIRS"]
 # missing-dir and empty-dir identically (both -> None), so a replayed
 # epoch takes the same early exit and reproduces the same absence.
 STAGE_DIRS = {
+    "head": "00_head",
     "quota": "01_quota_accepted",
     "line_cms": "02_line_cms",
     "line_clean": "02_line_clean",
@@ -168,9 +169,21 @@ def front_door_batch(
         .withColumn("text", strip_html(F.col("text")))
         .filter(F.col("ldens") < 0.9)
         .select("doc_id", "url", "title", "text")
-        .localCheckpoint(eager=True)
+    )
+    # the head gate's epoch sink (round 11): the one stage boundary the
+    # chain previously did not persist — rejected-at-head is the delta
+    # of the raw batch vs this dir, and downstream consumers (the
+    # driver row included) read the sunk set instead of re-deriving it.
+    # The sink write doubles as the stage's materialization (the former
+    # eager localCheckpoint would now be a second copy of the same
+    # rows), and the read-back hands the next stage a clean scan.
+    docs.write.mode("overwrite").parquet(
+        os.path.join(_dir("head"), f"epoch={epoch_id}")
     )
     _mark("head")
+    docs = _read("head")
+    if docs is None:
+        return
 
     # --- stateful chain: each stage admits, commits its epoch dir,
     # and hands its output to the next
