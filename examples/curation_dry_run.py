@@ -633,7 +633,7 @@ def main() -> None:
         "",
         "Per-sub-stage walls summed over all epochs (front_door_batch's "
         "`timings` hook). `readback` is the TOTAL cost of every "
-        "epoch-dir read-back (`_epoch_output`, 6 per epoch) — the part "
+        "epoch-dir read-back (`_epoch_output`, 7 per epoch incl. the round-11 head sink) — the part "
         "an in-memory handoff between sub-stages could remove:",
         "",
         "| sub-stage | total (s) | per-epoch mean (s) |",
