@@ -357,3 +357,35 @@ def test_pagerank_plan_jvm_side(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestPageRankProperty:
+    """Hypothesis: the operator equals the pure-Python integer
+    replication on ARBITRARY small digraphs — the fixed-graph
+    equivalence tests above can't rule out shape-specific luck
+    (degree-1 chains, symmetric stars); random edge sets with
+    self-loops, parallel duplicates (deduped), dangling nodes and
+    isolated sinks can."""
+
+    def test_random_graphs_match_python(self, spark):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        nodes = [f"n{i}.com" for i in range(6)]
+        edge = st.tuples(st.sampled_from(nodes), st.sampled_from(nodes))
+        graphs = st.lists(edge, min_size=1, max_size=15)
+
+        @settings(max_examples=8, deadline=None)
+        @given(edges=graphs)
+        def check(edges):
+            df = _edges_df(spark, edges)
+            got = {
+                (r["node"], r["rank"], r["rank_conserving"])
+                for r in pagerank_dual(df, n_iter=2).collect()
+            }
+            plain = _py_pagerank(edges, n_iter=2)
+            cons = _py_pagerank_conserving(edges, n_iter=2)
+            exp = {(v, plain[v], cons[v]) for v in plain}
+            assert got == exp
+
+        check()
