@@ -298,6 +298,7 @@ def neardup_pairs_minhash(
     n: int = 3,
     num_perm: int = 64,
     bands: int = 32,
+    band_table: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding, exact-verified.
 
@@ -309,10 +310,21 @@ def neardup_pairs_minhash(
     is ~6e-15 — the exact-verified output equals the exact all-pairs
     answer with near-certainty, while the join only ever touches
     hash-colliding docs (the 100 TB property).
+
+    ``band_table``: a precomputed :func:`build_minhash_bands` result
+    for ``df`` (SAME n/num_perm/bands). The per-doc band table is
+    deterministic, so a caller that needs it anyway — the ingest loop
+    persists novel docs' bands as its index — passes it here and the
+    signature pass runs ONCE instead of twice. Shingles are still
+    computed (the exact verify needs them), but the num_perm-way
+    min-hash fold is the dominant cost.
     """
     sh = shingled(df, text_col, id_col, n).cache()
-    sig = _minhash_signature_flat(sh, id_col, num_perm)
-    banded = _band_table(sig, id_col, num_perm, bands)
+    if band_table is not None:
+        banded = band_table
+    else:
+        sig = _minhash_signature_flat(sh, id_col, num_perm)
+        banded = _band_table(sig, id_col, num_perm, bands)
     a = banded.alias("a")
     b = banded.hint("shuffle_hash").alias("b")  # same win as the postings join
     cands = (

@@ -60,8 +60,18 @@ def ingest_documents_batch(
     (overwrite-in-place per epoch => idempotent replay)."""
     batch = batch_df.localCheckpoint(eager=True)
 
+    # the batch's band table is computed ONCE: it drives the
+    # within-batch banding below AND (filtered to the novel ids) the
+    # index append at the end — the num_perm-way signature fold used
+    # to run twice per epoch
+    batch_bands = build_minhash_bands(batch, text_col, id_col).localCheckpoint(
+        eager=False
+    )
+
     # 1. within-batch near-dup collapse (chains included)
-    pairs = neardup_pairs_minhash(batch, threshold, text_col, id_col)
+    pairs = neardup_pairs_minhash(
+        batch, threshold, text_col, id_col, band_table=batch_bands
+    )
     if pairs.limit(1).count() > 0:
         batch = keep_canonical(batch, pairs, id_col=id_col).drop("group_size")
 
@@ -90,11 +100,14 @@ def ingest_documents_batch(
 
     novel = batch.localCheckpoint(eager=True)
 
-    # 3. idempotent append: one overwritten epoch subdir each
+    # 3. idempotent append: one overwritten epoch subdir each; the
+    # novel docs' bands are a FILTER of the batch band table computed
+    # above (a doc's bands are independent of other docs), not a
+    # second signature pass
     novel.write.mode("overwrite").parquet(f"{corpus_dir}/epoch={epoch_id}")
-    build_minhash_bands(novel, text_col, id_col).write.mode("overwrite").parquet(
-        f"{index_dir}/epoch={epoch_id}"
-    )
+    batch_bands.join(
+        novel.select(id_col), id_col, "left_semi"
+    ).write.mode("overwrite").parquet(f"{index_dir}/epoch={epoch_id}")
 
 
 def run_dedup_ingest_stream(
