@@ -284,10 +284,27 @@ def build_minhash_bands(
     band_idx, band_hash). Write this once (partitioned by band_hash
     range or bucketed) and every future increment dedups against it
     without touching the corpus text — see
-    :func:`neardup_new_vs_index`."""
+    :func:`neardup_new_vs_index`.
+
+    The LSH params are stamped into ``band_idx``'s column metadata
+    (survives parquet round-trips and checkpoints) so a consumer that
+    takes a precomputed table (:func:`neardup_pairs_minhash`) can
+    fail loudly on a param drift instead of silently losing candidate
+    recall."""
     sh = shingled(df, text_col, id_col, n)
     sig = _minhash_signature_flat(sh, id_col, num_perm)
-    return _band_table(sig, id_col, num_perm, bands)
+    bt = _band_table(sig, id_col, num_perm, bands)
+    return bt.select(
+        id_col,
+        F.col("band_idx").alias(
+            "band_idx",
+            metadata={
+                "minhash_params": {"n": n, "num_perm": num_perm,
+                                   "bands": bands}
+            },
+        ),
+        "band_hash",
+    )
 
 
 def neardup_pairs_minhash(
@@ -317,10 +334,26 @@ def neardup_pairs_minhash(
     persists novel docs' bands as its index — passes it here and the
     signature pass runs ONCE instead of twice. Shingles are still
     computed (the exact verify needs them), but the num_perm-way
-    min-hash fold is the dominant cost.
+    min-hash fold is the dominant cost. The table's stamped
+    ``minhash_params`` metadata (written by :func:`build_minhash_bands`)
+    is validated against this call's n/num_perm/bands — a drifted
+    caller fails loudly instead of silently losing candidate recall
+    (the exact verify only removes false positives; it cannot restore
+    pairs a mismatched banding never surfaced).
     """
     sh = shingled(df, text_col, id_col, n).cache()
     if band_table is not None:
+        if "band_idx" in band_table.columns:
+            got = dict(band_table.schema["band_idx"].metadata or {}).get(
+                "minhash_params"
+            )
+            want = {"n": n, "num_perm": num_perm, "bands": bands}
+            if got is not None and dict(got) != want:
+                raise ValueError(
+                    "band_table LSH params drifted: table was built with"
+                    f" {dict(got)}, this call expects {want} — rebuild the"
+                    " table or pass matching n/num_perm/bands"
+                )
         banded = band_table
     else:
         sig = _minhash_signature_flat(sh, id_col, num_perm)

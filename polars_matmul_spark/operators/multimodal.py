@@ -1040,23 +1040,25 @@ def image_dhash(
     pre-filter in the same decode pass); use it whenever flat images
     can occur in the corpus.
 
-    Implemented as a projection of :func:`image_dhash_variance` so the
-    filtered and unfiltered near-dup paths share ONE hash kernel —
-    they cannot desync bit-for-bit (the variance reduction the
-    projection discards is one extra pass over the already-decoded
-    luma plane, noise next to the decode itself).
+    Shares ONE hash kernel (:func:`_dhash_row`) with
+    :func:`image_dhash_variance` so the filtered and unfiltered
+    near-dup paths cannot desync bit-for-bit; this unfiltered hot path
+    skips the O(pixels) variance reduction entirely
+    (``with_variance=False``) — only the filtered sibling pays for the
+    signal it consumes.
     """
-    return image_dhash_variance(df, id_col=id_col, hash_size=hash_size).drop(
-        "luma_var"
-    )
+    return _dhash_frame(df, id_col, hash_size, with_variance=False)
 
 
-def _dhash_row(payload: bytes, hash_size: int):
+def _dhash_row(payload: bytes, hash_size: int, with_variance: bool = True):
     """Decode one payload and compute the shared dHash kernel:
     -> (signed-64 dhash, src_w, src_h, luma population variance) or
     None if undecodable. The ONLY place the grid/bit-pack recipe
     lives — both :func:`image_dhash` and :func:`image_dhash_variance`
-    (and through them every near-dup path) go through here."""
+    (and through them every near-dup path) go through here.
+    ``with_variance=False`` skips the full-plane variance reduction
+    (the tuple's last slot is then None) — the hash bits are computed
+    identically either way."""
     img = _decode_image_rgb(payload)
     if img is None:
         return None
@@ -1077,7 +1079,7 @@ def _dhash_row(payload: bytes, hash_size: int):
     # hash_size 8 the top bit can be set
     if val >= 1 << 63:
         val -= 1 << 64
-    return val, w, h, float(luma.var())
+    return val, w, h, (float(luma.var()) if with_variance else None)
 
 
 def image_dhash_variance(
@@ -1091,31 +1093,37 @@ def image_dhash_variance(
 
     -> (id_col, dhash long, src_w long, src_h long, luma_var double).
     """
+    return _dhash_frame(df, id_col, hash_size, with_variance=True)
+
+
+def _dhash_frame(
+    df: DataFrame, id_col: str, hash_size: int, with_variance: bool
+) -> DataFrame:
+    """Shared mapInPandas plan over :func:`_dhash_row` — one decode
+    pass per image, the variance column present (and its reduction
+    paid) only when the caller consumes it."""
     if hash_size < 1 or hash_size * hash_size > 64:
         raise ValueError("hash_size must be in 1..8 (bits must fit a long)")
-    schema = (
-        f"{id_col} long, dhash long, src_w long, src_h long,"
-        " luma_var double"
+    cols = [id_col, "dhash", "src_w", "src_h"] + (
+        ["luma_var"] if with_variance else []
+    )
+    schema = f"{id_col} long, dhash long, src_w long, src_h long" + (
+        ", luma_var double" if with_variance else ""
     )
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for aid, payload in zip(pdf[id_col], pdf["payload"]):
-                hit = _dhash_row(bytes(payload), hash_size)
+                hit = _dhash_row(bytes(payload), hash_size, with_variance)
                 if hit is None:
                     continue
                 val, w, h, var = hit
-                rows.append(
-                    {
-                        id_col: aid, "dhash": val, "src_w": w, "src_h": h,
-                        "luma_var": var,
-                    }
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[id_col, "dhash", "src_w", "src_h", "luma_var"],
-            )
+                rec = {id_col: aid, "dhash": val, "src_w": w, "src_h": h}
+                if with_variance:
+                    rec["luma_var"] = var
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, "payload").mapInPandas(compute, schema)
 

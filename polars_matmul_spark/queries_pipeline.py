@@ -983,7 +983,7 @@ def _front_door_curation(spark, sf_dir):
     from polars_matmul_spark.operators.html import strip_html
     from polars_matmul_spark.operators.text import tokens
     from polars_matmul_spark.streaming.front_door import (
-        STAGE_DIRS,
+        _epoch_output,
         front_door_batch,
     )
 
@@ -995,11 +995,17 @@ def _front_door_curation(spark, sf_dir):
 
         # probe catalog: mid-document 8-grams of the EXTRACTED text of
         # every 20th page — written first, the way a production run
-        # stages its benchmark suite before opening the front door
+        # stages its benchmark suite before opening the front door.
+        # Probes derive from the HEAD-SURVIVING population only (the
+        # %97 classes are the 404 / link-farm docs the head gates
+        # drop), mirroring the oracle's probes CTE which selects from
+        # pg — a head-dropped doc whose mid-text gram recurs in a
+        # survivor must flag on NEITHER side or on BOTH.
         ext = pages.select("doc_id", strip_html(F.col("page")).alias("text"))
         toks = tokens(F.col("text"))
         probes = (
-            ext.filter(F.col("doc_id") % _FD_PROBE_EVERY == 0)
+            ext.filter(~(F.col("doc_id") % 97).isin(1, 2))
+            .filter(F.col("doc_id") % _FD_PROBE_EVERY == 0)
             .select("doc_id", toks.alias("toks"))
             .filter(F.size("toks") >= _FD_PROBE_SKIP + _FD_N)
             .select(
@@ -1029,10 +1035,24 @@ def _front_door_curation(spark, sf_dir):
             decon_hash="md5",
         )
 
-        def _ep(key):
-            return spark.read.parquet(
-                os.path.join(state_root, STAGE_DIRS[key], "epoch=0")
-            )
+        # stage schemas for the missing-epoch-dir fallback: a missing
+        # ``epoch=N`` dir is the documented "stage emitted nothing"
+        # state (front_door.STAGE_DIRS contract) — surface it as an
+        # empty stage, not an AnalysisException
+        ep_schema = {
+            "head": "doc_id long",
+            "quota": "doc_id long",
+            "excised": "doc_id long, text string",
+            "minhash_corpus": "doc_id long",
+            "clean": "doc_id long",
+            "flagged": "doc_id long, probe_ids string, n_hits int",
+        }
+
+        def _ep(key, epoch=0):
+            out = _epoch_output(spark, state_root, key, epoch)
+            if out is None:
+                out = spark.createDataFrame([], ep_schema[key])
+            return out
 
         def _stage(df, name, fp=None, n_hits=None):
             return df.select(

@@ -148,3 +148,54 @@ class TestIncrementalDedup:
             "doc_id long, text string",
         )
         assert neardup_new_vs_index(new, build_minhash_bands(old), old).count() == 0
+
+
+class TestBandTableParamGuard:
+    """build_minhash_bands stamps its LSH params into band_idx column
+    metadata; neardup_pairs_minhash(band_table=...) validates them —
+    a drifted caller fails loudly instead of silently losing candidate
+    recall (ADVICE r11)."""
+
+    def _docs(self, spark):
+        return load_table(spark, "documents", SF_DIR).filter(
+            F.col("doc_id") < 200
+        )
+
+    def test_matching_params_accepted_and_identical(self, spark):
+        docs = self._docs(spark)
+        bt = build_minhash_bands(docs)
+        got = sorted(
+            map(tuple, neardup_pairs_minhash(docs, band_table=bt)
+                .select("d1", "d2").collect())
+        )
+        want = sorted(
+            map(tuple, neardup_pairs_minhash(docs)
+                .select("d1", "d2").collect())
+        )
+        assert got == want
+
+    def test_drifted_params_raise(self, spark):
+        docs = self._docs(spark)
+        bt = build_minhash_bands(docs, num_perm=32, bands=16)
+        with pytest.raises(ValueError, match="drifted"):
+            neardup_pairs_minhash(docs, band_table=bt)  # expects 64/32
+
+    def test_metadata_survives_parquet_roundtrip(self, spark, tmp_path):
+        docs = self._docs(spark)
+        path = str(tmp_path / "bands")
+        build_minhash_bands(docs, n=4).write.parquet(path)
+        bt = spark.read.parquet(path)
+        with pytest.raises(ValueError, match="drifted"):
+            neardup_pairs_minhash(docs, band_table=bt)  # expects n=3
+        # and the matching call still goes through
+        assert neardup_pairs_minhash(docs, n=4, band_table=bt) is not None
+
+    def test_untagged_table_still_accepted(self, spark):
+        # a user-built table without the stamp keeps working (no
+        # metadata -> no check, documented best-effort guard)
+        docs = self._docs(spark)
+        bt = build_minhash_bands(docs).select(
+            "doc_id", (F.col("band_idx") + 0).alias("band_idx"), "band_hash"
+        )
+        assert bt.schema["band_idx"].metadata in ({}, None)
+        neardup_pairs_minhash(docs, band_table=bt).count()
