@@ -184,10 +184,18 @@ def _graph_tables(edges, src_col, dst_col):
 
 def _pagerank_step(
     nodes, e, deg, ranks, n, base, damping, scale, redistribute_dangling,
-    parts=None,
+    parts=None, with_delta=False,
 ) -> DataFrame:
     """One exact integer iteration (the two-shuffle step); the new
-    rank table is lazily checkpointed so plan depth stays O(1)."""
+    rank table is lazily checkpointed so plan depth stays O(1).
+
+    ``with_delta=True`` additionally emits ``__delta`` =
+    |new rank - old rank| per node, computed INSIDE the step's final
+    projection (the join-back rides the ``ranks`` table, which carries
+    the old rank, instead of the bare node table — identical rows by
+    construction). The convergence loop then gets its movement total
+    from a 1-column sum over the just-checkpointed output — no
+    separate new-vs-old join job per iteration."""
     contrib = (
         e.join(ranks.withColumnRenamed("node", "__src"), "__src")
         .join(deg, "__src")
@@ -200,6 +208,11 @@ def _pagerank_step(
         )
     )
     summed = contrib.groupBy("node").agg(F.sum("__c").alias("__in"))
+    # the join-back left side: the old rank table when the caller
+    # wants per-node deltas (same node set), else the slim node table
+    left = (
+        ranks.withColumnRenamed("rank", "__old") if with_delta else nodes
+    )
     if redistribute_dangling:
         # the iteration's entire dropped mass as ONE scalar:
         # residual = scale - n*base - sum(incoming). Broadcast the
@@ -213,32 +226,23 @@ def _pagerank_step(
             f"(cast({scale} as bigint) - cast({int(n) * int(base)} as"
             f" bigint) - __tot) div cast({n} as bigint)"
         )
-        return (
-            nodes.join(summed, "node", "left")
+        new_rank = (
+            F.lit(int(base)) + F.coalesce(F.col("__in"), F.lit(0)) + share
+        ).cast("long")
+        out = (
+            left.join(summed, "node", "left")
             .crossJoin(F.broadcast(tot))
-            .select(
-                "node",
-                (
-                    F.lit(int(base))
-                    + F.coalesce(F.col("__in"), F.lit(0))
-                    + share
-                )
-                .cast("long")
-                .alias("rank"),
-            )
-            .coalesce(parts or 1)
-            .localCheckpoint(eager=False)
         )
-    return (
-        nodes.join(summed, "node", "left")
-        .select(
-            "node",
-            (F.lit(int(base)) + F.coalesce(F.col("__in"), F.lit(0)))
-            .cast("long")
-            .alias("rank"),
-        )
-        .coalesce(parts or 1)
-        .localCheckpoint(eager=False)
+    else:
+        new_rank = (
+            F.lit(int(base)) + F.coalesce(F.col("__in"), F.lit(0))
+        ).cast("long")
+        out = left.join(summed, "node", "left")
+    cols = ["node", new_rank.alias("rank")]
+    if with_delta:
+        cols.append(F.abs(new_rank - F.col("__old")).alias("__delta"))
+    return out.select(*cols).coalesce(parts or 1).localCheckpoint(
+        eager=False
     )
 
 
@@ -358,11 +362,14 @@ def pagerank_converged(
     ranking).
 
     Cost note: convergence checking needs one driver-side scalar per
-    iteration (a slim self-join of consecutive rank tables + a 1-row
-    sum) — the standard price of any iterate-until-stable job; the
-    data-sized work per iteration is unchanged from the fixed-count
-    form. Defaults to the mass-conserving variant: without it the
-    conservative leak itself keeps the deltas from settling.
+    iteration — the standard price of any iterate-until-stable job —
+    but NOT a separate job: the step emits |Δrank| per node inside
+    its own final projection (``with_delta=True``), so the scalar is
+    a 1-column sum over the iteration's just-materialized checkpoint;
+    the data-sized work per iteration is unchanged from the
+    fixed-count form. Defaults to the mass-conserving variant:
+    without it the conservative leak itself keeps the deltas from
+    settling.
     """
     if not 0 <= damping <= 100:
         raise ValueError("damping must be a percentage in 0..100")
@@ -381,21 +388,19 @@ def pagerank_converged(
     delta = None
     it = 0
     for it in range(1, max_iter + 1):
-        new_ranks = _pagerank_step(
+        stepped = _pagerank_step(
             nodes, e, deg, ranks, n, base, damping, scale,
-            redistribute_dangling, parts,
+            redistribute_dangling, parts, with_delta=True,
         )
+        # ONE job per iteration: this agg materializes the step's
+        # lazy checkpoint and folds the per-node deltas in the same
+        # pass (no consecutive-rank-tables join)
         delta = (
-            new_ranks.withColumnRenamed("rank", "__new")
-            .join(ranks, "node")
-            .agg(
-                F.coalesce(
-                    F.sum(F.abs(F.col("__new") - F.col("rank"))), F.lit(0)
-                ).alias("d")
-            )
-            .collect()[0]["d"]
+            stepped.agg(
+                F.coalesce(F.sum("__delta"), F.lit(0)).alias("d")
+            ).collect()[0]["d"]
         )
-        ranks = new_ranks
+        ranks = stepped.drop("__delta")
         if delta <= tol_units:
             break
     return ranks, {

@@ -1013,18 +1013,52 @@ _PRC_MAXDOC = 30
 _PRC_ITERS = 5
 
 
-def _pagerank_converged_q(spark, sf_dir):
-    from polars_matmul_spark.operators.linkgraph import (
-        domain_edges,
-        pagerank_converged,
+def _prc_edges(docs):
+    """The converged row's edge table DIRECTLY from the doc_id residue
+    arithmetic (the same derivation the oracle's ``e`` CTE uses) —
+    NOT through the HTML-synthesis + href-extraction chain. The chain
+    is scale-gated by ``domain_pagerank`` (extraction vs this very
+    arithmetic, full corpus); re-paying its plan/codegen wall (~9 s,
+    the row's dominant cost at r11) to re-derive a fixed 9-node graph
+    gates nothing this row claims. Pinned bit-equal to
+    ``domain_edges(_pr_synth_pages(docs))`` in
+    tests/test_linkgraph.py so the shortcut cannot drift from the
+    extraction chain."""
+    site = F.concat(
+        F.lit("site"), (F.col("doc_id") % 5).cast("string"), F.lit(".com")
     )
+    nxt = F.concat(
+        F.lit("site"),
+        ((F.col("doc_id") + 1) % 5).cast("string"),
+        F.lit(".com"),
+    )
+    hub = F.concat(
+        F.lit("hub"), (F.col("doc_id") % 3).cast("string"), F.lit(".net")
+    )
+    return (
+        docs.select(site.alias("src_domain"), nxt.alias("dst_domain"))
+        .unionByName(
+            docs.select(site.alias("src_domain"), hub.alias("dst_domain"))
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 6 == 0).select(
+                site.alias("src_domain"),
+                F.lit("sink.org").alias("dst_domain"),
+            )
+        )
+        .distinct()
+    )
+
+
+def _pagerank_converged_q(spark, sf_dir):
+    from polars_matmul_spark.operators.linkgraph import pagerank_converged
 
     docs = (
         _docs(spark, sf_dir)
         .select("doc_id")
         .filter(F.col("doc_id") < _PRC_MAXDOC)
     )
-    edges = domain_edges(_pr_synth_pages(docs)).localCheckpoint(eager=False)
+    edges = _prc_edges(docs).localCheckpoint(eager=False)
     ranks, info = pagerank_converged(
         edges,
         max_iter=20,

@@ -389,3 +389,23 @@ class TestPageRankProperty:
             assert got == exp
 
         check()
+
+
+def test_prc_edges_match_extraction_chain(spark):
+    """The converged driver row's arithmetic edge shortcut is
+    bit-equal to the full synth + href-extraction derivation on its
+    own doc_id range — the pin that keeps the row's cheap edge table
+    honest against the chain domain_pagerank scale-gates."""
+    from polars_matmul_spark.queries_text import (
+        _PRC_MAXDOC,
+        _pr_synth_pages,
+        _prc_edges,
+    )
+
+    docs = spark.range(_PRC_MAXDOC).select(F.col("id").alias("doc_id"))
+    got = sorted(map(tuple, _prc_edges(docs).collect()))
+    want = sorted(
+        map(tuple, domain_edges(_pr_synth_pages(docs)).collect())
+    )
+    assert got == want
+    assert len(got) == 25  # the fixed 9-node / 25-edge residue graph
