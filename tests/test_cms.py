@@ -207,3 +207,49 @@ def test_cms_line_dedup_never_misses_frequent_lines(spark):
     cms = build_line_cms(df, w, d)
     out = strip_frequent_lines_cms(df, cms, w, d, min_docs=2).collect()
     assert all("COOKIE BANNER" not in r["text"] for r in out)
+
+
+class TestOneSidedProperty:
+    """Hypothesis: ``estimate >= true`` holds for EVERY key — present
+    or absent — on arbitrary multisets under a deliberately tiny,
+    collision-saturated sketch (4x2; every cell carries several keys'
+    mass), where any under-count bug that the comfortably-sized fixed
+    sketches above mask would surface. Upper envelope: a cell never
+    exceeds the total inserted mass N, so est <= N."""
+
+    def test_estimate_dominates_truth(self, spark):
+        from collections import Counter
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        universe = [f"k{i}" for i in range(12)]
+        multisets = st.lists(
+            st.sampled_from(universe), min_size=1, max_size=40
+        )
+
+        @settings(max_examples=6, deadline=None)
+        @given(vals=multisets)
+        def check(vals):
+            true = Counter(vals)
+            w, d = 4, 2
+            cms = build_cms(
+                spark.createDataFrame([(v,) for v in vals], "v string"),
+                "v", w, d,
+            )
+            # probe the full universe PLUS keys never inserted
+            probe = spark.createDataFrame(
+                [(f"k{i}",) for i in range(14)], "v string"
+            )
+            est = {
+                r["v"]: r["est_count"]
+                for r in cms_lookup(probe, cms, "v", w, d).collect()
+            }
+            n_total = len(vals)
+            assert len(est) == 14
+            for key, e in est.items():
+                assert true.get(key, 0) <= e <= n_total, (
+                    key, true.get(key, 0), e, n_total,
+                )
+
+        check()

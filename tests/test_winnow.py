@@ -969,3 +969,54 @@ FROM s GROUP BY d1, d2
         docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
         with pytest.raises(ValueError, match="k must be"):
             shared_span_stats(docs, k=0)
+
+
+class TestWindowMinimumProperty:
+    """Hypothesis: algorithm-independent winnowing invariants checked
+    on the SPARK output over random texts (ties, repeats, sub-k and
+    short-doc fallback shapes included): every selected (pos, fp) is
+    hash-consistent with the text, every length-w window of k-gram
+    positions contains a selection, and some selection inside each
+    window achieves that window's minimum hash. Unlike the fixed-case
+    py_winnow pin above, nothing here replays the selection rule —
+    the invariants are the Schleimer et al. §2 definition itself."""
+
+    def test_invariants_on_random_texts(self, spark):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        K, W = 4, 3
+        texts = st.lists(
+            st.text(alphabet="abc x", min_size=0, max_size=30),
+            min_size=1,
+            max_size=25,
+        )
+
+        @settings(max_examples=5, deadline=None)
+        @given(ts=texts)
+        def check(ts):
+            df = spark.createDataFrame(
+                list(enumerate(ts)), "doc_id long, text string"
+            )
+            got: dict[int, set] = {}
+            for r in winnow_fingerprints(df, k=K, window=W).collect():
+                got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+            for i, t in enumerate(ts):
+                sel = got.get(i, set())
+                n = len(t) - K + 1
+                if n <= 0:
+                    assert not sel  # sub-k docs emit nothing
+                    continue
+                hs = [_h(t[p : p + K]) for p in range(n)]
+                for pos, fp in sel:  # hash-consistency, in-range
+                    assert 0 <= pos < n and fp == hs[pos]
+                poss = {p for p, _ in sel}
+                w = min(W, n)
+                for j in range(max(n - w + 1, 1)):
+                    win = range(j, j + w)
+                    inwin = poss & set(win)
+                    assert inwin, (t, j)  # coverage: no empty window
+                    mv = min(hs[p] for p in win)
+                    assert any(hs[p] == mv for p in inwin), (t, j)
+
+        check()
