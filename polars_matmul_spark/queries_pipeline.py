@@ -975,47 +975,98 @@ def _fd_warc(spark, pages):
     ).mapInPandas(build, "asset_id long, payload binary")
 
 
+def _fd_probes(pages):
+    """Probe catalog: mid-document 8-grams of the EXTRACTED text of
+    every 20th page — staged before opening the front door. Probes
+    derive from the HEAD-SURVIVING population only (the %97 classes
+    are the 404 / link-farm docs the head gates drop), mirroring the
+    oracles' probes CTEs which select from pg — a head-dropped doc
+    whose mid-text gram recurs in a survivor must flag on NEITHER
+    side or on BOTH."""
+    from polars_matmul_spark.operators.html import strip_html
+    from polars_matmul_spark.operators.text import tokens
+
+    ext = pages.select("doc_id", strip_html(F.col("page")).alias("text"))
+    toks = tokens(F.col("text"))
+    return (
+        ext.filter(~(F.col("doc_id") % 97).isin(1, 2))
+        .filter(F.col("doc_id") % _FD_PROBE_EVERY == 0)
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= _FD_PROBE_SKIP + _FD_N)
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            F.array_join(
+                F.slice("toks", _FD_PROBE_SKIP + 1, _FD_N), " "
+            ).alias("text"),
+        )
+    )
+
+
+def _fd_stage_union(spark, state_root, epoch):
+    """One epoch's six observable stage outputs as (stage, doc_id, fp,
+    n_hits) rows, with the missing-epoch-dir fallback: a missing
+    ``epoch=N`` dir is the documented "stage emitted nothing" state
+    (front_door.STAGE_DIRS contract) — surfaced as an empty stage,
+    not an AnalysisException."""
+    from polars_matmul_spark.streaming.front_door import _epoch_output
+
+    ep_schema = {
+        "head": "doc_id long",
+        "quota": "doc_id long",
+        "excised": "doc_id long, text string",
+        "minhash_corpus": "doc_id long",
+        "clean": "doc_id long",
+        "flagged": "doc_id long, probe_ids string, n_hits int",
+    }
+
+    def _ep(key):
+        out = _epoch_output(spark, state_root, key, epoch)
+        if out is None:
+            out = spark.createDataFrame([], ep_schema[key])
+        return out
+
+    def _stage(df, name, fp=None, n_hits=None):
+        return df.select(
+            F.lit(name).alias("stage"),
+            "doc_id",
+            (fp if fp is not None else F.lit(None).cast("string")).alias(
+                "fp"
+            ),
+            (
+                n_hits if n_hits is not None else F.lit(0).cast("long")
+            ).alias("n_hits"),
+        )
+
+    return (
+        _stage(_ep("head"), "head")
+        .unionByName(_stage(_ep("quota"), "quota"))
+        .unionByName(_stage(_ep("excised"), "hygiene", fp=F.md5("text")))
+        .unionByName(_stage(_ep("minhash_corpus"), "unique"))
+        .unionByName(_stage(_ep("clean"), "clean"))
+        .unionByName(
+            _stage(
+                _ep("flagged"),
+                "flagged",
+                fp=F.col("probe_ids"),
+                n_hits=F.col("n_hits").cast("long"),
+            )
+        )
+    )
+
+
 def _front_door_curation(spark, sf_dir):
     import os
     import shutil
     import tempfile
 
-    from polars_matmul_spark.operators.html import strip_html
-    from polars_matmul_spark.operators.text import tokens
-    from polars_matmul_spark.streaming.front_door import (
-        _epoch_output,
-        front_door_batch,
-    )
+    from polars_matmul_spark.streaming.front_door import front_door_batch
 
     root = tempfile.mkdtemp(prefix="fd_row_")
     state_root = os.path.join(root, "state")
     probes_dir = os.path.join(root, "probes")
     try:
         pages = _fd_pages(spark, sf_dir).localCheckpoint(eager=True)
-
-        # probe catalog: mid-document 8-grams of the EXTRACTED text of
-        # every 20th page — written first, the way a production run
-        # stages its benchmark suite before opening the front door.
-        # Probes derive from the HEAD-SURVIVING population only (the
-        # %97 classes are the 404 / link-farm docs the head gates
-        # drop), mirroring the oracle's probes CTE which selects from
-        # pg — a head-dropped doc whose mid-text gram recurs in a
-        # survivor must flag on NEITHER side or on BOTH.
-        ext = pages.select("doc_id", strip_html(F.col("page")).alias("text"))
-        toks = tokens(F.col("text"))
-        probes = (
-            ext.filter(~(F.col("doc_id") % 97).isin(1, 2))
-            .filter(F.col("doc_id") % _FD_PROBE_EVERY == 0)
-            .select("doc_id", toks.alias("toks"))
-            .filter(F.size("toks") >= _FD_PROBE_SKIP + _FD_N)
-            .select(
-                F.col("doc_id").alias("probe_id"),
-                F.array_join(
-                    F.slice("toks", _FD_PROBE_SKIP + 1, _FD_N), " "
-                ).alias("text"),
-            )
-        )
-        probes.write.mode("overwrite").parquet(probes_dir)
+        _fd_probes(pages).write.mode("overwrite").parquet(probes_dir)
 
         raw = _fd_warc(spark, pages).localCheckpoint(eager=True)
         front_door_batch(
@@ -1034,53 +1085,8 @@ def _front_door_curation(spark, sf_dir):
             decon_n=_FD_N,
             decon_hash="md5",
         )
-
-        # stage schemas for the missing-epoch-dir fallback: a missing
-        # ``epoch=N`` dir is the documented "stage emitted nothing"
-        # state (front_door.STAGE_DIRS contract) — surface it as an
-        # empty stage, not an AnalysisException
-        ep_schema = {
-            "head": "doc_id long",
-            "quota": "doc_id long",
-            "excised": "doc_id long, text string",
-            "minhash_corpus": "doc_id long",
-            "clean": "doc_id long",
-            "flagged": "doc_id long, probe_ids string, n_hits int",
-        }
-
-        def _ep(key, epoch=0):
-            out = _epoch_output(spark, state_root, key, epoch)
-            if out is None:
-                out = spark.createDataFrame([], ep_schema[key])
-            return out
-
-        def _stage(df, name, fp=None, n_hits=None):
-            return df.select(
-                F.lit(name).alias("stage"),
-                "doc_id",
-                (fp if fp is not None else F.lit(None).cast("string")).alias(
-                    "fp"
-                ),
-                (
-                    n_hits if n_hits is not None else F.lit(0).cast("long")
-                ).alias("n_hits"),
-            )
-
-        out = (
-            _stage(_ep("head"), "head")
-            .unionByName(_stage(_ep("quota"), "quota"))
-            .unionByName(_stage(_ep("excised"), "hygiene", fp=F.md5("text")))
-            .unionByName(_stage(_ep("minhash_corpus"), "unique"))
-            .unionByName(_stage(_ep("clean"), "clean"))
-            .unionByName(
-                _stage(
-                    _ep("flagged"),
-                    "flagged",
-                    fp=F.col("probe_ids"),
-                    n_hits=F.col("n_hits").cast("long"),
-                )
-            )
-            .localCheckpoint(eager=True)
+        out = _fd_stage_union(spark, state_root, 0).localCheckpoint(
+            eager=True
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -1250,6 +1256,323 @@ SELECT 'flagged', doc_id, probe_ids, n_hits FROM flag
 """
 
 
+# --- two-epoch front door (round-12 promotion, the r11 verdict's ask
+# #3): the ONE behavior the single-epoch row cannot gate is state
+# carried ACROSS epochs. The same synthesized crawl is split by
+# ARRIVAL ORDER — epoch 0 = doc_id < _FDE_SPLIT (the first pages
+# crawled), epoch 1 = the rest — and front_door_batch runs twice over
+# one shared state root. With cap _FDE_CAP = 10 the planted classes
+# put one instance of every cross-epoch interaction ON the split:
+#   quota      epoch-1 ranks continue epoch-0 history (per-domain
+#              epoch-0 count <= 4 < cap at ANY SF, so the engine's
+#              hist+rank rule equals one global arrival-order rank;
+#              documented constraint: an overfull epoch 0 would make
+#              engine hist = accepted count != the oracle's raw rank)
+#   line CMS   the cls==5 boilerplate line: 2 copies in epoch 0
+#              (kept: 2 < 3), 1 accepted copy in epoch 1 — epoch 1
+#              strips it ONLY because the carried sketch makes 3
+#   gram CMS   the cls==8 shared span: epoch-0 gram count 2 (kept),
+#              epoch 1 adds 2 accepted copies -> excised in epoch 1
+#              only via the carried sketch (4 >= 3, own count 2 < 3)
+#   Bloom      the cls==6 exact pair (6, 89) straddles the split:
+#              89 is rejected in epoch 1 against epoch-0 history
+#              (within-batch collapse is gated in epoch 0 by the
+#              cls==5 pair (5, 88) and by the single-epoch row)
+#   MinHash    the cls==7 near-dup pair (7, 90) straddles: 90 is
+#              rejected against the epoch-0 band index
+# The oracle replays BOTH epochs with the arrival split applied:
+# per-epoch CMS counters cumulated per deciding epoch (epoch e sees
+# counters with ep <= e — history plus own batch, the hygiene
+# protocol), Bloom history as a fingerprint anti-join, within-epoch
+# connected components, and the cross-epoch candidate join against
+# epoch-0 novel docs.
+_FDE_SPLIT = 89
+_FDE_CAP = 10
+
+
+def _front_door_epochs(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from polars_matmul_spark.streaming.front_door import front_door_batch
+
+    root = tempfile.mkdtemp(prefix="fde_row_")
+    state_root = os.path.join(root, "state")
+    probes_dir = os.path.join(root, "probes")
+    try:
+        pages = _fd_pages(spark, sf_dir).localCheckpoint(eager=True)
+        _fd_probes(pages).write.mode("overwrite").parquet(probes_dir)
+        raw = _fd_warc(spark, pages).localCheckpoint(eager=True)
+        outs = []
+        for ep in (0, 1):
+            batch = raw.filter(
+                F.col("asset_id") < _FDE_SPLIT
+                if ep == 0
+                else F.col("asset_id") >= _FDE_SPLIT
+            )
+            front_door_batch(
+                spark,
+                batch,
+                ep,
+                state_root,
+                probes_dir,
+                max_per_domain=_FDE_CAP,
+                line_min_docs=_FD_LINE_MIN,
+                excise_k=_FD_K,
+                excise_min_docs=_FD_EXCISE_MIN,
+                excise_cms_width=_FD_CMS_GRAM_W,
+                excise_cms_depth=_FD_CMS_GRAM_D,
+                minhash_threshold=_FD_THRESH,
+                decon_n=_FD_N,
+                decon_hash="md5",
+            )
+            outs.append(
+                _fd_stage_union(spark, state_root, ep).select(
+                    "stage",
+                    F.lit(ep).cast("long").alias("epoch"),
+                    "doc_id",
+                    "fp",
+                    "n_hits",
+                )
+            )
+        out = outs[0].unionByName(outs[1]).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _fde_oracle() -> str:
+    from polars_matmul_spark.queries_multimodal import _duck_strip_html
+    from polars_matmul_spark.queries_text import _excise_reassembly_sql
+
+    b_tpl = " ".join(f"bd#x{j}" for j in range(10))
+    n_tpl = " ".join(f"nd#w{j}" for j in range(40))
+    v_sql = "CAST(doc_id // 83 // 2 AS VARCHAR)"
+    b_body = f"replace('{b_tpl}', '#', {v_sql})"
+    n_body = f"replace('{n_tpl}', '#', {v_sql}) || ' uq' || doc_id"
+    e_body = f"'{_FD_E_SPAN} eu' || doc_id || ' tail' || doc_id"
+    lw, ld = _FD_CMS_LINE_W, _FD_CMS_LINE_D
+    gw, gd = _FD_CMS_GRAM_W, _FD_CMS_GRAM_D
+
+    # epoch-aware gram-CMS hits: counters cumulated per deciding epoch
+    # (ep <= e — history plus own, the hygiene protocol); the nested
+    # reassembly scope's ``g`` gram CTE joins the outer ``lc`` for the
+    # doc's epoch
+    hits_cte = f"""gwc AS MATERIALIZED (
+  SELECT g.h, lc.ep, COUNT(DISTINCT g.doc_id) AS n
+  FROM g JOIN lc ON g.doc_id = lc.doc_id GROUP BY g.h, lc.ep
+), ghh AS MATERIALIZED (
+  SELECT DISTINCT h,
+         ('0x' || substr(md5(CAST(h AS VARCHAR)), 1, 12))::BIGINT AS h1,
+         ('0x' || substr(md5(CAST(h AS VARCHAR)), 13, 12))::BIGINT * 2 + 1
+           AS h2
+  FROM g
+), gcnt AS MATERIALIZED (
+  SELECT w.ep, r.range AS row, (w.h1 + r.range * w.h2) % {gw} AS col,
+         SUM(w.n) AS n
+  FROM (SELECT gwc.h, gwc.ep, gwc.n, ghh.h1, ghh.h2
+        FROM gwc JOIN ghh USING (h)) w
+  CROSS JOIN range(0, {gd}) r GROUP BY 1, 2, 3
+), gcum AS MATERIALIZED (
+  SELECT e.range AS ep, c.row, c.col, SUM(c.n) AS n
+  FROM gcnt c JOIN range(0, 2) e ON c.ep <= e.range GROUP BY 1, 2, 3
+), gest AS MATERIALIZED (
+  SELECT hh.h, e.range AS ep, MIN(coalesce(gc.n, 0)) AS est
+  FROM ghh hh CROSS JOIN range(0, {gd}) r CROSS JOIN range(0, 2) e
+  LEFT JOIN gcum gc ON gc.ep = e.range AND gc.row = r.range
+                   AND gc.col = (hh.h1 + r.range * hh.h2) % {gw}
+  GROUP BY hh.h, e.range
+), hits AS (
+  SELECT g.doc_id, g.pos
+  FROM g JOIN lc ON g.doc_id = lc.doc_id
+  JOIN gest ON g.h = gest.h AND gest.ep = lc.ep
+  WHERE gest.est >= {_FD_EXCISE_MIN}
+)"""
+    excise_sql = _excise_reassembly_sql(hits_cte, _FD_K, src="lc")
+    return rf"""
+WITH RECURSIVE norm AS MATERIALIZED (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(text, '[^\x00-\x7F]', '?', 'g'),
+                        '[\x00-\x1F]', ' ', 'g') AS raw
+  FROM documents
+), pg AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN doc_id < {_FDE_SPLIT} THEN 0 ELSE 1 END AS ep,
+         '{_FD_PAGE_HEAD.replace("'", "''")}' || CASE
+            WHEN doc_id % 83 = 5 THEN '{_FD_L_BODY}'
+            WHEN doc_id % 83 = 6 THEN {b_body}
+            WHEN doc_id % 83 = 7 THEN {n_body}
+            WHEN doc_id % 83 = 8 THEN {e_body}
+            ELSE raw
+         END || '{_FD_PAGE_TAIL}' AS page
+  FROM norm
+  WHERE doc_id % 97 != 1 AND doc_id % 97 != 2
+), ext AS MATERIALIZED (
+  SELECT doc_id, ep, {_duck_strip_html('page')} AS text,
+         doc_id % {_FD_NDOM} AS dom
+  FROM pg
+), qa AS MATERIALIZED (
+  -- arrival-order quota: one global per-domain rank equals the
+  -- engine's per-epoch rank + history count because every epoch-0
+  -- domain count stays under the cap (see the comment block)
+  SELECT doc_id, ep, text FROM (
+    SELECT doc_id, ep, text,
+           row_number() OVER (PARTITION BY dom ORDER BY doc_id) AS rk
+    FROM ext
+  ) WHERE rk <= {_FDE_CAP}
+), lh AS MATERIALIZED (
+  SELECT doc_id, ep, text,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
+         trim(text) = '' AS is_blank
+  FROM qa
+), lwc AS MATERIALIZED (
+  SELECT h, ep, count(DISTINCT doc_id) AS n
+  FROM lh WHERE NOT is_blank GROUP BY h, ep
+), lhh AS MATERIALIZED (
+  SELECT DISTINCT h,
+         ('0x' || substr(md5(h), 1, 12))::BIGINT AS h1,
+         ('0x' || substr(md5(h), 13, 12))::BIGINT * 2 + 1 AS h2
+  FROM lh
+), lcnt AS MATERIALIZED (
+  SELECT w.ep, r.range AS row, (w.h1 + r.range * w.h2) % {lw} AS col,
+         SUM(w.n) AS n
+  FROM (SELECT lwc.h, lwc.ep, lwc.n, lhh.h1, lhh.h2
+        FROM lwc JOIN lhh USING (h)) w
+  CROSS JOIN range(0, {ld}) r GROUP BY 1, 2, 3
+), lcum AS MATERIALIZED (
+  SELECT e.range AS ep, c.row, c.col, SUM(c.n) AS n
+  FROM lcnt c JOIN range(0, 2) e ON c.ep <= e.range GROUP BY 1, 2, 3
+), lest AS MATERIALIZED (
+  SELECT hh.h, e.range AS ep, MIN(coalesce(lc2.n, 0)) AS est
+  FROM lhh hh CROSS JOIN range(0, {ld}) r CROSS JOIN range(0, 2) e
+  LEFT JOIN lcum lc2 ON lc2.ep = e.range AND lc2.row = r.range
+                    AND lc2.col = (hh.h1 + r.range * hh.h2) % {lw}
+  GROUP BY hh.h, e.range
+), lc AS MATERIALIZED (
+  SELECT lh.doc_id, lh.ep,
+         CASE WHEN lest.est >= {_FD_LINE_MIN} AND NOT lh.is_blank
+              THEN '' ELSE lh.text END AS text
+  FROM lh JOIN lest ON lh.h = lest.h AND lh.ep = lest.ep
+), ex AS MATERIALIZED (
+  {excise_sql}
+), exe AS MATERIALIZED (
+  SELECT ex.doc_id, lc.ep, ex.text
+  FROM ex JOIN lc ON ex.doc_id = lc.doc_id
+), bfp AS MATERIALIZED (
+  SELECT doc_id, ep, text,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM exe
+), bk AS MATERIALIZED (
+  -- within-epoch exact collapse: lowest id per fingerprint
+  SELECT doc_id, ep, text, fp FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY fp, ep ORDER BY doc_id
+    ) AS rk FROM bfp
+  ) WHERE rk = 1
+), bl AS MATERIALIZED (
+  -- epoch 1 additionally anti-joins epoch-0 accepted fingerprints
+  SELECT doc_id, ep, text FROM bk WHERE ep = 0
+  UNION ALL
+  SELECT doc_id, ep, text FROM bk WHERE ep = 1
+    AND fp NOT IN (SELECT fp FROM bk WHERE ep = 0)
+), mtok AS (
+  SELECT doc_id, ep, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM bl
+), msh AS MATERIALIZED (
+  SELECT doc_id, ep,
+         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        for i in range(1, len(toks) - 1)]) AS shingles
+  FROM mtok WHERE len(toks) >= 3
+), mex AS (
+  SELECT doc_id, ep, unnest(shingles) AS s FROM msh
+), msz AS (
+  SELECT doc_id, len(shingles) AS n_sh FROM msh
+), mip AS MATERIALIZED (
+  SELECT a.doc_id AS d1, a.ep AS e1, b.doc_id AS d2, b.ep AS e2,
+         COUNT(*) AS inter
+  FROM mex a JOIN mex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+), mp AS MATERIALIZED (
+  SELECT d1, e1, d2, e2 FROM mip
+  JOIN msz s1 ON d1 = s1.doc_id
+  JOIN msz s2 ON d2 = s2.doc_id
+  WHERE CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter)
+        >= {_FD_THRESH}
+), medge AS (
+  SELECT e1 AS ep, d1 AS a, d2 AS b FROM mp WHERE e1 = e2
+  UNION SELECT e1, d2, d1 FROM mp WHERE e1 = e2
+), mreach AS (
+  SELECT ep, a, b FROM medge
+  UNION
+  SELECT r.ep, r.a, e.b FROM mreach r
+  JOIN medge e ON r.ep = e.ep AND r.b = e.a
+), mdrop AS (
+  SELECT ep, a AS doc_id FROM mreach
+  GROUP BY ep, a HAVING least(a, min(b)) != a
+), u0 AS MATERIALIZED (
+  SELECT doc_id, text FROM bl WHERE ep = 0
+    AND doc_id NOT IN (SELECT doc_id FROM mdrop WHERE ep = 0)
+), reps1 AS MATERIALIZED (
+  SELECT doc_id, text FROM bl WHERE ep = 1
+    AND doc_id NOT IN (SELECT doc_id FROM mdrop WHERE ep = 1)
+), xdrop AS (
+  -- cross-epoch near-dup: epoch-1 reps matching any epoch-0 novel doc
+  SELECT DISTINCT (CASE WHEN e1 = 1 THEN d1 ELSE d2 END) AS doc_id
+  FROM mp
+  WHERE e1 != e2
+    AND (CASE WHEN e1 = 0 THEN d1 ELSE d2 END)
+        IN (SELECT doc_id FROM u0)
+    AND (CASE WHEN e1 = 1 THEN d1 ELSE d2 END)
+        IN (SELECT doc_id FROM reps1)
+), uniq AS MATERIALIZED (
+  SELECT doc_id, 0 AS ep, text FROM u0
+  UNION ALL
+  SELECT doc_id, 1 AS ep, text FROM reps1
+  WHERE doc_id NOT IN (SELECT doc_id FROM xdrop)
+), probes AS MATERIALIZED (
+  SELECT doc_id AS probe_id,
+         array_to_string(
+           toks[{_FD_PROBE_SKIP + 1}:{_FD_PROBE_SKIP + _FD_N}], ' '
+         ) AS ptext
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM ext WHERE doc_id % {_FD_PROBE_EVERY} = 0)
+  WHERE len(toks) >= {_FD_PROBE_SKIP + _FD_N}
+), dgm AS (
+  SELECT DISTINCT u.doc_id, u.ep,
+         array_to_string(toks[i:i+{_FD_N - 1}], ' ') AS gm
+  FROM (SELECT doc_id, ep,
+               regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM uniq) u,
+       unnest(range(1, len(toks) - {_FD_N} + 2)) AS t(i)
+  WHERE len(toks) >= {_FD_N}
+), pgm AS (
+  SELECT DISTINCT probe_id, md5(ptext) AS h FROM probes
+), fhits AS MATERIALIZED (
+  SELECT dgm.doc_id, dgm.ep, pgm.probe_id
+  FROM dgm JOIN pgm ON md5(dgm.gm) = pgm.h
+), flag AS MATERIALIZED (
+  SELECT doc_id, ep, count(*) AS n_hits,
+         array_to_string(list(DISTINCT probe_id ORDER BY probe_id), ':')
+           AS probe_ids
+  FROM fhits GROUP BY doc_id, ep
+)
+SELECT 'head' AS stage, CAST(ep AS BIGINT) AS epoch, doc_id,
+       CAST(NULL AS VARCHAR) AS fp, CAST(0 AS BIGINT) AS n_hits FROM ext
+UNION ALL
+SELECT 'quota', ep, doc_id, NULL, 0 FROM qa
+UNION ALL
+SELECT 'hygiene', ep, doc_id, md5(text), 0 FROM exe
+UNION ALL
+SELECT 'unique', ep, doc_id, NULL, 0 FROM uniq
+UNION ALL
+SELECT 'clean', ep, doc_id, NULL, 0 FROM uniq
+  WHERE doc_id NOT IN (SELECT doc_id FROM flag)
+UNION ALL
+SELECT 'flagged', ep, doc_id, probe_ids, n_hits FROM flag
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     # tfidf_weights rotated out in round 6: bm25_search drives the same
     # tokenize/df/idf machinery end-to-end and stays green; the exact
@@ -1301,4 +1624,11 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     # (slot freed by rotating bloom_incremental_dedup — its Bloom gate
     # runs driver-gated INSIDE this chain's exact-dedup stage):
     "front_door_curation": (_front_door_curation, _fd_oracle()),
+    # round 12: the TWO-epoch front door gates cross-epoch state
+    # carry-over — quota history, accumulated CMS sketches, Bloom
+    # bitmap, MinHash band index (slot freed by rotating
+    # mixture_sample — its md5-epoch mechanism family stays
+    # driver-gated through priority_sample_docs + dsir_resample and
+    # the exact comparison moves to the rotated pytest gate):
+    "front_door_epochs": (_front_door_epochs, _fde_oracle()),
 }

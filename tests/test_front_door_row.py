@@ -128,3 +128,82 @@ def test_planted_classes_drive_every_stage(row):
     assert flagged
     assert clean | flagged == uniq
     assert not (clean & flagged)
+
+
+class TestEpochsRow:
+    """Cross-epoch claims of the front_door_epochs driver row: the
+    hash gate proves engine == oracle, these pin that the planted
+    cross-epoch interactions actually HAPPEN (a state leak that made
+    both epochs independent would still hash-match on a corpus where
+    no interaction fires — so the interactions themselves are
+    asserted)."""
+
+    @pytest.fixture(scope="class")
+    def erow(self, spark):
+        from polars_matmul_spark.queries_pipeline import _front_door_epochs
+
+        out = _front_door_epochs(spark, SF_DIR).toPandas()
+
+        def ids(stage, ep):
+            m = (out["stage"] == stage) & (out["epoch"] == ep)
+            return set(out[m]["doc_id"])
+
+        return out, ids
+
+    def test_bloom_history_rejects_cross_epoch_exact_dup(self, erow):
+        out, ids = erow
+        # (6, 89) share one body; 6 arrives in epoch 0, 89 in epoch 1
+        assert 6 in ids("unique", 0)
+        assert 89 in ids("quota", 1) and 89 in ids("hygiene", 1)
+        assert 89 not in ids("unique", 1)
+        # within-epoch collapse still works: (5, 88) both epoch 0
+        assert 5 in ids("unique", 0) and 88 not in ids("unique", 0)
+
+    def test_band_index_rejects_cross_epoch_neardup(self, erow):
+        out, ids = erow
+        # (7, 90) are near-dups; 7 arrives epoch 0, 90 epoch 1
+        assert 7 in ids("unique", 0)
+        assert 90 in ids("hygiene", 1) and 90 not in ids("unique", 1)
+
+    def test_line_cms_threshold_crossed_by_history_only(self, erow):
+        out, ids = erow
+        # boilerplate line: epoch 0 holds 2 copies (5, 88 — kept:
+        # 2 < 3), epoch 1's ONLY accepted copy is 171 — its own batch
+        # count of 1 cannot reach min_docs 3 without the carried
+        # sketch, so a blank 171 proves the history-accumulated count
+        h = out[out["stage"] == "hygiene"].set_index("doc_id")["fp"]
+        assert h.loc[171] == _MD5_EMPTY
+        assert h.loc[5] != _MD5_EMPTY and h.loc[88] != _MD5_EMPTY
+
+    def test_gram_cms_threshold_crossed_by_history_only(self, spark, erow):
+        from polars_matmul_spark.operators.html import strip_html
+        from polars_matmul_spark.queries_pipeline import _fd_pages
+
+        out, ids = erow
+        # shared span: epoch 0 holds 1 copy (8 — kept), epoch 1's
+        # accepted copies are {91, 174} — own count 2 < 3; excision in
+        # epoch 1 proves the carried gram sketch made it 3
+        ext = {
+            r["doc_id"]: r["t"]
+            for r in _fd_pages(spark, SF_DIR)
+            .filter(F.col("doc_id").isin(8, 91, 174))
+            .select("doc_id", strip_html(F.col("page")).alias("t"))
+            .collect()
+        }
+        h = out[out["stage"] == "hygiene"].set_index("doc_id")["fp"]
+        md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+        assert h.loc[8] == md5(ext[8])  # epoch 0: untouched
+        for d in (91, 174):  # epoch 1: excised (changed, not blanked)
+            assert h.loc[d] != md5(ext[d]) and h.loc[d] != _MD5_EMPTY
+
+    def test_quota_continues_epoch0_history(self, erow):
+        from polars_matmul_spark.queries_pipeline import _FDE_CAP
+
+        out, ids = erow
+        # domain 0: epoch 0 accepted {0, 25, 50, 75}; epoch 1 may only
+        # add cap - 4 = 6 more, lowest ids first
+        q0 = {d for d in ids("quota", 0) if d % 25 == 0}
+        q1 = {d for d in ids("quota", 1) if d % 25 == 0}
+        assert q0 == {0, 25, 50, 75}
+        assert q1 == {100, 125, 150, 175, 200, 225}
+        assert len(q0) + len(q1) == _FDE_CAP

@@ -208,6 +208,10 @@ def _rotated_queries():
         # pagerank_converged_domains
         "decontaminate_docs": (qt._decontaminate_docs, qt._DECON_ORACLE),
         "bloom_incremental_dedup": (qd._bloom_incremental, qd._BLOOM_ORACLE),
+        # round-12 rotation: slot freed for front_door_epochs (the
+        # md5-epoch subsample mechanism stays driver-gated through
+        # priority_sample_docs + dsir_resample)
+        "mixture_sample": (qd._mixture_sample_q, qd._mixture_oracle()),
     }
 
 
