@@ -290,7 +290,9 @@ def main() -> None:
         "excise_spans_cms",
         # strip_within_doc left the registry in the round-9 second wave
         "materialize_bins",
-        "mixture_sample",
+        # mixture_sample left the registry in the round-12 rotation
+        # (md5-epoch subsampling stays timed through
+        # priority_sample_docs + dsir_resample)
         "bpe_encode",
         # round-7 second rotation: span-granularity dedup stats, the
         # profile drift gate, MERGE emulation (zorder_keys left the
@@ -325,6 +327,9 @@ def main() -> None:
         # convergence stop rule on the fixed residue graph
         "front_door_curation",
         "pagerank_converged_domains",
+        # round-12 promotion: the TWO-epoch front door (cross-epoch
+        # quota/CMS/Bloom/band-index state carry-over)
+        "front_door_epochs",
     ]
     # best-of-2 per query (the round-2 bench recorded 2-6x phantom
     # regressions that two idle reruns traced to transient machine
@@ -705,6 +710,48 @@ def main() -> None:
         current_window[0] = "ref_shape_fresh_jvm"
         _calibrate("ref_shape_retry")
         _ref_shape_section(spark)
+
+    # --- full-battery idle-window retry (round-12, r11 verdict #2):
+    # when calibration sealed the run loaded, the whole battery gets
+    # ONE more chance on a later idle window — probe with bounded
+    # backoff, and only if the host actually went idle re-run EVERY
+    # runner plus the ref-shape section on a fresh JVM (_measure keeps
+    # the better window per row). A run that got its idle re-pass no
+    # longer seals loaded=true: every row had a clean-window chance,
+    # so ratio-to-best grading applies per row, not run-wide.
+    if calib.get("loaded"):
+        idle = False
+        probes = 0
+        for probes in range(1, 7):  # <= ~3 min of bounded waiting
+            time.sleep(30)
+            f, _b = load_factor(calibration_wall(spark))
+            if f <= 1.1:
+                idle = True
+                break
+        calib["battery_retry_probes"] = probes
+        calib["battery_retry_ran"] = idle
+        if idle:
+            spark.stop()
+            spark = get_spark("bench-battery-retry")
+            current_window[0] = "battery_retry"
+            emb_small = load_table(spark, "embeddings", SF_DIR).limit(64)
+            _force(
+                emb_small.withColumn("m", topk(F.col("embedding"), warm_c, k=3))
+            )
+            _force(
+                load_table(spark, "lineitem", SF_DIR)
+                .groupBy("l_returnflag")
+                .agg(F.count("*").alias("n"))
+            )
+            retry_f = _calibrate("battery_retry")
+            if retry_f <= 1.1:
+                for _name, _run in runners.items():
+                    _run(spark)
+                    _purge_spark_state(spark)
+                _ref_shape_section(spark)
+                calib["loaded_initial"] = True
+                calib["loaded"] = False
+            current_window[0] = "main"
 
     # explicit same-machine normalization (BASELINE.md compares ratios:
     # the reference's topk is 0.64x NumPy, matmul f32 is 2.1x NumPy)

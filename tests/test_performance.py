@@ -253,7 +253,8 @@ _CEILINGS_SF01 = {
     # strip_within_doc left the registry in the round-9 second wave
     # (value parity stays in the rotated-query gate)
     "materialize_bins": 2.5,
-    "mixture_sample": 2.0,
+    # mixture_sample left the registry in the round-12 rotation (value
+    # parity stays in the rotated-query gate)
     "bpe_encode": 1.5,
     # round-7 second rotation rows (warm walls ~3.0 / ~0.5 / ~0.5 s)
     "shared_span_stats": 12.0,
@@ -295,14 +296,19 @@ _CEILINGS_SF01 = {
     # rank_eval recomputes the hybrid run as its input (~3.4 s idle).
     "domain_pagerank": 16.0,
     "rank_eval_hybrid": 14.0,
-    # round-11 promotions. front_door_curation is the 8-stage composed
+    # round-11 promotion. front_door_curation is the 8-stage composed
     # chain (~10 sub-stages' fixed job overhead dominates; quota bounds
     # deep stages to 375 docs at ANY SF; warm bench walls 20.9/21.7 s,
-    # bare fresh-session 34 s). pagerank_converged_domains is
-    # job-count-bound like domain_pagerank (5 iterations x step +
-    # 1-row delta collect on a 9-node graph; warm walls 10.5-11.9 s).
+    # bare fresh-session 34 s).
     "front_door_curation": 45.0,
-    "pagerank_converged_domains": 22.0,
+    # round 12: the delta check folded into the step job and the fixed
+    # residue graph built arithmetically (the extraction chain stays
+    # gated by domain_pagerank) — warm walls ~2.4-2.7 s
+    "pagerank_converged_domains": 8.0,
+    # round-12 promotion: the two-epoch front door — double the
+    # single-epoch chain's fixed per-stage job overhead by design
+    # (warm walls ~31-33 s; quota bounds deep stages to <= 250 docs)
+    "front_door_epochs": 70.0,
 }
 
 
