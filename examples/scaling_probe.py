@@ -652,6 +652,55 @@ def main() -> None:
             )
         )
         edges.unpersist()
+
+    # --- round-12: iterate-until-converged leg (the delta fold) ---
+    # pagerank_converged's per-iteration scalar now rides the step's
+    # own checkpoint (per-node |Δrank| summed in one pass) instead of
+    # a consecutive-rank-tables join job — so its wall at scale must
+    # sit within a whisker of the fixed-count run for the same
+    # iteration count. tol=0 pins the loop to max_iter iterations,
+    # making the two runs the same data-sized work by construction.
+    from polars_matmul_spark.operators.linkgraph import pagerank_converged
+
+    k = 4
+    n_nodes = 100_000 * k
+    edges = (
+        spark.range(n_nodes * 5)
+        .select(
+            (F.col("id") % n_nodes).alias("src_id"),
+            (
+                (F.col("id") % n_nodes) * 7
+                + (F.col("id") / n_nodes).cast("long") * 1013
+                + 1
+            )
+            .cast("long")
+            .alias("__t"),
+        )
+        .select("src_id", (F.col("__t") % n_nodes).alias("dst_id"))
+        .cache()
+    )
+    n_edges = edges.count()
+
+    def prc():
+        ranks, _info = pagerank_converged(
+            edges, "src_id", "dst_id", max_iter=3, tol_units=0,
+        )
+        force(ranks)
+
+    prc()  # warm
+    wall = min(timed(prc) for _ in range(2))
+    print(
+        json.dumps(
+            {
+                "leg": "pagerank_converged_sf_x",
+                "k": k,
+                "n_nodes": n_nodes,
+                "n_edges": n_edges,
+                "wall": wall,
+            }
+        )
+    )
+    edges.unpersist()
     spark.stop()
 
 
