@@ -207,3 +207,27 @@ class TestEpochsRow:
         assert q0 == {0, 25, 50, 75}
         assert q1 == {100, 125, 150, 175, 200, 225}
         assert len(q0) + len(q1) == _FDE_CAP
+
+
+def test_epochs_quota_oracle_constraint(spark, pages):
+    """The epochs oracle replays the stateful quota as ONE global
+    arrival-order rank. That equivalence holds iff epoch 0 never
+    fills any domain to the cap (engine history counts ACCEPTED docs;
+    the oracle's global rank counts raw arrivals — they diverge the
+    moment epoch 0 overflows a domain). Pin the margin so a future
+    split/corpus/cap change fails here, not as a hash mystery."""
+    from polars_matmul_spark.queries_pipeline import _FDE_CAP, _FDE_SPLIT
+
+    ep0 = (
+        pages.filter(F.col("doc_id") < _FDE_SPLIT)
+        .filter(~(F.col("doc_id") % 97).isin(1, 2))  # head-surviving
+        .groupBy((F.col("doc_id") % 25).alias("dom"))
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert ep0 < _FDE_CAP, (
+        f"epoch-0 max per-domain count {ep0} reached cap {_FDE_CAP}: "
+        "the oracle's global-rank quota replay no longer equals the "
+        "engine's history+rank rule"
+    )
