@@ -729,7 +729,8 @@ def main() -> None:
                 idle = True
                 break
         calib["battery_retry_probes"] = probes
-        calib["battery_retry_ran"] = idle
+        calib["battery_retry_window_found"] = idle
+        calib["battery_retry_ran"] = False
         if idle:
             spark.stop()
             spark = get_spark("bench-battery-retry")
@@ -743,14 +744,24 @@ def main() -> None:
                 .groupBy("l_returnflag")
                 .agg(F.count("*").alias("n"))
             )
+            # the probe's idle window may not survive the JVM restart;
+            # only a post-restart calibration authorizes the re-run,
+            # and battery_retry_ran seals what actually happened
             retry_f = _calibrate("battery_retry")
             if retry_f <= 1.1:
                 for _name, _run in runners.items():
                     _run(spark)
                     _purge_spark_state(spark)
                 _ref_shape_section(spark)
+                calib["battery_retry_ran"] = True
+                # loaded=false means "every row had a clean-window
+                # chance" — which requires the window to have HELD
+                # through the multi-minute re-run, so verify it after
+                # the battery, not only before (the host's load is
+                # session-sticky but not epoch-stable)
+                post_f = _calibrate("battery_retry_post")
                 calib["loaded_initial"] = True
-                calib["loaded"] = False
+                calib["loaded"] = bool(post_f > 1.1)
             current_window[0] = "main"
 
     # explicit same-machine normalization (BASELINE.md compares ratios:

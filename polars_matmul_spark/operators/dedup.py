@@ -343,17 +343,7 @@ def neardup_pairs_minhash(
     """
     sh = shingled(df, text_col, id_col, n).cache()
     if band_table is not None:
-        if "band_idx" in band_table.columns:
-            got = dict(band_table.schema["band_idx"].metadata or {}).get(
-                "minhash_params"
-            )
-            want = {"n": n, "num_perm": num_perm, "bands": bands}
-            if got is not None and dict(got) != want:
-                raise ValueError(
-                    "band_table LSH params drifted: table was built with"
-                    f" {dict(got)}, this call expects {want} — rebuild the"
-                    " table or pass matching n/num_perm/bands"
-                )
+        _check_band_params(band_table, n, num_perm, bands)
         banded = band_table
     else:
         sig = _minhash_signature_flat(sh, id_col, num_perm)
@@ -386,6 +376,30 @@ def neardup_pairs_minhash(
     return verified.select("d1", "d2", "jaccard")
 
 
+def _check_band_params(
+    table: DataFrame, n: int, num_perm: int, bands: int
+) -> None:
+    """Validate a band table's stamped ``minhash_params`` metadata
+    (written by :func:`build_minhash_bands`; survives parquet and
+    checkpoints) against a consumer's n/num_perm/bands — a drifted
+    caller fails loudly instead of silently losing candidate recall
+    (band joins on mismatched banding surface few/no collisions, and
+    the exact verify can only REMOVE pairs). Tables without the stamp
+    (user-built) pass unchecked — a documented best-effort guard."""
+    if "band_idx" not in table.columns:
+        return
+    got = dict(table.schema["band_idx"].metadata or {}).get(
+        "minhash_params"
+    )
+    want = {"n": n, "num_perm": num_perm, "bands": bands}
+    if got is not None and dict(got) != want:
+        raise ValueError(
+            "band table LSH params drifted: table was built with"
+            f" {dict(got)}, this call expects {want} — rebuild the"
+            " table or pass matching n/num_perm/bands"
+        )
+
+
 def neardup_new_vs_index(
     new_df: DataFrame,
     index_bands: DataFrame,
@@ -412,8 +426,10 @@ def neardup_new_vs_index(
 
     ``new_df`` and the index must have disjoint ids (new ids not yet
     indexed); band parameters must match the ones the index was built
-    with.
+    with — validated against the index's stamped ``minhash_params``
+    metadata when present (:func:`_check_band_params`).
     """
+    _check_band_params(index_bands, n, num_perm, bands)
     new_bands = build_minhash_bands(new_df, text_col, id_col, n, num_perm, bands)
     ix = index_bands.alias("ix")
     nw = F.broadcast(new_bands).alias("nw")

@@ -1342,6 +1342,45 @@ def _front_door_epochs(spark, sf_dir):
     return out
 
 
+def _fde_cum_cms(
+    p: str, width: int, depth: int, wc_sql: str, hsrc: str, h_str: str
+) -> str:
+    """The epoch-cumulative CMS replay fragment, factored ONCE for the
+    two-epoch oracle's line and gram sketches (the single-epoch
+    sibling of queries_text._excise_cms_hits_cte): given
+    ``{p}wc(h, ep, n)`` per-epoch distinct-doc counts (``wc_sql``) and
+    the h universe ``hsrc`` (hashed via ``h_str`` — the md5 argument
+    differs between varchar line hashes and bigint gram hashes),
+    derive per-epoch counters, cumulate them per DECIDING epoch
+    (``ep <= e``: history plus own batch, the hygiene protocol), and
+    min-fold into ``{p}est(h, ep, est)``. One copy, so a fix to the
+    double-hash/cumulate/min-fold replay cannot drift between the
+    line and gram paths."""
+    return f"""{p}wc AS MATERIALIZED (
+  {wc_sql}
+), {p}hh AS MATERIALIZED (
+  SELECT DISTINCT h,
+         ('0x' || substr(md5({h_str}), 1, 12))::BIGINT AS h1,
+         ('0x' || substr(md5({h_str}), 13, 12))::BIGINT * 2 + 1 AS h2
+  FROM {hsrc}
+), {p}cnt AS MATERIALIZED (
+  SELECT w.ep, r.range AS row, (w.h1 + r.range * w.h2) % {width} AS col,
+         SUM(w.n) AS n
+  FROM (SELECT {p}wc.h, {p}wc.ep, {p}wc.n, {p}hh.h1, {p}hh.h2
+        FROM {p}wc JOIN {p}hh USING (h)) w
+  CROSS JOIN range(0, {depth}) r GROUP BY 1, 2, 3
+), {p}cum AS MATERIALIZED (
+  SELECT e.range AS ep, c.row, c.col, SUM(c.n) AS n
+  FROM {p}cnt c JOIN range(0, 2) e ON c.ep <= e.range GROUP BY 1, 2, 3
+), {p}est AS MATERIALIZED (
+  SELECT hh.h, e.range AS ep, MIN(coalesce(cc.n, 0)) AS est
+  FROM {p}hh hh CROSS JOIN range(0, {depth}) r CROSS JOIN range(0, 2) e
+  LEFT JOIN {p}cum cc ON cc.ep = e.range AND cc.row = r.range
+                     AND cc.col = (hh.h1 + r.range * hh.h2) % {width}
+  GROUP BY hh.h, e.range
+)"""
+
+
 def _fde_oracle() -> str:
     from polars_matmul_spark.queries_multimodal import _duck_strip_html
     from polars_matmul_spark.queries_text import _excise_reassembly_sql
@@ -1355,41 +1394,34 @@ def _fde_oracle() -> str:
     lw, ld = _FD_CMS_LINE_W, _FD_CMS_LINE_D
     gw, gd = _FD_CMS_GRAM_W, _FD_CMS_GRAM_D
 
-    # epoch-aware gram-CMS hits: counters cumulated per deciding epoch
-    # (ep <= e — history plus own, the hygiene protocol); the nested
-    # reassembly scope's ``g`` gram CTE joins the outer ``lc`` for the
-    # doc's epoch
-    hits_cte = f"""gwc AS MATERIALIZED (
-  SELECT g.h, lc.ep, COUNT(DISTINCT g.doc_id) AS n
-  FROM g JOIN lc ON g.doc_id = lc.doc_id GROUP BY g.h, lc.ep
-), ghh AS MATERIALIZED (
-  SELECT DISTINCT h,
-         ('0x' || substr(md5(CAST(h AS VARCHAR)), 1, 12))::BIGINT AS h1,
-         ('0x' || substr(md5(CAST(h AS VARCHAR)), 13, 12))::BIGINT * 2 + 1
-           AS h2
-  FROM g
-), gcnt AS MATERIALIZED (
-  SELECT w.ep, r.range AS row, (w.h1 + r.range * w.h2) % {gw} AS col,
-         SUM(w.n) AS n
-  FROM (SELECT gwc.h, gwc.ep, gwc.n, ghh.h1, ghh.h2
-        FROM gwc JOIN ghh USING (h)) w
-  CROSS JOIN range(0, {gd}) r GROUP BY 1, 2, 3
-), gcum AS MATERIALIZED (
-  SELECT e.range AS ep, c.row, c.col, SUM(c.n) AS n
-  FROM gcnt c JOIN range(0, 2) e ON c.ep <= e.range GROUP BY 1, 2, 3
-), gest AS MATERIALIZED (
-  SELECT hh.h, e.range AS ep, MIN(coalesce(gc.n, 0)) AS est
-  FROM ghh hh CROSS JOIN range(0, {gd}) r CROSS JOIN range(0, 2) e
-  LEFT JOIN gcum gc ON gc.ep = e.range AND gc.row = r.range
-                   AND gc.col = (hh.h1 + r.range * hh.h2) % {gw}
-  GROUP BY hh.h, e.range
-), hits AS (
+    # epoch-aware gram-CMS hits: the shared cumulative replay over the
+    # nested reassembly scope's ``g`` gram CTE, which joins the outer
+    # ``lc`` for the doc's epoch
+    gram_cum = _fde_cum_cms(
+        "g",
+        gw,
+        gd,
+        "SELECT g.h, lc.ep, COUNT(DISTINCT g.doc_id) AS n\n"
+        "  FROM g JOIN lc ON g.doc_id = lc.doc_id GROUP BY g.h, lc.ep",
+        "g",
+        "CAST(h AS VARCHAR)",
+    )
+    hits_cte = f"""{gram_cum}, hits AS (
   SELECT g.doc_id, g.pos
   FROM g JOIN lc ON g.doc_id = lc.doc_id
   JOIN gest ON g.h = gest.h AND gest.ep = lc.ep
   WHERE gest.est >= {_FD_EXCISE_MIN}
 )"""
     excise_sql = _excise_reassembly_sql(hits_cte, _FD_K, src="lc")
+    line_cum = _fde_cum_cms(
+        "l",
+        lw,
+        ld,
+        "SELECT h, ep, count(DISTINCT doc_id) AS n\n"
+        "  FROM lh WHERE NOT is_blank GROUP BY h, ep",
+        "lh",
+        "h",
+    )
     return rf"""
 WITH RECURSIVE norm AS MATERIALIZED (
   SELECT doc_id,
@@ -1426,30 +1458,7 @@ WITH RECURSIVE norm AS MATERIALIZED (
          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
          trim(text) = '' AS is_blank
   FROM qa
-), lwc AS MATERIALIZED (
-  SELECT h, ep, count(DISTINCT doc_id) AS n
-  FROM lh WHERE NOT is_blank GROUP BY h, ep
-), lhh AS MATERIALIZED (
-  SELECT DISTINCT h,
-         ('0x' || substr(md5(h), 1, 12))::BIGINT AS h1,
-         ('0x' || substr(md5(h), 13, 12))::BIGINT * 2 + 1 AS h2
-  FROM lh
-), lcnt AS MATERIALIZED (
-  SELECT w.ep, r.range AS row, (w.h1 + r.range * w.h2) % {lw} AS col,
-         SUM(w.n) AS n
-  FROM (SELECT lwc.h, lwc.ep, lwc.n, lhh.h1, lhh.h2
-        FROM lwc JOIN lhh USING (h)) w
-  CROSS JOIN range(0, {ld}) r GROUP BY 1, 2, 3
-), lcum AS MATERIALIZED (
-  SELECT e.range AS ep, c.row, c.col, SUM(c.n) AS n
-  FROM lcnt c JOIN range(0, 2) e ON c.ep <= e.range GROUP BY 1, 2, 3
-), lest AS MATERIALIZED (
-  SELECT hh.h, e.range AS ep, MIN(coalesce(lc2.n, 0)) AS est
-  FROM lhh hh CROSS JOIN range(0, {ld}) r CROSS JOIN range(0, 2) e
-  LEFT JOIN lcum lc2 ON lc2.ep = e.range AND lc2.row = r.range
-                    AND lc2.col = (hh.h1 + r.range * hh.h2) % {lw}
-  GROUP BY hh.h, e.range
-), lc AS MATERIALIZED (
+), {line_cum}, lc AS MATERIALIZED (
   SELECT lh.doc_id, lh.ep,
          CASE WHEN lest.est >= {_FD_LINE_MIN} AND NOT lh.is_blank
               THEN '' ELSE lh.text END AS text

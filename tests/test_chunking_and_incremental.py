@@ -199,3 +199,13 @@ class TestBandTableParamGuard:
         )
         assert bt.schema["band_idx"].metadata in ({}, None)
         neardup_pairs_minhash(docs, band_table=bt).count()
+
+    def test_index_path_drift_raises(self, spark):
+        # the persisted-index consumer validates the stamp too — the
+        # path the parquet-surviving metadata exists for
+        docs = self._docs(spark)
+        old = docs.filter(F.col("doc_id") < 100)
+        new = docs.filter(F.col("doc_id") >= 100)
+        index = build_minhash_bands(old, num_perm=64, bands=32)
+        with pytest.raises(ValueError, match="drifted"):
+            neardup_new_vs_index(new, index, old, bands=16)

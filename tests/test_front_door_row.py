@@ -197,15 +197,19 @@ class TestEpochsRow:
             assert h.loc[d] != md5(ext[d]) and h.loc[d] != _MD5_EMPTY
 
     def test_quota_continues_epoch0_history(self, erow):
-        from polars_matmul_spark.queries_pipeline import _FDE_CAP
+        from polars_matmul_spark.queries_pipeline import (
+            _FD_NDOM,
+            _FDE_CAP,
+        )
 
         out, ids = erow
         # domain 0: epoch 0 accepted {0, 25, 50, 75}; epoch 1 may only
         # add cap - 4 = 6 more, lowest ids first
-        q0 = {d for d in ids("quota", 0) if d % 25 == 0}
-        q1 = {d for d in ids("quota", 1) if d % 25 == 0}
-        assert q0 == {0, 25, 50, 75}
-        assert q1 == {100, 125, 150, 175, 200, 225}
+        nd = _FD_NDOM
+        q0 = {d for d in ids("quota", 0) if d % nd == 0}
+        q1 = {d for d in ids("quota", 1) if d % nd == 0}
+        assert q0 == {0 * nd, 1 * nd, 2 * nd, 3 * nd}
+        assert q1 == {k * nd for k in range(4, 10)}
         assert len(q0) + len(q1) == _FDE_CAP
 
 
@@ -216,12 +220,16 @@ def test_epochs_quota_oracle_constraint(spark, pages):
     the oracle's global rank counts raw arrivals — they diverge the
     moment epoch 0 overflows a domain). Pin the margin so a future
     split/corpus/cap change fails here, not as a hash mystery."""
-    from polars_matmul_spark.queries_pipeline import _FDE_CAP, _FDE_SPLIT
+    from polars_matmul_spark.queries_pipeline import (
+        _FD_NDOM,
+        _FDE_CAP,
+        _FDE_SPLIT,
+    )
 
     ep0 = (
         pages.filter(F.col("doc_id") < _FDE_SPLIT)
         .filter(~(F.col("doc_id") % 97).isin(1, 2))  # head-surviving
-        .groupBy((F.col("doc_id") % 25).alias("dom"))
+        .groupBy((F.col("doc_id") % _FD_NDOM).alias("dom"))
         .count()
         .agg(F.max("count").alias("mx"))
         .collect()[0]["mx"]
