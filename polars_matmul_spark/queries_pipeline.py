@@ -1286,6 +1286,15 @@ SELECT 'flagged', doc_id, probe_ids, n_hits FROM flag
 # protocol), Bloom history as a fingerprint anti-join, within-epoch
 # connected components, and the cross-epoch candidate join against
 # epoch-0 novel docs.
+#
+# Wall profile (sf0.1, cold session, timings hook): prep 8.0 s,
+# epoch 0 21.7 s, epoch 1 17.1 s; per-sub-stage sums across epochs:
+# excise 9.4, minhash 8.9, line_strip 5.8, quota 5.5, bloom 3.1,
+# decon 2.8, head 2.5, ALL epoch-dir read-backs 0.93 s. First-epoch
+# walls carry the one-time plan/codegen (quota 4.55 -> 0.93 s on
+# epoch 1). Job-overhead-bound and SF-independent like the
+# single-epoch row (quota caps deep stages at <= 250 docs at ANY SF);
+# warm bench walls ~23-26 s.
 _FDE_SPLIT = 89
 _FDE_CAP = 10
 
