@@ -1371,11 +1371,11 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     # exact comparison in the rotated gate) so late-interaction MaxSim
     # gets a driver row (queries_pipeline.py):
     "materialize_bins": (_materialize_bins_q, _MATERIALIZE_BINS_ORACLE),
-    # mixture_sample rotated out in round 12 (its md5-per-epoch
-    # hash-bucket mechanism family stays driver-gated through
-    # priority_sample_docs and dsir_resample; the exact value
-    # comparison moves to test_oracle_parity's rotated-query gate) so
-    # the two-epoch front door gets a driver row
-    # (queries_pipeline.py):
+    # mixture_sample was briefly rotated out mid-round-12 to free a
+    # slot for front_door_epochs; restored because the
+    # optimization-round contract forbids removing a declared query
+    # (the driver re-checks every round-11 row). front_door_epochs
+    # moved to the rotated pytest gate instead; registry stays at 50.
+    "mixture_sample": (_mixture_sample_q, _mixture_oracle()),
     "bpe_encode": (_bpe_encode_q, _bpe_oracle()),
 }

@@ -1642,11 +1642,11 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     # (slot freed by rotating bloom_incremental_dedup — its Bloom gate
     # runs driver-gated INSIDE this chain's exact-dedup stage):
     "front_door_curation": (_front_door_curation, _fd_oracle()),
-    # round 12: the TWO-epoch front door gates cross-epoch state
-    # carry-over — quota history, accumulated CMS sketches, Bloom
-    # bitmap, MinHash band index (slot freed by rotating
-    # mixture_sample — its md5-epoch mechanism family stays
-    # driver-gated through priority_sample_docs + dsir_resample and
-    # the exact comparison moves to the rotated pytest gate):
-    "front_door_epochs": (_front_door_epochs, _fde_oracle()),
+    # round 12: the TWO-epoch front door (_front_door_epochs above)
+    # gates cross-epoch state carry-over — quota history, accumulated
+    # CMS sketches, Bloom bitmap, MinHash band index. It lives in the
+    # rotated pytest gate (test_oracle_parity) rather than this
+    # registry: the driver caps at 50 rows and the optimization-round
+    # contract forbids removing any round-11 declared query
+    # (mixture_sample was briefly rotated out for it and is restored).
 }

@@ -208,10 +208,12 @@ def _rotated_queries():
         # pagerank_converged_domains
         "decontaminate_docs": (qt._decontaminate_docs, qt._DECON_ORACLE),
         "bloom_incremental_dedup": (qd._bloom_incremental, qd._BLOOM_ORACLE),
-        # round-12 rotation: slot freed for front_door_epochs (the
-        # md5-epoch subsample mechanism stays driver-gated through
-        # priority_sample_docs + dsir_resample)
-        "mixture_sample": (qd._mixture_sample_q, qd._mixture_oracle()),
+        # round-12: the TWO-epoch front door lives here rather than in
+        # the 50-capped registry (mixture_sample was briefly rotated
+        # out for it mid-round and restored — the optimization-round
+        # contract forbids removing a declared query). The full DuckDB
+        # two-epoch replay still gates it at sf0.01 and sf0.1.
+        "front_door_epochs": (qp._front_door_epochs, qp._fde_oracle()),
     }
 
 
