@@ -347,7 +347,13 @@ def neardup_pairs_minhash(
         banded = band_table
     else:
         sig = _minhash_signature_flat(sh, id_col, num_perm)
-        banded = _band_table(sig, id_col, num_perm, bands)
+        # the band table feeds BOTH sides of the candidate self-join;
+        # pin it (lazy localCheckpoint, the semdedup/srp discipline) so
+        # the num_perm-way min-hash fold — the dominant cost of the
+        # whole pair search — runs once, not once per join side
+        banded = _band_table(sig, id_col, num_perm, bands).localCheckpoint(
+            eager=False
+        )
     a = banded.alias("a")
     b = banded.hint("shuffle_hash").alias("b")  # same win as the postings join
     cands = (
@@ -410,6 +416,7 @@ def neardup_new_vs_index(
     n: int = 3,
     num_perm: int = 64,
     bands: int = 32,
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup: which NEW docs duplicate the already-
     indexed corpus -> (new_id, old_id, jaccard).
@@ -428,9 +435,21 @@ def neardup_new_vs_index(
     indexed); band parameters must match the ones the index was built
     with — validated against the index's stamped ``minhash_params``
     metadata when present (:func:`_check_band_params`).
+
+    ``new_bands``: a precomputed :func:`build_minhash_bands` result
+    covering ``new_df``'s ids (a doc's bands are independent of every
+    other doc, so a FILTER of a larger batch's table is exact) — the
+    ingest loop already holds one, and passing it here skips this
+    call's own ``num_perm``-way signature fold. Validated against the
+    stamped ``minhash_params`` like the index side.
     """
     _check_band_params(index_bands, n, num_perm, bands)
-    new_bands = build_minhash_bands(new_df, text_col, id_col, n, num_perm, bands)
+    if new_bands is None:
+        new_bands = build_minhash_bands(
+            new_df, text_col, id_col, n, num_perm, bands
+        )
+    else:
+        _check_band_params(new_bands, n, num_perm, bands)
     ix = index_bands.alias("ix")
     nw = F.broadcast(new_bands).alias("nw")
     cands = (

@@ -1133,25 +1133,21 @@ def _neardup_pairs_from_hashes(
 ) -> DataFrame:
     """Banded Hamming self-join over an (__id, dhash) table — the
     shared tail of :func:`neardup_images_dhash` and its
-    variance-filtered sibling."""
-    width = 64 // bands
-    mask = (1 << width) - 1
-    slices = []
-    for b in range(bands):
-        slices.append(
-            hashes.select(
-                "__id",
-                "dhash",
-                F.lit(b).alias("__band"),
-                # logical right shift: cast through unsigned arithmetic
-                # via shiftrightunsigned (sign bit must not smear)
-                (F.shiftrightunsigned(F.col("dhash"), b * width)
-                 .bitwiseAND(F.lit(mask))).alias("__key"),
-            )
-        )
-    banded = slices[0]
-    for s in slices[1:]:
-        banded = banded.unionByName(s)
+    variance-filtered sibling.
+
+    The hash table is materialized ONCE (lazy localCheckpoint) before
+    it fans out: it feeds both sides of the band self-join, and
+    without the pin each side re-evaluates the upstream decode+dHash
+    mapInPandas subtree — with the former bands-way union of
+    projections that was up to ``2 * bands`` full decode passes of
+    every image per pair search (the round-12 plan audit read 16
+    Python-eval nodes in the driver row's plan where the data needs
+    exactly one). Band keys now derive in ONE posexplode projection
+    over the pinned slim (id, dhash) rows, so the plan carries a
+    single decode node per query."""
+    banded = _band_slices(
+        hashes.localCheckpoint(eager=False), bands, "__id", "dhash"
+    )
     right = banded.select(
         F.col("__id").alias("__id_b"),
         F.col("dhash").alias("__dhash_b"),
@@ -1235,23 +1231,27 @@ def neardup_images_dhash(
 
 
 def _band_slices(hashes: DataFrame, bands: int, id_alias: str, hash_alias: str) -> DataFrame:
+    """(id, dhash, __band, __key) — every band's bit-slice key in ONE
+    posexplode projection (identical key arithmetic to the former
+    bands-way union of projections, which evaluated the upstream plan
+    once PER BAND: for hash tables fed by a decode mapInPandas that
+    was ``bands`` decode passes of every image instead of one)."""
     width = 64 // bands
     mask = (1 << width) - 1
-    slices = []
-    for b in range(bands):
-        slices.append(
-            hashes.select(
-                F.col(hashes.columns[0]).alias(id_alias),
-                F.col(hashes.columns[1]).alias(hash_alias),
-                F.lit(b).alias("__band"),
-                (F.shiftrightunsigned(F.col(hashes.columns[1]), b * width)
-                 .bitwiseAND(F.lit(mask))).alias("__key"),
-            )
-        )
-    out = slices[0]
-    for s in slices[1:]:
-        out = out.unionByName(s)
-    return out
+    h = F.col(hashes.columns[1])
+    keys = F.array(
+        *[
+            # logical right shift: cast through unsigned arithmetic
+            # via shiftrightunsigned (sign bit must not smear)
+            F.shiftrightunsigned(h, b * width).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+    )
+    return hashes.select(
+        F.col(hashes.columns[0]).alias(id_alias),
+        h.alias(hash_alias),
+        F.posexplode(keys).alias("__band", "__key"),
+    )
 
 
 def image_neardup_new_vs_index(

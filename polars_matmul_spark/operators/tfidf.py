@@ -40,7 +40,15 @@ from pyspark.sql import functions as F
 
 from polars_matmul_spark.operators.text import tokens
 
-__all__ = ["doc_terms", "tf_idf", "bm25_score", "build_vocab", "oov_rate", "unigram_logprob"]
+__all__ = [
+    "doc_terms",
+    "tf_idf",
+    "bm25_score",
+    "bm25_score_multi",
+    "build_vocab",
+    "oov_rate",
+    "unigram_logprob",
+]
 
 
 def doc_terms(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -154,6 +162,100 @@ def bm25_score(
     )
 
 
+def bm25_score_multi(
+    df: DataFrame,
+    queries: dict[int, list[str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """:func:`bm25_score` for MANY query bags in ONE corpus pass:
+    (query_id, doc_id, bm25), docs matching none of a query's terms
+    omitted for that query — value-identical per query to running
+    :func:`bm25_score` once per bag (pinned in tests/test_tfidf.py).
+
+    Why it exists (round-12, guide §2.3/§2.4): a hybrid-search row
+    scoring Q query bags as Q independent ``bm25_score`` calls
+    tokenizes and scans the corpus ~3 Q times — the probe term list is
+    the ONLY thing that differs between legs. Tagging the probe table
+    with ``query_id`` turns the per-leg scans into one tokenize pass
+    for the hits, one tokenize pass for the corpus-wide scalars
+    (n_docs and avgdl fused into a single aggregate scan), and
+    per-(query, doc, term) aggregation downstream of the same
+    broadcast-probe filter — the corpus is still never shuffled in
+    full, and adding query bags now costs rows in a broadcast, not
+    corpus scans.
+    """
+    spark = df.sparkSession
+    probe = spark.createDataFrame(
+        [
+            (int(qid), t.lower())
+            for qid, terms in queries.items()
+            for t in terms
+        ],
+        "query_id long, term string",
+    )
+
+    nonempty = F.filter(
+        tokens(F.lower(F.col(text_col))), lambda t: t != F.lit("")
+    )
+    with_len = df.select(
+        F.col(id_col).alias("doc_id"), nonempty.alias("toks")
+    ).select(
+        "doc_id",
+        F.explode("toks").alias("term"),
+        F.size("toks").cast("double").alias("dl"),
+    )
+
+    hits = with_len.join(F.broadcast(probe), "term")
+    tf = hits.groupBy("query_id", "doc_id", "term", "dl").agg(
+        F.count("*").alias("tf")
+    )
+    df_t = tf.groupBy("query_id", "term").agg(F.count("*").alias("df"))
+
+    # corpus-wide scalars (same values as bm25_score's separate
+    # _n_docs + avgdl passes, one scan): count_distinct(doc_id) and
+    # avg(dl) over one row per input row
+    stats = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(nonempty).cast("double").alias("dl"),
+    ).agg(
+        F.count_distinct(F.col("doc_id")).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    per_term = (idf * tf_d * F.lit(k1 + 1.0) / denom).alias("w")
+
+    return (
+        tf.join(F.broadcast(df_t), ["query_id", "term"])
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", per_term)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("w").alias("bm25"))
+    )
+
+
+# orderBy+limit plans as TakeOrderedAndProject for ANY limit below
+# spark.sql.execution.topKSortFallbackThreshold (default ~Int.Max in
+# Spark 4), and TakeOrdered's per-task top-k buffer (Guava leastOf)
+# allocates 2*k OBJECT SLOTS up front REGARDLESS of input size —
+# limit(10**9) is a ~16 GB zeroed allocation per task even over a
+# 31-term vocabulary (measured round 12: G1 humongous-allocation
+# storms, safepoint-unreachable zeroing, a dead driver JVM). Above
+# this cap the top-V is planned as rank-then-filter instead: the
+# window's group-limit execution counts rows, allocating nothing.
+_TAKE_ORDERED_CAP = 1_000_000
+
+
 def build_vocab(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -163,11 +265,17 @@ def build_vocab(
 ) -> DataFrame:
     """Top-``max_size`` terms by corpus frequency: (term, count, rank).
 
-    Deterministic: ties break on term ASC. The top-V select is
-    orderBy+limit (Spark's distributed TakeOrdered — per-partition
-    top-V then a driver merge of V-row partials, NO global window over
-    the unbounded term set); row_number runs only on the bounded
-    V-row result.
+    Deterministic: ties break on term ASC. For ``max_size`` up to
+    ``_TAKE_ORDERED_CAP`` the top-V select is orderBy+limit (Spark's
+    distributed TakeOrdered — per-partition top-V then a driver merge
+    of V-row partials, NO global window over the unbounded term set);
+    row_number runs only on the bounded V-row result. Beyond the cap
+    (an "effectively whole vocabulary" request — TakeOrdered would
+    allocate O(max_size) per task, see ``_TAKE_ORDERED_CAP``) the
+    SAME rows come from ranking the full term set and filtering
+    ``rank <= max_size``: (count DESC, term ASC) is a TOTAL order
+    (term is unique), so row_number is deterministic and the two
+    formulations are value-identical by construction.
     """
     from pyspark.sql import Window
 
@@ -177,9 +285,14 @@ def build_vocab(
         .agg(F.count("*").alias("count"))
         .filter(F.col("count") >= min_count)
     )
+    w = Window.orderBy(F.col("count").desc(), F.col("term").asc())
+    if max_size > _TAKE_ORDERED_CAP:
+        ranked = counts.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        )
+        return ranked.filter(F.col("rank") <= max_size)
     top = counts.orderBy(F.col("count").desc(), F.col("term").asc()).limit(max_size)
     # bounded at max_size rows — the unpartitioned window is safe here
-    w = Window.orderBy(F.col("count").desc(), F.col("term").asc())
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 

@@ -23,7 +23,11 @@ from pyspark.sql import functions as F
 from polars_matmul_spark.operators.chunking import chunk_documents
 from polars_matmul_spark.operators.profile import profile_table
 from polars_matmul_spark.operators.sampling import hash_split
-from polars_matmul_spark.operators.tfidf import bm25_score, tf_idf
+from polars_matmul_spark.operators.tfidf import (
+    bm25_score,
+    bm25_score_multi,
+    tf_idf,
+)
 from polars_matmul_spark.sources.tables import load_table
 
 
@@ -490,15 +494,13 @@ def _hybrid_rrf_search(spark, sf_dir):
     from polars_matmul_spark.operators.similarity_join import score_expr
 
     docs = _docs(spark, sf_dir)
-    lex_legs = []
-    for qid, terms in _HYBRID_TERMS.items():
-        leg = bm25_score(docs, terms).select(
-            F.lit(qid).cast("long").alias("query_id"),
-            "doc_id",
-            F.col("bm25").alias("score"),
-        )
-        lex_legs.append(leg)
-    lex = lex_legs[0].unionByName(lex_legs[1])
+    # both lexical legs in ONE corpus pass (bm25_score_multi,
+    # round 12): per-leg bm25_score calls tokenized and scanned the
+    # corpus once per leg per scalar — the probe term list is all that
+    # differs, so it rides a query-tagged broadcast instead
+    lex = bm25_score_multi(docs, _HYBRID_TERMS).select(
+        "query_id", "doc_id", F.col("bm25").alias("score")
+    )
 
     emb = load_table(spark, "embeddings", sf_dir)
     qv = emb.filter(F.col("vec_id") < 2).select(

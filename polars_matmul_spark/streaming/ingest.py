@@ -68,14 +68,20 @@ def ingest_documents_batch(
         eager=False
     )
 
-    # 1. within-batch near-dup collapse (chains included)
+    # 1. within-batch near-dup collapse (chains included). The pair
+    # search (band self-join + exact verify) is pinned once: the
+    # emptiness probe below and keep_canonical's component closure
+    # otherwise each re-run it from scratch
     pairs = neardup_pairs_minhash(
         batch, threshold, text_col, id_col, band_table=batch_bands
-    )
+    ).localCheckpoint(eager=False)
     if pairs.limit(1).count() > 0:
         batch = keep_canonical(batch, pairs, id_col=id_col).drop("group_size")
 
-    # 2. vs everything accepted so far
+    # 2. vs everything accepted so far — the survivors' bands are a
+    # filter of the batch band table (a doc's bands are independent of
+    # other docs), so the vs-history check reuses the one signature
+    # fold instead of running its own
     index = _read_or_empty(spark, index_dir, _BANDS_SCHEMA)
     corpus = _read_or_empty(spark, corpus_dir, None)
     if corpus is not None and index is not None and index.limit(1).count() > 0:
@@ -86,6 +92,9 @@ def ingest_documents_batch(
             threshold,
             text_col,
             id_col,
+            new_bands=batch_bands.join(
+                batch.select(id_col), id_col, "left_semi"
+            ),
         )
         # crash-replay safety: if this epoch's own writes landed before
         # the checkpoint committed, the replayed batch finds ITSELF in

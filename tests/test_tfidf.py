@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from polars_matmul_spark.operators.tfidf import (
     bm25_score,
+    bm25_score_multi,
     build_vocab,
     doc_terms,
     oov_rate,
@@ -128,6 +129,39 @@ GROUP BY doc_id
                 first_join = line  # deepest join prints last
         assert first_join is not None and "BroadcastHashJoin" in first_join, plan
 
+    def test_multi_matches_per_query_calls(self, spark):
+        # bm25_score_multi (the one-corpus-pass hybrid-leg form,
+        # round 12) must be value-identical per query to running
+        # bm25_score once per bag — same (query, doc) set, scores
+        # equal to float round-trip tolerance (the per-doc term sum is
+        # <= |terms| doubles; downstream consumers rank on
+        # round(score, 9))
+        docs = load_table(spark, "documents", SF_DIR)
+        queries = {0: self.QUERY, 1: ["join", "merge", "window"]}
+        got = _sorted(
+            bm25_score_multi(docs, queries).toPandas(),
+            ["query_id", "doc_id"],
+        )
+        import pandas as pd
+
+        want = _sorted(
+            pd.concat(
+                [
+                    bm25_score(docs, terms)
+                    .toPandas()
+                    .assign(query_id=qid)
+                    for qid, terms in queries.items()
+                ]
+            )[["query_id", "doc_id", "bm25"]],
+            ["query_id", "doc_id"],
+        )
+        assert len(got) == len(want) and len(got) > 0
+        assert (got["query_id"].values == want["query_id"].values).all()
+        assert (got["doc_id"].values == want["doc_id"].values).all()
+        np.testing.assert_allclose(
+            got["bm25"].values, want["bm25"].values, rtol=1e-12
+        )
+
 
 class TestVocab:
     def test_topv_deterministic_and_ranked(self, spark, duck):
@@ -154,6 +188,24 @@ GROUP BY term ORDER BY count DESC, term ASC LIMIT 50
             .toString()
         )
         assert "TakeOrderedAndProject" in plan, plan
+
+    def test_huge_max_size_path_equivalence(self, spark, monkeypatch):
+        # max_size beyond _TAKE_ORDERED_CAP switches build_vocab from
+        # orderBy+limit (TakeOrdered allocates 2*max_size object slots
+        # PER TASK regardless of input size — limit(10**9) was a ~16 GB
+        # zeroed allocation that killed the driver JVM, round 12) to
+        # rank-then-filter. (count DESC, term ASC) is a total order, so
+        # the two formulations must agree row-for-row; pin it by
+        # forcing the rank path at a small max_size.
+        import polars_matmul_spark.operators.tfidf as T
+
+        docs = load_table(spark, "documents", SF_DIR)
+        want = build_vocab(docs, max_size=10).toPandas()
+        monkeypatch.setattr(T, "_TAKE_ORDERED_CAP", 5)
+        got = build_vocab(docs, max_size=10).toPandas()
+        assert list(got["term"]) == list(want["term"])
+        assert list(got["count"]) == list(want["count"])
+        assert list(got["rank"]) == list(want["rank"])
 
     def test_oov_rate(self, spark):
         docs = load_table(spark, "documents", SF_DIR)
