@@ -888,13 +888,22 @@ _FD_PAGE_TAIL = "</p></body></html>"
 
 def _fd_pages(spark, sf_dir):
     """(doc_id, url, page, status): the synthesized crawl."""
-    docs = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.regexp_replace(
-            F.regexp_replace("text", "[^\\x00-\\x7F]", "?"),
-            "[\\x00-\\x1F]",
-            " ",
-        ).alias("raw"),
+    # repartition FIRST: the documents table is one parquet file at
+    # test SFs, so the synth regexp chain (and the strip_html/tokens
+    # probe pass over the checkpointed 1-partition result) otherwise
+    # serializes onto one core (round 12; row-local exprs, values
+    # unchanged)
+    docs = (
+        _docs(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            F.regexp_replace(
+                F.regexp_replace("text", "[^\\x00-\\x7F]", "?"),
+                "[\\x00-\\x1F]",
+                " ",
+            ).alias("raw"),
+        )
     )
     v = F.expr("doc_id div 83 div 2").cast("string")
     b_body = F.concat_ws(

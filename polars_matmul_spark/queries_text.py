@@ -867,7 +867,16 @@ def _domain_pagerank(spark, sf_dir):
         pagerank_dual,
     )
 
-    pages = _pr_synth_pages(_docs(spark, sf_dir).select("doc_id"))
+    # repartition: the documents table is one parquet file at test SFs,
+    # so the synth + href-extract + canonicalize chain — the row's
+    # dominant cost (round-12 profile: 5.8s of the ~12s wall) —
+    # serializes onto one core without spreading (the excise rows'
+    # rule; values unchanged, edges are distinct-deduped after)
+    pages = _pr_synth_pages(
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     # materialize the slim edge table once — the dual PageRank and
     # both degree aggs otherwise re-run the synth + extract chain per
     # action

@@ -35,8 +35,6 @@ from polars_matmul_spark.operators.text import fingerprint
 
 __all__ = ["bloom_ingest_batch", "run_bloom_ingest_stream"]
 
-_BLOOM_SCHEMA = "word_idx long, bits long"
-
 
 from polars_matmul_spark.streaming.hygiene import (
     read_or_empty as _read_or_empty,
@@ -63,11 +61,16 @@ def bloom_ingest_batch(
     from pyspark.sql import Window
 
     w = Window.partitionBy("fp").orderBy(F.asc(id_col))
+    # lazy pin (round 12): materializes inside the novel checkpoint's
+    # job (the first action touching the batch) — still before any
+    # epoch write; the eager form paid a dedicated fingerprint pass
+    # per epoch, and on a first epoch it double-checkpointed the batch
+    # (novel == batch there)
     batch = (
         batch.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     # 2+3. two-gate check: the EXACT gate runs whenever an accepted
@@ -76,10 +79,14 @@ def bloom_ingest_batch(
     # the bloom dir alone would silently accept duplicates if the
     # bitmap is deleted/relocated while the corpus survives, or under
     # manual composition outside the availableNow driver.)
-    bloom_parts = _read_or_empty(spark, bloom_dir, _BLOOM_SCHEMA)
-    corpus = _read_or_empty(spark, corpus_dir, f"{id_col} long, fp string")
-    if corpus.limit(1).count() > 0:
-        if bloom_parts.limit(1).count() > 0:
+    # schema=None -> None when a state dir does not exist yet (the
+    # first epoch), decided at plan time: the empty-history epoch skips
+    # both emptiness-probe jobs outright (round 12; the gate itself is
+    # unchanged whenever a corpus dir exists)
+    bloom_parts = _read_or_empty(spark, bloom_dir, None)
+    corpus = _read_or_empty(spark, corpus_dir, None)
+    if corpus is not None and corpus.limit(1).count() > 0:
+        if bloom_parts is not None and bloom_parts.limit(1).count() > 0:
             merged = bloom_parts.groupBy("word_idx").agg(
                 F.bit_or("bits").alias("bits")
             )

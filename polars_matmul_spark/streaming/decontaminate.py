@@ -58,7 +58,11 @@ def decontaminate_ingest_batch(
     the CURRENT probe catalog, route clean rows to ``clean_dir`` and
     flagged rows (with hit counts + probe attributions) to
     ``flagged_dir`` — both as idempotent ``epoch=N`` overwrites."""
-    batch = batch_df.localCheckpoint(eager=True)
+    # lazy pin (round 12): the batch feeds the flagged tagging AND the
+    # clean anti-join; the pin materializes inside the first write's
+    # job instead of paying its own pass (nothing in the batch's
+    # lineage reads the dirs this epoch writes)
+    batch = batch_df.localCheckpoint(eager=False)
     probes = _read_or_empty(spark, probes_dir, _PROBE_SCHEMA)
 
     if probes.limit(1).count() == 0:

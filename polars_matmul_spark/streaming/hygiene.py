@@ -79,22 +79,47 @@ def hygiene_ingest_batch(
     """One epoch of the protocol above. ``build_fn(batch) -> sketch``;
     ``clean_fn(batch, merged_sketch) -> cleaned`` (batch arrives with
     canonical ``doc_id``/``text`` column names)."""
-    batch = batch_df.localCheckpoint(eager=True)
-    own = build_fn(batch).localCheckpoint(eager=True)
+    # lazy pin: the batch is read twice (sketch build, clean pass) so
+    # it must be computed once — but the pin can materialize inside
+    # the first consuming job (own's write below) instead of paying
+    # its own pass up front (round 12; nothing in the batch's lineage
+    # reads the dirs this epoch writes)
+    batch = batch_df.localCheckpoint(eager=False)
 
-    prior = _read_or_empty(spark, cms_dir, _CMS_SCHEMA)
-    if "epoch" in prior.columns:
-        prior = prior.filter(F.col("epoch") != epoch_id).select("row", "col", "n")
-    # unconditional merge: union+sum over an empty prior IS own's
-    # counters — a non-empty guard would cost an extra job per batch
-    merged = merge_cms(prior, own)
+    # schema=None -> None when the sketch dir does not exist yet (the
+    # first epoch), KNOWN AT PLAN TIME with no job. merge_cms(empty,
+    # own) == own counter-for-counter (a sum over one value), so the
+    # first epoch skips the merge's union+groupBy shuffle outright
+    # (round 12, guide §2.4: remove shuffles that reshuffle data
+    # already in the needed shape). Planned BEFORE own's commit below,
+    # and the epoch!=N replay guard keeps this epoch's own rows out of
+    # the history view either way.
+    prior = _read_or_empty(spark, cms_dir, None)
+
+    # own commits FIRST and the merge/clean read the just-written
+    # epoch dir back: one job computes the sketch AND persists it,
+    # where the former eager-checkpoint-then-write shape paid a
+    # second full pass to copy the checkpointed counters to parquet
+    # (round 12, guide §1.2 "don't compute things twice"). Replay
+    # idempotence is unchanged — the epoch dir is overwritten before
+    # anything reads it, so a crash-replay reproduces the same state.
+    own_dir = f"{cms_dir}/epoch={epoch_id}"
+    build_fn(batch).write.mode("overwrite").parquet(own_dir)
+    own = spark.read.parquet(own_dir)
+
+    if prior is None:
+        merged = own
+    else:
+        if "epoch" in prior.columns:
+            prior = prior.filter(F.col("epoch") != epoch_id).select(
+                "row", "col", "n"
+            )
+        merged = merge_cms(prior, own)
 
     cleaned = clean_fn(
         batch.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
         merged,
     )
-
-    own.write.mode("overwrite").parquet(f"{cms_dir}/epoch={epoch_id}")
     cleaned.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
 
 

@@ -58,7 +58,11 @@ def ingest_documents_batch(
     """Accept the novel subset of one micro-batch; append docs to
     ``corpus_dir/epoch=N`` and bands to ``index_dir/epoch=N``
     (overwrite-in-place per epoch => idempotent replay)."""
-    batch = batch_df.localCheckpoint(eager=True)
+    # lazy pin (round 12): materializes inside the first consuming job
+    # (the within-batch pair probe) — still strictly before any of
+    # this epoch's writes mutate the index/corpus dirs, which is what
+    # the pin is for; the eager form paid a dedicated pass per epoch
+    batch = batch_df.localCheckpoint(eager=False)
 
     # the batch's band table is computed ONCE: it drives the
     # within-batch banding below AND (filtered to the novel ids) the

@@ -56,9 +56,14 @@ def domain_quota_batch(
     ``max_per_domain``. Idempotent ``epoch=N`` overwrite-append."""
     if max_per_domain < 1:
         raise ValueError("max_per_domain must be >= 1")
+    # no checkpoint: the keyed batch has exactly ONE consumer (the
+    # accepted plan below), so pinning it cost a full extra pass per
+    # epoch for nothing — the decision is deterministic on replay
+    # either way (rank orders by id_col, history prunes this epoch's
+    # partition). Round 12, guide §1.2.
     batch = with_registrable_domain(
         batch_df, url_col, psl=psl, out_col="domain_key"
-    ).localCheckpoint(eager=True)
+    )
 
     history = _read_or_empty(spark, accepted_dir, None)
     if history is not None and "epoch" in history.columns:
