@@ -867,16 +867,14 @@ def _domain_pagerank(spark, sf_dir):
         pagerank_dual,
     )
 
-    # repartition: the documents table is one parquet file at test SFs,
-    # so the synth + href-extract + canonicalize chain — the row's
-    # dominant cost (round-12 profile: 5.8s of the ~12s wall) —
-    # serializes onto one core without spreading (the excise rows'
-    # rule; values unchanged, edges are distinct-deduped after)
-    pages = _pr_synth_pages(
-        _docs(spark, sf_dir)
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    # NO repartition — measured both ways twice (round 12, per-phase
+    # walls + /proc/stat steal accounting): spreading the synth +
+    # href-extract + canonicalize chain over 32 tasks made the extract
+    # phase 2-8x SLOWER here (13.4-47.7s vs 5.5-7.5s warm) — the wall
+    # is planning/codegen of the huge canonicalization expression tree
+    # plus a wide-stage allocation storm, not row throughput, at 5000
+    # rows. At real scale the scan arrives already multi-split.
+    pages = _pr_synth_pages(_docs(spark, sf_dir).select("doc_id"))
     # materialize the slim edge table once — the dual PageRank and
     # both degree aggs otherwise re-run the synth + extract chain per
     # action
