@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 
 from polars_matmul_spark.operators.bloom import _h1h2
 
-__all__ = ["cms_params", "build_cms", "merge_cms", "cms_estimates", "cms_lookup"]
+__all__ = ["cms_params", "build_cms", "merge_cms", "cms_lookup"]
 
 
 def cms_params(eps: float, delta: float = 0.01) -> tuple[int, int]:
@@ -110,53 +110,6 @@ def merge_cms(*sketches: DataFrame) -> DataFrame:
     return out.groupBy("row", "col").agg(F.sum("n").alias("n"))
 
 
-def cms_estimates(
-    keys_df: DataFrame,
-    cms: DataFrame,
-    value_col: str,
-    width: int,
-    depth: int,
-) -> DataFrame:
-    """(value_col, ``__est``) estimates for a DISTINCT key frame: min
-    over the key's ``depth`` counters, 0 for absent counters — the
-    shared estimate kernel of :func:`cms_lookup` and the span/line
-    excision operators.
-
-    Plan shape (round 12): a chain of ``depth`` broadcast joins, one
-    per sketch ROW — each join key is the row's counter column
-    ``(h1 + r*h2) mod width``, computed row-locally, and the min folds
-    as a ``LEAST`` projection. vs the former explode-probes ->
-    broadcast-join -> groupBy(min): no ``depth x keys`` row blow-up
-    and NO shuffle at all after the keys are in hand (the min is a
-    projection, not an aggregate). Measured on the excise row's 1.2M
-    distinct grams x 283k counters: best 1.29 s vs 3.42 s, and the
-    explode shape's worst observed wall was 17x its best (memory
-    pressure on the 6M-row exchange) where this shape stays within
-    2.5x. Estimates are bit-identical by construction (pinned by the
-    same oracles).
-
-    The sketch is pinned (lazy localCheckpoint) before slicing so the
-    ``depth`` slice scans cannot re-run an expensive upstream plan
-    (e.g. a merge of per-epoch sketches).
-    """
-    pinned = cms.localCheckpoint(eager=False)
-    h1, h2 = _h1h2(F.col(value_col))
-    out = keys_df.select(value_col, h1.alias("__h1"), h2.alias("__h2"))
-    mins = []
-    for r in range(depth):
-        sl = pinned.filter(F.col("row") == r).select(
-            F.col("col").alias(f"__c{r}"), F.col("n").alias(f"__n{r}")
-        )
-        out = out.join(
-            F.broadcast(sl),
-            F.pmod(F.col("__h1") + r * F.col("__h2"), F.lit(width))
-            == F.col(f"__c{r}"),
-            "left",
-        )
-        mins.append(F.coalesce(F.col(f"__n{r}"), F.lit(0)))
-    return out.select(value_col, F.least(*mins).alias("__est"))
-
-
 def cms_lookup(
     keys_df: DataFrame,
     cms: DataFrame,
@@ -168,34 +121,29 @@ def cms_lookup(
     """Adds ``est_count``: min over the key's depth counters —
     >= the true count always, <= true + eps*N with prob 1 - delta.
 
-    Plan: :func:`cms_estimates` over the distinct keys — a chain of
-    ``depth`` broadcast slice-joins with a row-local LEAST fold (no
-    probe explode, no groupBy; see its docstring for the measured
-    win). The sketch never shuffles. A sketch sized via ``cms_params``
-    with a very small eps/delta can outgrow the broadcast budget —
-    pass ``broadcast=False`` to fall back to the explode + shuffle
-    join shape (the ``broadcast_frequent``/``broadcast_probe`` escape
-    hatch the sibling operators expose; round-6 ADVICE).
+    Plan: explode the probe positions, broadcast-join the counter
+    table (bounded MBs by construction), min per key. The sketch
+    never shuffles; the probe side shuffles only (key, row, col)
+    triples for its final min. A sketch sized via ``cms_params`` with
+    a very small eps/delta can outgrow the broadcast budget — pass
+    ``broadcast=False`` to fall back to a shuffle join (the
+    ``broadcast_frequent``/``broadcast_probe`` escape hatch the
+    sibling operators expose; round-6 ADVICE).
     """
-    distinct_keys = keys_df.select(F.col(value_col).alias("__v")).distinct()
-    if broadcast:
-        est = cms_estimates(distinct_keys, cms, "__v", width, depth)
-        est = est.withColumnRenamed("__est", "est_count")
-    else:
-        probes = distinct_keys.select(
-            "__v", F.explode(_probes(F.col("__v"), width, depth)).alias("p")
+    _maybe_bcast = F.broadcast if broadcast else (lambda d: d)
+    probes = keys_df.select(F.col(value_col).alias("__v")).distinct().select(
+        "__v", F.explode(_probes(F.col("__v"), width, depth)).alias("p")
+    )
+    est = (
+        probes.join(
+            _maybe_bcast(cms),
+            (F.col("p.row") == F.col("row")) & (F.col("p.col") == F.col("col")),
+            "left",
         )
-        est = (
-            probes.join(
-                cms,
-                (F.col("p.row") == F.col("row"))
-                & (F.col("p.col") == F.col("col")),
-                "left",
-            )
-            .select("__v", F.coalesce(F.col("n"), F.lit(0)).alias("__c"))
-            .groupBy("__v")
-            .agg(F.min("__c").alias("est_count"))
-        )
+        .select("__v", F.coalesce(F.col("n"), F.lit(0)).alias("__c"))
+        .groupBy("__v")
+        .agg(F.min("__c").alias("est_count"))
+    )
     return keys_df.join(
         est.withColumnRenamed("__v", value_col), value_col, "left"
     ).withColumn("est_count", F.coalesce(F.col("est_count"), F.lit(0)))

@@ -553,12 +553,11 @@ def excise_duplicate_spans_cms(
     :func:`gram_arrays` frame over the SAME ``df``/``k`` — pass it to
     share one md5 pass between :func:`build_gram_cms` and this
     excision (the driver-row and ingest shape)."""
-    # estimate via the shared slice-join kernel (round 12,
-    # cms.cms_estimates): depth broadcast joins + a row-local LEAST
-    # fold — no depth-way probe explode, no groupBy(min) shuffle; the
-    # public cms_lookup would re-distinct and join back the full
-    # estimate frame, exactly the exchanges this plan avoids
-    from polars_matmul_spark.operators.cms import cms_estimates
+    # probe-position derivation shared with the cms module (in-package
+    # reuse of its private _probes keeps the double-hash scheme in ONE
+    # place; the public cms_lookup would re-distinct and join back the
+    # full estimate frame — exactly the exchanges this plan avoids)
+    from polars_matmul_spark.operators.cms import _probes
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -572,7 +571,19 @@ def excise_duplicate_spans_cms(
         grams.select(F.explode(F.array_distinct("__hs")).alias("__h"))
         .distinct()
     )
-    est = cms_estimates(keys, cms, "__h", width, depth)
+    probes = keys.select(
+        "__h", F.explode(_probes(F.col("__h"), width, depth)).alias("p")
+    )
+    est = (
+        probes.join(
+            F.broadcast(cms),
+            (F.col("p.row") == F.col("row")) & (F.col("p.col") == F.col("col")),
+            "left",
+        )
+        .select("__h", F.coalesce(F.col("n"), F.lit(0)).alias("__c"))
+        .groupBy("__h")
+        .agg(F.min("__c").alias("__est"))
+    )
     frequent = est.filter(F.col("__est") >= min_docs).select("__h")
     if broadcast_frequent:
         frequent = F.broadcast(frequent)
