@@ -50,10 +50,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from polars_matmul_spark.operators.urls import (
-    canonicalize_url,
-    registrable_host_key,
-)
+from polars_matmul_spark.operators.urls import registrable_host_key
 
 __all__ = [
     "extract_hrefs",
@@ -84,16 +81,28 @@ def domain_edges(
     dropped; self-loops are kept (a site linking itself is real
     signal for the dangling-mass rule, and PageRank handles loops).
     """
+    # registrable_host_key(canonicalize_url(u)) == registrable_host_key(u)
+    # for EVERY input (round 13): the key depends only on the host, and
+    # host_of re-derives it from scratch — same trim, same
+    # default-scheme rule, authority cut at the first of / ? #
+    # (canonicalize's earlier fragment strip is subsumed), lowercasing
+    # idempotent, userinfo and ANY port stripped by host_of regardless
+    # of canonicalize's default-port rule; path/query normalization
+    # never reaches the authority. Pinned by
+    # tests/test_urls.py::test_host_key_canonicalize_invariant. Running
+    # the key directly on the raw string drops the ~25x larger
+    # canonicalize expression tree from both evaluation sites — the
+    # tree was the row's codegen/JIT wall (guide §1.2/§7.2: the first
+    # run of this plan shape compiled for ~10s+ and every run paid
+    # ~0.8 ms/row interpreting the duplicated subtrees).
     links = docs.select(
-        registrable_host_key(canonicalize_url(F.col(url_col))).alias("src_domain"),
+        registrable_host_key(F.col(url_col)).alias("src_domain"),
         F.explode(extract_hrefs(F.col(text_col))).alias("href"),
     ).filter(F.col("href").rlike(r"(?i)^https?://"))
     return (
         links.select(
             "src_domain",
-            registrable_host_key(canonicalize_url(F.col("href"))).alias(
-                "dst_domain"
-            ),
+            registrable_host_key(F.col("href")).alias("dst_domain"),
         )
         .filter(F.col("src_domain") != "")
         .filter(F.col("dst_domain") != "")

@@ -888,14 +888,21 @@ _FD_PAGE_TAIL = "</p></body></html>"
 
 def _fd_pages(spark, sf_dir):
     """(doc_id, url, page, status): the synthesized crawl."""
-    # repartition FIRST: the documents table is one parquet file at
+    # repartition FIRST — but only when the scan arrives with fewer
+    # splits than cores: the documents table is one parquet file at
     # test SFs, so the synth regexp chain (and the strip_html/tokens
     # probe pass over the checkpointed 1-partition result) otherwise
     # serializes onto one core (round 12; row-local exprs, values
-    # unchanged)
+    # unchanged). At real scale the scan is already multi-split and an
+    # unconditional repartition would be a full exchange of the corpus
+    # before a row-local chain (round-13, r12 verdict #5; guide §2.4:
+    # never shuffle to restore parallelism you already have).
+    docs = _docs(spark, sf_dir)
+    want = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < want:
+        docs = docs.repartition(want)
     docs = (
-        _docs(spark, sf_dir)
-        .repartition(spark.sparkContext.defaultParallelism)
+        docs
         .select(
             "doc_id",
             F.regexp_replace(
@@ -981,9 +988,15 @@ def _fd_warc(spark, pages):
                 {"asset_id": pdf["doc_id"], "payload": payloads}
             )
 
-    return pages.repartition(
-        spark.sparkContext.defaultParallelism
-    ).mapInPandas(build, "asset_id long, payload binary")
+    # same gate as _fd_pages: the caller hands a checkpointed pages
+    # table that already carries >= cores partitions on the bench path,
+    # so the former unconditional repartition was a second full
+    # exchange of the page bodies for nothing (round 13; the gzip wrap
+    # below is row-local, values unchanged)
+    want = spark.sparkContext.defaultParallelism
+    if pages.rdd.getNumPartitions() < want:
+        pages = pages.repartition(want)
+    return pages.mapInPandas(build, "asset_id long, payload binary")
 
 
 def _fd_probes(pages):
@@ -1065,6 +1078,73 @@ def _fd_stage_union(spark, state_root, epoch):
     )
 
 
+def _fd_stage_union_epochs(spark, state_root):
+    """ALL epochs' stage outputs as (stage, epoch, doc_id, fp, n_hits)
+    rows: each stage dir is read ONCE at its root — the ``epoch``
+    partition column carries the value the former per-epoch form
+    injected with ``lit(ep)`` — instead of one read and one union
+    branch per (stage, epoch) (round 13, guide §1.2: the two-epoch row
+    planned 12 parquet read-backs and a 12-branch union here). A
+    missing stage root, or a missing ``epoch=N`` under it, reproduces
+    the documented "stage emitted nothing" absence exactly: no rows
+    for that (stage, epoch)."""
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    from polars_matmul_spark.streaming.front_door import STAGE_DIRS
+
+    ep_schema = {
+        "head": "doc_id long",
+        "quota": "doc_id long",
+        "excised": "doc_id long, text string",
+        "minhash_corpus": "doc_id long",
+        "clean": "doc_id long",
+        "flagged": "doc_id long, probe_ids string, n_hits int",
+    }
+
+    def _ep(key):
+        path = os.path.join(state_root, STAGE_DIRS[key])
+        try:
+            df = spark.read.parquet(path)
+        except AnalysisException:
+            df = None
+        if df is None or "epoch" not in df.columns:
+            return spark.createDataFrame(
+                [], ep_schema[key] + ", epoch long"
+            )
+        return df
+
+    def _stage(df, name, fp=None, n_hits=None):
+        return df.select(
+            F.lit(name).alias("stage"),
+            F.col("epoch").cast("long").alias("epoch"),
+            "doc_id",
+            (fp if fp is not None else F.lit(None).cast("string")).alias(
+                "fp"
+            ),
+            (
+                n_hits if n_hits is not None else F.lit(0).cast("long")
+            ).alias("n_hits"),
+        )
+
+    return (
+        _stage(_ep("head"), "head")
+        .unionByName(_stage(_ep("quota"), "quota"))
+        .unionByName(_stage(_ep("excised"), "hygiene", fp=F.md5("text")))
+        .unionByName(_stage(_ep("minhash_corpus"), "unique"))
+        .unionByName(_stage(_ep("clean"), "clean"))
+        .unionByName(
+            _stage(
+                _ep("flagged"),
+                "flagged",
+                fp=F.col("probe_ids"),
+                n_hits=F.col("n_hits").cast("long"),
+            )
+        )
+    )
+
+
 def _front_door_curation(spark, sf_dir):
     import os
     import shutil
@@ -1077,9 +1157,26 @@ def _front_door_curation(spark, sf_dir):
     probes_dir = os.path.join(root, "probes")
     try:
         pages = _fd_pages(spark, sf_dir).localCheckpoint(eager=True)
-        _fd_probes(pages).write.mode("overwrite").parquet(probes_dir)
+        # probes write and WARC wrap are independent consumers of the
+        # pinned pages: overlap them (round 13, guide §2.6)
+        from polars_matmul_spark.streaming.hygiene import (
+            commit_epoch_writes,
+        )
 
-        raw = _fd_warc(spark, pages).localCheckpoint(eager=True)
+        raw_cell = {}
+
+        def _wrap_warc():
+            raw_cell["raw"] = _fd_warc(spark, pages).localCheckpoint(
+                eager=True
+            )
+
+        commit_epoch_writes(
+            lambda: _fd_probes(pages)
+            .write.mode("overwrite")
+            .parquet(probes_dir),
+            _wrap_warc,
+        )
+        raw = raw_cell["raw"]
         front_door_batch(
             spark,
             raw,
@@ -1322,9 +1419,26 @@ def _front_door_epochs(spark, sf_dir):
     probes_dir = os.path.join(root, "probes")
     try:
         pages = _fd_pages(spark, sf_dir).localCheckpoint(eager=True)
-        _fd_probes(pages).write.mode("overwrite").parquet(probes_dir)
-        raw = _fd_warc(spark, pages).localCheckpoint(eager=True)
-        outs = []
+        # probes write and WARC wrap overlap, as in the single-epoch
+        # row (round 13, guide §2.6)
+        from polars_matmul_spark.streaming.hygiene import (
+            commit_epoch_writes,
+        )
+
+        raw_cell = {}
+
+        def _wrap_warc():
+            raw_cell["raw"] = _fd_warc(spark, pages).localCheckpoint(
+                eager=True
+            )
+
+        commit_epoch_writes(
+            lambda: _fd_probes(pages)
+            .write.mode("overwrite")
+            .parquet(probes_dir),
+            _wrap_warc,
+        )
+        raw = raw_cell["raw"]
         for ep in (0, 1):
             batch = raw.filter(
                 F.col("asset_id") < _FDE_SPLIT
@@ -1347,16 +1461,12 @@ def _front_door_epochs(spark, sf_dir):
                 decon_n=_FD_N,
                 decon_hash="md5",
             )
-            outs.append(
-                _fd_stage_union(spark, state_root, ep).select(
-                    "stage",
-                    F.lit(ep).cast("long").alias("epoch"),
-                    "doc_id",
-                    "fp",
-                    "n_hits",
-                )
-            )
-        out = outs[0].unionByName(outs[1]).localCheckpoint(eager=True)
+        # one read per stage root covering both epochs (round 13) —
+        # the epoch partition column carries the same values the
+        # former per-epoch lit(ep) injected
+        out = _fd_stage_union_epochs(spark, state_root).localCheckpoint(
+            eager=True
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out

@@ -114,10 +114,18 @@ def bloom_ingest_batch(
 
     novel = batch.localCheckpoint(eager=True)
 
-    # 4. idempotent epoch writes
-    novel.write.mode("overwrite").parquet(f"{corpus_dir}/epoch={epoch_id}")
-    build_bloom(novel, "fp", m_bits, k).write.mode("overwrite").parquet(
-        f"{bloom_dir}/epoch={epoch_id}"
+    # 4. idempotent epoch writes — independent (both read the pinned
+    # novel set), so they overlap (round 13, guide §2.6); each still
+    # completes before the stage returns
+    from polars_matmul_spark.streaming.hygiene import commit_epoch_writes
+
+    commit_epoch_writes(
+        lambda: novel.write.mode("overwrite").parquet(
+            f"{corpus_dir}/epoch={epoch_id}"
+        ),
+        lambda: build_bloom(novel, "fp", m_bits, k)
+        .write.mode("overwrite")
+        .parquet(f"{bloom_dir}/epoch={epoch_id}"),
     )
 
 

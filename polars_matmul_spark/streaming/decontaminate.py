@@ -70,7 +70,13 @@ def decontaminate_ingest_batch(
             [], "doc_id long, n_hits long, probe_ids array<long>"
         )
     else:
-        flagged = tag_contaminated(batch, probes, n=n, hash_fn=hash_fn)
+        # lazy pin (round 13): flagged feeds BOTH sinks (the flagged
+        # write and the clean anti-join), so the probe-gram tagging
+        # join used to run twice per epoch; the pin materializes
+        # inside the first consuming write's job
+        flagged = tag_contaminated(
+            batch, probes, n=n, hash_fn=hash_fn
+        ).localCheckpoint(eager=False)
     clean = batch.join(flagged.select("doc_id"), "doc_id", "left_anti")
     flagged_out = flagged.select(
         "doc_id",
@@ -79,9 +85,17 @@ def decontaminate_ingest_batch(
             "probe_ids"
         ),
     )
-    clean.write.mode("overwrite").parquet(f"{clean_dir}/epoch={epoch_id}")
-    flagged_out.write.mode("overwrite").parquet(
-        f"{flagged_dir}/epoch={epoch_id}"
+    # independent sinks over the pinned batch/flagged frames: overlap
+    # (round 13, guide §2.6); both complete before the stage returns
+    from polars_matmul_spark.streaming.hygiene import commit_epoch_writes
+
+    commit_epoch_writes(
+        lambda: clean.write.mode("overwrite").parquet(
+            f"{clean_dir}/epoch={epoch_id}"
+        ),
+        lambda: flagged_out.write.mode("overwrite").parquet(
+            f"{flagged_dir}/epoch={epoch_id}"
+        ),
     )
 
 

@@ -5,14 +5,20 @@ Both hygiene modalities (``cms_ingest.py`` line-strip,
 module holds it ONCE so the crash-replay guard and commit order cannot
 silently diverge between copies:
 
-1. eager-checkpoint the micro-batch (it is read twice: sketch build
-   and the clean pass);
-2. build the batch's OWN sketch first, so the clean sees history +
-   current — boilerplate ubiquitous within one batch is handled on
-   arrival, not only in hindsight;
+1. lazily pin the micro-batch (it is read twice — sketch build and
+   the clean pass — so it must be computed once; the pin materializes
+   inside the first consuming job, the own-sketch commit);
+2. build the batch's OWN sketch and COMMIT it first (one job computes
+   the sketch and persists it; the merge and clean read the epoch dir
+   back), so the clean sees history + current — boilerplate ubiquitous
+   within one batch is handled on arrival, not only in hindsight;
 3. merge-on-read: one sketch per PRIOR epoch (``epoch != epoch_id`` —
    this epoch's counts enter via ``own``, never via a previously
-   half-committed write: the crash-replay guard);
+   half-committed write: the crash-replay guard). The history listing
+   is taken AFTER the own commit, so it can never reference files the
+   own overwrite just deleted; whether history exists at all is
+   decided before the commit, so a first epoch skips the merge
+   shuffle outright;
 4. clean the batch against the merged sketch;
 5. idempotent epoch commits — ``own`` then ``cleaned`` each OVERWRITE
    their ``epoch=N`` directory, so a replayed batch can never
@@ -28,7 +34,12 @@ from pyspark.sql import functions as F
 
 from polars_matmul_spark.operators.cms import merge_cms
 
-__all__ = ["hygiene_ingest_batch", "run_hygiene_stream", "read_or_empty"]
+__all__ = [
+    "hygiene_ingest_batch",
+    "run_hygiene_stream",
+    "read_or_empty",
+    "commit_epoch_writes",
+]
 
 _CMS_SCHEMA = "row long, col long, n long"
 
@@ -65,6 +76,29 @@ def read_or_empty(
 _read_or_empty = read_or_empty
 
 
+def commit_epoch_writes(*thunks) -> None:
+    """Run INDEPENDENT idempotent epoch-dir writes of one stage
+    concurrently (guide §2.6: actions are only sequential because the
+    driver calls them sequentially; a second job's tasks back-fill the
+    first's tail). Every write still completes before this returns, so
+    the stage's commit point — and with it the crash-replay contract —
+    is unchanged: a crash mid-call leaves some subset of the epoch
+    dirs half-written in EITHER order, and the replay overwrites all
+    of them identically. Callers must pass writes with no data
+    dependency on each other; shared lazily-pinned ancestors are safe
+    (BlockManager's per-block get-or-compute locking computes each
+    partition once)."""
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        for f in futures:
+            f.result()
+
+
 def hygiene_ingest_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -91,10 +125,13 @@ def hygiene_ingest_batch(
     # own) == own counter-for-counter (a sum over one value), so the
     # first epoch skips the merge's union+groupBy shuffle outright
     # (round 12, guide §2.4: remove shuffles that reshuffle data
-    # already in the needed shape). Planned BEFORE own's commit below,
-    # and the epoch!=N replay guard keeps this epoch's own rows out of
-    # the history view either way.
-    prior = _read_or_empty(spark, cms_dir, None)
+    # already in the needed shape). Only the EXISTENCE answer is taken
+    # from this pre-commit probe; the history frame itself is
+    # re-planned after the own commit below, so its file listing can
+    # never reference files the own overwrite just deleted (round-13,
+    # r12 ADVICE: the stale pre-overwrite listing was one partition-
+    # prune away from FileNotFound on crash-replay).
+    had_prior = _read_or_empty(spark, cms_dir, None) is not None
 
     # own commits FIRST and the merge/clean read the just-written
     # epoch dir back: one job computes the sketch AND persists it,
@@ -107,9 +144,14 @@ def hygiene_ingest_batch(
     build_fn(batch).write.mode("overwrite").parquet(own_dir)
     own = spark.read.parquet(own_dir)
 
-    if prior is None:
+    if not had_prior:
         merged = own
     else:
+        # fresh listing post-commit; the epoch!=N guard prunes the
+        # just-written partition, so this epoch's counts enter exactly
+        # once (via own). On a crash-replay where ONLY epoch=N exists,
+        # the pruned history is empty and merge_cms(empty, own) == own.
+        prior = spark.read.parquet(cms_dir)
         if "epoch" in prior.columns:
             prior = prior.filter(F.col("epoch") != epoch_id).select(
                 "row", "col", "n"

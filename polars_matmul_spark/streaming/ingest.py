@@ -17,10 +17,15 @@ Scale/semantics notes:
   ``epoch=N`` subdirectory per foreachBatch epoch): replaying a
   half-committed epoch after a crash overwrites its own output instead
   of appending duplicates.
-- The batch is pinned with ``localCheckpoint`` before any write so the
-  accept/reject decision is computed exactly once against the
-  pre-batch index state, not re-derived mid-write while the
-  directories are changing underneath the plan.
+- The accept/reject DECISION is pinned by the eager ``novel``
+  checkpoint before any write mutates the index/corpus dirs — that is
+  the invariant replay correctness needs (the decision cannot be
+  re-derived mid-write while the directories change underneath the
+  plan). The batch/band ``localCheckpoint(eager=False)`` pins are a
+  performance measure only (compute-once across their consumers); if
+  Spark ever recomputes a lazily-pinned ancestor, its lineage reads
+  only immutable source files, never the state dirs this epoch
+  writes.
 """
 
 from __future__ import annotations
@@ -116,11 +121,19 @@ def ingest_documents_batch(
     # 3. idempotent append: one overwritten epoch subdir each; the
     # novel docs' bands are a FILTER of the batch band table computed
     # above (a doc's bands are independent of other docs), not a
-    # second signature pass
-    novel.write.mode("overwrite").parquet(f"{corpus_dir}/epoch={epoch_id}")
-    batch_bands.join(
-        novel.select(id_col), id_col, "left_semi"
-    ).write.mode("overwrite").parquet(f"{index_dir}/epoch={epoch_id}")
+    # second signature pass. The two writes are independent (both read
+    # the pinned novel set / band table), so they overlap (round 13,
+    # guide §2.6); each completes before the stage returns
+    from polars_matmul_spark.streaming.hygiene import commit_epoch_writes
+
+    commit_epoch_writes(
+        lambda: novel.write.mode("overwrite").parquet(
+            f"{corpus_dir}/epoch={epoch_id}"
+        ),
+        lambda: batch_bands.join(novel.select(id_col), id_col, "left_semi")
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/epoch={epoch_id}"),
+    )
 
 
 def run_dedup_ingest_stream(

@@ -68,7 +68,11 @@ def domain_quota_batch(
     history = _read_or_empty(spark, accepted_dir, None)
     if history is not None and "epoch" in history.columns:
         history = history.filter(F.col("epoch") != epoch_id)
-    if history is not None and history.limit(1).count() > 0:
+    if history is not None:
+        # no emptiness probe (round 13, guide §1.2): the groupBy of an
+        # empty history IS the empty counts frame, so the former
+        # limit(1).count() pre-check was one full scan job per epoch
+        # that changed nothing downstream
         counts = history.groupBy("domain_key").agg(
             F.count("*").alias("__hist")
         )
