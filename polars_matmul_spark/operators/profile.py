@@ -22,12 +22,80 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["profile_table", "corr_matrix", "frequent_items", "profile_diff"]
+__all__ = [
+    "profile_table",
+    "profile_pair_one_scan",
+    "corr_matrix",
+    "frequent_items",
+    "profile_diff",
+]
 
 _NUMERIC = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
     T.FloatType, T.DoubleType, T.DecimalType,
 )
+
+
+def _profile_aggs(fields: dict, cols: list[str], p: str) -> list:
+    """The agg-expression list behind :func:`profile_table` for columns
+    ``{p}{c}`` of the input, aliased under the same prefix so two
+    sides can share one aggregation (``profile_pair_one_scan``)."""
+    aggs = []
+    for c in cols:
+        pc = p + c
+        dt = fields[pc]
+        simple = not isinstance(dt, (T.ArrayType, T.MapType, T.StructType))
+        aggs.append(
+            F.sum(F.when(F.col(pc).isNull(), 1).otherwise(0)).alias(
+                f"__nulls_{pc}"
+            )
+        )
+        if simple:
+            # rsd 0.02: ~double the default's sketch (still KBs/column,
+            # mergeable) for 2% relative error instead of 5%
+            aggs.append(F.approx_count_distinct(pc, 0.02).alias(f"__dist_{pc}"))
+            aggs.append(F.min(pc).cast("string").alias(f"__min_{pc}"))
+            aggs.append(F.max(pc).cast("string").alias(f"__max_{pc}"))
+        if isinstance(dt, _NUMERIC):
+            aggs.append(F.avg(F.col(pc).cast("double")).alias(f"__mean_{pc}"))
+            aggs.append(F.stddev(F.col(pc).cast("double")).alias(f"__std_{pc}"))
+    return aggs
+
+
+def _profile_rows(fields: dict, cols: list[str], p: str) -> list:
+    """The per-column output structs over a 1-row frame produced from
+    :func:`_profile_aggs` with the same prefix; the reported ``column``
+    name is the UNPREFIXED name."""
+    rows = []
+    for c in cols:
+        pc = p + c
+        dt = fields[pc]
+        simple = not isinstance(dt, (T.ArrayType, T.MapType, T.StructType))
+        numeric = isinstance(dt, _NUMERIC)
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(dt.simpleString()).alias("dtype"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nulls_{pc}").alias("n_nulls"),
+                (F.col(f"__dist_{pc}") if simple else F.lit(None).cast("long")).alias(
+                    "n_distinct_approx"
+                ),
+                (F.col(f"__min_{pc}") if simple else F.lit(None).cast("string")).alias(
+                    "min"
+                ),
+                (F.col(f"__max_{pc}") if simple else F.lit(None).cast("string")).alias(
+                    "max"
+                ),
+                (F.col(f"__mean_{pc}") if numeric else F.lit(None).cast("double")).alias(
+                    "mean"
+                ),
+                (F.col(f"__std_{pc}") if numeric else F.lit(None).cast("double")).alias(
+                    "stddev"
+                ),
+            )
+        )
+    return rows
 
 
 def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
@@ -44,54 +112,40 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     if unknown:
         raise ValueError(f"no such columns: {unknown}")
 
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
-        dt = fields[c]
-        simple = not isinstance(dt, (T.ArrayType, T.MapType, T.StructType))
-        aggs.append(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nulls_{c}")
-        )
-        if simple:
-            # rsd 0.02: ~double the default's sketch (still KBs/column,
-            # mergeable) for 2% relative error instead of 5%
-            aggs.append(F.approx_count_distinct(c, 0.02).alias(f"__dist_{c}"))
-            aggs.append(F.min(c).cast("string").alias(f"__min_{c}"))
-            aggs.append(F.max(c).cast("string").alias(f"__max_{c}"))
-        if isinstance(dt, _NUMERIC):
-            aggs.append(F.avg(F.col(c).cast("double")).alias(f"__mean_{c}"))
-            aggs.append(F.stddev(F.col(c).cast("double")).alias(f"__std_{c}"))
-
-    one = df.agg(*aggs)
-
-    rows = []
-    for c in cols:
-        dt = fields[c]
-        simple = not isinstance(dt, (T.ArrayType, T.MapType, T.StructType))
-        numeric = isinstance(dt, _NUMERIC)
-        rows.append(
-            F.struct(
-                F.lit(c).alias("column"),
-                F.lit(dt.simpleString()).alias("dtype"),
-                F.col("__n").alias("n_rows"),
-                F.col(f"__nulls_{c}").alias("n_nulls"),
-                (F.col(f"__dist_{c}") if simple else F.lit(None).cast("long")).alias(
-                    "n_distinct_approx"
-                ),
-                (F.col(f"__min_{c}") if simple else F.lit(None).cast("string")).alias(
-                    "min"
-                ),
-                (F.col(f"__max_{c}") if simple else F.lit(None).cast("string")).alias(
-                    "max"
-                ),
-                (F.col(f"__mean_{c}") if numeric else F.lit(None).cast("double")).alias(
-                    "mean"
-                ),
-                (F.col(f"__std_{c}") if numeric else F.lit(None).cast("double")).alias(
-                    "stddev"
-                ),
-            )
-        )
+    one = df.agg(F.count(F.lit(1)).alias("__n"), *_profile_aggs(fields, cols, ""))
+    rows = _profile_rows(fields, cols, "")
     return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def profile_pair_one_scan(
+    ab: DataFrame,
+    a_cols: list[str],
+    b_cols: list[str],
+    a_prefix: str = "__a_",
+    b_prefix: str = "__b_",
+) -> tuple[DataFrame, DataFrame]:
+    """``(profile_table(a), profile_table(b))`` computed in ONE
+    aggregation over ONE scan, for two sides that are row-wise
+    projections of the same source (round 13, guide §1.2): ``ab``
+    carries side a's columns as ``__a_<name>`` and side b's as
+    ``__b_<name>``. Bit-identical to the two-scan form — every stat is
+    the same agg expression over the same rows (one shared row count;
+    the HLL sketch is deterministic for identical input) — while the
+    source is scanned once instead of once per side. The 1-row agg is
+    lazily pinned so both returned frames read one materialization."""
+    fields = {f.name: f.dataType for f in ab.schema.fields}
+    one = ab.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *_profile_aggs(fields, a_cols, a_prefix),
+        *_profile_aggs(fields, b_cols, b_prefix),
+    ).localCheckpoint(eager=False)
+    prof_a = one.select(
+        F.explode(F.array(*_profile_rows(fields, a_cols, a_prefix))).alias("p")
+    ).select("p.*")
+    prof_b = one.select(
+        F.explode(F.array(*_profile_rows(fields, b_cols, b_prefix))).alias("p")
+    ).select("p.*")
+    return prof_a, prof_b
 
 
 def profile_diff(

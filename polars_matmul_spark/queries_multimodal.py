@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from polars_matmul_spark.operators import multimodal as M
-from polars_matmul_spark.sources.tables import load_table
+from polars_matmul_spark.sources.tables import load_table, spread_to_cores
 
 
 def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,7 +177,7 @@ def _decoded_stats(spark, sf_dir):
             "doc_id",
             F.regexp_replace("text", "[^\\x00-\\x7F]", "?").alias("text"),
         )
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(lambda d: spread_to_cores(d, spark))
     )
 
     def encode(batches):
@@ -375,7 +375,7 @@ def _probe_media(spark, sf_dir):
             "doc_id",
             F.regexp_replace("text", "[^\\x00-\\x7F]", "?").alias("text"),
         )
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(lambda d: spread_to_cores(d, spark))
     )
 
     def encode(batches):
@@ -464,7 +464,7 @@ def _mpeg_layer1(spark, sf_dir):
         # while the oracle computes from length(text)=0 (2 frames and a
         # g % 0 division). Filter both sides identically instead.
         .filter(F.length("text") >= 1)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(lambda d: spread_to_cores(d, spark))
     )
     alloc = [6] * 12 + [0] * 20  # nb = 7 on subbands 0..11
     sfs = [3] * 12  # sf = 1.0 exactly; irrelevant to the integer gate
@@ -553,7 +553,7 @@ def _warc_extract(spark, sf_dir):
                 " ",
             ).alias("text"),
         )
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(lambda d: spread_to_cores(d, spark))
     )
 
     def build(batches):
@@ -693,7 +693,7 @@ def _rawbytes_ingest(spark, sf_dir):
             F.regexp_replace("text", "[^\\x00-\\x7F]", "?").alias("text"),
         )
         .filter(F.length("text") >= 2)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(lambda d: spread_to_cores(d, spark))
     )
 
     def build(batches):
@@ -821,7 +821,7 @@ def _triage_assets(spark, sf_dir):
             "doc_id",
             F.regexp_replace("text", "[^\\x00-\\x7F]", "?").alias("text"),
         )
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(lambda d: spread_to_cores(d, spark))
     )
     alloc = [6] * 12 + [0] * 20  # nb = 7 on subbands 0..11
     sfs = [3] * 12
@@ -979,7 +979,7 @@ def _image_neardup_dhash(spark, sf_dir):
             "doc_id",
             F.regexp_replace("text", "[^\\x00-\\x7F]", "?").alias("text"),
         )
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(lambda d: spread_to_cores(d, spark))
     )
     w, h = _IMG_W, _IMG_H
 

@@ -369,20 +369,32 @@ _PD_BASE = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
 
 
 def _profile_diff_orders(spark, sf_dir):
-    from polars_matmul_spark.operators.profile import profile_diff
+    from polars_matmul_spark.operators.profile import (
+        profile_diff,
+        profile_pair_one_scan,
+    )
 
     orders = load_table(spark, "orders", sf_dir)
-    a = orders.select(*_PD_BASE)
-    b = orders.select(
-        "o_orderkey",
-        F.col("o_custkey").cast("int").alias("o_custkey"),  # dtype_changed
+    # both sides are row-wise projections of ONE orders scan, so their
+    # profiles share one aggregation pass (round 13, guide §1.2; the
+    # former profile_table(a)/profile_table(b) shape scanned orders
+    # twice inside the same query) — stats and findings bit-identical
+    ab = orders.select(
+        *[F.col(c).alias(f"__a_{c}") for c in _PD_BASE],
+        F.col("o_orderkey").alias("__b_o_orderkey"),
+        F.col("o_custkey").cast("int").alias("__b_o_custkey"),  # dtype_changed
         F.when(F.col("o_orderkey") % 4 == 0, F.lit(None))
         .otherwise(F.col("o_orderstatus"))
-        .alias("o_orderstatus"),  # null_rate
-        F.lit("batch7").alias("o_batch_tag"),  # column_added
+        .alias("__b_o_orderstatus"),  # null_rate
+        F.lit("batch7").alias("__b_o_batch_tag"),  # column_added
         # o_orderpriority dropped -> column_removed
     )
-    return profile_diff(profile_table(a), profile_table(b))
+    prof_a, prof_b = profile_pair_one_scan(
+        ab,
+        list(_PD_BASE),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_batch_tag"],
+    )
+    return profile_diff(prof_a, prof_b)
 
 
 _PROFILE_DIFF_ORACLE = """

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from polars_matmul_spark.operators import dedup as D
 from polars_matmul_spark.operators import text as X
 from polars_matmul_spark.operators.text import STOPWORDS
-from polars_matmul_spark.sources.tables import load_table
+from polars_matmul_spark.sources.tables import load_table, spread_to_cores
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -481,7 +481,7 @@ def _excise_spans(spark, sf_dir):
     docs = (
         _docs(spark, sf_dir)
         .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(lambda d: spread_to_cores(d, spark))
     )
     return excise_duplicate_spans(docs, k=_EXCISE_K)
 
@@ -520,7 +520,7 @@ def _excise_spans_cms(spark, sf_dir):
     docs = (
         _docs(spark, sf_dir)
         .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(lambda d: spread_to_cores(d, spark))
     )
     # ONE md5-per-position pass feeds both the sketch build and the
     # excision; the checkpoint materializes at the sketch job
@@ -558,7 +558,7 @@ def _shared_span_stats_q(spark, sf_dir):
     docs = (
         _docs(spark, sf_dir)
         .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(lambda d: spread_to_cores(d, spark))
     )
     return shared_span_stats(docs, k=_SPAN_STATS_K).select(
         "d1", "d2", "n_spans", "max_span_len", "sum_span_chars"

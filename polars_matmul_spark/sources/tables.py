@@ -62,6 +62,22 @@ def normalize_ts(df: DataFrame, cols=TS_COLUMNS) -> DataFrame:
     return df
 
 
+def spread_to_cores(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Round-robin repartition to defaultParallelism ONLY when the
+    input arrives with fewer splits (the one-file test-SF layout):
+    spreading a single-split synth/decode chain across cores is a win
+    locally, but at real scale the scan is already multi-split and an
+    unconditional repartition would be a full exchange ahead of
+    row-local work (round 13, r12 verdict #5; guide §2.4 — never
+    shuffle to restore parallelism you already have). Callers run
+    row-local expression/decode chains, so values are unaffected
+    either way."""
+    want = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"Unknown table '{name}'. Known: {', '.join(TABLES)}")

@@ -2,6 +2,7 @@
 approximations, not just deterministic ones. Recall@k vs the exact
 kernel answer."""
 
+import pytest
 import numpy as np
 from pyspark.sql import functions as F
 
@@ -406,6 +407,7 @@ class TestIncrementalEmbeddingNeardup:
         assert "SortMergeJoin" not in plan, plan
 
 
+@pytest.mark.slow
 def test_kmeans_training_sample_survives_duplicate_corpus(spark):
     """Regression (round-5): the training downsample used to hash the
     embedding VALUE, so all duplicate embeddings shared one residue —

@@ -217,6 +217,7 @@ class TestOneSidedProperty:
     sketches above mask would surface. Upper envelope: a cell never
     exceeds the total inserted mass N, so est <= N."""
 
+    @pytest.mark.slow
     def test_estimate_dominates_truth(self, spark):
         from collections import Counter
 

@@ -30,6 +30,7 @@ def _read_out(spark, out_dir):
     return spark.read.parquet(out_dir)
 
 
+@pytest.mark.slow
 def test_strip_threshold_crosses_across_batches(spark, tmp_path):
     cms_dir, out_dir = str(tmp_path / "cms"), str(tmp_path / "out")
     # batch 0: one boilerplate occurrence — below min_docs, kept

@@ -23,6 +23,10 @@ from polars_matmul_spark.queries_pipeline import (
     _front_door_curation,
 )
 
+# round 13: module fixtures re-run the composed front-door rows — depth, not breadth;
+# run with SPARK_GRAFT_SLOW_TESTS=1 (see conftest)
+pytestmark = pytest.mark.slow
+
 SF_DIR = "/root/testdata/sf0.01"
 
 _MD5_EMPTY = hashlib.md5(b"").hexdigest()

@@ -316,6 +316,7 @@ class TestIntegration:
             M.frame_sample_gif(df, every=0)
 
 
+@pytest.mark.slow
 def test_decompression_bomb_guard():
     # fuzz-found (round 8): a 34-byte stream claiming a 17217x50390
     # logical screen cost ~19s of allocation+compositing before the

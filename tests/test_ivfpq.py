@@ -84,6 +84,7 @@ class TestIvfPq:
         # probe-all must be near-perfect on this shortlist size
         assert recalls[2] >= 0.95
 
+    @pytest.mark.slow
     def test_residuals_beat_raw_pq(self, clustered):
         # same code budget (m=4, 16 codes): PQ on residuals must beat
         # PQ on raw vectors — the reason IVF-PQ exists

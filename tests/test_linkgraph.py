@@ -367,6 +367,7 @@ class TestPageRankProperty:
     self-loops, parallel duplicates (deduped), dangling nodes and
     isolated sinks can."""
 
+    @pytest.mark.slow
     def test_random_graphs_match_python(self, spark):
         from hypothesis import given, settings
         from hypothesis import strategies as st

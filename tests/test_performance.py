@@ -15,6 +15,10 @@ from pyspark.sql import functions as F
 
 from polars_matmul_spark.functions import matmul, topk
 
+# round 13: cold-JVM perf ceilings: the whole file re-runs registry rows at sf0.1 — depth, not breadth;
+# run with SPARK_GRAFT_SLOW_TESTS=1 (see conftest)
+pytestmark = pytest.mark.slow
+
 
 def _force(df):
     df.write.format("noop").mode("overwrite").save()

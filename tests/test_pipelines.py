@@ -1,5 +1,6 @@
 """End-to-end corpus-prep pipeline invariants."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from polars_matmul_spark.pipelines import prepare_training_corpus
@@ -32,6 +33,7 @@ def test_prepare_training_corpus(spark, sf_dir):
     packed.unpersist()
 
 
+@pytest.mark.slow
 def test_pipeline_deterministic_across_runs(spark, sf_dir):
     a = prepare_training_corpus(spark, sf_dir)
     b = prepare_training_corpus(spark, sf_dir)
@@ -41,6 +43,7 @@ def test_pipeline_deterministic_across_runs(spark, sf_dir):
 
 
 class TestCurateAndExport:
+    @pytest.mark.slow
     def test_end_to_end(self, spark, tmp_path):
         import os
 
@@ -67,6 +70,7 @@ class TestCurateAndExport:
         mx = back.agg(F.max("n_tokens")).collect()[0][0]
         assert all(r["t"] <= 20_000 + mx for r in per_shard)
 
+    @pytest.mark.slow
     def test_gopher_front_gate(self, spark, tmp_path):
         import os
 
@@ -92,6 +96,7 @@ class TestCurateAndExport:
         assert failing and not (ids & failing)
         assert ids  # and survivors still flow through
 
+    @pytest.mark.slow
     def test_deterministic(self, spark, tmp_path):
         import os
 

@@ -94,6 +94,7 @@ class TestPq:
             per_q.setdefault(r["query_id"], []).append(r["rank"])
         assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
 
+    @pytest.mark.slow
     def test_recall_on_planted_structure(self, spark):
         # clustered synthetic data: 16 well-separated centers, queries
         # are jittered copies — PQ@k must recover the exact top-k
@@ -158,6 +159,7 @@ class TestPq:
         # itself streams through ArrowEvalPython/mapInArrow unshuffled
         assert plan.count("Exchange") == 1, plan
 
+    @pytest.mark.slow
     def test_rerank_composition_recovers_exact(self, spark, emb):
         # PQ shortlist + full-precision rerank ~= exact top-k. The
         # synthetic embeddings table is a near-UNIFORM cloud — the

@@ -192,6 +192,7 @@ class TestProfileDiff:
         ).collect()
         assert any(r["check"] == "dtype_changed" and r["column"] == "x" for r in out)
 
+    @pytest.mark.slow
     def test_null_rate_jump_flagged(self, spark):
         out = self._profiles(
             spark,
@@ -222,6 +223,7 @@ class TestProfileDiff:
             r["check"] == "distinct_ratio" and r["column"] == "cat" for r in out
         )
 
+    @pytest.mark.slow
     def test_constant_reference_uses_candidate_sigma(self, spark):
         from polars_matmul_spark.operators.profile import profile_diff, profile_table
 

@@ -78,6 +78,7 @@ def test_int8_dot_scales_applied(spark):
     assert math.isclose(r.d, exact, rel_tol=0.01)
 
 
+@pytest.mark.slow
 def test_zero_vector_handling(spark):
     df = spark.createDataFrame(
         [(1, [0.0, 0.0]), (2, [1.0, 0.0])], "id long, embedding array<double>"

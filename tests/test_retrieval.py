@@ -244,6 +244,7 @@ def _py_maxsim(qrows, crows, k=5, dp=9):
     return out
 
 
+@pytest.mark.slow
 def test_maxsim_exact_vs_python(spark):
     q, c, qrows, crows = _mvec_frames(spark)
     out = maxsim_topk(q, c, k=5).collect()
@@ -255,6 +256,7 @@ def test_maxsim_exact_vs_python(spark):
         assert row.maxsim == s
 
 
+@pytest.mark.slow
 def test_maxsim_identical_doc_ranks_first(spark):
     # plant the query's own vectors as corpus doc 999: every query
     # vector finds an exact max of 1.0 -> maxsim == n_qvecs, rank 1
@@ -268,6 +270,7 @@ def test_maxsim_identical_doc_ranks_first(spark):
     assert out[0].maxsim == pytest.approx(3.0, abs=1e-9)
 
 
+@pytest.mark.slow
 def test_maxsim_blocked_agrees_with_exact(spark):
     q, c, _, _ = _mvec_frames(spark, n_qdocs=4, n_cdocs=12, m=5, d=24)
     a = {(r.q_doc, r.rank): (r.c_doc, r.maxsim) for r in maxsim_topk(q, c, k=4).collect()}
@@ -312,6 +315,7 @@ def test_maxsim_column_collision_raises(spark):
         maxsim_topk(q, c3, c_col="q_emb")
 
 
+@pytest.mark.slow
 def test_maxsim_blocked_string_doc_ids(spark):
     # r9 ADVICE (low): the blocked path hardcoded long id types; it
     # must now carry any id dtype the declarative twin accepts
@@ -336,6 +340,7 @@ def test_maxsim_blocked_string_doc_ids(spark):
         assert b[key][1] == pytest.approx(s, abs=1e-8)
 
 
+@pytest.mark.slow
 def test_maxsim_ivf_full_probe_equals_exact(spark):
     # nprobe == n_centroids -> every doc is a candidate -> the pruned
     # path must EQUAL the exhaustive one row-for-row (scores exact,
@@ -366,6 +371,7 @@ def test_maxsim_ivf_planted_clone_rank1(spark):
     assert top.maxsim == pytest.approx(3.0, abs=1e-9)
 
 
+@pytest.mark.slow
 def test_maxsim_ivf_partial_probe_recall(spark):
     # deterministic seeded setup: with half the centroids probed the
     # pruned top-1 should usually agree with the exhaustive top-1

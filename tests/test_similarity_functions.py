@@ -189,6 +189,7 @@ class TestFloat32:
             got = [m["score"] for m in r.m]
             np.testing.assert_allclose(got, expect, rtol=1e-4)
 
+    @pytest.mark.slow
     def test_pmm_namespace_mirrors_reference_call_shape(self, spark):
         # the reference's documented call shape (README.md:50-52):
         #   queries.with_columns(pl.col("embedding").pmm.topk(corpus, k=2))

@@ -35,6 +35,7 @@ def dirs(tmp_path):
     return d
 
 
+@pytest.mark.slow
 def test_stream_equals_batch_static_probes(spark, dirs):
     rows = [
         (1, f"{_FILLER} {_P1} {_FILLER}"),
@@ -71,6 +72,7 @@ def test_stream_equals_batch_static_probes(spark, dirs):
     )
 
 
+@pytest.mark.slow
 def test_probe_growth_arrival_time_semantics(spark, dirs):
     # run 1: only P1 exists -> doc 10 (contains P2!) passes clean
     _docs_df(spark, [(10, f"{_FILLER} {_P2}")]).coalesce(1).write.parquet(

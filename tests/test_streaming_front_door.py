@@ -19,6 +19,10 @@ from polars_matmul_spark.streaming.front_door import (
     run_front_door_stream,
 )
 
+# round 13: module fixture replays the full 8-stage stream — depth, not breadth;
+# run with SPARK_GRAFT_SLOW_TESTS=1 (see conftest)
+pytestmark = pytest.mark.slow
+
 BOILER = "subscribe to our newsletter today friends and neighbors"
 SPAN = "the quick brown fox jumps over the lazy dog again"
 PROBE = "alpha beta gamma delta epsilon zeta eta theta"

@@ -54,6 +54,7 @@ def dirs(tmp_path):
     return {k: str(tmp_path / k) for k in ("in", "cat", "rej", "ckpt")}
 
 
+@pytest.mark.slow
 def test_cross_epoch_rejection_and_quarantine(spark, dirs):
     img = _gradient()
     # epoch 0: original + one unrelated
@@ -93,6 +94,7 @@ def test_within_batch_collapse_keeps_lowest_id(spark, dirs):
     assert rej == {6: "near_duplicate"}
 
 
+@pytest.mark.slow
 def test_stream_equals_batch_pipeline(spark, dirs):
     img = _gradient()
     rows = [

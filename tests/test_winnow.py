@@ -482,6 +482,7 @@ class TestExciseSpans:
         oracle = py_excise(rows, self.K, keep_first=False)
         assert got == {d: o[0] for d, o in oracle.items()}
 
+    @pytest.mark.slow
     def test_real_corpus_matches_python_oracle(self, spark):
         from polars_matmul_spark.operators.winnow import excise_duplicate_spans
 
@@ -612,6 +613,7 @@ class TestExciseProperties:
             out_text, _nsp, nch = got[did]
             assert len(out_text) == len(orig) - nch
 
+    @pytest.mark.slow
     def test_random_corpora_match_oracle(self, spark):
         import random
 
